@@ -1,0 +1,347 @@
+"""Snapshot-versioned, bucket-partitioned lake table over parquet.
+
+A minimal, from-scratch table format with the Iceberg properties the CDC
+engine needs (no Iceberg jars are available in this sandbox):
+
+- **Atomic commits**: each snapshot is one immutable metadata JSON
+  (``metadata/v{N}.json``) created with O_CREAT|O_EXCL — the create either
+  fully succeeds or fully fails, so readers always see a consistent file
+  list. Data files are written first, the metadata swap is the commit point.
+- **Snapshot properties**: arbitrary key/values stamped in the same commit
+  as the data — used to make the LSN watermark atomic with the applied
+  batch (the analogue of the reference's two-phase pending/committed
+  watermark, reference import_config.py:1086-1108, 2192-2195).
+- **Bucket partitioning**: data files are grouped by
+  ``pmod(xxhash64(key), num_buckets)``; a MERGE touching k keys rewrites
+  at most k buckets and prunes the rest (the analogue of Iceberg
+  ``PARTITIONED BY (bucket(N, doc_id))`` per SURVEY.md §2.1 S9).
+- **Additive schema evolution**: the schema lives in table metadata; new
+  nullable columns are added metadata-only, old files are read through the
+  new schema and yield nulls (reference rule: adds yes, drops never —
+  import_operations.py:2808-2868).
+- **Time travel / lineage**: every snapshot keeps its parent, per-commit
+  per-bucket lineage records, and the full file list, so old versions stay
+  readable until expired.
+
+Scale notes: metadata holds one small dict per data file (path, bucket,
+rows, bytes) — the same order of driver-side state Iceberg manifests carry.
+Reads hand Spark an explicit file list (partition pruning happens here, not
+in Catalyst). On a shared filesystem (HDFS/NFS) the O_EXCL create is the
+single-writer commit lock; an object-store deployment would swap this for a
+catalog CAS — the rest of the format is storage-agnostic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass
+class DataFile:
+    path: str  # relative to table root
+    bucket: int
+    rows: int
+    bytes: int
+
+    def to_json(self) -> dict:
+        return {"path": self.path, "bucket": self.bucket, "rows": self.rows, "bytes": self.bytes}
+
+    @staticmethod
+    def from_json(d: dict) -> "DataFile":
+        return DataFile(d["path"], d["bucket"], d["rows"], d["bytes"])
+
+
+@dataclass
+class Snapshot:
+    version: int
+    snapshot_id: str
+    parent_snapshot_id: str | None
+    schema: T.StructType
+    num_buckets: int
+    bucket_column: str
+    files: list[DataFile]
+    properties: dict[str, str]
+    lineage: list[dict]  # per-bucket records for THIS commit's applied batch
+    created_unix: float = field(default_factory=time.time)
+
+    def to_json(self) -> dict:
+        return {
+            "format_version": 1,
+            "version": self.version,
+            "snapshot_id": self.snapshot_id,
+            "parent_snapshot_id": self.parent_snapshot_id,
+            "created_unix": self.created_unix,
+            "schema": json.loads(self.schema.json()),
+            "num_buckets": self.num_buckets,
+            "bucket_column": self.bucket_column,
+            "files": [f.to_json() for f in self.files],
+            "properties": self.properties,
+            "lineage": self.lineage,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Snapshot":
+        return Snapshot(
+            version=d["version"],
+            snapshot_id=d["snapshot_id"],
+            parent_snapshot_id=d.get("parent_snapshot_id"),
+            schema=T.StructType.fromJson(d["schema"]),
+            num_buckets=d["num_buckets"],
+            bucket_column=d["bucket_column"],
+            files=[DataFile.from_json(f) for f in d["files"]],
+            properties=d.get("properties", {}),
+            lineage=d.get("lineage", []),
+            created_unix=d.get("created_unix", 0.0),
+        )
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first."""
+
+
+class LakeTable:
+    def __init__(self, root: str):
+        self.root = root
+
+    # -- paths ---------------------------------------------------------------
+
+    @property
+    def _meta_dir(self) -> str:
+        return os.path.join(self.root, "metadata")
+
+    def _meta_path(self, version: int) -> str:
+        return os.path.join(self._meta_dir, f"v{version}.json")
+
+    @property
+    def _hint_path(self) -> str:
+        return os.path.join(self._meta_dir, "version-hint.text")
+
+    # -- create / load -------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        root: str,
+        schema: T.StructType,
+        num_buckets: int = 32,
+        bucket_column: str = "doc_id",
+        properties: dict[str, str] | None = None,
+    ) -> "LakeTable":
+        t = cls(root)
+        os.makedirs(t._meta_dir, exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        snap = Snapshot(
+            version=0,
+            snapshot_id=uuid.uuid4().hex,
+            parent_snapshot_id=None,
+            schema=schema,
+            num_buckets=num_buckets,
+            bucket_column=bucket_column,
+            files=[],
+            properties=dict(properties or {}),
+            lineage=[],
+        )
+        t._write_snapshot(snap)
+        return t
+
+    @classmethod
+    def load(cls, root: str) -> "LakeTable":
+        t = cls(root)
+        t.current()  # raises if absent
+        return t
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        return os.path.isfile(os.path.join(root, "metadata", "version-hint.text"))
+
+    # -- snapshot access -----------------------------------------------------
+
+    def current(self) -> Snapshot:
+        with open(self._hint_path) as fh:
+            v = int(fh.read().strip())
+        # the hint update is not atomic with the metadata create; probe forward
+        while os.path.isfile(self._meta_path(v + 1)):
+            v += 1
+        return self.snapshot(v)
+
+    def snapshot(self, version: int) -> Snapshot:
+        with open(self._meta_path(version)) as fh:
+            return Snapshot.from_json(json.load(fh))
+
+    def snapshots(self) -> list[int]:
+        out = []
+        for name in os.listdir(self._meta_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    @property
+    def properties(self) -> dict[str, str]:
+        return self.current().properties
+
+    def last_lsn(self) -> int:
+        return int(self.current().properties.get("last_lsn", "-1"))
+
+    # -- read path -----------------------------------------------------------
+
+    def bucket_expr(self, key_col: str | None = None, num_buckets: int | None = None) -> Column:
+        snap = self.current()
+        key = key_col or snap.bucket_column
+        n = num_buckets or snap.num_buckets
+        return F.pmod(F.xxhash64(F.col(key)), F.lit(n)).cast("int")
+
+    def read(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read the table (optionally one snapshot / a pruned bucket set).
+
+        Passes Spark an explicit file list — bucket pruning is done here
+        from metadata, the file-level equivalent of partition pruning.
+        Missing columns in old files (additive evolution) read as null.
+        """
+        snap = self.current() if version is None else self.snapshot(version)
+        files = snap.files
+        if buckets is not None:
+            wanted = set(buckets)
+            files = [f for f in files if f.bucket in wanted]
+        if not files:
+            return spark.createDataFrame([], snap.schema)
+        paths = [os.path.join(self.root, f.path) for f in files]
+        return spark.read.schema(snap.schema).parquet(*paths)
+
+    # -- write path ----------------------------------------------------------
+
+    def write_data_files(
+        self, spark: SparkSession, df: DataFrame, version_dir: str, bucket_col: str = "_bucket"
+    ) -> list[DataFile]:
+        """Write df (carrying an int bucket column) under data/<version_dir>/.
+
+        One output dir per commit — files are immutable, never renamed, and
+        become visible only via the metadata swap. Returns per-file stats
+        (rows/bytes from parquet footers — same stats Iceberg manifests keep).
+        """
+        out_dir = os.path.join(self.root, "data", version_dir)
+        (
+            df.withColumn("bucket", F.col(bucket_col))
+            .drop(bucket_col)
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        import pyarrow.parquet as pq
+
+        out: list[DataFile] = []
+        for sub in sorted(os.listdir(out_dir)):
+            if not sub.startswith("bucket="):
+                continue
+            b = int(sub.split("=", 1)[1])
+            subdir = os.path.join(out_dir, sub)
+            for name in sorted(os.listdir(subdir)):
+                if not name.endswith(".parquet"):
+                    continue
+                p = os.path.join(subdir, name)
+                nrows = pq.ParquetFile(p).metadata.num_rows
+                if nrows == 0:
+                    continue
+                rel = os.path.relpath(p, self.root)
+                out.append(DataFile(rel, b, nrows, os.path.getsize(p)))
+        return out
+
+    def commit(
+        self,
+        new_files: list[DataFile],
+        replaced_buckets: set[int],
+        properties: dict[str, str] | None = None,
+        lineage: list[dict] | None = None,
+        new_schema: T.StructType | None = None,
+        expected_version: int | None = None,
+    ) -> Snapshot:
+        """Atomically publish a new snapshot.
+
+        files(N+1) = files(N) minus replaced buckets, plus new_files.
+        Properties are merged (so the LSN watermark rides the same commit as
+        the data — crash before this point leaves v(N) fully intact; crash
+        after leaves v(N+1) fully applied: exactly-once by construction).
+        """
+        cur = self.current()
+        if expected_version is not None and cur.version != expected_version:
+            raise CommitConflict(f"expected v{expected_version}, found v{cur.version}")
+        kept = [f for f in cur.files if f.bucket not in replaced_buckets]
+        props = dict(cur.properties)
+        props.update(properties or {})
+        snap = Snapshot(
+            version=cur.version + 1,
+            snapshot_id=uuid.uuid4().hex,
+            parent_snapshot_id=cur.snapshot_id,
+            schema=new_schema or cur.schema,
+            num_buckets=cur.num_buckets,
+            bucket_column=cur.bucket_column,
+            files=kept + new_files,
+            properties=props,
+            lineage=lineage or [],
+        )
+        self._write_snapshot(snap)
+        return snap
+
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        path = self._meta_path(snap.version)
+        # O_EXCL create = the atomic commit point (single-writer lock on a
+        # POSIX/HDFS filesystem; an object-store deployment would use a
+        # catalog compare-and-swap here instead).
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        try:
+            with os.fdopen(fd, "w") as fh:
+                json.dump(snap.to_json(), fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+        except BaseException:
+            os.unlink(path)
+            raise
+        tmp = self._hint_path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(snap.version))
+        os.replace(tmp, self._hint_path)
+
+    # -- maintenance ---------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Drop old snapshot metadata and unreferenced data files.
+
+        Analogue of Iceberg ``expire_snapshots`` + ``remove_orphan_files``
+        as the reference calls them (import_operations.py:1513-1535).
+        """
+        versions = self.snapshots()
+        keep = set(versions[-keep_last:])
+        live: set[str] = set()
+        for v in keep:
+            live.update(f.path for f in self.snapshot(v).files)
+        removed = 0
+        for v in versions:
+            if v in keep:
+                continue
+            for f in self.snapshot(v).files:
+                if f.path not in live:
+                    p = os.path.join(self.root, f.path)
+                    if os.path.isfile(p):
+                        os.unlink(p)
+                        removed += 1
+            os.unlink(self._meta_path(v))
+        # sweep now-empty commit dirs
+        data_dir = os.path.join(self.root, "data")
+        for sub in os.listdir(data_dir):
+            d = os.path.join(data_dir, sub)
+            if os.path.isdir(d) and not any(files for _, _, files in os.walk(d)):
+                shutil.rmtree(d)
+        return removed

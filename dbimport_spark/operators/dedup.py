@@ -1,0 +1,72 @@
+"""Last-writer-wins batch dedup: one surviving event per key, max LSN.
+
+This is correctness-critical, not an optimization: the MERGE requires a
+unique source key per target key (exactly why the reference pre-dedupes its
+Flashback imports with a max-SCN-per-PK view, reference
+import_config.py:3238-3252, SURVEY.md J6).
+
+Three strategies, all equivalent:
+
+- ``window``  — ``row_number() OVER (PARTITION BY key ORDER BY lsn DESC)``,
+  the literal form named by the north star. One shuffle by key; a single
+  hot key serializes into one task.
+- ``maxby``   — ``groupBy(key).agg(max_by(struct(*cols), lsn))``. Hash
+  aggregate with map-side partial combine: each input partition reduces its
+  own events for a hot key to ONE row before the shuffle, so skew is
+  absorbed at the map side. Default.
+- ``salted``  — explicit two-phase: first reduce per (key, salt) where
+  salt = pmod(xxhash64(lsn), S), then per key. Guards the reducer even if
+  partial aggregation is disabled/overwhelmed; the form the north rule
+  names ("salted on hot doc_id prefixes"). The rank is computed per
+  (salt, key) then re-reduced per key — the re-reduce is what makes
+  salting correct (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+STRATEGIES = ("window", "maxby", "salted")
+
+
+def dedup_lww(
+    df: DataFrame,
+    key: str = "doc_id",
+    order_col: str = "lsn",
+    strategy: str = "maxby",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Return one row per key: the event with the highest order_col."""
+    if strategy not in STRATEGIES:
+        raise ValueError(f"strategy must be one of {STRATEGIES}")
+    cols = df.columns
+
+    if strategy == "window":
+        w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    payload = F.struct(*[F.col(c) for c in cols])
+    if strategy == "maxby":
+        return (
+            df.groupBy(key)
+            .agg(F.max_by(payload, F.col(order_col)).alias("_w"))
+            .select("_w.*")
+        )
+
+    # salted two-phase
+    salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_salts))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(F.max_by(payload, F.col(order_col)).alias("_w"), F.max(order_col).alias("_o"))
+    )
+    return (
+        partial.groupBy(key)
+        .agg(F.max_by(F.col("_w"), F.col("_o")).alias("_w"))
+        .select("_w.*")
+    )

@@ -1,0 +1,147 @@
+"""Key-partitioned MERGE with I/U/D routing — the engine's crown jewel.
+
+Semantics mirror the reference's generated ``MERGE INTO`` (reference
+etl_operations.py:100-298, SURVEY.md J1/J2/P5):
+
+- WHEN MATCHED AND op='D'            → delete the row
+- WHEN MATCHED AND any column differs (null-safe) → update + audit 'U'
+- WHEN MATCHED AND nothing differs   → keep the row untouched (change
+  detection: audit timestamps only move when content moved,
+  reference etl_operations.py:172-198)
+- WHEN NOT MATCHED AND op!='D'       → insert + audit 'I'
+- WHEN NOT MATCHED AND op='D'        → no-op
+- a delete followed by a re-insert at higher LSN resurrects the row
+  (handled upstream: LWW dedup keeps only the max-LSN event per key,
+  reference fixup analogue etl_operations.py:300-316)
+
+Physical strategies (the part DBImport delegated to Hive/Iceberg and we own):
+
+- ``broadcast`` (default for normal CDC batches): the deduped batch is
+  broadcast; the target side is NEVER shuffled. Two streams over the
+  pruned target buckets: (a) target LEFT JOIN broadcast(batch) applies
+  updates/deletes, (b) a broadcast semi/anti pair computes inserts. At
+  100 TB this means: scan only touched buckets, zero target shuffle,
+  zero sort.
+- ``shuffle`` (initial snapshot loads / huge batches): one full-outer
+  sort-merge join — a single pass when the batch is comparable in size
+  to the target.
+
+The null-safe per-column diff uses Spark's ``<=>`` (eqNullSafe), which is
+native on array columns — token-array change detection stays JVM-side,
+no Python in the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbimport_spark.schema import AUDIT_INSERT, AUDIT_IUD, AUDIT_UPDATE
+
+
+def _changed_predicate(payload_cols: list[str]) -> Column:
+    """OR-fold of null-safe inequality over every non-key column."""
+    pred = F.lit(False)
+    for c in payload_cols:
+        pred = pred | ~F.col(f"t.{c}").eqNullSafe(F.col(f"b.{c}"))
+    return pred
+
+
+def normalize_batch(batch: DataFrame) -> DataFrame:
+    """Recompute n_tok = size(tokens) on apply (asserted consistent in tests)."""
+    if "n_tok" in batch.columns and "tokens" in batch.columns:
+        batch = batch.withColumn(
+            "n_tok", F.when(F.col("tokens").isNotNull(), F.size("tokens"))
+        )
+    return batch
+
+
+def merge_changes(
+    target: DataFrame,
+    batch: DataFrame,
+    key: str,
+    payload_cols: list[str],
+    merge_ts: Column,
+    mode: str = "broadcast",
+) -> DataFrame:
+    """Merge a deduped change batch into the target rows of touched buckets.
+
+    target columns: payload_cols + audit columns.
+    batch columns:  lsn, op + payload_cols (unique per key).
+    Returns the new content for the touched buckets (payload + audit).
+    """
+    non_key = [c for c in payload_cols if c != key]
+    t = target.alias("t")
+    b = normalize_batch(batch).alias("b")
+
+    if mode == "broadcast":
+        bb = F.broadcast(b)
+        joined = t.join(bb, F.col(f"t.{key}") == F.col(f"b.{key}"), "left")
+        matched = F.col("b.op").isNotNull()
+        is_del = matched & (F.col("b.op") == "D")
+        changed = matched & (F.col("b.op") != "D") & _changed_predicate(non_key)
+        survivors = joined.filter(~is_del).select(
+            F.col(f"t.{key}").alias(key),
+            *[F.when(changed, F.col(f"b.{c}")).otherwise(F.col(f"t.{c}")).alias(c) for c in non_key],
+            F.when(changed, F.lit("U")).otherwise(F.col(f"t.{AUDIT_IUD}")).alias(AUDIT_IUD),
+            F.col(f"t.{AUDIT_INSERT}").alias(AUDIT_INSERT),
+            F.when(changed, merge_ts).otherwise(F.col(f"t.{AUDIT_UPDATE}")).alias(AUDIT_UPDATE),
+        )
+        # inserts: batch keys with no target row. The semi-join result is
+        # bounded by the batch size, so both joins stay broadcast — the big
+        # target side is streamed, never shuffled.
+        matched_keys = target.select(key).join(
+            F.broadcast(batch.select(key)), key, "left_semi"
+        )
+        inserts = (
+            normalize_batch(batch)
+            .filter(F.col("op") != "D")
+            .join(F.broadcast(matched_keys), key, "left_anti")
+            .select(
+                key,
+                *non_key,
+                F.lit("I").alias(AUDIT_IUD),
+                merge_ts.alias(AUDIT_INSERT),
+                merge_ts.alias(AUDIT_UPDATE),
+            )
+        )
+        return survivors.unionByName(inserts)
+
+    if mode == "shuffle":
+        joined = t.join(b, F.col(f"t.{key}") == F.col(f"b.{key}"), "full_outer")
+        has_t = F.col(f"t.{AUDIT_IUD}").isNotNull()
+        has_b = F.col("b.op").isNotNull()
+        is_del = has_b & (F.col("b.op") == "D")
+        changed = has_t & has_b & ~is_del & _changed_predicate(non_key)
+        insert = ~has_t & has_b & ~is_del
+        take_b = changed | insert
+        return joined.filter(~is_del).select(
+            F.coalesce(F.col(f"t.{key}"), F.col(f"b.{key}")).alias(key),
+            *[F.when(take_b, F.col(f"b.{c}")).otherwise(F.col(f"t.{c}")).alias(c) for c in non_key],
+            F.when(insert, F.lit("I"))
+            .when(changed, F.lit("U"))
+            .otherwise(F.col(f"t.{AUDIT_IUD}"))
+            .alias(AUDIT_IUD),
+            F.when(insert, merge_ts).otherwise(F.col(f"t.{AUDIT_INSERT}")).alias(AUDIT_INSERT),
+            F.when(insert | changed, merge_ts)
+            .otherwise(F.col(f"t.{AUDIT_UPDATE}"))
+            .alias(AUDIT_UPDATE),
+        )
+
+    raise ValueError(f"unknown merge mode: {mode}")
+
+
+def inserts_only(batch: DataFrame, key: str, payload_cols: list[str], merge_ts: Column) -> DataFrame:
+    """Fast path when the touched buckets hold no target rows yet."""
+    non_key = [c for c in payload_cols if c != key]
+    return (
+        normalize_batch(batch)
+        .filter(F.col("op") != "D")
+        .select(
+            key,
+            *non_key,
+            F.lit("I").alias(AUDIT_IUD),
+            merge_ts.alias(AUDIT_INSERT),
+            merge_ts.alias(AUDIT_UPDATE),
+        )
+    )

@@ -1,0 +1,303 @@
+"""CDC replay engine: batch planner + apply loop + exactly-once commits.
+
+The run loop is the Spark-native re-expression of the reference's staged
+import (SURVEY.md §3.1): plan LSN ranges (the watermark windows,
+reference import_config.py:2087-2255), and for each range
+
+  watermark scan → LWW dedup → schema-evolve → bucket-pruned MERGE →
+  atomic commit carrying {files, last_lsn, lineage} in ONE snapshot.
+
+Because the watermark rides the data commit, a crash anywhere leaves the
+table either fully-before or fully-after a batch; re-running a committed
+range is detected via ``last_lsn`` and skipped (the reference needed a
+two-phase pending/committed dance across MySQL + Hive for the same
+guarantee, import_config.py:1086-1108 — a single metadata swap replaces it).
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dbimport_spark.lake.evolve import diff_payload_schema, evolve_schema
+from dbimport_spark.lake.table import LakeTable
+from dbimport_spark.operators.dedup import dedup_lww
+from dbimport_spark.operators.merge import inserts_only, merge_changes
+from dbimport_spark.plans.checkpoint import ReplayPlan, load_plan, save_plan
+from dbimport_spark.schema import (
+    AUDIT_COLUMNS,
+    AUDIT_INSERT,
+    AUDIT_IUD,
+    AUDIT_UPDATE,
+    MERGE_KEY,
+    PAYLOAD_SCHEMA,
+)
+
+LOG_BOOKKEEPING = {"lsn", "op", "commit_ts"}
+
+
+def table_schema_with_audit(payload: T.StructType = PAYLOAD_SCHEMA) -> T.StructType:
+    fields = list(payload.fields) + [
+        T.StructField(AUDIT_IUD, T.StringType(), True),
+        T.StructField(AUDIT_INSERT, T.TimestampType(), True),
+        T.StructField(AUDIT_UPDATE, T.TimestampType(), True),
+    ]
+    return T.StructType(fields)
+
+
+@dataclass
+class BatchStats:
+    lo: int
+    hi: int
+    events: int = 0
+    touched_buckets: int = 0
+    mode: str = ""
+    out_rows: int = 0
+    out_bytes: int = 0
+    skipped: bool = False
+
+
+@dataclass
+class ReplayStats:
+    batches_applied: int = 0
+    batches_skipped: int = 0
+    events_applied: int = 0
+    batch_stats: list[BatchStats] = field(default_factory=list)
+
+
+class CDCEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: LakeTable,
+        checkpoint_dir: str | None = None,
+        dedup_strategy: str = "maxby",
+        n_salts: int = 16,
+        broadcast_threshold_rows: int = 2_000_000,
+        key: str = MERGE_KEY,
+    ):
+        self.spark = spark
+        self.table = table
+        self.checkpoint_dir = checkpoint_dir
+        self.dedup_strategy = dedup_strategy
+        self.n_salts = n_salts
+        self.broadcast_threshold_rows = broadcast_threshold_rows
+        self.key = key
+
+    # -- table bootstrap -----------------------------------------------------
+
+    @classmethod
+    def create_table(
+        cls,
+        root: str,
+        payload_schema: T.StructType = PAYLOAD_SCHEMA,
+        num_buckets: int = 32,
+        key: str = MERGE_KEY,
+    ) -> LakeTable:
+        return LakeTable.create(
+            root,
+            schema=table_schema_with_audit(payload_schema),
+            num_buckets=num_buckets,
+            bucket_column=key,
+        )
+
+    # -- single batch --------------------------------------------------------
+
+    def apply_batch(self, batch: DataFrame, lo: int, hi: int) -> BatchStats:
+        """Apply change events with lo < lsn <= hi. Idempotent.
+
+        ``lo``/``hi`` are the watermark window bounds (strict > low,
+        inclusive <= high — mirroring the reference's incremental WHERE,
+        import_config.py:2230-2246). The caller guarantees the batch holds
+        exactly that LSN range.
+        """
+        snap = self.table.current()
+        if self.table.last_lsn() >= hi:
+            return BatchStats(lo=lo, hi=hi, skipped=True)
+
+        # -- additive schema evolution (metadata-only) ----------------------
+        added = diff_payload_schema(snap.schema, batch.schema, ignore=LOG_BOOKKEEPING)
+        new_schema = evolve_schema(snap.schema, added) if added else snap.schema
+        payload_cols = [f.name for f in new_schema.fields if f.name not in AUDIT_COLUMNS]
+
+        # align batch to the (evolved) payload column set; columns the batch
+        # doesn't carry (older log segments) come through as nulls
+        bschema = {f.name: f for f in batch.schema.fields}
+        aligned_cols = [F.col("lsn"), F.col("op")]
+        for f in new_schema.fields:
+            if f.name in AUDIT_COLUMNS:
+                continue
+            if f.name in bschema:
+                aligned_cols.append(F.col(f.name))
+            else:
+                aligned_cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        has_commit_ts = "commit_ts" in bschema
+        if has_commit_ts:
+            aligned_cols.append(F.col("commit_ts"))
+        batch = batch.select(*aligned_cols)
+
+        # -- one metadata-sized agg: touched buckets + per-bucket lineage ---
+        bexpr = F.pmod(F.xxhash64(F.col(self.key)), F.lit(snap.num_buckets)).cast("int")
+        agg_cols = [
+            F.count(F.lit(1)).alias("events"),
+            F.min("lsn").alias("first_lsn"),
+            F.max("lsn").alias("last_lsn"),
+        ]
+        if has_commit_ts:
+            agg_cols.append(F.max("commit_ts").alias("max_ts"))
+        per_bucket = batch.groupBy(bexpr.alias("bucket")).agg(*agg_cols).collect()
+
+        if not per_bucket:
+            # empty window: still advance the watermark (atomic, no files)
+            self.table.commit(
+                [], set(), properties={"last_lsn": str(hi)}, expected_version=snap.version
+            )
+            return BatchStats(lo=lo, hi=hi, events=0, mode="empty")
+
+        touched = sorted(r["bucket"] for r in per_bucket)
+        n_events = sum(r["events"] for r in per_bucket)
+        merge_ts = (
+            F.lit(max(r["max_ts"] for r in per_bucket))
+            if has_commit_ts
+            else F.current_timestamp()
+        )
+
+        # -- dedup (LWW per key) --------------------------------------------
+        deduped = dedup_lww(
+            batch.drop("commit_ts") if has_commit_ts else batch,
+            key=self.key,
+            order_col="lsn",
+            strategy=self.dedup_strategy,
+            n_salts=self.n_salts,
+        )
+        deduped = deduped.persist()
+        try:
+            # -- merge ------------------------------------------------------
+            target = self.table.read(self.spark, buckets=touched)
+            for f in added:
+                target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
+            # keep audit columns trailing to match new_schema order
+            target = target.select(*[f.name for f in new_schema.fields])
+
+            touched_have_files = any(f.bucket in set(touched) for f in snap.files)
+            if not touched_have_files:
+                mode = "insert-only"
+                merged = inserts_only(deduped, self.key, payload_cols, merge_ts)
+            else:
+                mode = (
+                    "broadcast" if n_events <= self.broadcast_threshold_rows else "shuffle"
+                )
+                merged = merge_changes(
+                    target, deduped, self.key, payload_cols, merge_ts, mode=mode
+                )
+
+            # one output file per touched bucket per commit (hash-partition by
+            # bucket before the partitioned write) — without this each commit
+            # sprays shuffle_partitions × buckets tiny files
+            merged = merged.withColumn("_bucket", bexpr).repartition(
+                max(len(touched), 1), "_bucket"
+            )
+            version_dir = f"s{snap.version + 1}-{uuid.uuid4().hex[:8]}"
+            new_files = self.table.write_data_files(self.spark, merged, version_dir)
+        finally:
+            deduped.unpersist()
+
+        # -- lineage + atomic commit ----------------------------------------
+        out_by_bucket: dict[int, list[int]] = {}
+        for fl in new_files:
+            rows, nbytes = out_by_bucket.get(fl.bucket, [0, 0])
+            out_by_bucket[fl.bucket] = [rows + fl.rows, nbytes + fl.bytes]
+        lineage = [
+            {
+                "bucket": r["bucket"],
+                "first_lsn": r["first_lsn"],
+                "last_lsn": r["last_lsn"],
+                "events": r["events"],
+                "rows": out_by_bucket.get(r["bucket"], [0, 0])[0],
+                "bytes": out_by_bucket.get(r["bucket"], [0, 0])[1],
+            }
+            for r in per_bucket
+        ]
+        self.table.commit(
+            new_files,
+            replaced_buckets=set(touched),
+            properties={
+                "last_lsn": str(hi),
+                "last_batch_events": str(n_events),
+                "last_batch_mode": mode,
+            },
+            lineage=lineage,
+            new_schema=new_schema if added else None,
+            expected_version=snap.version,
+        )
+        return BatchStats(
+            lo=lo,
+            hi=hi,
+            events=n_events,
+            touched_buckets=len(touched),
+            mode=mode,
+            out_rows=sum(v[0] for v in out_by_bucket.values()),
+            out_bytes=sum(v[1] for v in out_by_bucket.values()),
+        )
+
+    # -- replay loop ---------------------------------------------------------
+
+    def replay(
+        self,
+        changes: DataFrame,
+        num_batches: int = 1,
+        stop_after: int | None = None,
+    ) -> ReplayStats:
+        """Apply a change log in ``num_batches`` LSN windows; resumable.
+
+        ``stop_after`` aborts after N applied batches (test hook for
+        kill-and-resume). Re-invoking replays the identical plan (loaded
+        from the checkpoint) and skips committed windows.
+        """
+        ckpt_path = (
+            f"{self.checkpoint_dir}/replay_plan.json" if self.checkpoint_dir else None
+        )
+        plan = load_plan(ckpt_path) if ckpt_path else None
+        if plan is None:
+            bounds = changes.agg(
+                F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+            ).first()
+            if bounds["lo"] is None:
+                return ReplayStats()
+            start = max(self.table.last_lsn(), bounds["lo"] - 1)
+            hi = bounds["hi"]
+            span = hi - start
+            edges = [start + (span * i) // num_batches for i in range(num_batches + 1)]
+            edges[-1] = hi
+            ranges = [
+                (edges[i], edges[i + 1])
+                for i in range(num_batches)
+                if edges[i + 1] > edges[i]
+            ]
+            plan = ReplayPlan(ranges=ranges)
+            if ckpt_path:
+                save_plan(ckpt_path, plan)
+
+        stats = ReplayStats()
+        for i, (rlo, rhi) in enumerate(plan.ranges):
+            if i < plan.completed or rhi <= self.table.last_lsn():
+                stats.batches_skipped += 1
+                continue
+            window = changes.filter((F.col("lsn") > rlo) & (F.col("lsn") <= rhi))
+            bs = self.apply_batch(window, rlo, rhi)
+            stats.batch_stats.append(bs)
+            if bs.skipped:
+                stats.batches_skipped += 1
+            else:
+                stats.batches_applied += 1
+                stats.events_applied += bs.events
+            plan.completed = i + 1
+            if ckpt_path:
+                save_plan(ckpt_path, plan)
+            if stop_after is not None and stats.batches_applied >= stop_after:
+                break
+        return stats

@@ -1,0 +1,36 @@
+"""Per-partition lineage across snapshots.
+
+Analogue of the reference's import_statistics / import_stage_statistics
+(configSchema.py:489-585): every commit records, per bucket, the applied
+batch's first/last LSN, event count, and output rows/bytes — stamped inside
+the same atomic snapshot as the data, so lineage can never double-count a
+replayed batch.
+"""
+
+from __future__ import annotations
+
+from dbimport_spark.lake.table import LakeTable
+
+
+def lineage_history(table: LakeTable) -> list[dict]:
+    """Flatten lineage records across all retained snapshots."""
+    out: list[dict] = []
+    for v in table.snapshots():
+        snap = table.snapshot(v)
+        for rec in snap.lineage:
+            out.append({"version": v, "snapshot_id": snap.snapshot_id, **rec})
+    return out
+
+
+def table_totals(table: LakeTable) -> dict:
+    """Current-table totals from file metadata (no data scan)."""
+    snap = table.current()
+    return {
+        "version": snap.version,
+        "snapshot_id": snap.snapshot_id,
+        "files": len(snap.files),
+        "rows": sum(f.rows for f in snap.files),
+        "bytes": sum(f.bytes for f in snap.files),
+        "buckets": len({f.bucket for f in snap.files}),
+        "last_lsn": int(snap.properties.get("last_lsn", "-1")),
+    }

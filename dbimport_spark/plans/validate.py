@@ -1,0 +1,86 @@
+"""Validation: row-count + content reconciliation (reference parity).
+
+The reference validates every import by (a) row-count reconciliation with a
+tolerance (import_config.py:2728-2844, auto formula at 2807) and (b) custom
+SQL run on both sides and compared (import_config.py:2257-2284). Here:
+
+- ``fold_expected``   — the last-writer-wins fold over the change log,
+  computed IN SPARK (scales with the log; the pandas oracle in tests/ is
+  the independent small-scale check).
+- ``content_checksum``— order-insensitive XOR of per-row hashes over the
+  payload columns: token-array equality rides ``xxhash64`` natively on
+  arrays, JVM-side, overflow-free (no sum). Equal checksums + equal counts
+  ⇒ converged (exact anti-join diff is used at test scale).
+- ``rowcount_tolerance`` — the reference's auto tolerance formula,
+  kept for parity; our tests assert the strict case diff=0.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbimport_spark.operators.dedup import dedup_lww
+
+
+def fold_expected(
+    changes: DataFrame, key: str = "doc_id", payload_cols: list[str] | None = None
+) -> DataFrame:
+    """Expected final table state: LWW fold over the whole log."""
+    winners = dedup_lww(changes, key=key, order_col="lsn", strategy="maxby")
+    live = winners.filter(F.col("op") != "D")
+    if "tokens" in live.columns:
+        live = live.withColumn(
+            "n_tok", F.when(F.col("tokens").isNotNull(), F.size("tokens"))
+        )
+    cols = payload_cols or [c for c in live.columns if c not in ("lsn", "op", "commit_ts")]
+    return live.select(*cols)
+
+
+def content_checksum(df: DataFrame, cols: list[str]) -> int:
+    """Order-insensitive content checksum: XOR of xxhash64 over rows."""
+    row = df.select(F.xxhash64(*[F.col(c) for c in cols]).alias("h"))
+    out = row.agg(F.expr("bit_xor(h)").alias("x"), F.count(F.lit(1)).alias("n")).first()
+    return (out["x"] or 0) ^ out["n"]
+
+
+def reconcile(
+    actual: DataFrame, expected: DataFrame, cols: list[str]
+) -> dict:
+    """Row-count + checksum reconciliation over the given columns."""
+    a_n = actual.count()
+    e_n = expected.count()
+    a_c = content_checksum(actual.select(*cols), cols)
+    e_c = content_checksum(expected.select(*cols), cols)
+    return {
+        "rows_actual": a_n,
+        "rows_expected": e_n,
+        "rowcount_ok": a_n == e_n,
+        "checksum_ok": a_c == e_c,
+        "converged": a_n == e_n and a_c == e_c,
+    }
+
+
+def diff_rows(actual: DataFrame, expected: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact symmetric difference (test-scale): rows in one side only."""
+    a = actual.select(*cols)
+    e = expected.select(*cols)
+    return a.exceptAll(e).withColumn("_side", F.lit("actual")).unionByName(
+        e.exceptAll(a).withColumn("_side", F.lit("expected"))
+    )
+
+
+def rowcount_tolerance(rows: int, allowed: int | None = None) -> float:
+    """Reference auto tolerance: rows * (50 / (100 * sqrt(rows)))
+    (import_config.py:2803-2810); explicit override wins."""
+    if allowed is not None:
+        return float(allowed)
+    if rows <= 0:
+        return 0.0
+    return rows * (50.0 / (100.0 * math.sqrt(rows)))
+
+
+def validate_rowcount(actual: int, expected: int, allowed: int | None = None) -> bool:
+    return abs(actual - expected) <= rowcount_tolerance(expected, allowed)

@@ -1,0 +1,48 @@
+"""Schemas for the CDC engine (per BASELINE.json input_hint / FIXTURES.md).
+
+Payload table (the maintained "sequences" table of pre-tokenized training
+data) and the ordered change-event log. Audit columns mirror the reference's
+"datalake_" system-column model (reference import_config.py:977-983,
+etl_operations.py:229-296) and are excluded from the equality invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# ---- payload ---------------------------------------------------------------
+
+PAYLOAD_FIELDS = [
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+    T.StructField("n_tok", T.IntegerType(), True),
+    T.StructField("source", T.StringType(), True),
+]
+
+PAYLOAD_SCHEMA = T.StructType(PAYLOAD_FIELDS)
+
+PAYLOAD_COLUMNS = [f.name for f in PAYLOAD_FIELDS]
+MERGE_KEY = "doc_id"
+
+# ---- change-event log ------------------------------------------------------
+
+CHANGE_FIELDS = [
+    T.StructField("lsn", T.LongType(), False),
+    T.StructField("op", T.StringType(), False),  # 'I' | 'U' | 'D'
+    *[T.StructField(f.name, f.dataType, True) for f in PAYLOAD_FIELDS],
+    T.StructField("commit_ts", T.TimestampType(), True),
+]
+
+CHANGE_SCHEMA = T.StructType(CHANGE_FIELDS)
+
+# Schema-evolution fixture: events past the evolution LSN also carry this
+# nullable column; the engine must propagate it additively (no rewrite),
+# mirroring reference import_operations.py:2808-2829.
+EVOLVED_COLUMN = T.StructField("quality_score", T.FloatType(), True)
+
+# ---- audit columns (datalake_* analogue) -----------------------------------
+
+AUDIT_IUD = "dl_iud"          # 'I'/'U'/'D' last operation
+AUDIT_INSERT = "dl_insert_ts"  # first-insert timestamp
+AUDIT_UPDATE = "dl_update_ts"  # last-merge timestamp
+AUDIT_COLUMNS = [AUDIT_IUD, AUDIT_INSERT, AUDIT_UPDATE]

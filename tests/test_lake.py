@@ -1,0 +1,122 @@
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dbimport_spark.lake.evolve import (
+    SchemaEvolutionError,
+    diff_payload_schema,
+    evolve_schema,
+)
+from dbimport_spark.lake.table import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("v", T.IntegerType(), True),
+    ]
+)
+
+
+def _write(table, spark, rows, version_dir):
+    df = spark.createDataFrame(rows, SCHEMA).withColumn(
+        "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int")
+    )
+    return table.write_data_files(spark, df, version_dir)
+
+
+def test_create_commit_read(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = LakeTable.create(root, SCHEMA, num_buckets=4)
+    assert t.current().version == 0
+    assert t.read(spark).count() == 0
+
+    files = _write(t, spark, [("a", 1), ("b", 2), ("c", 3)], "s1")
+    snap = t.commit(files, set(f.bucket for f in files), properties={"last_lsn": "10"})
+    assert snap.version == 1
+    got = {(r["doc_id"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 3)}
+    assert t.last_lsn() == 10
+
+
+def test_bucket_replacement_and_pruning(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = LakeTable.create(root, SCHEMA, num_buckets=4)
+    f1 = _write(t, spark, [("a", 1), ("b", 2)], "s1")
+    t.commit(f1, {f.bucket for f in f1})
+    # replace only the bucket containing 'a'
+    a_bucket = (
+        spark.createDataFrame([("a",)], "doc_id string")
+        .select(F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int").alias("b"))
+        .first()["b"]
+    )
+    f2 = _write(t, spark, [("a", 99)], "s2")
+    assert {f.bucket for f in f2} == {a_bucket}
+    t.commit(f2, {a_bucket})
+    got = {(r["doc_id"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {("a", 99), ("b", 2)}
+    # pruned read of just a's bucket
+    pruned = t.read(spark, buckets=[a_bucket]).collect()
+    assert {(r["doc_id"], r["v"]) for r in pruned} >= {("a", 99)}
+
+
+def test_time_travel_and_expire(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = LakeTable.create(root, SCHEMA, num_buckets=4)
+    f1 = _write(t, spark, [("a", 1)], "s1")
+    t.commit(f1, {f.bucket for f in f1})
+    f2 = _write(t, spark, [("a", 2)], "s2")
+    t.commit(f2, {f.bucket for f in f2})
+    assert t.read(spark, version=1).collect()[0]["v"] == 1
+    assert t.read(spark, version=2).collect()[0]["v"] == 2
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed >= 1
+    assert t.snapshots() == [2]
+    assert t.read(spark).collect()[0]["v"] == 2
+
+
+def test_atomic_commit_conflict(tmp_path):
+    root = str(tmp_path / "t")
+    t = LakeTable.create(root, SCHEMA, num_buckets=4)
+    t2 = LakeTable.load(root)
+    t.commit([], set(), properties={"x": "1"})
+    # writer with a stale expectation must fail, not clobber
+    with pytest.raises(Exception):
+        t2.commit([], set(), properties={"x": "2"}, expected_version=0)
+    assert t.current().properties["x"] == "1"
+
+
+def test_schema_evolution_rules():
+    base = SCHEMA
+    batch = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("extra", T.FloatType()),
+        ]
+    )
+    added = diff_payload_schema(base, batch, ignore={"lsn"})
+    assert [f.name for f in added] == ["extra"]
+    evolved = evolve_schema(base, added)
+    assert evolved.fieldNames() == ["doc_id", "v", "extra"]
+    # type change rejected
+    bad = T.StructType([T.StructField("v", T.LongType())])
+    with pytest.raises(SchemaEvolutionError):
+        diff_payload_schema(base, bad)
+    # drops are never propagated: table keeps columns the batch lacks
+    narrow = T.StructType([T.StructField("doc_id", T.StringType())])
+    assert diff_payload_schema(base, narrow) == []
+
+
+def test_old_files_null_for_new_columns(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = LakeTable.create(root, SCHEMA, num_buckets=4)
+    f1 = _write(t, spark, [("a", 1)], "s1")
+    t.commit(f1, {f.bucket for f in f1})
+    evolved = evolve_schema(SCHEMA, [T.StructField("extra", T.FloatType(), True)])
+    t.commit([], set(), new_schema=evolved)
+    rows = t.read(spark).collect()
+    assert rows[0]["extra"] is None
+    assert os.path.isfile(os.path.join(root, "metadata", "v3.json")) is False

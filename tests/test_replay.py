@@ -1,0 +1,171 @@
+"""Acceptance tests: replay convergence vs the pure-Python oracle
+(FIXTURES.md §4) under single-batch, K-batch, kill+resume, and duplicate
+re-apply — plus audit/resurrection semantics."""
+
+from pyspark.sql import functions as F
+
+from dbimport_spark.plans.engine import CDCEngine
+from dbimport_spark.schema import AUDIT_COLUMNS, PAYLOAD_COLUMNS
+from dbimport_spark.sources.loggen import generate_changes
+from tests.oracle import as_tuple_set, lww_fold
+
+COLS = PAYLOAD_COLUMNS  # doc_id, tokens, n_tok, source
+
+
+def _table_state(spark, table):
+    rows = [r.asDict() for r in table.read(spark).collect()]
+    return as_tuple_set(rows, COLS)
+
+
+def _oracle_state(changes_df):
+    events = [r.asDict() for r in changes_df.collect()]
+    state = lww_fold(events)
+    return as_tuple_set(list(state.values()), COLS)
+
+
+def _new_engine(spark, tmp_path, name, **kw):
+    root = str(tmp_path / name)
+    table = CDCEngine.create_table(root, num_buckets=8)
+    return CDCEngine(spark, table, checkpoint_dir=f"{root}/_ckpt", **kw)
+
+
+def test_single_batch_convergence(spark, tmp_path):
+    log = generate_changes(spark, 4000, n_keys=300, seed=42)
+    eng = _new_engine(spark, tmp_path, "t1")
+    stats = eng.replay(log, num_batches=1)
+    assert stats.batches_applied == 1
+    assert stats.events_applied == 4000
+    assert _table_state(spark, eng.table) == _oracle_state(log)
+
+
+def test_multi_batch_convergence(spark, tmp_path):
+    log = generate_changes(spark, 4000, n_keys=300, seed=42)
+    eng = _new_engine(spark, tmp_path, "t2")
+    stats = eng.replay(log, num_batches=5)
+    assert stats.batches_applied == 5
+    assert _table_state(spark, eng.table) == _oracle_state(log)
+
+
+def test_batched_equals_single(spark, tmp_path):
+    log = generate_changes(spark, 3000, n_keys=150, seed=9)
+    e1 = _new_engine(spark, tmp_path, "a")
+    e2 = _new_engine(spark, tmp_path, "b")
+    e1.replay(log, num_batches=1)
+    e2.replay(log, num_batches=7)
+    assert _table_state(spark, e1.table) == _table_state(spark, e2.table)
+
+
+def test_kill_and_resume(spark, tmp_path):
+    log = generate_changes(spark, 3000, n_keys=200, seed=4)
+    eng = _new_engine(spark, tmp_path, "t3")
+    partial = eng.replay(log, num_batches=6, stop_after=2)
+    assert partial.batches_applied == 2
+    # "restart": fresh engine over the same table + checkpoint dir
+    eng2 = CDCEngine(
+        spark, eng.table, checkpoint_dir=eng.checkpoint_dir
+    )
+    rest = eng2.replay(log, num_batches=6)
+    assert rest.batches_skipped >= 2
+    assert _table_state(spark, eng.table) == _oracle_state(log)
+
+
+def test_duplicate_reapply_is_noop(spark, tmp_path):
+    """Exactly-once: re-applying a committed window changes nothing."""
+    log = generate_changes(spark, 2000, n_keys=100, seed=8)
+    eng = _new_engine(spark, tmp_path, "t4")
+    eng.replay(log, num_batches=2)
+    v_before = eng.table.current().version
+    state_before = _table_state(spark, eng.table)
+    # simulate redelivery of the last committed window
+    hi = eng.table.last_lsn()
+    redelivered = log.filter((F.col("lsn") > 1000) & (F.col("lsn") <= hi))
+    bs = eng.apply_batch(redelivered, 1000, hi)
+    assert bs.skipped
+    assert eng.table.current().version == v_before
+    assert _table_state(spark, eng.table) == state_before
+
+
+def test_delete_then_reinsert_resurrects(spark, tmp_path):
+    import datetime as dt
+
+    rows = [
+        (1, "I", "k1", [1, 2], 2, "web", dt.datetime(2024, 1, 1)),
+        (2, "D", "k1", None, None, None, dt.datetime(2024, 1, 2)),
+        (3, "I", "k1", [9], 1, "code", dt.datetime(2024, 1, 3)),
+        (4, "I", "k2", [5], 1, "web", dt.datetime(2024, 1, 4)),
+        (5, "D", "k2", None, None, None, dt.datetime(2024, 1, 5)),
+    ]
+    from dbimport_spark.schema import CHANGE_SCHEMA
+
+    log = spark.createDataFrame(rows, CHANGE_SCHEMA)
+    eng = _new_engine(spark, tmp_path, "t5")
+    # apply event-by-event (each its own batch): exercises matched-delete and
+    # not-matched-insert branches, then resurrection
+    for lsn in range(1, 6):
+        eng.apply_batch(log.filter(F.col("lsn") == lsn), lsn - 1, lsn)
+    got = _table_state(spark, eng.table)
+    assert got == {("k1", (9,), 1, "code")}
+
+
+def test_audit_columns(spark, tmp_path):
+    import datetime as dt
+
+    from dbimport_spark.schema import CHANGE_SCHEMA
+
+    rows = [
+        (1, "I", "k1", [1], 1, "web", dt.datetime(2024, 1, 1)),
+        (2, "I", "k2", [2], 1, "web", dt.datetime(2024, 1, 1)),
+    ]
+    log1 = spark.createDataFrame(rows, CHANGE_SCHEMA)
+    eng = _new_engine(spark, tmp_path, "t6")
+    eng.apply_batch(log1, 0, 2)
+    # second batch: update k1 with NEW content, touch k2 with SAME content
+    rows2 = [
+        (3, "U", "k1", [7, 8], 2, "web", dt.datetime(2024, 2, 1)),
+        (4, "U", "k2", [2], 1, "web", dt.datetime(2024, 2, 1)),
+    ]
+    eng.apply_batch(spark.createDataFrame(rows2, CHANGE_SCHEMA), 2, 4)
+    got = {r["doc_id"]: r.asDict() for r in eng.table.read(spark).collect()}
+    assert got["k1"]["dl_iud"] == "U"
+    assert got["k1"]["dl_update_ts"] > got["k1"]["dl_insert_ts"]
+    # unchanged content: change detection leaves the audit state alone
+    assert got["k2"]["dl_iud"] == "I"
+    assert got["k2"]["dl_update_ts"] == got["k2"]["dl_insert_ts"]
+    for c in AUDIT_COLUMNS:
+        assert c in got["k1"]
+
+
+def test_shuffle_mode_matches_broadcast(spark, tmp_path):
+    log = generate_changes(spark, 3000, n_keys=150, seed=13)
+    e1 = _new_engine(spark, tmp_path, "bm", broadcast_threshold_rows=10**9)
+    e2 = _new_engine(spark, tmp_path, "sm", broadcast_threshold_rows=0)
+    e1.replay(log, num_batches=3)
+    e2.replay(log, num_batches=3)
+    # first batch on empty buckets is insert-only either way; later batches
+    # diverge into broadcast vs shuffle paths — results must be identical
+    assert _table_state(spark, e1.table) == _table_state(spark, e2.table)
+    modes = {s.mode for s in []}
+    assert e2.table.properties["last_batch_mode"] in ("shuffle", "insert-only")
+
+
+def test_dedup_strategies_replay_equal(spark, tmp_path):
+    log = generate_changes(spark, 2000, n_keys=100, seed=21)
+    states = []
+    for strat in ("window", "maxby", "salted"):
+        e = _new_engine(spark, tmp_path, f"ds-{strat}", dedup_strategy=strat)
+        e.replay(log, num_batches=2)
+        states.append(_table_state(spark, e.table))
+    assert states[0] == states[1] == states[2]
+
+
+def test_n_tok_recomputed(spark, tmp_path):
+    import datetime as dt
+
+    from dbimport_spark.schema import CHANGE_SCHEMA
+
+    # log carries a WRONG n_tok; engine must recompute size(tokens)
+    rows = [(1, "I", "k1", [1, 2, 3], 99, "web", dt.datetime(2024, 1, 1))]
+    eng = _new_engine(spark, tmp_path, "t7")
+    eng.apply_batch(spark.createDataFrame(rows, CHANGE_SCHEMA), 0, 1)
+    got = eng.table.read(spark).collect()[0]
+    assert got["n_tok"] == 3
