@@ -1,38 +1,558 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2 (plus
+the training-data-pipeline operators); ``oracle_sql()`` holds the DuckDB
+equivalent. Column names and types are aligned pairwise (the driver's
+compare hashes values under sorted column names).
+
+The flagship ``cdc_replay`` runs the ACTUAL CDC engine (lake table + LWW
+dedup + bucketed MERGE + watermark commits) on a change log derived
+deterministically from the ``events`` table, and the oracle folds the same
+log in pure SQL — so the correctness gate exercises the real engine, not a
+re-phrasing of it.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# CDC-core operators (SURVEY.md §2) expressed over the driver's test tables
+# ---------------------------------------------------------------------------
+
+
+def q_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/A3: last-writer-wins per key by max LSN (events: user_id/event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "event_type"), F.col("event_id")
+            ).alias("w")
+        )
+        .select(
+            "user_id",
+            F.col("w.event_id").alias("last_event_id"),
+            F.col("w.event_type").alias("last_event_type"),
+        )
+    )
+
+
+def q_watermark_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/P3: incremental window lo < lsn <= hi (strict >, inclusive <=)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter((F.col("event_id") > 3000) & (F.col("event_id") <= 7000))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_lsn"),
+            F.max("event_id").alias("last_lsn"),
+        )
+    )
+
+
+def q_cdc_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 semantics as a query: last event per key wins; delete-ops drop."""
+    last = q_lww_dedup(spark, sf_dir)
+    return last.filter(F.col("last_event_type") != "error")
+
+
+def q_delete_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: full-snapshot delete detection — keys absent from the source."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_max_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: max-watermark + count — the per-run bookkeeping aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.max("event_id").alias("max_lsn"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def q_projection_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2: projection + rename + cast view (integral cents, no float)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    ).select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.upper("l_returnflag").alias("flag"),
+        F.floor((F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))) * F.lit(100)).alias(
+            "net_cents"
+        ),
+    )
+
+
+def q_changed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: null-safe change detection between two watermark snapshots."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * F.lit(100))
+    early = (
+        li.filter(F.col("l_shipdate") < F.lit("1995-06-01").cast("timestamp"))
+        .groupBy("l_orderkey")
+        .agg(F.sum(cents).alias("s_early"))
+    )
+    total = li.groupBy("l_orderkey").agg(F.sum(cents).alias("s_total"))
+    j = total.join(early, "l_orderkey", "left")
+    return (
+        j.filter(~F.coalesce(F.col("s_early"), F.lit(0)).eqNullSafe(F.col("s_total")))
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            F.coalesce(F.col("s_early"), F.lit(0)).alias("cents_before"),
+            F.col("s_total").alias("cents_after"),
+        )
+    )
+
+
+def q_rowcount_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A5: row-count reconciliation aggregate, grouped by status."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("o_custkey")).alias("n_keys"),
+    )
+
+
+def q_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 UDF surface as builtins: hash / mask / first-N (no Python UDF)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.sha2(F.col("c_name"), 256).alias("name_hash"),
+        F.regexp_replace(F.col("c_name"), "[0-9]", "*").alias("name_masked"),
+        F.concat(F.substring(F.col("c_name"), 1, 4), F.lit("****")).alias("name_first4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the real CDC engine vs a SQL fold oracle
+# ---------------------------------------------------------------------------
+
+CDC_REPLAY_BATCHES = 3
+
+
+def _events_as_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a change log from events: lsn=event_id, op from event_type."""
+    ev = _t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.col("event_type") == "purchase", F.lit("U"))
+        .otherwise(F.lit("I"))
+    )
+    is_del = op == "D"
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        op.alias("op"),
+        F.format_string("doc-%08d", F.col("user_id").cast("int")).alias("doc_id"),
+        F.when(~is_del, F.floor(F.col("value") * F.lit(100))).alias("val_cents"),
+        F.when(~is_del, F.col("event_type")).alias("source"),
+    )
+
+
+def q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the full engine: create lake table, replay the derived log in
+    K batches through dedup+MERGE with watermark commits, return the final
+    converged state. The oracle folds the same log in SQL."""
+    from dbimport_spark.plans.engine import CDCEngine
+
+    changes = _events_as_changes(spark, sf_dir)
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("val_cents", T.LongType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc-replay-")
+    table = CDCEngine.create_table(
+        os.path.join(root, "t"), payload_schema=payload, num_buckets=16
+    )
+    eng = CDCEngine(spark, table, checkpoint_dir=os.path.join(root, "ckpt"))
+    eng.replay(changes, num_batches=CDC_REPLAY_BATCHES)
+    return table.read(spark).select("doc_id", "val_cents", "source")
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbimport_spark.operators.text_dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbimport_spark.operators.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbimport_spark.operators.text import word_token_count, ws_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ws_token_count(F.col("text")).alias("n_ws_tokens"),
+        word_token_count(F.col("text")).alias("n_word_tokens"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbimport_spark.operators.text import quality_features
+
+    return quality_features(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbimport_spark.operators.text import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbimport_spark.operators.text_dedup import ngram_jaccard_dedup
+
+    return ngram_jaccard_dedup(
+        _t(spark, sf_dir, "documents"), n=3, min_permille=100
+    )
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbimport_spark.operators.text_dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(
+        _t(spark, sf_dir, "documents"), n=3, num_perm=32, bands=8, min_permille=100
+    )
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbimport_spark.operators.text_dedup import simhash_near_dups
+
+    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=16)
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_embedding_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine scan vs the vec_id=0 query; integral permille."""
+    from dbimport_spark.operators.similarity import cosine_to_query
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    scored = cosine_to_query(e, q)
+    return (
+        scored.filter(F.col("cosine_sim") >= 0.5)
+        .select(
+            "vec_id", F.floor(F.col("cosine_sim") * F.lit(1000)).alias("sim_milli")
+        )
+    )
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbimport_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    top = brute_force_topk(e, q, k=20)
+    return top.select(
+        "vec_id", F.floor(F.col("cosine_sim") * F.lit(1000)).alias("sim_milli")
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbimport_spark.operators.similarity import ann_lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    top = ann_lsh_topk(e, q, k=10, n_planes=8)
+    return top.select(
+        "vec_id", F.floor(F.col("cosine_sim") * F.lit(1000)).alias("sim_milli")
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC engine replay on sf0.001, converged final state."""
+    return q_cdc_replay(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_replay": q_cdc_replay,
+        "lww_dedup": q_lww_dedup,
+        "watermark_scan": q_watermark_scan,
+        "cdc_fold": q_cdc_fold,
+        "delete_detect": q_delete_detect,
+        "max_watermark": q_max_watermark,
+        "projection_rename": q_projection_rename,
+        "changed_rows": q_changed_rows,
+        "rowcount_validation": q_rowcount_validation,
+        "masking": q_masking,
+        "exact_dedup": q_exact_dedup,
+        "doc_fingerprint": q_doc_fingerprint,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_dups": q_simhash_dups,
+        "embedding_sim": q_embedding_sim,
+        "embedding_topk": q_embedding_topk,
+        "ann_lsh": q_ann_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+
+    sql["lww_dedup"] = """
+        SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1
     """
-    return {}
+
+    sql["watermark_scan"] = """
+        SELECT event_type,
+               count(*) AS n_events,
+               min(event_id) AS first_lsn,
+               max(event_id) AS last_lsn
+        FROM events
+        WHERE event_id > 3000 AND event_id <= 7000
+        GROUP BY event_type
+    """
+
+    sql["cdc_fold"] = """
+        SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1 AND event_type <> 'error'
+    """
+
+    sql["delete_detect"] = """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate < TIMESTAMP '1996-01-01')
+    """
+
+    sql["max_watermark"] = """
+        SELECT max(event_id) AS max_lsn, count(*) AS n_events FROM events
+    """
+
+    sql["projection_rename"] = """
+        SELECT l_orderkey AS order_key,
+               l_linenumber AS line_no,
+               CAST(l_quantity AS INTEGER) AS qty_int,
+               upper(l_returnflag) AS flag,
+               CAST(floor((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS net_cents
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1997-01-01'
+    """
+
+    sql["changed_rows"] = """
+        WITH early AS (
+          SELECT l_orderkey, CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS s_early
+          FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01' GROUP BY l_orderkey
+        ), total AS (
+          SELECT l_orderkey, CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS s_total
+          FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT t.l_orderkey AS order_key,
+               COALESCE(e.s_early, 0) AS cents_before,
+               t.s_total AS cents_after
+        FROM total t LEFT JOIN early e ON t.l_orderkey = e.l_orderkey
+        WHERE COALESCE(e.s_early, 0) IS DISTINCT FROM t.s_total
+    """
+
+    sql["rowcount_validation"] = """
+        SELECT o_orderstatus,
+               count(*) AS n_rows,
+               count(DISTINCT o_custkey) AS n_keys
+        FROM orders GROUP BY o_orderstatus
+    """
+
+    sql["masking"] = """
+        SELECT c_custkey,
+               sha256(c_name) AS name_hash,
+               regexp_replace(c_name, '[0-9]', '*', 'g') AS name_masked,
+               substr(c_name, 1, 4) || '****' AS name_first4
+        FROM customer
+    """
+
+    sql["cdc_replay"] = """
+        WITH log AS (
+          SELECT event_id AS lsn,
+                 CASE WHEN event_type = 'error' THEN 'D'
+                      WHEN event_type = 'purchase' THEN 'U'
+                      ELSE 'I' END AS op,
+                 'doc-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS doc_id,
+                 CAST(floor(value * 100) AS BIGINT) AS val_cents,
+                 event_type AS source
+          FROM events
+        ), w AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+          FROM log
+        )
+        SELECT doc_id, val_cents, source FROM w WHERE rn = 1 AND op <> 'D'
+    """
+
+    sql["exact_dedup"] = """
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    """
+
+    sql["doc_fingerprint"] = r"""
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents
+    """
+
+    sql["token_count"] = r"""
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS n_word_tokens
+        FROM documents
+    """
+
+    # quality_score: occurrences(x, n) = (len(x) - len(replace(x, n, ''))) / len(n)
+    stop_terms = " + ".join(
+        f"CAST((length(norm) - length(replace(norm, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+        for w in ["the", "and", "a", "of", "to"]
+    )
+    sql["quality_score"] = rf"""
+        WITH n AS (
+          SELECT doc_id, text,
+                 ' ' || regexp_replace(lower(trim(text)), '\s+', ' ', 'g') || ' ' AS norm
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_f,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               CAST({stop_terms} AS BIGINT) AS n_stopwords,
+               CAST(
+                 CAST(floor(1000 * ({stop_terms}) / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+                 + 1000 * CAST(length(text) BETWEEN 50 AND 2000 AS BIGINT)
+               AS BIGINT) AS quality_score
+        FROM n
+    """
+
+    def marker_score(words: list[str]) -> str:
+        return " + ".join(
+            f"CAST((length(norm) - length(replace(norm, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+            for w in words
+        )
+
+    s_en, s_de = marker_score(["the", "and"]), marker_score(["der", "und"])
+    s_es, s_fr = marker_score(["el", "los"]), marker_score(["le", "et"])
+    sql["lang_id"] = rf"""
+        WITH n AS (
+          SELECT doc_id, text,
+                 ' ' || regexp_replace(lower(trim(text)), '\s+', ' ', 'g') || ' ' AS norm
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 regexp_matches(text, '[\x{{4e00}}-\x{{9fff}}]') AS cjk,
+                 {s_en} AS s_en, {s_de} AS s_de, {s_es} AS s_es, {s_fr} AS s_fr
+          FROM n
+        )
+        SELECT doc_id,
+               CASE WHEN cjk THEN 'zh'
+                    WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+                    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM s
+    """
+
+    sql["ngram_jaccard"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+          FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(floor(1000 * c / (sa.n + sb.n - c)) AS BIGINT) AS jaccard_permille
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE floor(1000 * c / (sa.n + sb.n - c)) >= 100
+    """
+
+    sql["embedding_sim"] = """
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        s AS (
+          SELECT vec_id,
+                 list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))) AS sim
+          FROM embeddings, q
+        )
+        SELECT vec_id, CAST(floor(sim * 1000) AS BIGINT) AS sim_milli
+        FROM s WHERE sim >= 0.5
+    """
+
+    sql["embedding_topk"] = """
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        s AS (
+          SELECT vec_id,
+                 list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))) AS sim
+          FROM embeddings, q
+        )
+        SELECT vec_id, CAST(floor(sim * 1000) AS BIGINT) AS sim_milli
+        FROM s ORDER BY sim DESC, vec_id LIMIT 20
+    """
+
+    # minhash_lsh, simhash_dups, ann_lsh: hash-function-specific (xxhash64 /
+    # RHP planes) — not expressible in DuckDB; driver records rows-only.
+    return sql

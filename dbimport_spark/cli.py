@@ -1,0 +1,142 @@
+"""CLI driver — the spark-submit entry point.
+
+Cluster usage (the deployment shape the north rule names):
+
+    zip -r dbimport_spark.zip dbimport_spark
+    spark-submit --py-files dbimport_spark.zip -m dbimport_spark.cli ...
+
+Subcommands mirror the reference's bin/import + bin/manage surface:
+
+    init     create the lake table
+    replay   apply a change log in K batches (resumable)
+    stream   tail the log dir with Structured Streaming (availableNow)
+    gen      write a synthetic change log (testing)
+    status   table totals + lineage
+    compact  rewrite fragmented buckets; expire old snapshots
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="dbimport-spark")
+    p.add_argument("--master", default=None, help="spark master (default: local[$SPARK_GRAFT_CPUS])")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("init")
+    sp.add_argument("table_root")
+    sp.add_argument("--buckets", type=int, default=64)
+
+    sp = sub.add_parser("replay")
+    sp.add_argument("table_root")
+    sp.add_argument("log_path")
+    sp.add_argument("--batches", type=int, default=4)
+    sp.add_argument("--checkpoint", default=None)
+    sp.add_argument("--dedup", default="maxby", choices=["maxby", "window", "salted"])
+
+    sp = sub.add_parser("stream")
+    sp.add_argument("table_root")
+    sp.add_argument("log_dir")
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--continuous", action="store_true")
+
+    sp = sub.add_parser("gen")
+    sp.add_argument("log_path")
+    sp.add_argument("--events", type=int, default=1_000_000)
+    sp.add_argument("--keys", type=int, default=100_000)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--evolve-at", type=int, default=None)
+
+    sp = sub.add_parser("status")
+    sp.add_argument("table_root")
+    sp.add_argument("--lineage", action="store_true")
+
+    sp = sub.add_parser("compact")
+    sp.add_argument("table_root")
+    sp.add_argument("--max-files-per-bucket", type=int, default=4)
+    sp.add_argument("--expire-keep-last", type=int, default=None)
+
+    args = p.parse_args(argv)
+
+    from dbimport_spark.lake.table import LakeTable
+    from dbimport_spark.plans.engine import CDCEngine
+    from dbimport_spark.session import get_spark
+
+    if args.cmd == "status":
+        # metadata-only: no Spark session needed
+        from dbimport_spark.plans.lineage import lineage_history, table_totals
+
+        table = LakeTable.load(args.table_root)
+        print(json.dumps(table_totals(table)))
+        if args.lineage:
+            for rec in lineage_history(table):
+                print(json.dumps(rec))
+        return 0
+
+    spark = get_spark(app_name=f"dbimport-{args.cmd}", master=args.master)
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.cmd == "init":
+        CDCEngine.create_table(args.table_root, num_buckets=args.buckets)
+        print(json.dumps({"created": args.table_root, "buckets": args.buckets}))
+    elif args.cmd == "gen":
+        from dbimport_spark.sources.loggen import generate_changes, write_changes
+
+        write_changes(
+            generate_changes(
+                spark, args.events, n_keys=args.keys, seed=args.seed,
+                evolve_at_lsn=args.evolve_at,
+            ),
+            args.log_path,
+        )
+        print(json.dumps({"written": args.log_path, "events": args.events}))
+    elif args.cmd == "replay":
+        table = LakeTable.load(args.table_root)
+        eng = CDCEngine(
+            spark, table, checkpoint_dir=args.checkpoint, dedup_strategy=args.dedup
+        )
+        changes = spark.read.parquet(args.log_path)
+        stats = eng.replay(changes, num_batches=args.batches)
+        print(
+            json.dumps(
+                {
+                    "applied": stats.batches_applied,
+                    "skipped": stats.batches_skipped,
+                    "events": stats.events_applied,
+                    "last_lsn": table.last_lsn(),
+                }
+            )
+        )
+    elif args.cmd == "stream":
+        from dbimport_spark.streaming.stream import run_stream, stream_changes
+
+        table = LakeTable.load(args.table_root)
+        eng = CDCEngine(spark, table)
+        q = run_stream(
+            eng,
+            stream_changes(spark, args.log_dir),
+            checkpoint_dir=args.checkpoint,
+            available_now=not args.continuous,
+        )
+        q.awaitTermination()
+        print(json.dumps({"last_lsn": table.last_lsn()}))
+    elif args.cmd == "compact":
+        from dbimport_spark.lake.maintenance import compact
+
+        table = LakeTable.load(args.table_root)
+        out = compact(
+            spark,
+            table,
+            max_files_per_bucket=args.max_files_per_bucket,
+            expire_keep_last=args.expire_keep_last,
+        )
+        print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -233,6 +233,7 @@ class LakeTable:
         (rows/bytes from parquet footers — same stats Iceberg manifests keep).
         """
         out_dir = os.path.join(self.root, "data", version_dir)
+        t0 = time.time()
         (
             df.withColumn("bucket", F.col(bucket_col))
             .drop(bucket_col)
@@ -240,23 +241,37 @@ class LakeTable:
             .mode("overwrite")
             .parquet(out_dir)
         )
+        t1 = time.time()
+
         import pyarrow.parquet as pq
 
-        out: list[DataFile] = []
+        def stat_one(args: tuple[int, str]) -> DataFile | None:
+            b, p = args
+            nrows = pq.ParquetFile(p).metadata.num_rows
+            if nrows == 0:
+                return None
+            return DataFile(os.path.relpath(p, self.root), b, nrows, os.path.getsize(p))
+
+        todo: list[tuple[int, str]] = []
         for sub in sorted(os.listdir(out_dir)):
             if not sub.startswith("bucket="):
                 continue
             b = int(sub.split("=", 1)[1])
             subdir = os.path.join(out_dir, sub)
             for name in sorted(os.listdir(subdir)):
-                if not name.endswith(".parquet"):
-                    continue
-                p = os.path.join(subdir, name)
-                nrows = pq.ParquetFile(p).metadata.num_rows
-                if nrows == 0:
-                    continue
-                rel = os.path.relpath(p, self.root)
-                out.append(DataFile(rel, b, nrows, os.path.getsize(p)))
+                if name.endswith(".parquet"):
+                    todo.append((b, os.path.join(subdir, name)))
+        # footer stats in a thread pool — IO-bound, keeps the driver-side
+        # commit path off the critical serial fraction
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            out = [f for f in pool.map(stat_one, todo) if f is not None]
+        if os.environ.get("DBIMPORT_TIMINGS", "") not in ("", "0"):
+            print(
+                f"TIMING write_parquet {t1 - t0:.2f} / footer_stats {time.time() - t1:.2f}",
+                flush=True,
+            )
         return out
 
     def commit(

@@ -5,14 +5,20 @@ unique source key per target key (exactly why the reference pre-dedupes its
 Flashback imports with a max-SCN-per-PK view, reference
 import_config.py:3238-3252, SURVEY.md J6).
 
+``key`` may be a list — the engine passes ["_bucket", "doc_id"] in its
+bucket-aligned plan so the grouping is satisfied by the batch's existing
+HashPartitioning(_bucket) and the dedup runs WITHOUT its own shuffle
+(Catalyst: HashPartitioning(exprs) satisfies ClusteredDistribution(keys)
+when exprs ⊆ keys).
+
 Three strategies, all equivalent:
 
 - ``window``  — ``row_number() OVER (PARTITION BY key ORDER BY lsn DESC)``,
-  the literal form named by the north star. One shuffle by key; a single
-  hot key serializes into one task.
+  the literal form named by the north star. A single hot key serializes
+  into one task.
 - ``maxby``   — ``groupBy(key).agg(max_by(struct(*cols), lsn))``. Hash
   aggregate with map-side partial combine: each input partition reduces its
-  own events for a hot key to ONE row before the shuffle, so skew is
+  own events for a hot key to ONE row before any exchange, so skew is
   absorbed at the map side. Default.
 - ``salted``  — explicit two-phase: first reduce per (key, salt) where
   salt = pmod(xxhash64(lsn), S), then per key. Guards the reducer even if
@@ -32,7 +38,7 @@ STRATEGIES = ("window", "maxby", "salted")
 
 def dedup_lww(
     df: DataFrame,
-    key: str = "doc_id",
+    key: str | list[str] = "doc_id",
     order_col: str = "lsn",
     strategy: str = "maxby",
     n_salts: int = 16,
@@ -40,10 +46,11 @@ def dedup_lww(
     """Return one row per key: the event with the highest order_col."""
     if strategy not in STRATEGIES:
         raise ValueError(f"strategy must be one of {STRATEGIES}")
+    keys = [key] if isinstance(key, str) else list(key)
     cols = df.columns
 
     if strategy == "window":
-        w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
         return (
             df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -53,7 +60,7 @@ def dedup_lww(
     payload = F.struct(*[F.col(c) for c in cols])
     if strategy == "maxby":
         return (
-            df.groupBy(key)
+            df.groupBy(*keys)
             .agg(F.max_by(payload, F.col(order_col)).alias("_w"))
             .select("_w.*")
         )
@@ -62,11 +69,11 @@ def dedup_lww(
     salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_salts))
     partial = (
         df.withColumn("_salt", salt)
-        .groupBy(key, "_salt")
+        .groupBy(*keys, "_salt")
         .agg(F.max_by(payload, F.col(order_col)).alias("_w"), F.max(order_col).alias("_o"))
     )
     return (
-        partial.groupBy(key)
+        partial.groupBy(*keys)
         .agg(F.max_by(F.col("_w"), F.col("_o")).alias("_w"))
         .select("_w.*")
     )

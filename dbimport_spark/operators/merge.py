@@ -16,15 +16,20 @@ etl_operations.py:100-298, SURVEY.md J1/J2/P5):
 
 Physical strategies (the part DBImport delegated to Hive/Iceberg and we own):
 
-- ``broadcast`` (default for normal CDC batches): the deduped batch is
-  broadcast; the target side is NEVER shuffled. Two streams over the
-  pruned target buckets: (a) target LEFT JOIN broadcast(batch) applies
-  updates/deletes, (b) a broadcast semi/anti pair computes inserts. At
-  100 TB this means: scan only touched buckets, zero target shuffle,
-  zero sort.
-- ``shuffle`` (initial snapshot loads / huge batches): one full-outer
-  sort-merge join — a single pass when the batch is comparable in size
-  to the target.
+- ``broadcast`` (steady-state CDC batches): the deduped batch is broadcast;
+  the target side is NEVER shuffled — scan only touched buckets, zero
+  target exchange, zero sort. Two streams over the pruned target buckets:
+  (a) target LEFT JOIN broadcast(batch) applies updates/deletes, (b) a
+  broadcast semi/anti pair computes inserts.
+- ``shuffle`` (initial loads / huge batches): bucket-aligned co-partitioned
+  join. Both sides carry a materialized ``_bucket`` column and are hash-
+  partitioned on it; the full-outer join runs on (_bucket, key), which the
+  existing HashPartitioning(_bucket) satisfies on both sides — so the join
+  itself adds NO exchange and the downstream ``partitionBy(_bucket)`` write
+  adds none either. Net data movement: exactly one shuffle of the batch +
+  one of the touched target buckets. Pair with
+  spark.sql.join.preferSortMergeJoin=false so Spark picks a shuffled-hash
+  join and skips both sorts (token arrays make sort spill expensive).
 
 The null-safe per-column diff uses Spark's ``<=>`` (eqNullSafe), which is
 native on array columns — token-array change detection stays JVM-side,
@@ -63,12 +68,14 @@ def merge_changes(
     payload_cols: list[str],
     merge_ts: Column,
     mode: str = "broadcast",
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Merge a deduped change batch into the target rows of touched buckets.
 
-    target columns: payload_cols + audit columns.
-    batch columns:  lsn, op + payload_cols (unique per key).
-    Returns the new content for the touched buckets (payload + audit).
+    target columns: payload_cols + audit columns (+ bucket_col in shuffle
+    mode). batch columns: lsn, op + payload_cols (+ bucket_col), unique per
+    key. Returns the new content for the touched buckets (payload + audit,
+    + bucket_col when given).
     """
     non_key = [c for c in payload_cols if c != key]
     t = target.alias("t")
@@ -80,7 +87,11 @@ def merge_changes(
         matched = F.col("b.op").isNotNull()
         is_del = matched & (F.col("b.op") == "D")
         changed = matched & (F.col("b.op") != "D") & _changed_predicate(non_key)
+        out_cols = []
+        if bucket_col:
+            out_cols.append(F.col(f"t.{bucket_col}").alias(bucket_col))
         survivors = joined.filter(~is_del).select(
+            *out_cols,
             F.col(f"t.{key}").alias(key),
             *[F.when(changed, F.col(f"b.{c}")).otherwise(F.col(f"t.{c}")).alias(c) for c in non_key],
             F.when(changed, F.lit("U")).otherwise(F.col(f"t.{AUDIT_IUD}")).alias(AUDIT_IUD),
@@ -93,29 +104,34 @@ def merge_changes(
         matched_keys = target.select(key).join(
             F.broadcast(batch.select(key)), key, "left_semi"
         )
-        inserts = (
-            normalize_batch(batch)
-            .filter(F.col("op") != "D")
-            .join(F.broadcast(matched_keys), key, "left_anti")
-            .select(
-                key,
-                *non_key,
-                F.lit("I").alias(AUDIT_IUD),
-                merge_ts.alias(AUDIT_INSERT),
-                merge_ts.alias(AUDIT_UPDATE),
-            )
+        inserts = inserts_only(
+            batch.join(F.broadcast(matched_keys), key, "left_anti"),
+            key,
+            payload_cols,
+            merge_ts,
+            bucket_col=bucket_col,
         )
         return survivors.unionByName(inserts)
 
     if mode == "shuffle":
-        joined = t.join(b, F.col(f"t.{key}") == F.col(f"b.{key}"), "full_outer")
+        join_keys = ([bucket_col] if bucket_col else []) + [key]
+        cond = F.lit(True)
+        for k in join_keys:
+            cond = cond & (F.col(f"t.{k}") == F.col(f"b.{k}"))
+        joined = t.join(b, cond, "full_outer")
         has_t = F.col(f"t.{AUDIT_IUD}").isNotNull()
         has_b = F.col("b.op").isNotNull()
         is_del = has_b & (F.col("b.op") == "D")
         changed = has_t & has_b & ~is_del & _changed_predicate(non_key)
         insert = ~has_t & has_b & ~is_del
         take_b = changed | insert
+        out_cols = []
+        if bucket_col:
+            out_cols.append(
+                F.coalesce(F.col(f"t.{bucket_col}"), F.col(f"b.{bucket_col}")).alias(bucket_col)
+            )
         return joined.filter(~is_del).select(
+            *out_cols,
             F.coalesce(F.col(f"t.{key}"), F.col(f"b.{key}")).alias(key),
             *[F.when(take_b, F.col(f"b.{c}")).otherwise(F.col(f"t.{c}")).alias(c) for c in non_key],
             F.when(insert, F.lit("I"))
@@ -131,13 +147,22 @@ def merge_changes(
     raise ValueError(f"unknown merge mode: {mode}")
 
 
-def inserts_only(batch: DataFrame, key: str, payload_cols: list[str], merge_ts: Column) -> DataFrame:
-    """Fast path when the touched buckets hold no target rows yet."""
+def inserts_only(
+    batch: DataFrame,
+    key: str,
+    payload_cols: list[str],
+    merge_ts: Column,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Insert projection (also the fast path when the touched buckets hold
+    no target rows yet)."""
     non_key = [c for c in payload_cols if c != key]
+    out_cols = [F.col(bucket_col)] if bucket_col else []
     return (
         normalize_batch(batch)
         .filter(F.col("op") != "D")
         .select(
+            *out_cols,
             key,
             *non_key,
             F.lit("I").alias(AUDIT_IUD),

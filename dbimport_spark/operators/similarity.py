@@ -1,0 +1,112 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k / threshold scan: exact baseline. Dot product and
+  norms via ``zip_with`` + ``aggregate`` — JVM-side fold, double precision,
+  deterministic summation order (array order), no Python.
+- LSH-bucketed ANN: deterministic random-hyperplane signatures (signs of
+  dot products with hash-derived pseudo-random planes) — candidates share a
+  signature prefix bucket; exact cosine re-rank inside buckets. The scale
+  path: the self-join is per-bucket instead of all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_to_query(
+    df: DataFrame, query: list[float], vec_col: str = "embedding"
+) -> DataFrame:
+    qlit = F.array(*[F.lit(float(x)).cast("double") for x in query])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sim = _dot(v, qlit) / (_norm(v) * _norm(qlit))
+    return df.withColumn("cosine_sim", sim)
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine: global sort of (sim, id) — Spark's takeOrdered
+    path (partial top-k per partition, merge on driver via limit)."""
+    scored = cosine_to_query(df, query, vec_col)
+    return (
+        scored.select(id_col, "cosine_sim")
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def rhp_signature(vec_col: str, n_planes: int = 16, dim: int = 64, seed: int = 42) -> Column:
+    """Random-hyperplane LSH signature (bit i = sign of dot(v, plane_i)).
+
+    Planes are hash-derived (xxhash64(seed, plane, coord) → centered
+    uniform), so executors regenerate them identically — nothing shipped.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sig = F.lit(0).cast("long")
+    big = 1_000_003
+    for p in range(n_planes):
+        plane = F.array(
+            *[
+                (
+                    F.pmod(F.xxhash64(F.lit(seed), F.lit(p), F.lit(i)), F.lit(big))
+                    / F.lit(float(big))
+                    - F.lit(0.5)
+                )
+                for i in range(dim)
+            ]
+        )
+        bit = (_dot(v, plane) > 0).cast("long")
+        sig = sig + F.shiftleft(bit, p)
+    return sig
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: only vectors whose RHP signature matches the
+    query's signature within the same bucket are scored exactly.
+
+    At scale this turns a full scan per query into one bucket probe
+    (signature equality is a hash-partition lookup); batched queries become
+    a bucket-key join instead of a cross join.
+    """
+    dim = len(query)
+    sigs = df.withColumn("_sig", rhp_signature(vec_col, n_planes, dim, seed))
+    qdf_sig_row = (
+        sigs.sparkSession.createDataFrame([(query,)], f"q: array<double>")
+        .withColumn("_sig", rhp_signature("q", n_planes, dim, seed))
+        .first()
+    )
+    bucket = sigs.filter(F.col("_sig") == qdf_sig_row["_sig"])
+    scored = cosine_to_query(bucket, query, vec_col)
+    return (
+        scored.select(id_col, "cosine_sim")
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,224 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash groupBy), n-gram Jaccard (inverted shingle index), MinHash+LSH
+(shingle → minhash sketch → band bucket join → verified Jaccard), and
+SimHash (Arrow/pandas-UDF bit voting + banded Hamming candidates).
+
+Scale notes: everything is shuffle-by-key over shingles/bands — the
+standard distributed formulations. The only Python in the data path is the
+SimHash bit-vote, which is a vectorized Arrow pandas_udf (numpy bit ops),
+never per-row Python.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+# -- exact -------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalized: bool = False
+) -> DataFrame:
+    """Keep one doc (min id) per identical text. Hash-groupBy: map-side
+    partial agg, one shuffle on the digest."""
+    from dbimport_spark.operators.text import normalize_text
+
+    text = F.col(text_col)
+    digest = F.md5(normalize_text(text) if normalized else text)
+    keep = df.select(F.col(id_col), digest.alias("_d")).groupBy("_d").agg(
+        F.min(id_col).alias(id_col)
+    )
+    return keep.select(id_col)
+
+
+# -- shingles ----------------------------------------------------------------
+
+def word_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingle hashes per doc: (id, shingle_hash)."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    shingles = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.xxhash64(F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, id_col: str = "doc_id", min_permille: int = 500
+) -> DataFrame:
+    """All pairs with Jaccard ≥ threshold via an inverted shingle index.
+
+    common(a,b) from the self-join on shingle; sizes joined back;
+    jaccard_permille = floor(1000*c/(na+nb-c)) keeps the output integral.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard_permille",
+            F.floor(F.lit(1000) * F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))),
+        )
+        .filter(F.col("jaccard_permille") >= min_permille)
+        .select("id_a", "id_b", "jaccard_permille")
+    )
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_permille: int = 500,
+) -> DataFrame:
+    return jaccard_pairs(word_shingles(df, text_col, id_col, n), id_col, min_permille)
+
+
+# -- MinHash + LSH -----------------------------------------------------------
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str = "doc_id", num_perm: int = 32
+) -> DataFrame:
+    """num_perm minhashes per doc: min over shingles of xxhash64(p, shingle).
+
+    One hash-aggregate (map-side combine) — no per-permutation passes.
+    """
+    aggs = [
+        F.min(F.xxhash64(F.lit(p), F.col("shingle"))).alias(f"m{p}")
+        for p in range(num_perm)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 8, rows: int = 4
+) -> DataFrame:
+    """Docs sharing any LSH band bucket (band key = hash of its rows)."""
+    band_keys = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col(f"m{b * rows + r}") for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+    buckets = signatures.select(
+        F.col(id_col), F.explode(band_keys).alias("band_key")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    min_permille: int = 500,
+) -> DataFrame:
+    """Candidate pairs from LSH, verified with exact Jaccard on shingles."""
+    rows = num_perm // bands
+    sh = word_shingles(df, text_col, id_col, n)
+    sigs = minhash_signatures(sh, id_col, num_perm)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
+    verified = jaccard_pairs(sh, id_col, min_permille)
+    return cands.join(verified, ["id_a", "id_b"], "inner").select(
+        "id_a", "id_b", "jaccard_permille"
+    )
+
+
+# -- SimHash -----------------------------------------------------------------
+
+@pandas_udf("long")
+def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
+    """64-bit SimHash from per-token hashes — vectorized numpy bit voting."""
+    import numpy as np
+
+    out = np.zeros(len(hashes), dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for i, hs in enumerate(hashes):
+        if hs is None or len(hs) == 0:
+            continue
+        h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+        bits = (h[:, None] >> shifts) & np.uint64(1)  # (n_tokens, 64)
+        votes = bits.sum(axis=0) * 2 >= len(h)
+        out[i] = np.int64(
+            np.bitwise_or.reduce((votes.astype(np.uint64) << shifts)).astype(np.int64)
+        )
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash): token hashes computed JVM-side, bit-vote in Arrow."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    token_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return df.select(
+        F.col(id_col), _simhash_from_hashes(token_hashes).alias("simhash")
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: banded 16-bit chunks as LSH (any equal
+    chunk ⇒ candidate; guaranteed complete for hamming ≤ 3 over 4 chunks),
+    then exact Hamming via bit_count(xor)."""
+    sh = simhash(df, text_col, id_col)
+    chunks = F.array(
+        *[F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)]
+    )
+    buckets = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(chunks).alias("chunk_pos", "chunk_val"),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cands = (
+        a.join(b, ["chunk_pos", "chunk_val"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

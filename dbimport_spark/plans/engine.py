@@ -16,6 +16,8 @@ guarantee, import_config.py:1086-1108 — a single metadata swap replaces it).
 
 from __future__ import annotations
 
+import os
+import time
 import uuid
 from dataclasses import dataclass, field
 
@@ -38,6 +40,22 @@ from dbimport_spark.schema import (
 )
 
 LOG_BOOKKEEPING = {"lsn", "op", "commit_ts"}
+
+_TIMINGS = os.environ.get("DBIMPORT_TIMINGS", "") not in ("", "0")
+
+
+class _phase_timer:
+    """Prints per-phase wall times when DBIMPORT_TIMINGS=1 (perf triage)."""
+
+    def __init__(self, label: str):
+        self.label = label
+
+    def __enter__(self):
+        self.t0 = time.time()
+
+    def __exit__(self, *exc):
+        if _TIMINGS:
+            print(f"TIMING {self.label} {time.time() - self.t0:.2f}", flush=True)
 
 
 def table_schema_with_audit(payload: T.StructType = PAYLOAD_SCHEMA) -> T.StructType:
@@ -77,7 +95,8 @@ class CDCEngine:
         checkpoint_dir: str | None = None,
         dedup_strategy: str = "maxby",
         n_salts: int = 16,
-        broadcast_threshold_rows: int = 2_000_000,
+        broadcast_threshold_rows: int = 200_000,
+        repartition_output_bytes: int = 2 << 30,
         key: str = MERGE_KEY,
     ):
         self.spark = spark
@@ -86,6 +105,7 @@ class CDCEngine:
         self.dedup_strategy = dedup_strategy
         self.n_salts = n_salts
         self.broadcast_threshold_rows = broadcast_threshold_rows
+        self.repartition_output_bytes = repartition_output_bytes
         self.key = key
 
     # -- table bootstrap -----------------------------------------------------
@@ -149,7 +169,8 @@ class CDCEngine:
         ]
         if has_commit_ts:
             agg_cols.append(F.max("commit_ts").alias("max_ts"))
-        per_bucket = batch.groupBy(bexpr.alias("bucket")).agg(*agg_cols).collect()
+        with _phase_timer("stats_agg"):
+            per_bucket = batch.groupBy(bexpr.alias("bucket")).agg(*agg_cols).collect()
 
         if not per_bucket:
             # empty window: still advance the watermark (atomic, no files)
@@ -167,44 +188,95 @@ class CDCEngine:
         )
 
         # -- dedup (LWW per key) --------------------------------------------
-        deduped = dedup_lww(
-            batch.drop("commit_ts") if has_commit_ts else batch,
-            key=self.key,
-            order_col="lsn",
-            strategy=self.dedup_strategy,
-            n_salts=self.n_salts,
-        )
-        deduped = deduped.persist()
-        try:
-            # -- merge ------------------------------------------------------
-            target = self.table.read(self.spark, buckets=touched)
-            for f in added:
-                target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
-            # keep audit columns trailing to match new_schema order
-            target = target.select(*[f.name for f in new_schema.fields])
+        batch_nc = batch.drop("commit_ts") if has_commit_ts else batch
 
-            touched_have_files = any(f.bucket in set(touched) for f in snap.files)
-            if not touched_have_files:
-                mode = "insert-only"
-                merged = inserts_only(deduped, self.key, payload_cols, merge_ts)
-            else:
-                mode = (
-                    "broadcast" if n_events <= self.broadcast_threshold_rows else "shuffle"
-                )
-                merged = merge_changes(
-                    target, deduped, self.key, payload_cols, merge_ts, mode=mode
-                )
+        # -- target aligned to the (evolved) schema -------------------------
+        target = self.table.read(self.spark, buckets=touched)
+        for f in added:
+            target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
+        # keep audit columns trailing to match new_schema order
+        target = target.select(*[f.name for f in new_schema.fields])
 
-            # one output file per touched bucket per commit (hash-partition by
-            # bucket before the partitioned write) — without this each commit
-            # sprays shuffle_partitions × buckets tiny files
-            merged = merged.withColumn("_bucket", bexpr).repartition(
-                max(len(touched), 1), "_bucket"
+        touched_set = set(touched)
+        touched_have_files = any(f.bucket in touched_set for f in snap.files)
+        if not touched_have_files:
+            mode = "insert-only"
+        elif n_events <= self.broadcast_threshold_rows:
+            mode = "broadcast"
+        else:
+            mode = "shuffle"
+
+        # NOTE the deduped batch is deliberately NOT persisted: its consumers
+        # fuse into the single write job, and recomputing the hash-agg is
+        # measurably cheaper than materializing token arrays into the JVM
+        # block manager (deserialized cache showed 3x slowdown at 32 threads
+        # from GC / memory-store contention).
+        if mode == "broadcast":
+            # steady-state CDC: batch broadcast, target streamed — zero
+            # target shuffle; output keeps the target's per-bucket-file
+            # partitioning, so the partitionBy write stays shuffle-free.
+            deduped = dedup_lww(
+                batch_nc,
+                key=self.key,
+                order_col="lsn",
+                strategy=self.dedup_strategy,
+                n_salts=self.n_salts,
             )
-            version_dir = f"s{snap.version + 1}-{uuid.uuid4().hex[:8]}"
-            new_files = self.table.write_data_files(self.spark, merged, version_dir)
-        finally:
-            deduped.unpersist()
+            merged = merge_changes(
+                target, deduped, self.key, payload_cols, merge_ts, mode="broadcast"
+            )
+            out = merged.withColumn("_bucket", bexpr)
+            # small touched set: one cheap exchange keeps one file per
+            # bucket. Large touched set (the 100 TB steady state): skip it —
+            # preserving the zero-target-shuffle property matters more than
+            # file count, and compaction reclaims layout asynchronously.
+            touched_bytes = sum(
+                f.bytes for f in snap.files if f.bucket in set(touched)
+            )
+            if touched_bytes < self.repartition_output_bytes:
+                out = out.repartition(max(len(touched), 1), "_bucket")
+        else:
+            # bucket-aligned plan: ONE explicit exchange per side, then the
+            # dedup (groupBy(_bucket, key)), the full-outer join on
+            # (_bucket, key), and the partitionBy(_bucket) write all ride
+            # the same HashPartitioning — no further shuffles, no sorts
+            # (shuffled-hash join preferred in the session config).
+            # partition by the table's bucket layout, NOT by core count:
+            # bounded, data-sized tasks (≈ one bucket each) that pipeline
+            # across whatever parallelism is available — the same plan at
+            # local[4] and on a 1000-executor cluster
+            nparts = snap.num_buckets
+            batch_b = batch_nc.withColumn("_bucket", bexpr).repartition(
+                nparts, "_bucket"
+            )
+            deduped = dedup_lww(
+                batch_b,
+                key=["_bucket", self.key],
+                order_col="lsn",
+                strategy=self.dedup_strategy,
+                n_salts=self.n_salts,
+            )
+            if mode == "insert-only":
+                out = inserts_only(
+                    deduped, self.key, payload_cols, merge_ts, bucket_col="_bucket"
+                )
+            else:
+                target_b = target.withColumn("_bucket", bexpr).repartition(
+                    nparts, "_bucket"
+                )
+                out = merge_changes(
+                    target_b,
+                    deduped,
+                    self.key,
+                    payload_cols,
+                    merge_ts,
+                    mode="shuffle",
+                    bucket_col="_bucket",
+                )
+
+        version_dir = f"s{snap.version + 1}-{uuid.uuid4().hex[:8]}"
+        with _phase_timer(f"merge_write[{mode}]"):
+            new_files = self.table.write_data_files(self.spark, out, version_dir)
 
         # -- lineage + atomic commit ----------------------------------------
         out_by_bucket: dict[int, list[int]] = {}

@@ -1,0 +1,61 @@
+"""Structured Streaming ingestion: stream the log dir via foreachBatch and
+converge to the same state as batch replay (SURVEY.md §2.7)."""
+
+from dbimport_spark.plans.engine import CDCEngine
+from dbimport_spark.schema import PAYLOAD_COLUMNS
+from dbimport_spark.sources.loggen import generate_changes, write_changes
+from dbimport_spark.streaming.stream import run_stream, stream_changes
+from tests.oracle import as_tuple_set, lww_fold
+
+
+def test_stream_converges(spark, tmp_path):
+    log_dir = str(tmp_path / "log")
+    changes = generate_changes(spark, 2000, n_keys=120, seed=19)
+    write_changes(changes, log_dir, n_files=6)
+
+    root = str(tmp_path / "t")
+    table = CDCEngine.create_table(root, num_buckets=8)
+    eng = CDCEngine(spark, table)
+    q = run_stream(
+        eng,
+        stream_changes(spark, log_dir, max_files_per_trigger=2),
+        checkpoint_dir=str(tmp_path / "sck"),
+    )
+    q.awaitTermination(300)
+
+    got = as_tuple_set(
+        [r.asDict() for r in table.read(spark).collect()], PAYLOAD_COLUMNS
+    )
+    expected = lww_fold([r.asDict() for r in spark.read.parquet(log_dir).collect()])
+    assert got == as_tuple_set(list(expected.values()), PAYLOAD_COLUMNS)
+    assert table.last_lsn() == 2000
+
+
+def test_stream_restart_is_idempotent(spark, tmp_path):
+    log_dir = str(tmp_path / "log2")
+    changes = generate_changes(spark, 1000, n_keys=60, seed=29)
+    write_changes(changes, log_dir, n_files=4)
+
+    root = str(tmp_path / "t2")
+    table = CDCEngine.create_table(root, num_buckets=4)
+    eng = CDCEngine(spark, table)
+    # first pass
+    q = run_stream(
+        eng, stream_changes(spark, log_dir), checkpoint_dir=str(tmp_path / "c1")
+    )
+    q.awaitTermination(300)
+    v = table.current().version
+    state = as_tuple_set(
+        [r.asDict() for r in table.read(spark).collect()], PAYLOAD_COLUMNS
+    )
+    # "lost checkpoint" restart: fresh streaming checkpoint redelivers all
+    # files; the LSN watermark makes it a no-op
+    q2 = run_stream(
+        eng, stream_changes(spark, log_dir), checkpoint_dir=str(tmp_path / "c2")
+    )
+    q2.awaitTermination(300)
+    assert table.current().version == v  # nothing recommitted
+    got = as_tuple_set(
+        [r.asDict() for r in table.read(spark).collect()], PAYLOAD_COLUMNS
+    )
+    assert got == state
