@@ -303,6 +303,118 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# breadth: windows / rollup / top-k / set ops (engine-delegated in the
+# reference, Catalyst-native here — SURVEY.md §2.5-2.6)
+# ---------------------------------------------------------------------------
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: ranking window — top-3 purchase events per user by value."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event_id"),
+            F.floor(F.col("value") * F.lit(100)).alias("value_cents"),
+            "rnk",
+        )
+    )
+
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 breadth: ROLLUP aggregate over orders."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_rows",
+        )
+    )
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6: global top-k with deterministic tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey", F.floor(F.col("o_totalprice") * F.lit(100)).alias("price_cents")
+        )
+        .orderBy(F.col("price_cents").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6: set ops — BUILDING customers minus urgent-order customers."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = (
+        c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey").distinct()
+    )
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return building.exceptAll(urgent).withColumnRenamed("c_custkey", "calm_building_cust")
+
+
+def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token vocabulary stats per doc via JVM array ops (no UDF)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: synth media → mapInPandas feature extract.
+    Deterministic fake features (codecs stubbed); rows-only check."""
+    from dbimport_spark.operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, 500, seed=42, blob_bytes=256)
+    feats = extract_features(media, feat_dim=16)
+    return feats.select(
+        "media_id",
+        "feat_dim",
+        F.floor(F.element_at("feature", 1) * F.lit(10000)).alias("f0_e4"),
+    )
+
+
+def q_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow pandas-UDF rolling fingerprint over derived token arrays
+    (order-sensitive Rabin-Karp; not SQL-expressible → rows-only)."""
+    from dbimport_spark.functions.tokens import (
+        distinct_token_count,
+        rolling_token_fingerprint,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.transform(
+        F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "),
+        lambda t: F.pmod(F.xxhash64(t), F.lit(50_000)).cast("int"),
+    )
+    return d.select(
+        "doc_id",
+        rolling_token_fingerprint(toks).alias("fingerprint"),
+        distinct_token_count(toks).alias("vocab"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -335,6 +447,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_sim": q_embedding_sim,
         "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
+        "window_rank": q_window_rank,
+        "rollup_counts": q_rollup_counts,
+        "topk_orders": q_topk_orders,
+        "set_ops": q_set_ops,
+        "token_vocab": q_token_vocab,
+        "multimodal_features": q_multimodal_features,
+        "token_fingerprints": q_token_fingerprints,
     }
 
 
@@ -553,6 +672,51 @@ def oracle_sql() -> dict[str, str]:
         FROM s ORDER BY sim DESC, vec_id LIMIT 20
     """
 
-    # minhash_lsh, simhash_dups, ann_lsh: hash-function-specific (xxhash64 /
-    # RHP planes) — not expressible in DuckDB; driver records rows-only.
+    sql["window_rank"] = """
+        SELECT user_id, event_id AS purchase_event_id,
+               CAST(floor(value * 100) AS BIGINT) AS value_cents, rnk
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY value DESC, event_id
+          ) AS rnk
+          FROM events WHERE event_type = 'purchase'
+        ) WHERE rnk <= 3
+    """
+
+    sql["rollup_counts"] = """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_rows
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """
+
+    sql["topk_orders"] = """
+        SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 25
+    """
+
+    sql["set_ops"] = """
+        SELECT c_custkey AS calm_building_cust FROM (
+          SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          EXCEPT ALL
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        )
+    """
+
+    sql["token_vocab"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens
+        FROM t
+    """
+
+    # minhash_lsh, simhash_dups, ann_lsh, multimodal_features,
+    # token_fingerprints: hash-function- or UDF-specific (xxhash64, RHP
+    # planes, Rabin-Karp fold) — not expressible in DuckDB; driver records
+    # rows-only.
     return sql

@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dbimport_spark.schema import AUDIT_INSERT, AUDIT_IUD, AUDIT_UPDATE
+from dbimport_spark.schema import AUDIT_DELETE, AUDIT_INSERT, AUDIT_IUD, AUDIT_UPDATE
 
 
 def _changed_predicate(payload_cols: list[str]) -> Column:
@@ -69,6 +69,7 @@ def merge_changes(
     merge_ts: Column,
     mode: str = "broadcast",
     bucket_col: str | None = None,
+    delete_mode: str = "hard",
 ) -> DataFrame:
     """Merge a deduped change batch into the target rows of touched buckets.
 
@@ -76,7 +77,13 @@ def merge_changes(
     mode). batch columns: lsn, op + payload_cols (+ bucket_col), unique per
     key. Returns the new content for the touched buckets (payload + audit,
     + bucket_col when given).
+
+    delete_mode='hard' removes matched 'D' rows; 'soft' keeps them, marking
+    dl_iud='D' + dl_delete_ts (reference soft-delete branch,
+    etl_operations.py:624-638); a later I/U on a soft-deleted key revives
+    it (dl_delete_ts cleared, audit 'U').
     """
+    soft = delete_mode == "soft"
     non_key = [c for c in payload_cols if c != key]
     t = target.alias("t")
     b = normalize_batch(batch).alias("b")
@@ -86,17 +93,36 @@ def merge_changes(
         joined = t.join(bb, F.col(f"t.{key}") == F.col(f"b.{key}"), "left")
         matched = F.col("b.op").isNotNull()
         is_del = matched & (F.col("b.op") == "D")
-        changed = matched & (F.col("b.op") != "D") & _changed_predicate(non_key)
+        revived = (
+            (matched & ~is_del & F.col(f"t.{AUDIT_DELETE}").isNotNull())
+            if soft
+            else F.lit(False)
+        )
+        changed = (matched & ~is_del & _changed_predicate(non_key)) | revived
         out_cols = []
         if bucket_col:
             out_cols.append(F.col(f"t.{bucket_col}").alias(bucket_col))
-        survivors = joined.filter(~is_del).select(
+        audit_cols = [
+            F.when(is_del, F.lit("D"))
+            .when(changed, F.lit("U"))
+            .otherwise(F.col(f"t.{AUDIT_IUD}"))
+            .alias(AUDIT_IUD),
+            F.col(f"t.{AUDIT_INSERT}").alias(AUDIT_INSERT),
+            F.when(changed, merge_ts).otherwise(F.col(f"t.{AUDIT_UPDATE}")).alias(AUDIT_UPDATE),
+        ]
+        if soft:
+            audit_cols.append(
+                F.when(is_del, merge_ts)
+                .when(matched, F.lit(None).cast("timestamp"))
+                .otherwise(F.col(f"t.{AUDIT_DELETE}"))
+                .alias(AUDIT_DELETE)
+            )
+        survivors = joined if soft else joined.filter(~is_del)
+        survivors = survivors.select(
             *out_cols,
             F.col(f"t.{key}").alias(key),
             *[F.when(changed, F.col(f"b.{c}")).otherwise(F.col(f"t.{c}")).alias(c) for c in non_key],
-            F.when(changed, F.lit("U")).otherwise(F.col(f"t.{AUDIT_IUD}")).alias(AUDIT_IUD),
-            F.col(f"t.{AUDIT_INSERT}").alias(AUDIT_INSERT),
-            F.when(changed, merge_ts).otherwise(F.col(f"t.{AUDIT_UPDATE}")).alias(AUDIT_UPDATE),
+            *audit_cols,
         )
         # inserts: batch keys with no target row. The semi-join result is
         # bounded by the batch size, so both joins stay broadcast — the big
@@ -110,6 +136,7 @@ def merge_changes(
             payload_cols,
             merge_ts,
             bucket_col=bucket_col,
+            soft=soft,
         )
         return survivors.unionByName(inserts)
 
@@ -122,7 +149,12 @@ def merge_changes(
         has_t = F.col(f"t.{AUDIT_IUD}").isNotNull()
         has_b = F.col("b.op").isNotNull()
         is_del = has_b & (F.col("b.op") == "D")
-        changed = has_t & has_b & ~is_del & _changed_predicate(non_key)
+        revived = (
+            (has_t & has_b & ~is_del & F.col(f"t.{AUDIT_DELETE}").isNotNull())
+            if soft
+            else F.lit(False)
+        )
+        changed = (has_t & has_b & ~is_del & _changed_predicate(non_key)) | revived
         insert = ~has_t & has_b & ~is_del
         take_b = changed | insert
         out_cols = []
@@ -130,11 +162,9 @@ def merge_changes(
             out_cols.append(
                 F.coalesce(F.col(f"t.{bucket_col}"), F.col(f"b.{bucket_col}")).alias(bucket_col)
             )
-        return joined.filter(~is_del).select(
-            *out_cols,
-            F.coalesce(F.col(f"t.{key}"), F.col(f"b.{key}")).alias(key),
-            *[F.when(take_b, F.col(f"b.{c}")).otherwise(F.col(f"t.{c}")).alias(c) for c in non_key],
+        audit_cols = [
             F.when(insert, F.lit("I"))
+            .when(is_del & has_t, F.lit("D"))
             .when(changed, F.lit("U"))
             .otherwise(F.col(f"t.{AUDIT_IUD}"))
             .alias(AUDIT_IUD),
@@ -142,6 +172,22 @@ def merge_changes(
             F.when(insert | changed, merge_ts)
             .otherwise(F.col(f"t.{AUDIT_UPDATE}"))
             .alias(AUDIT_UPDATE),
+        ]
+        if soft:
+            audit_cols.append(
+                F.when(is_del & has_t, merge_ts)
+                .when(has_t & has_b, F.lit(None).cast("timestamp"))
+                .otherwise(F.col(f"t.{AUDIT_DELETE}"))
+                .alias(AUDIT_DELETE)
+            )
+        # hard: drop matched deletes entirely; soft: keep matched deletes,
+        # drop only not-matched deletes (no row to mark)
+        keep = ~(is_del & ~has_t) if soft else ~is_del
+        return joined.filter(keep).select(
+            *out_cols,
+            F.coalesce(F.col(f"t.{key}"), F.col(f"b.{key}")).alias(key),
+            *[F.when(take_b, F.col(f"b.{c}")).otherwise(F.col(f"t.{c}")).alias(c) for c in non_key],
+            *audit_cols,
         )
 
     raise ValueError(f"unknown merge mode: {mode}")
@@ -153,11 +199,19 @@ def inserts_only(
     payload_cols: list[str],
     merge_ts: Column,
     bucket_col: str | None = None,
+    soft: bool = False,
 ) -> DataFrame:
     """Insert projection (also the fast path when the touched buckets hold
     no target rows yet)."""
     non_key = [c for c in payload_cols if c != key]
     out_cols = [F.col(bucket_col)] if bucket_col else []
+    audit_cols = [
+        F.lit("I").alias(AUDIT_IUD),
+        merge_ts.alias(AUDIT_INSERT),
+        merge_ts.alias(AUDIT_UPDATE),
+    ]
+    if soft:
+        audit_cols.append(F.lit(None).cast("timestamp").alias(AUDIT_DELETE))
     return (
         normalize_batch(batch)
         .filter(F.col("op") != "D")
@@ -165,8 +219,6 @@ def inserts_only(
             *out_cols,
             key,
             *non_key,
-            F.lit("I").alias(AUDIT_IUD),
-            merge_ts.alias(AUDIT_INSERT),
-            merge_ts.alias(AUDIT_UPDATE),
+            *audit_cols,
         )
     )

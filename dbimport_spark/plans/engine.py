@@ -32,6 +32,7 @@ from dbimport_spark.operators.merge import inserts_only, merge_changes
 from dbimport_spark.plans.checkpoint import ReplayPlan, load_plan, save_plan
 from dbimport_spark.schema import (
     AUDIT_COLUMNS,
+    AUDIT_DELETE,
     AUDIT_INSERT,
     AUDIT_IUD,
     AUDIT_UPDATE,
@@ -58,13 +59,30 @@ class _phase_timer:
             print(f"TIMING {self.label} {time.time() - self.t0:.2f}", flush=True)
 
 
-def table_schema_with_audit(payload: T.StructType = PAYLOAD_SCHEMA) -> T.StructType:
+def table_schema_with_audit(
+    payload: T.StructType = PAYLOAD_SCHEMA, soft_delete: bool = False
+) -> T.StructType:
     fields = list(payload.fields) + [
         T.StructField(AUDIT_IUD, T.StringType(), True),
         T.StructField(AUDIT_INSERT, T.TimestampType(), True),
         T.StructField(AUDIT_UPDATE, T.TimestampType(), True),
     ]
+    if soft_delete:
+        fields.append(T.StructField(AUDIT_DELETE, T.TimestampType(), True))
     return T.StructType(fields)
+
+
+def history_schema(payload: T.StructType = PAYLOAD_SCHEMA) -> T.StructType:
+    """Append-only history-audit row images (reference history table,
+    etl_operations.py:319-360): payload + op/lsn/history timestamp."""
+    return T.StructType(
+        list(payload.fields)
+        + [
+            T.StructField("op", T.StringType(), False),
+            T.StructField("lsn", T.LongType(), False),
+            T.StructField("dl_hist_ts", T.TimestampType(), True),
+        ]
+    )
 
 
 @dataclass
@@ -98,6 +116,8 @@ class CDCEngine:
         broadcast_threshold_rows: int = 200_000,
         repartition_output_bytes: int = 2 << 30,
         key: str = MERGE_KEY,
+        delete_mode: str = "hard",
+        history_table: LakeTable | None = None,
     ):
         self.spark = spark
         self.table = table
@@ -106,6 +126,10 @@ class CDCEngine:
         self.n_salts = n_salts
         self.broadcast_threshold_rows = broadcast_threshold_rows
         self.repartition_output_bytes = repartition_output_bytes
+        if delete_mode not in ("hard", "soft"):
+            raise ValueError("delete_mode must be 'hard' or 'soft'")
+        self.delete_mode = delete_mode
+        self.history_table = history_table
         self.key = key
 
     # -- table bootstrap -----------------------------------------------------
@@ -117,10 +141,26 @@ class CDCEngine:
         payload_schema: T.StructType = PAYLOAD_SCHEMA,
         num_buckets: int = 32,
         key: str = MERGE_KEY,
+        soft_delete: bool = False,
     ) -> LakeTable:
         return LakeTable.create(
             root,
-            schema=table_schema_with_audit(payload_schema),
+            schema=table_schema_with_audit(payload_schema, soft_delete=soft_delete),
+            num_buckets=num_buckets,
+            bucket_column=key,
+        )
+
+    @classmethod
+    def create_history_table(
+        cls,
+        root: str,
+        payload_schema: T.StructType = PAYLOAD_SCHEMA,
+        num_buckets: int = 32,
+        key: str = MERGE_KEY,
+    ) -> LakeTable:
+        return LakeTable.create(
+            root,
+            schema=history_schema(payload_schema),
             num_buckets=num_buckets,
             bucket_column=key,
         )
@@ -223,7 +263,13 @@ class CDCEngine:
                 n_salts=self.n_salts,
             )
             merged = merge_changes(
-                target, deduped, self.key, payload_cols, merge_ts, mode="broadcast"
+                target,
+                deduped,
+                self.key,
+                payload_cols,
+                merge_ts,
+                mode="broadcast",
+                delete_mode=self.delete_mode,
             )
             out = merged.withColumn("_bucket", bexpr)
             # small touched set: one cheap exchange keeps one file per
@@ -258,7 +304,12 @@ class CDCEngine:
             )
             if mode == "insert-only":
                 out = inserts_only(
-                    deduped, self.key, payload_cols, merge_ts, bucket_col="_bucket"
+                    deduped,
+                    self.key,
+                    payload_cols,
+                    merge_ts,
+                    bucket_col="_bucket",
+                    soft=self.delete_mode == "soft",
                 )
             else:
                 target_b = target.withColumn("_bucket", bexpr).repartition(
@@ -272,11 +323,18 @@ class CDCEngine:
                     merge_ts,
                     mode="shuffle",
                     bucket_col="_bucket",
+                    delete_mode=self.delete_mode,
                 )
 
         version_dir = f"s{snap.version + 1}-{uuid.uuid4().hex[:8]}"
         with _phase_timer(f"merge_write[{mode}]"):
             new_files = self.table.write_data_files(self.spark, out, version_dir)
+
+        # -- optional history-audit append (own idempotent commit, BEFORE the
+        # main commit: crash between them re-applies the main batch, crash
+        # after history re-skips it via its own last_lsn) ------------------
+        if self.history_table is not None and self.history_table.last_lsn() < hi:
+            self._append_history(deduped, target, payload_cols, new_schema, merge_ts, hi)
 
         # -- lineage + atomic commit ----------------------------------------
         out_by_bucket: dict[int, list[int]] = {}
@@ -314,6 +372,54 @@ class CDCEngine:
             mode=mode,
             out_rows=sum(v[0] for v in out_by_bucket.values()),
             out_bytes=sum(v[1] for v in out_by_bucket.values()),
+        )
+
+    def _append_history(
+        self,
+        deduped: DataFrame,
+        target: DataFrame,
+        payload_cols: list[str],
+        new_schema: T.StructType,
+        merge_ts,
+        hi: int,
+    ) -> None:
+        """Append I/U/D row images to the history table (reference
+        etl_operations.py:319-360). Delete events carry null payload in the
+        log, so their pre-images are recovered from the target — the
+        deleted-row enrichment join (reference J5, etl_operations.py:544-589)
+        done as semi+broadcast so the target is streamed, never shuffled.
+        """
+        ht = self.history_table
+        hist = deduped.drop("_bucket") if "_bucket" in deduped.columns else deduped
+        key = self.key
+        dels = hist.filter(F.col("op") == "D").select("lsn", "op", key)
+        pre = target.select(*payload_cols).join(
+            F.broadcast(dels.select(key)), key, "left_semi"
+        )
+        dels_full = dels.join(F.broadcast(pre), key, "left").select(
+            *payload_cols, "op", "lsn"
+        )
+        live = hist.filter(F.col("op") != "D").select(*payload_cols, "op", "lsn")
+        rows = live.unionByName(dels_full).withColumn("dl_hist_ts", merge_ts)
+
+        hsnap = ht.current()
+        hist_new_schema = None
+        if set(payload_cols) - set(hsnap.schema.fieldNames()):
+            payload_fields = [
+                f for f in new_schema.fields if f.name not in AUDIT_COLUMNS
+            ]
+            hist_new_schema = history_schema(T.StructType(payload_fields))
+        hexpr = F.pmod(F.xxhash64(F.col(key)), F.lit(hsnap.num_buckets)).cast("int")
+        out = rows.withColumn("_bucket", hexpr)
+        files = ht.write_data_files(
+            self.spark, out, f"h{hsnap.version + 1}-{uuid.uuid4().hex[:8]}"
+        )
+        ht.commit(
+            files,
+            replaced_buckets=set(),  # pure append
+            properties={"last_lsn": str(hi)},
+            new_schema=hist_new_schema,
+            expected_version=hsnap.version,
         )
 
     # -- replay loop ---------------------------------------------------------

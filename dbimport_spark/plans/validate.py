@@ -72,6 +72,24 @@ def diff_rows(actual: DataFrame, expected: DataFrame, cols: list[str]) -> DataFr
     )
 
 
+def custom_query_check(
+    spark, query: str, source: DataFrame, target: DataFrame, view: str = "t"
+) -> dict:
+    """Reference A5: run the SAME user SQL against source and target and
+    compare the collected results (import_config.py:2257-2284, 2362-2387;
+    executed at import_operations.py:275-328). The query must reference the
+    data as view ``t``."""
+    source.createOrReplaceTempView(view)
+    src_rows = [tuple(r) for r in spark.sql(query).collect()]
+    target.createOrReplaceTempView(view)
+    tgt_rows = [tuple(r) for r in spark.sql(query).collect()]
+    return {
+        "source": src_rows,
+        "target": tgt_rows,
+        "match": sorted(map(repr, src_rows)) == sorted(map(repr, tgt_rows)),
+    }
+
+
 def rowcount_tolerance(rows: int, allowed: int | None = None) -> float:
     """Reference auto tolerance: rows * (50 / (100 * sqrt(rows)))
     (import_config.py:2803-2810); explicit override wins."""

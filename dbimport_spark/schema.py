@@ -45,4 +45,5 @@ EVOLVED_COLUMN = T.StructField("quality_score", T.FloatType(), True)
 AUDIT_IUD = "dl_iud"          # 'I'/'U'/'D' last operation
 AUDIT_INSERT = "dl_insert_ts"  # first-insert timestamp
 AUDIT_UPDATE = "dl_update_ts"  # last-merge timestamp
-AUDIT_COLUMNS = [AUDIT_IUD, AUDIT_INSERT, AUDIT_UPDATE]
+AUDIT_DELETE = "dl_delete_ts"  # soft-delete timestamp (soft mode only)
+AUDIT_COLUMNS = [AUDIT_IUD, AUDIT_INSERT, AUDIT_UPDATE, AUDIT_DELETE]

@@ -5,7 +5,7 @@ re-apply — plus audit/resurrection semantics."""
 from pyspark.sql import functions as F
 
 from dbimport_spark.plans.engine import CDCEngine
-from dbimport_spark.schema import AUDIT_COLUMNS, PAYLOAD_COLUMNS
+from dbimport_spark.schema import PAYLOAD_COLUMNS
 from dbimport_spark.sources.loggen import generate_changes
 from tests.oracle import as_tuple_set, lww_fold
 
@@ -131,8 +131,9 @@ def test_audit_columns(spark, tmp_path):
     # unchanged content: change detection leaves the audit state alone
     assert got["k2"]["dl_iud"] == "I"
     assert got["k2"]["dl_update_ts"] == got["k2"]["dl_insert_ts"]
-    for c in AUDIT_COLUMNS:
+    for c in ("dl_iud", "dl_insert_ts", "dl_update_ts"):
         assert c in got["k1"]
+    assert "dl_delete_ts" not in got["k1"]  # hard-delete tables: no soft col
 
 
 def test_shuffle_mode_matches_broadcast(spark, tmp_path):

@@ -1,0 +1,123 @@
+"""Change-log source semantics, JDBC scan builder, compaction, custom
+validation, CLI smoke."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbimport_spark.lake.maintenance import buckets_needing_compaction, compact
+from dbimport_spark.plans.engine import CDCEngine
+from dbimport_spark.plans.validate import custom_query_check, fold_expected
+from dbimport_spark.sources.changelog import (
+    ChangeLogSource,
+    LogTruncatedError,
+    repair_watermark_from_lineage,
+)
+from dbimport_spark.sources.jdbc import JdbcScan, plan_sessions
+from dbimport_spark.sources.loggen import generate_changes, write_changes
+
+
+def test_changelog_window_and_truncation(spark, tmp_path):
+    path = str(tmp_path / "log")
+    write_changes(generate_changes(spark, 1000, n_keys=50, seed=1), path, 4)
+    src = ChangeLogSource(spark, path)
+    lo, hi = src.bounds()
+    assert (lo, hi) == (1, 1000)
+    w = src.window(100, 200)
+    got = [r["lsn"] for r in w.select("lsn").collect()]
+    assert min(got) == 101 and max(got) == 200 and len(got) == 100  # strict >, incl <=
+    src.check_position(committed_lsn=0)  # ok: log covers from 1
+    src.check_position(committed_lsn=500)  # ok: resume mid-log
+    # truncate: drop events <= 300, keep watermark at 100 → gap
+    write_changes(
+        generate_changes(spark, 1000, n_keys=50, seed=1).filter(F.col("lsn") > 300),
+        str(tmp_path / "log2"),
+        4,
+    )
+    src2 = ChangeLogSource(spark, str(tmp_path / "log2"))
+    with pytest.raises(LogTruncatedError):
+        src2.check_position(committed_lsn=100)
+    src2.check_position(committed_lsn=300)  # exactly adjacent: fine
+
+
+def test_watermark_repair_from_lineage(spark, tmp_path):
+    log = generate_changes(spark, 500, n_keys=30, seed=2)
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    CDCEngine(spark, table).replay(log, num_batches=2)
+    assert table.last_lsn() == 500
+    # simulate lost watermark property (state wipe)
+    table.commit([], set(), properties={"last_lsn": "-1"})
+    assert table.last_lsn() == -1
+    repaired = repair_watermark_from_lineage(table)
+    assert repaired == 500
+    assert table.last_lsn() == 500
+
+
+def test_jdbc_builder(spark):
+    assert plan_sessions(10 << 30, block_size=128 << 20, max_sessions=32) == 32
+    assert plan_sessions(300 << 20, block_size=128 << 20) == 2
+    assert plan_sessions(1, block_size=128 << 20) == 1
+    scan = JdbcScan(
+        url="jdbc:postgresql://h/db",
+        table="public.orders",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=1000,
+        num_partitions=8,
+        where="status = 'open'",
+    )
+    reader = scan.build(spark)  # plan construction only; no driver needed
+    assert reader is not None
+    with pytest.raises(ValueError):
+        JdbcScan(url="u", table="t", partition_column="id", num_partitions=4).build(spark)
+
+
+def test_compaction_preserves_content(spark, tmp_path):
+    log = generate_changes(spark, 3000, n_keys=150, seed=3)
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=8)
+    # at-scale broadcast behavior: no output repartition → buckets fragment
+    # across commits until compacted
+    eng = CDCEngine(
+        spark, table, broadcast_threshold_rows=10**9, repartition_output_bytes=0
+    )
+    eng.replay(log, num_batches=6)
+    before = table.read(spark)
+    before_rows = sorted(map(repr, before.collect()))
+    n_files_before = len(table.current().files)
+    out = compact(spark, table, max_files_per_bucket=1, expire_keep_last=1)
+    assert out["compacted_buckets"] > 0
+    assert len(table.current().files) <= n_files_before
+    assert buckets_needing_compaction(table, 1) == []
+    after_rows = sorted(map(repr, table.read(spark).collect()))
+    assert after_rows == before_rows
+    # engine continues working after compaction+expiry
+    assert table.last_lsn() == 3000
+
+
+def test_custom_query_validation(spark, tmp_path):
+    log = generate_changes(spark, 800, n_keys=60, seed=4)
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    CDCEngine(spark, table).replay(log)
+    q = "SELECT source, count(*) AS n, sum(n_tok) AS s FROM t GROUP BY source"
+    res = custom_query_check(spark, q, fold_expected(log), table.read(spark))
+    assert res["match"], res
+    drifted = table.read(spark).withColumn(
+        "n_tok", F.col("n_tok") + F.lit(1)
+    )
+    assert not custom_query_check(spark, q, fold_expected(log), drifted)["match"]
+
+
+def test_cli_status_smoke(spark, tmp_path):
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    out = subprocess.run(
+        [sys.executable, "-m", "dbimport_spark.cli", "status", str(tmp_path / "t")],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=120,
+    )
+    data = json.loads(out.stdout.strip().splitlines()[-1])
+    assert data["last_lsn"] == -1 and data["files"] == 0
