@@ -145,7 +145,9 @@ def merge_changes(
         cond = F.lit(True)
         for k in join_keys:
             cond = cond & (F.col(f"t.{k}") == F.col(f"b.{k}"))
-        joined = t.join(b, cond, "full_outer")
+        # hash join (build = batch side), not sort-merge: with co-partitioned
+        # inputs this is exchange-free AND sort-free
+        joined = t.join(b.hint("shuffle_hash"), cond, "full_outer")
         has_t = F.col(f"t.{AUDIT_IUD}").isNotNull()
         has_b = F.col("b.op").isNotNull()
         is_del = has_b & (F.col("b.op") == "D")

@@ -111,7 +111,7 @@ class CDCEngine:
         spark: SparkSession,
         table: LakeTable,
         checkpoint_dir: str | None = None,
-        dedup_strategy: str = "maxby",
+        dedup_strategy: str = "maxjoin",
         n_salts: int = 16,
         broadcast_threshold_rows: int = 200_000,
         repartition_output_bytes: int = 2 << 30,

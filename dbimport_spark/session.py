@@ -42,6 +42,10 @@ def get_spark(
         # token-array rows make sort spill expensive; shuffled-hash join
         # beats sort-merge for the engine's co-partitioned merges
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # the engine co-partitions merge inputs by _bucket (a strict subset
+        # of the join keys); allow that partitioning to satisfy the join
+        # instead of forcing a re-exchange on all keys
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -1,0 +1,120 @@
+"""Physical-plan shape assertions — the .explain() contract.
+
+These pin the scale-defining plan properties so a refactor can't silently
+regress them:
+- parquet scans get filter pushdown + column pruning;
+- the broadcast merge never shuffles the target (BroadcastHashJoin only,
+  zero Exchange on the plan);
+- the bucket-aligned shuffle plan has exactly one exchange per side —
+  dedup, join, and write all reuse the same HashPartitioning;
+- whole-stage codegen covers the hot path.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from dbimport_spark.operators.dedup import dedup_lww
+from dbimport_spark.operators.merge import merge_changes
+from dbimport_spark.plans.engine import CDCEngine
+from dbimport_spark.sources.loggen import generate_changes, write_changes
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_parquet_pushdown_and_pruning(spark, tmp_path):
+    path = str(tmp_path / "log")
+    write_changes(generate_changes(spark, 1000, n_keys=50, seed=1), path, 4)
+    df = (
+        spark.read.parquet(path)
+        .filter((F.col("lsn") > 100) & (F.col("lsn") <= 300))
+        .select("lsn", "doc_id")
+    )
+    plan = explain_str(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(lsn,100)" in plan and "LessThanOrEqual(lsn,300)" in plan
+    # column pruning: tokens (the wide column) must NOT be in ReadSchema
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "tokens" not in read_schema
+    assert "lsn" in read_schema and "doc_id" in read_schema
+
+
+def test_broadcast_merge_never_shuffles_target(spark, tmp_path):
+    log = generate_changes(spark, 2000, n_keys=100, seed=2)
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=8)
+    eng = CDCEngine(spark, table)
+    eng.replay(log.filter("lsn <= 1500"), num_batches=1)
+
+    target = table.read(spark)
+    batch = dedup_lww(log.filter("lsn > 1500").drop("commit_ts"))
+    merged = merge_changes(
+        target,
+        batch,
+        "doc_id",
+        ["doc_id", "tokens", "n_tok", "source"],
+        F.current_timestamp(),
+        mode="broadcast",
+    )
+    plan = explain_str(merged)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the target is streamed: no hash/range exchange anywhere in the plan
+    # (broadcast exchanges are expected; data exchanges are not)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_bucket_plan_single_exchange_per_side(spark, tmp_path):
+    log = generate_changes(spark, 2000, n_keys=100, seed=3)
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=8)
+    eng = CDCEngine(spark, table)
+    eng.replay(log.filter("lsn <= 1500"), num_batches=1)
+
+    bexpr = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(8)).cast("int")
+    batch_b = (
+        log.filter("lsn > 1500")
+        .drop("commit_ts")
+        .withColumn("_bucket", bexpr)
+        .repartition(8, "_bucket")
+    )
+    deduped = dedup_lww(batch_b, key=["_bucket", "doc_id"])
+    # maxjoin dedup: pure-long HashAggregate (never SortAggregate — the
+    # struct-buffer fallback would sort every event row), broadcast semi
+    dplan = explain_str(deduped, "simple")
+    assert "HashAggregate" in dplan
+    assert "SortAggregate" not in dplan
+    assert dplan.count("Exchange hashpartitioning") <= 2
+
+    target_b = table.read(spark).withColumn("_bucket", bexpr).repartition(8, "_bucket")
+    out = merge_changes(
+        target_b,
+        deduped,
+        "doc_id",
+        ["doc_id", "tokens", "n_tok", "source"],
+        F.current_timestamp(),
+        mode="shuffle",
+        bucket_col="_bucket",
+    )
+    plan = explain_str(out, "simple")
+    # the full-outer join rides the explicit per-side exchanges: no extra
+    # exchange beyond the three (2 repartitions + 1 in the dedup winners
+    # subtree), shuffled-hash (build = batch), and ZERO sorts anywhere
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("+- Sort ") == 0
+
+
+def test_codegen_on_hot_path(spark):
+    log = generate_changes(spark, 1000, n_keys=50, seed=4)
+    df = dedup_lww(log)
+    df.collect()  # AQE finalizes the plan on execution
+    final = df._jdf.queryExecution().executedPlan().toString()
+    # "*(n)" prefixes mark operators inside WholeStageCodegen stages
+    assert "*(" in final
