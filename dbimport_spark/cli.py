@@ -55,6 +55,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("table_root")
     sp.add_argument("--lineage", action="store_true")
 
+    sp = sub.add_parser("export")
+    sp.add_argument("table_root")
+    sp.add_argument("out_dir")
+    sp.add_argument("--mode", default="incr", choices=["incr", "full"])
+    sp.add_argument("--include-audit", action="store_true")
+
     sp = sub.add_parser("compact")
     sp.add_argument("table_root")
     sp.add_argument("--max-files-per-bucket", type=int, default=4)
@@ -124,6 +130,14 @@ def main(argv: list[str] | None = None) -> int:
         )
         q.awaitTermination()
         print(json.dumps({"last_lsn": table.last_lsn()}))
+    elif args.cmd == "export":
+        from dbimport_spark.plans.export import ParquetExporter
+
+        table = LakeTable.load(args.table_root)
+        out = ParquetExporter(
+            table, args.out_dir, include_audit=args.include_audit
+        ).export(spark, mode=args.mode)
+        print(json.dumps(out))
     elif args.cmd == "compact":
         from dbimport_spark.lake.maintenance import compact
 

@@ -1,0 +1,44 @@
+"""Incremental export (reference reverse path, SURVEY.md §3.2)."""
+
+import datetime as dt
+
+from dbimport_spark.plans.engine import CDCEngine
+from dbimport_spark.plans.export import ParquetExporter
+from dbimport_spark.schema import CHANGE_SCHEMA
+from dbimport_spark.sources.loggen import generate_changes
+
+
+def test_incremental_export(spark, tmp_path):
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    eng = CDCEngine(spark, table)
+    log = generate_changes(spark, 1000, n_keys=80, seed=5)
+    eng.replay(log.filter("lsn <= 600"), num_batches=1)
+
+    ex = ParquetExporter(table, str(tmp_path / "out"))
+    s1 = ex.export(spark, mode="incr")
+    n_after_first = table.read(spark).count()
+    assert s1["last_run_rows"] == n_after_first  # first incr = everything
+    out1 = spark.read.parquet(s1["last_run_dir"])
+    assert "dl_iud" not in out1.columns  # audit stripped by default
+
+    # nothing changed → empty incremental
+    s2 = ex.export(spark, mode="incr")
+    assert s2["last_run_rows"] == 0
+
+    # apply more changes → only touched rows exported
+    eng.replay(log, num_batches=1)  # applies lsn 601..1000
+    s3 = ex.export(spark, mode="incr")
+    assert 0 < s3["last_run_rows"] <= table.read(spark).count()
+    # every exported row was actually updated in the second window
+    exported_keys = {
+        r["doc_id"] for r in spark.read.parquet(s3["last_run_dir"]).collect()
+    }
+    touched_keys = {
+        r["doc_id"]
+        for r in log.filter("lsn > 600").select("doc_id").distinct().collect()
+    }
+    assert exported_keys <= touched_keys
+
+    # full mode re-exports the whole table
+    s4 = ex.export(spark, mode="full")
+    assert s4["last_run_rows"] == table.read(spark).count()
