@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dbimport_spark.lake.evolve import diff_payload_schema, evolve_schema
-from dbimport_spark.lake.table import LakeTable
+from dbimport_spark.lake.table import CommitConflict, LakeTable
 from dbimport_spark.operators.dedup import dedup_lww
 from dbimport_spark.operators.merge import inserts_only, merge_changes
 from dbimport_spark.plans.checkpoint import ReplayPlan, load_plan, save_plan
@@ -352,18 +352,35 @@ class CDCEngine:
             }
             for r in per_bucket
         ]
-        self.table.commit(
-            new_files,
-            replaced_buckets=set(touched),
-            properties={
-                "last_lsn": str(hi),
-                "last_batch_events": str(n_events),
-                "last_batch_mode": mode,
-            },
-            lineage=lineage,
-            new_schema=new_schema if added else None,
-            expected_version=snap.version,
-        )
+        try:
+            self.table.commit(
+                new_files,
+                replaced_buckets=set(touched),
+                properties={
+                    "last_lsn": str(hi),
+                    "last_batch_events": str(n_events),
+                    "last_batch_mode": mode,
+                },
+                lineage=lineage,
+                new_schema=new_schema if added else None,
+                expected_version=snap.version,
+            )
+        except CommitConflict:
+            # another writer won the version race. If it already applied
+            # this window (same LSN ranges from a shared plan), our write
+            # is a duplicate: drop the orphaned files and report skipped.
+            # Otherwise the table moved under us in a way the caller must
+            # resolve — re-raise (the reference's stage machine would
+            # rewind and retry, import_stage.py:1018-1039 analogue).
+            if self.table.last_lsn() >= hi:
+                import shutil
+
+                shutil.rmtree(
+                    os.path.join(self.table.root, "data", version_dir),
+                    ignore_errors=True,
+                )
+                return BatchStats(lo=lo, hi=hi, skipped=True)
+            raise
         return BatchStats(
             lo=lo,
             hi=hi,
