@@ -369,6 +369,22 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return building.exceptAll(urgent).withColumnRenamed("c_custkey", "calm_building_cust")
 
 
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 breadth: pivot (orders count per priority × status)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_finished"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+        )
+    )
+
+
 def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token vocabulary stats per doc via JVM array ops (no UDF)."""
     d = _t(spark, sf_dir, "documents")
@@ -451,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_counts": q_rollup_counts,
         "topk_orders": q_topk_orders,
         "set_ops": q_set_ops,
+        "pivot_status": q_pivot_status,
         "token_vocab": q_token_vocab,
         "multimodal_features": q_multimodal_features,
         "token_fingerprints": q_token_fingerprints,
@@ -701,6 +718,14 @@ def oracle_sql() -> dict[str, str]:
           EXCEPT ALL
           SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         )
+    """
+
+    sql["pivot_status"] = """
+        SELECT o_orderpriority,
+               count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+               count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+               count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
+        FROM orders GROUP BY o_orderpriority
     """
 
     sql["token_vocab"] = r"""

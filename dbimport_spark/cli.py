@@ -55,6 +55,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("table_root")
     sp.add_argument("--lineage", action="store_true")
 
+    sp = sub.add_parser("validate")
+    sp.add_argument("table_root")
+    sp.add_argument("log_path")
+    sp.add_argument("--allowed-diff", type=int, default=None)
+
     sp = sub.add_parser("export")
     sp.add_argument("table_root")
     sp.add_argument("out_dir")
@@ -130,6 +135,24 @@ def main(argv: list[str] | None = None) -> int:
         )
         q.awaitTermination()
         print(json.dumps({"last_lsn": table.last_lsn()}))
+    elif args.cmd == "validate":
+        from dbimport_spark.plans.validate import (
+            fold_expected,
+            reconcile,
+            validate_rowcount,
+        )
+        from dbimport_spark.schema import AUDIT_COLUMNS
+
+        table = LakeTable.load(args.table_root)
+        actual = table.read(spark)
+        cols = [c for c in actual.columns if c not in AUDIT_COLUMNS]
+        expected = fold_expected(spark.read.parquet(args.log_path), payload_cols=cols)
+        rec = reconcile(actual, expected, cols)
+        rec["rowcount_within_tolerance"] = validate_rowcount(
+            rec["rows_actual"], rec["rows_expected"], args.allowed_diff
+        )
+        print(json.dumps(rec))
+        return 0 if rec["converged"] else 1
     elif args.cmd == "export":
         from dbimport_spark.plans.export import ParquetExporter
 
