@@ -302,6 +302,60 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_replay_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-delete replay: deleted keys stay visible with their pre-delete
+    payload and state 'D' (reference soft-delete branch). Oracle: two-level
+    window fold in SQL."""
+    from dbimport_spark.plans.engine import CDCEngine
+
+    changes = _events_as_changes(spark, sf_dir)
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("val_cents", T.LongType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc-soft-")
+    table = CDCEngine.create_table(
+        os.path.join(root, "t"), payload_schema=payload, num_buckets=16, soft_delete=True
+    )
+    eng = CDCEngine(spark, table, delete_mode="soft")
+    eng.replay(changes, num_batches=CDC_REPLAY_BATCHES)
+    return table.read(spark).select(
+        "doc_id",
+        "val_cents",
+        "source",
+        F.when(F.col("dl_iud") == "D", F.lit("D")).otherwise(F.lit("L")).alias("state"),
+    )
+
+
+def q_cdc_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History-audit append: every applied event (LWW winner per batch
+    window) with delete pre-image enrichment. Batch-window dependent →
+    rows-only check."""
+    from dbimport_spark.plans.engine import CDCEngine
+
+    changes = _events_as_changes(spark, sf_dir)
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("val_cents", T.LongType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc-hist-")
+    table = CDCEngine.create_table(
+        os.path.join(root, "t"), payload_schema=payload, num_buckets=16
+    )
+    hist = CDCEngine.create_history_table(
+        os.path.join(root, "h"), payload_schema=payload, num_buckets=16
+    )
+    eng = CDCEngine(spark, table, history_table=hist)
+    eng.replay(changes, num_batches=CDC_REPLAY_BATCHES)
+    return hist.read(spark).select("doc_id", "val_cents", "source", "op", "lsn")
+
+
 # ---------------------------------------------------------------------------
 # breadth: windows / rollup / top-k / set ops (engine-delegated in the
 # reference, Catalyst-native here — SURVEY.md §2.5-2.6)
@@ -443,6 +497,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay": q_cdc_replay,
+        "cdc_replay_soft": q_cdc_replay_soft,
+        "cdc_history": q_cdc_history,
         "lww_dedup": q_lww_dedup,
         "watermark_scan": q_watermark_scan,
         "cdc_fold": q_cdc_fold,
@@ -570,6 +626,32 @@ def oracle_sql() -> dict[str, str]:
           FROM log
         )
         SELECT doc_id, val_cents, source FROM w WHERE rn = 1 AND op <> 'D'
+    """
+
+    sql["cdc_replay_soft"] = """
+        WITH log AS (
+          SELECT event_id AS lsn,
+                 CASE WHEN event_type = 'error' THEN 'D'
+                      WHEN event_type = 'purchase' THEN 'U'
+                      ELSE 'I' END AS op,
+                 'doc-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS doc_id,
+                 CAST(floor(value * 100) AS BIGINT) AS val_cents,
+                 event_type AS source
+          FROM events
+        ), last AS (
+          SELECT doc_id, op AS last_op FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+            FROM log
+          ) WHERE rn = 1
+        ), payload AS (
+          SELECT doc_id, val_cents, source FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+            FROM log WHERE op <> 'D'
+          ) WHERE rn = 1
+        )
+        SELECT p.doc_id, p.val_cents, p.source,
+               CASE WHEN l.last_op = 'D' THEN 'D' ELSE 'L' END AS state
+        FROM payload p JOIN last l ON p.doc_id = l.doc_id
     """
 
     sql["exact_dedup"] = """

@@ -58,6 +58,10 @@ def normalize_batch(batch: DataFrame) -> DataFrame:
         batch = batch.withColumn(
             "n_tok", F.when(F.col("tokens").isNotNull(), F.size("tokens"))
         )
+    if "n_tok_lv" in batch.columns and "tokens_lv" in batch.columns:
+        batch = batch.withColumn(
+            "n_tok_lv", F.when(F.col("tokens_lv").isNotNull(), F.size("tokens_lv"))
+        )
     return batch
 
 
@@ -82,11 +86,24 @@ def merge_changes(
     dl_iud='D' + dl_delete_ts (reference soft-delete branch,
     etl_operations.py:624-638); a later I/U on a soft-deleted key revives
     it (dl_delete_ts cleared, audit 'U').
+
+    In soft mode the batch may carry *_lv "last-live pre-image" columns
+    (built by the engine): a 'D' winner then lands/updates its pre-image as
+    a dead row, which makes the soft final state invariant under batching
+    (an I followed by D in ONE window equals I in one window, D in the
+    next).
     """
     soft = delete_mode == "soft"
+    has_lv = soft and "_has_lv" in batch.columns
     non_key = [c for c in payload_cols if c != key]
     t = target.alias("t")
     b = normalize_batch(batch).alias("b")
+
+    def del_payload(c: str):
+        """Payload for a soft-deleted row: batch pre-image, else target."""
+        if has_lv:
+            return F.coalesce(F.col(f"b.{c}_lv"), F.col(f"t.{c}"))
+        return F.col(f"t.{c}")
 
     if mode == "broadcast":
         bb = F.broadcast(b)
@@ -121,7 +138,13 @@ def merge_changes(
         survivors = survivors.select(
             *out_cols,
             F.col(f"t.{key}").alias(key),
-            *[F.when(changed, F.col(f"b.{c}")).otherwise(F.col(f"t.{c}")).alias(c) for c in non_key],
+            *[
+                F.when(is_del, del_payload(c))
+                .when(changed, F.col(f"b.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                for c in non_key
+            ],
             *audit_cols,
         )
         # inserts: batch keys with no target row. The semi-join result is
@@ -182,13 +205,54 @@ def merge_changes(
                 .otherwise(F.col(f"t.{AUDIT_DELETE}"))
                 .alias(AUDIT_DELETE)
             )
-        # hard: drop matched deletes entirely; soft: keep matched deletes,
-        # drop only not-matched deletes (no row to mark)
-        keep = ~(is_del & ~has_t) if soft else ~is_del
+        # hard: drop matched deletes entirely; soft: keep matched deletes and
+        # not-matched deletes that carry a pre-image; drop only pre-image-
+        # less not-matched deletes (no row to mark)
+        if soft and has_lv:
+            keep = ~(is_del & ~has_t & ~F.coalesce(F.col("b._has_lv"), F.lit(False)))
+        elif soft:
+            keep = ~(is_del & ~has_t)
+        else:
+            keep = ~is_del
+        dead_insert = (
+            (is_del & ~has_t & F.coalesce(F.col("b._has_lv"), F.lit(False)))
+            if has_lv
+            else F.lit(False)
+        )
+        audit_cols[0] = (
+            F.when(insert, F.lit("I"))
+            .when(is_del & (has_t | dead_insert), F.lit("D"))
+            .when(changed, F.lit("U"))
+            .otherwise(F.col(f"t.{AUDIT_IUD}"))
+            .alias(AUDIT_IUD)
+        )
+        audit_cols[1] = (
+            F.when(insert | dead_insert, merge_ts)
+            .otherwise(F.col(f"t.{AUDIT_INSERT}"))
+            .alias(AUDIT_INSERT)
+        )
+        audit_cols[2] = (
+            F.when(insert | changed | dead_insert, merge_ts)
+            .otherwise(F.col(f"t.{AUDIT_UPDATE}"))
+            .alias(AUDIT_UPDATE)
+        )
+        if soft:
+            audit_cols[3] = (
+                F.when((is_del & has_t) | dead_insert, merge_ts)
+                .when(has_t & has_b, F.lit(None).cast("timestamp"))
+                .otherwise(F.col(f"t.{AUDIT_DELETE}"))
+                .alias(AUDIT_DELETE)
+            )
         return joined.filter(keep).select(
             *out_cols,
             F.coalesce(F.col(f"t.{key}"), F.col(f"b.{key}")).alias(key),
-            *[F.when(take_b, F.col(f"b.{c}")).otherwise(F.col(f"t.{c}")).alias(c) for c in non_key],
+            *[
+                F.when(is_del, del_payload(c))
+                .when(take_b, F.col(f"b.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                for c in non_key
+            ],
             *audit_cols,
         )
 
@@ -204,23 +268,41 @@ def inserts_only(
     soft: bool = False,
 ) -> DataFrame:
     """Insert projection (also the fast path when the touched buckets hold
-    no target rows yet)."""
+    no target rows yet). In soft mode, a 'D' winner carrying a *_lv
+    pre-image is inserted as a dead row (dl_iud='D', dl_delete_ts set)."""
+    has_lv = soft and "_has_lv" in batch.columns
     non_key = [c for c in payload_cols if c != key]
     out_cols = [F.col(bucket_col)] if bucket_col else []
-    audit_cols = [
-        F.lit("I").alias(AUDIT_IUD),
-        merge_ts.alias(AUDIT_INSERT),
-        merge_ts.alias(AUDIT_UPDATE),
-    ]
-    if soft:
-        audit_cols.append(F.lit(None).cast("timestamp").alias(AUDIT_DELETE))
+    is_del = F.col("op") == "D"
+    if has_lv:
+        keep = ~is_del | F.coalesce(F.col("_has_lv"), F.lit(False))
+        payload = [
+            F.when(is_del, F.col(f"{c}_lv")).otherwise(F.col(c)).alias(c)
+            for c in non_key
+        ]
+        audit_cols = [
+            F.when(is_del, F.lit("D")).otherwise(F.lit("I")).alias(AUDIT_IUD),
+            merge_ts.alias(AUDIT_INSERT),
+            merge_ts.alias(AUDIT_UPDATE),
+            F.when(is_del, merge_ts).cast("timestamp").alias(AUDIT_DELETE),
+        ]
+    else:
+        keep = ~is_del
+        payload = [F.col(c) for c in non_key]
+        audit_cols = [
+            F.lit("I").alias(AUDIT_IUD),
+            merge_ts.alias(AUDIT_INSERT),
+            merge_ts.alias(AUDIT_UPDATE),
+        ]
+        if soft:
+            audit_cols.append(F.lit(None).cast("timestamp").alias(AUDIT_DELETE))
     return (
         normalize_batch(batch)
-        .filter(F.col("op") != "D")
+        .filter(keep)
         .select(
             *out_cols,
             key,
-            *non_key,
+            *payload,
             *audit_cols,
         )
     )

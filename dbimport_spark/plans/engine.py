@@ -221,11 +221,12 @@ class CDCEngine:
 
         touched = sorted(r["bucket"] for r in per_bucket)
         n_events = sum(r["events"] for r in per_bucket)
-        merge_ts = (
-            F.lit(max(r["max_ts"] for r in per_bucket))
+        ts_vals = (
+            [r["max_ts"] for r in per_bucket if r["max_ts"] is not None]
             if has_commit_ts
-            else F.current_timestamp()
+            else []
         )
+        merge_ts = F.lit(max(ts_vals)) if ts_vals else F.current_timestamp()
 
         # -- dedup (LWW per key) --------------------------------------------
         batch_nc = batch.drop("commit_ts") if has_commit_ts else batch
@@ -251,6 +252,28 @@ class CDCEngine:
         # measurably cheaper than materializing token arrays into the JVM
         # block manager (deserialized cache showed 3x slowdown at 32 threads
         # from GC / memory-store contention).
+        def with_live_payload(deduped: DataFrame, src: DataFrame, keys) -> DataFrame:
+            """Soft mode: attach the batch's last-live (op != 'D') payload as
+            *_lv columns so a delete winner can still materialize its
+            pre-image — final state stays invariant under batching (an I
+            then D inside ONE window must equal I in one window, D in the
+            next)."""
+            non_key = [c for c in payload_cols if c != self.key]
+            live = dedup_lww(
+                src.filter(F.col("op") != "D"),
+                key=keys,
+                order_col="lsn",
+                strategy=self.dedup_strategy,
+                n_salts=self.n_salts,
+            ).select(
+                *( [keys[0]] if isinstance(keys, list) and keys[0] == "_bucket" else [] ),
+                self.key,
+                F.lit(True).alias("_has_lv"),
+                *[F.col(c).alias(f"{c}_lv") for c in non_key],
+            )
+            join_on = [self.key] if isinstance(keys, str) else list(keys)
+            return deduped.join(live, join_on, "left")
+
         if mode == "broadcast":
             # steady-state CDC: batch broadcast, target streamed — zero
             # target shuffle; output keeps the target's per-bucket-file
@@ -262,6 +285,8 @@ class CDCEngine:
                 strategy=self.dedup_strategy,
                 n_salts=self.n_salts,
             )
+            if self.delete_mode == "soft":
+                deduped = with_live_payload(deduped, batch_nc, self.key)
             merged = merge_changes(
                 target,
                 deduped,
@@ -302,6 +327,8 @@ class CDCEngine:
                 strategy=self.dedup_strategy,
                 n_salts=self.n_salts,
             )
+            if self.delete_mode == "soft":
+                deduped = with_live_payload(deduped, batch_b, ["_bucket", self.key])
             if mode == "insert-only":
                 out = inserts_only(
                     deduped,
@@ -457,6 +484,12 @@ class CDCEngine:
             f"{self.checkpoint_dir}/replay_plan.json" if self.checkpoint_dir else None
         )
         plan = load_plan(ckpt_path) if ckpt_path else None
+        if plan is not None and plan.completed >= len(plan.ranges):
+            # prior plan fully applied; if the log has grown since, re-plan
+            # the remainder (the steady-state "tail the log again" call)
+            new_hi = changes.agg(F.max("lsn").alias("hi")).first()["hi"]
+            if new_hi is not None and new_hi > self.table.last_lsn():
+                plan = None
         if plan is None:
             bounds = changes.agg(
                 F.min("lsn").alias("lo"), F.max("lsn").alias("hi")

@@ -50,6 +50,34 @@ def test_soft_delete_marks_and_revives(spark, tmp_path):
     assert got["k1"]["dl_delete_ts"] is None
 
 
+def test_soft_delete_batching_invariance(spark, tmp_path):
+    """I then D inside ONE batch must equal I and D in separate batches:
+    the pre-image lands as a dead row either way (the *_lv mechanism)."""
+    rows = [
+        (1, "I", "k1", [7, 8], 2, "web", dt.datetime(2024, 1, 1)),
+        (2, "D", "k1", None, None, None, dt.datetime(2024, 1, 2)),
+        # update then delete, same batch: dead row must carry the UPDATE
+        (3, "I", "k2", [1], 1, "web", dt.datetime(2024, 1, 1)),
+        (4, "U", "k2", [2, 2], 2, "code", dt.datetime(2024, 1, 2)),
+        (5, "D", "k2", None, None, None, dt.datetime(2024, 1, 3)),
+    ]
+    states = []
+    for nb, name in ((1, "one"), (5, "many")):
+        table = CDCEngine.create_table(
+            str(tmp_path / f"bi-{name}"), num_buckets=4, soft_delete=True
+        )
+        eng = CDCEngine(spark, table, delete_mode="soft")
+        eng.replay(_log(spark, rows), num_batches=nb)
+        got = {
+            r["doc_id"]: (tuple(r["tokens"]), r["n_tok"], r["source"], r["dl_iud"])
+            for r in table.read(spark).collect()
+        }
+        states.append(got)
+    assert states[0] == states[1]
+    assert states[0]["k1"] == ((7, 8), 2, "web", "D")
+    assert states[0]["k2"] == ((2, 2), 2, "code", "D")
+
+
 def test_soft_delete_replay_both_modes(spark, tmp_path):
     log = generate_changes(spark, 2000, n_keys=100, seed=33)
     soft_t = CDCEngine.create_table(str(tmp_path / "s"), num_buckets=8, soft_delete=True)
