@@ -291,6 +291,13 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline)."""
+    from dbimport_spark.operators.similarity import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"), min_milli=450)
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbimport_spark.operators.similarity import ann_lsh_topk
 
@@ -518,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "embedding_sim": q_embedding_sim,
         "embedding_topk": q_embedding_topk,
+        "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,
         "window_rank": q_window_rank,
         "rollup_counts": q_rollup_counts,
@@ -769,6 +777,16 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, CAST(floor(sim * 1000) AS BIGINT) AS sim_milli
         FROM s ORDER BY sim DESC, vec_id LIMIT 20
+    """
+
+    sql["embedding_neardup"] = """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(floor(1000 * list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) AS BIGINT) AS sim_milli
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE floor(1000 * list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) >= 450
     """
 
     sql["window_rank"] = """

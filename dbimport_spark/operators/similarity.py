@@ -80,6 +80,50 @@ def rhp_signature(vec_col: str, n_planes: int = 16, dim: int = 64, seed: int = 4
     return sig
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    min_milli: int = 990,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    lsh_planes: int | None = None,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold).
+
+    Exact mode (lsh_planes=None): all-pairs self-join — the correctness
+    baseline, O(n²) scoring entirely JVM-side.
+    Scale mode (lsh_planes=k): candidates restricted to pairs sharing an
+    RHP signature bucket (hash-partition join on the signature instead of
+    a cross join), then exact cosine re-rank — the standard LSH recall/
+    cost dial.
+    Output sim as integral permille for engine-stable comparison.
+    """
+    v = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).withColumn("_n", _norm(F.col("_v")))
+    if lsh_planes:
+        sig = rhp_signature("_v", lsh_planes, dim, seed)
+        v = v.withColumn("_sig", sig)
+    a = v.alias("a")
+    b = v.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if lsh_planes:
+        joined = a.join(b, on=(F.col("a._sig") == F.col("b._sig")) & cond)
+    else:
+        joined = a.join(b, on=cond)
+    sim = _dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
+    return (
+        joined.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.floor(sim * F.lit(1000)).alias("sim_milli"),
+        )
+        .filter(F.col("sim_milli") >= min_milli)
+    )
+
+
 def ann_lsh_topk(
     df: DataFrame,
     query: list[float],

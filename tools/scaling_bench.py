@@ -129,9 +129,11 @@ def main() -> None:
 
     rows_low = ", ".join(f"{r['sec']}s" for r in runs[low])
     rows_high = ", ".join(f"{r['sec']}s" for r in runs[high])
+    # BENCH/BASELINE.md is the hand-consolidated evidence doc; fresh runs
+    # land next to it without clobbering the analysis
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
-        fh.write(f"""# BENCH/BASELINE — scaling-efficiency evidence
+    with open(os.path.join(REPO, "BENCH", "scaling_last_run.md"), "w") as fh:
+        fh.write(f"""# BENCH scaling run (auto-generated)
 
 North rule: throughput scaling efficiency >= 0.8 going from N to 4N
 executors. Sandbox substitution (no real cluster): the same CDC replay —
