@@ -43,11 +43,21 @@ def main() -> None:
     from dbimport_spark.session import get_spark
     from dbimport_spark.sources.loggen import generate_changes, write_changes
 
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     spark = get_spark(
         app_name="dbimport-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.io.compression.codec": "zstd",
+            "spark.sql.parquet.compression.codec": "zstd",
+            **(
+                {"spark.local.dir": tempfile.mkdtemp(prefix="bench-sl-", dir=shm)}
+                if shm
+                else {}
+            ),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -82,7 +92,7 @@ def main() -> None:
         os.path.join(work, "table"), num_buckets=max(cpus * 2, 32)
     )
     eng = CDCEngine(spark, table, checkpoint_dir=os.path.join(work, "ckpt"))
-    timed("cdc_replay_full", lambda: eng.replay(head, num_batches=4))
+    timed("cdc_replay_full", lambda: eng.replay(head, num_batches=2))
 
     # -- steady-state incremental batch (10% tail) ---------------------------
     timed("cdc_apply_incr", lambda: eng.apply_batch(tail, full, n_events))

@@ -134,6 +134,37 @@ def lsh_candidate_pairs(
     )
 
 
+def jaccard_for_pairs(
+    shingles: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard computed ONLY for the given candidate pairs.
+
+    Cost is |pairs| x shingles-per-doc instead of the full inverted-index
+    self-join — the whole point of LSH: verification work scales with the
+    candidate set, not with n^2.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sh_a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])  # semi-match on b's shingle set
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard_permille",
+            F.floor(F.lit(1000) * F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))),
+        )
+        .select("id_a", "id_b", "jaccard_permille")
+    )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -143,14 +174,14 @@ def minhash_lsh_dedup(
     bands: int = 8,
     min_permille: int = 500,
 ) -> DataFrame:
-    """Candidate pairs from LSH, verified with exact Jaccard on shingles."""
+    """Candidate pairs from LSH, verified with exact Jaccard — but only on
+    the candidates (see jaccard_for_pairs)."""
     rows = num_perm // bands
     sh = word_shingles(df, text_col, id_col, n)
     sigs = minhash_signatures(sh, id_col, num_perm)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
-    verified = jaccard_pairs(sh, id_col, min_permille)
-    return cands.join(verified, ["id_a", "id_b"], "inner").select(
-        "id_a", "id_b", "jaccard_permille"
+    return jaccard_for_pairs(sh, cands, id_col).filter(
+        F.col("jaccard_permille") >= min_permille
     )
 
 

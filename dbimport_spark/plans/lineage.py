@@ -22,6 +22,19 @@ def lineage_history(table: LakeTable) -> list[dict]:
     return out
 
 
+def per_bucket_offsets(table: LakeTable) -> dict[int, int]:
+    """Per-partition committed offsets: bucket → highest applied LSN,
+    folded from the lineage stamped in retained snapshots (the
+    "checkpoints per-partition offsets" surface of the north star; the
+    scalar table watermark is their global max)."""
+    out: dict[int, int] = {}
+    for v in table.snapshots():
+        for rec in table.snapshot(v).lineage:
+            b = rec["bucket"]
+            out[b] = max(out.get(b, -1), rec.get("last_lsn", -1))
+    return out
+
+
 def table_totals(table: LakeTable) -> dict:
     """Current-table totals from file metadata (no data scan)."""
     snap = table.current()

@@ -145,7 +145,6 @@ def test_shuffle_mode_matches_broadcast(spark, tmp_path):
     # first batch on empty buckets is insert-only either way; later batches
     # diverge into broadcast vs shuffle paths — results must be identical
     assert _table_state(spark, e1.table) == _table_state(spark, e2.table)
-    modes = {s.mode for s in []}
     assert e2.table.properties["last_batch_mode"] in ("shuffle", "insert-only")
 
 

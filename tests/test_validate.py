@@ -1,7 +1,11 @@
 import math
 
 from dbimport_spark.plans.engine import CDCEngine
-from dbimport_spark.plans.lineage import lineage_history, table_totals
+from dbimport_spark.plans.lineage import (
+    lineage_history,
+    per_bucket_offsets,
+    table_totals,
+)
 from dbimport_spark.plans.validate import (
     diff_rows,
     fold_expected,
@@ -48,6 +52,11 @@ def test_reconcile_and_lineage(spark, tmp_path):
     assert totals["rows"] == actual.count()
     assert totals["last_lsn"] == 2500
     assert totals["bytes"] > 0
+
+    offs = per_bucket_offsets(table)
+    assert len(offs) > 0
+    assert max(offs.values()) == 2500  # global watermark = max bucket offset
+    assert all(v > 0 for v in offs.values())
 
 
 def test_checksum_detects_content_drift(spark, tmp_path):
