@@ -36,7 +36,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("log_path")
     sp.add_argument("--batches", type=int, default=4)
     sp.add_argument("--checkpoint", default=None)
-    sp.add_argument("--dedup", default="maxby", choices=["maxby", "window", "salted"])
+    sp.add_argument(
+        "--dedup", default="maxjoin", choices=["maxjoin", "maxby", "window", "salted"]
+    )
 
     sp = sub.add_parser("stream")
     sp.add_argument("table_root")

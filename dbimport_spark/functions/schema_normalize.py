@@ -41,12 +41,15 @@ def normalize_type(dt: T.DataType, dates_to_string: bool = False) -> T.DataType:
 
 def _convert(col: Column, dt: T.DataType, dates_to_string: bool) -> Column:
     if isinstance(dt, T.StructType):
-        return F.struct(
+        rebuilt = F.struct(
             *[
                 _convert(col.getField(f.name), f.dataType, dates_to_string).alias(f.name)
                 for f in dt.fields
             ]
         )
+        # preserve struct-level nullability: rebuilding a NULL struct would
+        # otherwise yield a non-null struct of all-null fields
+        return F.when(col.isNotNull(), rebuilt)
     if isinstance(dt, T.ArrayType):
         return F.transform(col, lambda x: _convert(x, dt.elementType, dates_to_string))
     if isinstance(dt, T.MapType):

@@ -13,12 +13,50 @@ no shuffle: read bucket files → coalesce → rewrite).
 
 from __future__ import annotations
 
+import os
+import shutil
+import time
 import uuid
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from dbimport_spark.lake.table import LakeTable
+
+
+def remove_orphan_files(table: LakeTable, older_than_seconds: float = 24 * 3600) -> int:
+    """Delete data files referenced by NO retained snapshot — the leftovers
+    of a writer that crashed between write_data_files and commit (Iceberg
+    ``remove_orphan_files`` analogue, reference import_operations.py:1530).
+
+    Age-gated on file mtime (default 24h, like the reference) so an
+    in-flight commit's freshly written files are never swept.
+    Returns the number of files removed.
+    """
+    live: set[str] = set()
+    for v in table.snapshots():
+        live.update(f.path for f in table.snapshot(v).files)
+    cutoff = time.time() - older_than_seconds
+    removed = 0
+    data_dir = os.path.join(table.root, "data")
+    for dirpath, _dirs, files in os.walk(data_dir):
+        for name in files:
+            p = os.path.join(dirpath, name)
+            rel = os.path.relpath(p, table.root)
+            if rel in live or not name.endswith(".parquet"):
+                continue
+            if os.path.getmtime(p) <= cutoff:
+                os.unlink(p)
+                removed += 1
+    # sweep commit dirs with no data files left (markers like _SUCCESS
+    # don't count as content)
+    for sub in os.listdir(data_dir):
+        d = os.path.join(data_dir, sub)
+        if os.path.isdir(d) and not any(
+            name.endswith(".parquet") for _, _, fs in os.walk(d) for name in fs
+        ):
+            shutil.rmtree(d)
+    return removed
 
 
 def buckets_needing_compaction(table: LakeTable, max_files_per_bucket: int = 4) -> list[int]:
@@ -42,9 +80,7 @@ def compact(
     if not todo:
         return {"compacted_buckets": 0, "files_before": len(snap.files)}
     df = table.read(spark, buckets=todo)
-    bexpr = F.pmod(F.xxhash64(F.col(snap.bucket_column)), F.lit(snap.num_buckets)).cast(
-        "int"
-    )
+    bexpr = table.bucket_expr(key_col=snap.bucket_column, num_buckets=snap.num_buckets)
     out = df.withColumn("_bucket", bexpr).repartition(len(todo), "_bucket")
     version_dir = f"compact-{snap.version + 1}-{uuid.uuid4().hex[:8]}"
     new_files = table.write_data_files(spark, out, version_dir)

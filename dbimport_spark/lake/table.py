@@ -194,10 +194,14 @@ class LakeTable:
     # -- read path -----------------------------------------------------------
 
     def bucket_expr(self, key_col: str | None = None, num_buckets: int | None = None) -> Column:
-        snap = self.current()
-        key = key_col or snap.bucket_column
-        n = num_buckets or snap.num_buckets
-        return F.pmod(F.xxhash64(F.col(key)), F.lit(n)).cast("int")
+        """THE bucket-assignment function — the single definition that the
+        write path, merge pruning, history table, and compaction must all
+        agree on."""
+        if key_col is None or num_buckets is None:
+            snap = self.current()
+            key_col = key_col or snap.bucket_column
+            num_buckets = num_buckets or snap.num_buckets
+        return F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
 
     def read(
         self,
@@ -315,7 +319,12 @@ class LakeTable:
         # O_EXCL create = the atomic commit point (single-writer lock on a
         # POSIX/HDFS filesystem; an object-store deployment would use a
         # catalog compare-and-swap here instead).
-        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        try:
+            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        except FileExistsError as e:
+            # a racing writer created this version between our current()
+            # read and the create — surface it as the typed conflict
+            raise CommitConflict(f"version v{snap.version} already committed") from e
         try:
             with os.fdopen(fd, "w") as fh:
                 json.dump(snap.to_json(), fh)

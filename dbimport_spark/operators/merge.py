@@ -125,7 +125,11 @@ def merge_changes(
             .otherwise(F.col(f"t.{AUDIT_IUD}"))
             .alias(AUDIT_IUD),
             F.col(f"t.{AUDIT_INSERT}").alias(AUDIT_INSERT),
-            F.when(changed, merge_ts).otherwise(F.col(f"t.{AUDIT_UPDATE}")).alias(AUDIT_UPDATE),
+            # soft deletes bump the update timestamp too: incremental export
+            # filters on dl_update_ts, so tombstones must be visible to it
+            F.when(is_del | changed, merge_ts)
+            .otherwise(F.col(f"t.{AUDIT_UPDATE}"))
+            .alias(AUDIT_UPDATE),
         ]
         if soft:
             audit_cols.append(
@@ -187,24 +191,6 @@ def merge_changes(
             out_cols.append(
                 F.coalesce(F.col(f"t.{bucket_col}"), F.col(f"b.{bucket_col}")).alias(bucket_col)
             )
-        audit_cols = [
-            F.when(insert, F.lit("I"))
-            .when(is_del & has_t, F.lit("D"))
-            .when(changed, F.lit("U"))
-            .otherwise(F.col(f"t.{AUDIT_IUD}"))
-            .alias(AUDIT_IUD),
-            F.when(insert, merge_ts).otherwise(F.col(f"t.{AUDIT_INSERT}")).alias(AUDIT_INSERT),
-            F.when(insert | changed, merge_ts)
-            .otherwise(F.col(f"t.{AUDIT_UPDATE}"))
-            .alias(AUDIT_UPDATE),
-        ]
-        if soft:
-            audit_cols.append(
-                F.when(is_del & has_t, merge_ts)
-                .when(has_t & has_b, F.lit(None).cast("timestamp"))
-                .otherwise(F.col(f"t.{AUDIT_DELETE}"))
-                .alias(AUDIT_DELETE)
-            )
         # hard: drop matched deletes entirely; soft: keep matched deletes and
         # not-matched deletes that carry a pre-image; drop only pre-image-
         # less not-matched deletes (no row to mark)
@@ -219,25 +205,22 @@ def merge_changes(
             if has_lv
             else F.lit(False)
         )
-        audit_cols[0] = (
+        audit_cols = [
             F.when(insert, F.lit("I"))
             .when(is_del & (has_t | dead_insert), F.lit("D"))
             .when(changed, F.lit("U"))
             .otherwise(F.col(f"t.{AUDIT_IUD}"))
-            .alias(AUDIT_IUD)
-        )
-        audit_cols[1] = (
+            .alias(AUDIT_IUD),
             F.when(insert | dead_insert, merge_ts)
             .otherwise(F.col(f"t.{AUDIT_INSERT}"))
-            .alias(AUDIT_INSERT)
-        )
-        audit_cols[2] = (
-            F.when(insert | changed | dead_insert, merge_ts)
+            .alias(AUDIT_INSERT),
+            # soft deletes bump dl_update_ts (incremental export visibility)
+            F.when(insert | changed | (is_del & has_t) | dead_insert, merge_ts)
             .otherwise(F.col(f"t.{AUDIT_UPDATE}"))
-            .alias(AUDIT_UPDATE)
-        )
+            .alias(AUDIT_UPDATE),
+        ]
         if soft:
-            audit_cols[3] = (
+            audit_cols.append(
                 F.when((is_del & has_t) | dead_insert, merge_ts)
                 .when(has_t & has_b, F.lit(None).cast("timestamp"))
                 .otherwise(F.col(f"t.{AUDIT_DELETE}"))

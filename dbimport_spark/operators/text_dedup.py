@@ -43,11 +43,18 @@ def word_shingles(
 ) -> DataFrame:
     """Distinct word n-gram shingle hashes per doc: (id, shingle_hash)."""
     toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    shingles = F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.xxhash64(F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])),
-    )
+    count = F.size(toks) - F.lit(n - 1)
+    # guard: F.sequence(1, 0) yields the DESCENDING [1, 0], so a doc with
+    # fewer than n words would index past the token array and abort the job
+    shingles = F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     return (
         df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
         .distinct()

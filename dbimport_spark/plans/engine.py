@@ -201,7 +201,7 @@ class CDCEngine:
         batch = batch.select(*aligned_cols)
 
         # -- one metadata-sized agg: touched buckets + per-bucket lineage ---
-        bexpr = F.pmod(F.xxhash64(F.col(self.key)), F.lit(snap.num_buckets)).cast("int")
+        bexpr = self.table.bucket_expr(key_col=self.key, num_buckets=snap.num_buckets)
         agg_cols = [
             F.count(F.lit(1)).alias("events"),
             F.min("lsn").alias("first_lsn"),
@@ -453,18 +453,28 @@ class CDCEngine:
                 f for f in new_schema.fields if f.name not in AUDIT_COLUMNS
             ]
             hist_new_schema = history_schema(T.StructType(payload_fields))
-        hexpr = F.pmod(F.xxhash64(F.col(key)), F.lit(hsnap.num_buckets)).cast("int")
+        hexpr = ht.bucket_expr(key_col=key, num_buckets=hsnap.num_buckets)
         out = rows.withColumn("_bucket", hexpr)
-        files = ht.write_data_files(
-            self.spark, out, f"h{hsnap.version + 1}-{uuid.uuid4().hex[:8]}"
-        )
-        ht.commit(
-            files,
-            replaced_buckets=set(),  # pure append
-            properties={"last_lsn": str(hi)},
-            new_schema=hist_new_schema,
-            expected_version=hsnap.version,
-        )
+        hdir = f"h{hsnap.version + 1}-{uuid.uuid4().hex[:8]}"
+        files = ht.write_data_files(self.spark, out, hdir)
+        try:
+            ht.commit(
+                files,
+                replaced_buckets=set(),  # pure append
+                properties={"last_lsn": str(hi)},
+                new_schema=hist_new_schema,
+                expected_version=hsnap.version,
+            )
+        except CommitConflict:
+            # a racing writer appended this window's history first: drop our
+            # duplicate files and move on (same shared-plan race the main
+            # commit handles)
+            if ht.last_lsn() >= hi:
+                import shutil
+
+                shutil.rmtree(os.path.join(ht.root, "data", hdir), ignore_errors=True)
+                return
+            raise
 
     # -- replay loop ---------------------------------------------------------
 

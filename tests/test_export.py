@@ -42,3 +42,23 @@ def test_incremental_export(spark, tmp_path):
     # full mode re-exports the whole table
     s4 = ex.export(spark, mode="full")
     assert s4["last_run_rows"] == table.read(spark).count()
+
+
+def test_incremental_export_sees_soft_delete_tombstones(spark, tmp_path):
+    """A soft delete must bump dl_update_ts so incremental export ships the
+    tombstone (otherwise downstream never learns about the deletion)."""
+    table = CDCEngine.create_table(
+        str(tmp_path / "ts"), num_buckets=4, soft_delete=True
+    )
+    eng = CDCEngine(spark, table, delete_mode="soft")
+    rows = [(1, "I", "k1", [1], 1, "web", dt.datetime(2024, 1, 1))]
+    eng.apply_batch(spark.createDataFrame(rows, CHANGE_SCHEMA), 0, 1)
+    ex = ParquetExporter(table, str(tmp_path / "out2"), include_audit=True)
+    ex.export(spark, mode="incr")
+    # soft-delete k1 in a later batch
+    rows2 = [(2, "D", "k1", None, None, None, dt.datetime(2024, 2, 1))]
+    eng.apply_batch(spark.createDataFrame(rows2, CHANGE_SCHEMA), 1, 2)
+    s = ex.export(spark, mode="incr")
+    assert s["last_run_rows"] == 1
+    out = spark.read.parquet(s["last_run_dir"]).collect()
+    assert out[0]["doc_id"] == "k1" and out[0]["dl_iud"] == "D"

@@ -51,3 +51,16 @@ def test_normalize_dataframe(spark):
     assert row["blobs"] == [base64.b64encode(b"ab").decode()]
     assert row["ts"] == "2024-01-02 03:04:05"
     assert row["i"] == 7
+
+
+def test_null_struct_stays_null(spark):
+    from dbimport_spark.functions.schema_normalize import normalize_dataframe
+
+    schema = T.StructType(
+        [T.StructField("doc", T.StructType([T.StructField("blob", T.BinaryType())]))]
+    )
+    df = spark.createDataFrame([((b"x",),), (None,)], schema)
+    rows = normalize_dataframe(df).collect()
+    vals = [r["doc"] for r in rows]
+    assert sum(v is None for v in vals) == 1  # NULL subdocument preserved
+    assert sum(v is not None for v in vals) == 1

@@ -121,3 +121,56 @@ def test_cli_status_smoke(spark, tmp_path):
     )
     data = json.loads(out.stdout.strip().splitlines()[-1])
     assert data["last_lsn"] == -1 and data["files"] == 0
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    from dbimport_spark.lake.maintenance import remove_orphan_files
+
+    log = generate_changes(spark, 500, n_keys=40, seed=6)
+    table = CDCEngine.create_table(str(tmp_path / "orph"), num_buckets=4)
+    eng = CDCEngine(spark, table)
+    eng.replay(log, num_batches=1)
+    state = sorted(map(repr, table.read(spark).collect()))
+    # simulate a crashed writer: files written but never committed
+    import pyspark.sql.functions as F
+
+    orphan_df = log.limit(10).withColumn(
+        "_bucket", table.bucket_expr(num_buckets=4)
+    )
+    table.write_data_files(spark, orphan_df, "crashed-run")
+    assert remove_orphan_files(table, older_than_seconds=10**6) == 0  # age gate
+    n = remove_orphan_files(table, older_than_seconds=0)
+    assert n > 0
+    import os
+
+    assert not os.path.isdir(str(tmp_path / "orph" / "data" / "crashed-run"))
+    # live data untouched
+    assert sorted(map(repr, table.read(spark).collect())) == state
+
+
+def test_commit_race_raises_typed_conflict(tmp_path):
+    from pyspark.sql import types as T
+
+    from dbimport_spark.lake.table import CommitConflict, LakeTable
+
+    schema = T.StructType([T.StructField("doc_id", T.StringType())])
+    t1 = LakeTable.create(str(tmp_path / "race"), schema, num_buckets=2)
+    t2 = LakeTable.load(str(tmp_path / "race"))
+    # both writers read v0; t1 commits v1 first; t2's O_EXCL create of the
+    # SAME version file must surface as CommitConflict, not FileExistsError
+    snap1 = t1.current()
+    snap2 = t2.current()
+    assert snap1.version == snap2.version == 0
+    t1.commit([], set(), properties={"w": "1"})
+    import pytest as _pytest
+
+    with _pytest.raises(CommitConflict):
+        t2.commit([], set(), properties={"w": "2"}, expected_version=0)
+    # the O_EXCL create itself (both writers passed the precheck and race
+    # to create the same version file) must also surface as the typed
+    # conflict, not a raw FileExistsError
+    import dataclasses
+
+    dup = dataclasses.replace(t1.current())  # version 1 already exists
+    with _pytest.raises(CommitConflict):
+        t2._write_snapshot(dup)

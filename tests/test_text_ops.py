@@ -168,3 +168,22 @@ def test_multimodal_plumbing(spark):
     assert sorted(map(repr, feats)) == sorted(map(repr, feats2))
     s = sum(feats[0]["feature"])
     assert abs(s - 1.0) < 1e-3  # histogram normalized by blob length
+
+
+def test_short_and_empty_docs_do_not_crash_dedup(spark):
+    from dbimport_spark.operators.text_dedup import (
+        minhash_lsh_dedup,
+        ngram_jaccard_dedup,
+        word_shingles,
+    )
+
+    df = _docs(
+        spark,
+        [(1, "only two"), (2, ""), (3, "one"), (4, "a proper length document here ok")],
+    )
+    # docs shorter than n words simply contribute no shingles
+    sh = word_shingles(df, n=3)
+    ids = {r["doc_id"] for r in sh.collect()}
+    assert ids == {4}
+    assert ngram_jaccard_dedup(df, n=3).count() == 0
+    assert minhash_lsh_dedup(df, n=3).count() == 0
