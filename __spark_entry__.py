@@ -298,6 +298,19 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"), min_milli=450)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: KMeans coarse quantizer + probe-cluster exact re-rank
+    (KMeans assignment is model-specific → rows-only)."""
+    from dbimport_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    top = ivf_topk(e, q, k=10, n_clusters=8, n_probe=2)
+    return top.select(
+        "vec_id", F.floor(F.col("cosine_sim") * F.lit(1000)).alias("sim_milli")
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbimport_spark.operators.similarity import ann_lsh_topk
 
@@ -527,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "window_rank": q_window_rank,
         "rollup_counts": q_rollup_counts,
         "topk_orders": q_topk_orders,

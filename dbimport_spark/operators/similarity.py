@@ -80,6 +80,51 @@ def rhp_signature(vec_col: str, n_planes: int = 16, dim: int = 64, seed: int = 4
     return sig
 
 
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: KMeans coarse quantizer (pyspark.ml), exact
+    cosine re-rank inside the n_probe clusters nearest the query.
+
+    The inverted-file structure is the classic ANN scale path: at 10^9
+    vectors the per-query scan drops from N to ~N*(n_probe/n_clusters),
+    and cluster id becomes the partition key for routing. Deterministic
+    via fixed seed + fixed maxIter.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.withColumn(
+        "_feat", array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    )
+    model = KMeans(
+        k=n_clusters, seed=seed, maxIter=5, featuresCol="_feat", predictionCol="_cluster"
+    ).fit(feats)
+    assigned = model.transform(feats)
+
+    import numpy as np
+
+    q = np.asarray(query, dtype=np.float64)
+    centers = model.clusterCenters()
+    dists = [float(np.linalg.norm(np.asarray(c) - q)) for c in centers]
+    probe = sorted(range(len(dists)), key=lambda i: dists[i])[:n_probe]
+
+    bucket = assigned.filter(F.col("_cluster").isin(probe)).drop("_feat", "_cluster")
+    scored = cosine_to_query(bucket, list(map(float, query)), vec_col)
+    return (
+        scored.select(id_col, "cosine_sim")
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     min_milli: int = 990,

@@ -187,3 +187,25 @@ def test_short_and_empty_docs_do_not_crash_dedup(spark):
     assert ids == {4}
     assert ngram_jaccard_dedup(df, n=3).count() == 0
     assert minhash_lsh_dedup(df, n=3).count() == 0
+
+
+def test_ivf_topk(spark):
+    from dbimport_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    q = [6.0, 2.0, 1.0]
+    exact = [r["vec_id"] for r in brute_force_topk(df, q, k=5).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ivf_topk(df, q, k=5, n_clusters=4, n_probe=2, seed=1).collect()
+    ]
+    assert len(approx) == 5
+    # recall: probing half the clusters should recover most of the true top
+    assert len(set(exact) & set(approx)) >= 3
+    # deterministic across runs
+    approx2 = [
+        r["vec_id"]
+        for r in ivf_topk(df, q, k=5, n_clusters=4, n_probe=2, seed=1).collect()
+    ]
+    assert approx == approx2
