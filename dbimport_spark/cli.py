@@ -30,6 +30,8 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("init")
     sp.add_argument("table_root")
     sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--soft-delete", action="store_true")
+    sp.add_argument("--history", default=None, help="also create a history-audit table at this path")
 
     sp = sub.add_parser("replay")
     sp.add_argument("table_root")
@@ -39,6 +41,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument(
         "--dedup", default="maxjoin", choices=["maxjoin", "maxby", "window", "salted"]
     )
+    sp.add_argument("--delete-mode", default="hard", choices=["hard", "soft"])
+    sp.add_argument("--history", default=None, help="history-audit table path")
 
     sp = sub.add_parser("stream")
     sp.add_argument("table_root")
@@ -94,8 +98,21 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("WARN")
 
     if args.cmd == "init":
-        CDCEngine.create_table(args.table_root, num_buckets=args.buckets)
-        print(json.dumps({"created": args.table_root, "buckets": args.buckets}))
+        CDCEngine.create_table(
+            args.table_root, num_buckets=args.buckets, soft_delete=args.soft_delete
+        )
+        if args.history:
+            CDCEngine.create_history_table(args.history, num_buckets=args.buckets)
+        print(
+            json.dumps(
+                {
+                    "created": args.table_root,
+                    "buckets": args.buckets,
+                    "soft_delete": args.soft_delete,
+                    "history": args.history,
+                }
+            )
+        )
     elif args.cmd == "gen":
         from dbimport_spark.sources.loggen import generate_changes, write_changes
 
@@ -110,7 +127,12 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "replay":
         table = LakeTable.load(args.table_root)
         eng = CDCEngine(
-            spark, table, checkpoint_dir=args.checkpoint, dedup_strategy=args.dedup
+            spark,
+            table,
+            checkpoint_dir=args.checkpoint,
+            dedup_strategy=args.dedup,
+            delete_mode=args.delete_mode,
+            history_table=LakeTable.load(args.history) if args.history else None,
         )
         changes = spark.read.parquet(args.log_path)
         stats = eng.replay(changes, num_batches=args.batches)

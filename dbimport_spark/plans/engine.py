@@ -454,7 +454,11 @@ class CDCEngine:
             ]
             hist_new_schema = history_schema(T.StructType(payload_fields))
         hexpr = ht.bucket_expr(key_col=key, num_buckets=hsnap.num_buckets)
-        out = rows.withColumn("_bucket", hexpr)
+        # one exchange keeps one file per bucket per append (history rows
+        # are batch-sized, never table-sized — always cheap)
+        out = rows.withColumn("_bucket", hexpr).repartition(
+            hsnap.num_buckets, "_bucket"
+        )
         hdir = f"h{hsnap.version + 1}-{uuid.uuid4().hex[:8]}"
         files = ht.write_data_files(self.spark, out, hdir)
         try:
