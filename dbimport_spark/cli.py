@@ -41,14 +41,30 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument(
         "--dedup", default="maxjoin", choices=["maxjoin", "maxby", "window", "salted"]
     )
-    sp.add_argument("--delete-mode", default="hard", choices=["hard", "soft"])
+    sp.add_argument(
+        "--delete-mode", default=None, choices=["hard", "soft"],
+        help="default: the mode the table was created with",
+    )
     sp.add_argument("--history", default=None, help="history-audit table path")
+    sp.add_argument(
+        "--rename", action="append", default=[], metavar="OLD=NEW",
+        help="declare a source column rename (repeatable; metadata-only)",
+    )
+    sp.add_argument(
+        "--allow-log-gap", action="store_true",
+        help="proceed even if the log no longer covers the committed "
+        "watermark (DANGER: the gap's changes are skipped)",
+    )
 
     sp = sub.add_parser("stream")
     sp.add_argument("table_root")
     sp.add_argument("log_dir")
     sp.add_argument("--checkpoint", required=True)
     sp.add_argument("--continuous", action="store_true")
+    sp.add_argument(
+        "--on-out-of-order", default="error", choices=["error", "warn"],
+        help="what to do when a segment arrives after the watermark passed it",
+    )
 
     sp = sub.add_parser("gen")
     sp.add_argument("log_path")
@@ -126,6 +142,7 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"written": args.log_path, "events": args.events}))
     elif args.cmd == "replay":
         table = LakeTable.load(args.table_root)
+        renames = dict(r.split("=", 1) for r in args.rename)
         eng = CDCEngine(
             spark,
             table,
@@ -133,9 +150,12 @@ def main(argv: list[str] | None = None) -> int:
             dedup_strategy=args.dedup,
             delete_mode=args.delete_mode,
             history_table=LakeTable.load(args.history) if args.history else None,
+            renames=renames,
         )
         changes = spark.read.parquet(args.log_path)
-        stats = eng.replay(changes, num_batches=args.batches)
+        stats = eng.replay(
+            changes, num_batches=args.batches, allow_log_gap=args.allow_log_gap
+        )
         print(
             json.dumps(
                 {
@@ -156,6 +176,7 @@ def main(argv: list[str] | None = None) -> int:
             stream_changes(spark, args.log_dir),
             checkpoint_dir=args.checkpoint,
             available_now=not args.continuous,
+            on_out_of_order=args.on_out_of_order,
         )
         q.awaitTermination()
         print(json.dumps({"last_lsn": table.last_lsn()}))
@@ -165,13 +186,27 @@ def main(argv: list[str] | None = None) -> int:
             reconcile,
             validate_rowcount,
         )
-        from dbimport_spark.schema import AUDIT_COLUMNS
+        from pyspark.sql import functions as F
+
+        from dbimport_spark.schema import AUDIT_COLUMNS, AUDIT_IUD
 
         table = LakeTable.load(args.table_root)
         actual = table.read(spark)
+        from dbimport_spark.schema import AUDIT_DELETE
+
+        n_tombstones = 0
+        if AUDIT_DELETE in actual.columns and AUDIT_IUD in actual.columns:
+            # soft-delete tombstones are audit state, not live rows — the
+            # fold drops deleted keys, so reconcile live rows only
+            live = actual.filter(
+                F.coalesce(F.col(AUDIT_IUD) != F.lit("D"), F.lit(True))
+            )
+            n_tombstones = actual.count() - live.count()
+            actual = live
         cols = [c for c in actual.columns if c not in AUDIT_COLUMNS]
         expected = fold_expected(spark.read.parquet(args.log_path), payload_cols=cols)
         rec = reconcile(actual, expected, cols)
+        rec["tombstones_excluded"] = n_tombstones
         rec["rowcount_within_tolerance"] = validate_rowcount(
             rec["rows_actual"], rec["rows_expected"], args.allowed_diff
         )

@@ -51,13 +51,21 @@ class DataFile:
     bucket: int
     rows: int
     bytes: int
+    # rename epoch at write time (= len(snapshot.renames) then). Files keep
+    # their physical column names forever; reads map epoch-e names to the
+    # current names through the renames applied after e (Iceberg-style
+    # name mapping, no field IDs needed because renames are ordered).
+    epoch: int = 0
 
     def to_json(self) -> dict:
-        return {"path": self.path, "bucket": self.bucket, "rows": self.rows, "bytes": self.bytes}
+        d = {"path": self.path, "bucket": self.bucket, "rows": self.rows, "bytes": self.bytes}
+        if self.epoch:
+            d["epoch"] = self.epoch
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "DataFile":
-        return DataFile(d["path"], d["bucket"], d["rows"], d["bytes"])
+        return DataFile(d["path"], d["bucket"], d["rows"], d["bytes"], d.get("epoch", 0))
 
 
 @dataclass
@@ -72,6 +80,9 @@ class Snapshot:
     properties: dict[str, str]
     lineage: list[dict]  # per-bucket records for THIS commit's applied batch
     created_unix: float = field(default_factory=time.time)
+    # ordered column renames ever applied: [{"from": old, "to": new}, ...].
+    # len(renames) is the current rename epoch stamped on new data files.
+    renames: list[dict] = field(default_factory=list)
 
     def to_json(self) -> dict:
         return {
@@ -86,6 +97,7 @@ class Snapshot:
             "files": [f.to_json() for f in self.files],
             "properties": self.properties,
             "lineage": self.lineage,
+            "renames": self.renames,
         }
 
     @staticmethod
@@ -101,6 +113,7 @@ class Snapshot:
             properties=d.get("properties", {}),
             lineage=d.get("lineage", []),
             created_unix=d.get("created_unix", 0.0),
+            renames=d.get("renames", []),
         )
 
 
@@ -166,8 +179,16 @@ class LakeTable:
     # -- snapshot access -----------------------------------------------------
 
     def current(self) -> Snapshot:
-        with open(self._hint_path) as fh:
-            v = int(fh.read().strip())
+        try:
+            with open(self._hint_path) as fh:
+                v = int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            # hint lost/truncated by a crash — recover from the snapshot
+            # files themselves (they, not the hint, are the commit points)
+            versions = self.snapshots()
+            if not versions:
+                raise FileNotFoundError(f"no snapshots under {self._meta_dir}")
+            v = versions[-1]
         # the hint update is not atomic with the metadata create; probe forward
         while os.path.isfile(self._meta_path(v + 1)):
             v += 1
@@ -222,8 +243,42 @@ class LakeTable:
             files = [f for f in files if f.bucket in wanted]
         if not files:
             return spark.createDataFrame([], snap.schema)
-        paths = [os.path.join(self.root, f.path) for f in files]
-        return spark.read.schema(snap.schema).parquet(*paths)
+
+        # group files by rename epoch: each group is read through the
+        # physical (backdated) names of its era, then aliased to the current
+        # names — metadata-only rename, Iceberg name-mapping style
+        by_epoch: dict[int, list[DataFile]] = {}
+        for f in files:
+            by_epoch.setdefault(f.epoch, []).append(f)
+        parts: list[DataFrame] = []
+        cur_names = snap.schema.fieldNames()
+        for epoch in sorted(by_epoch):
+            phys = self._backdated_schema(snap, epoch)
+            paths = [os.path.join(self.root, f.path) for f in by_epoch[epoch]]
+            df = spark.read.schema(phys).parquet(*paths)
+            if phys.fieldNames() != cur_names:
+                df = df.select(
+                    *[F.col(p).alias(c) for p, c in zip(phys.fieldNames(), cur_names)]
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    @staticmethod
+    def _backdated_schema(snap: Snapshot, epoch: int) -> T.StructType:
+        """The physical column names files of ``epoch`` were written with:
+        current schema with renames applied after that epoch reversed.
+        Types stay current (wider) — the parquet reader upcasts."""
+        fields = list(snap.schema.fields)
+        for r in reversed(snap.renames[epoch:]):
+            fields = [
+                T.StructField(r["from"] if f.name == r["to"] else f.name,
+                              f.dataType, f.nullable, f.metadata)
+                for f in fields
+            ]
+        return T.StructType(fields)
 
     # -- write path ----------------------------------------------------------
 
@@ -237,6 +292,7 @@ class LakeTable:
         (rows/bytes from parquet footers — same stats Iceberg manifests keep).
         """
         out_dir = os.path.join(self.root, "data", version_dir)
+        epoch = len(self.current().renames)
         t0 = time.time()
         (
             df.withColumn("bucket", F.col(bucket_col))
@@ -254,7 +310,7 @@ class LakeTable:
             nrows = pq.ParquetFile(p).metadata.num_rows
             if nrows == 0:
                 return None
-            return DataFile(os.path.relpath(p, self.root), b, nrows, os.path.getsize(p))
+            return DataFile(os.path.relpath(p, self.root), b, nrows, os.path.getsize(p), epoch)
 
         todo: list[tuple[int, str]] = []
         for sub in sorted(os.listdir(out_dir)):
@@ -310,6 +366,38 @@ class LakeTable:
             files=kept + new_files,
             properties=props,
             lineage=lineage or [],
+            renames=cur.renames,
+        )
+        self._write_snapshot(snap)
+        return snap
+
+    def rename_column(self, old: str, new: str) -> Snapshot:
+        """Metadata-only column rename (reference rename handling,
+        import_operations.py:2737-2795). Existing files keep their physical
+        column names; reads map them through the recorded rename (see
+        DataFile.epoch). The bucket column may be renamed too — bucketing
+        hashes values, not names."""
+        cur = self.current()
+        names = cur.schema.fieldNames()
+        if old not in names:
+            raise ValueError(f"rename: column {old!r} not in table schema")
+        if new in names:
+            raise ValueError(f"rename: column {new!r} already exists")
+        fields = [
+            T.StructField(new if f.name == old else f.name, f.dataType, f.nullable, f.metadata)
+            for f in cur.schema.fields
+        ]
+        snap = Snapshot(
+            version=cur.version + 1,
+            snapshot_id=uuid.uuid4().hex,
+            parent_snapshot_id=cur.snapshot_id,
+            schema=T.StructType(fields),
+            num_buckets=cur.num_buckets,
+            bucket_column=new if cur.bucket_column == old else cur.bucket_column,
+            files=cur.files,
+            properties=dict(cur.properties),
+            lineage=[],
+            renames=cur.renames + [{"from": old, "to": new}],
         )
         self._write_snapshot(snap)
         return snap
@@ -333,10 +421,23 @@ class LakeTable:
         except BaseException:
             os.unlink(path)
             raise
+        # make the commit itself durable before advertising it
+        self._fsync_dir(self._meta_dir)
         tmp = self._hint_path + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(str(snap.version))
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(tmp, self._hint_path)
+        self._fsync_dir(self._meta_dir)
+
+    @staticmethod
+    def _fsync_dir(path: str) -> None:
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
 
     # -- maintenance ---------------------------------------------------------
 

@@ -116,8 +116,9 @@ class CDCEngine:
         broadcast_threshold_rows: int = 200_000,
         repartition_output_bytes: int = 2 << 30,
         key: str = MERGE_KEY,
-        delete_mode: str = "hard",
+        delete_mode: str | None = None,
         history_table: LakeTable | None = None,
+        renames: dict[str, str] | None = None,
     ):
         self.spark = spark
         self.table = table
@@ -126,10 +127,28 @@ class CDCEngine:
         self.n_salts = n_salts
         self.broadcast_threshold_rows = broadcast_threshold_rows
         self.repartition_output_bytes = repartition_output_bytes
+        # delete_mode is a TABLE property (stamped at create_table): a soft
+        # table replayed in hard mode would hard-delete tombstoned keys and
+        # drop dl_delete_ts from rewritten buckets. Derive it from the
+        # table; an explicit argument must agree.
+        tbl_mode = table.properties.get("delete_mode")
+        if tbl_mode is None:  # pre-property table: infer from the schema
+            tbl_mode = (
+                "soft" if AUDIT_DELETE in table.current().schema.fieldNames() else None
+            )
+        if delete_mode is None:
+            delete_mode = tbl_mode or "hard"
         if delete_mode not in ("hard", "soft"):
             raise ValueError("delete_mode must be 'hard' or 'soft'")
+        if tbl_mode is not None and delete_mode != tbl_mode:
+            raise ValueError(
+                f"table at {table.root} was created with delete_mode="
+                f"{tbl_mode!r}; running with {delete_mode!r} would corrupt "
+                "its tombstones"
+            )
         self.delete_mode = delete_mode
         self.history_table = history_table
+        self.renames = dict(renames or {})
         self.key = key
 
     # -- table bootstrap -----------------------------------------------------
@@ -148,6 +167,7 @@ class CDCEngine:
             schema=table_schema_with_audit(payload_schema, soft_delete=soft_delete),
             num_buckets=num_buckets,
             bucket_column=key,
+            properties={"delete_mode": "soft" if soft_delete else "hard"},
         )
 
     @classmethod
@@ -175,26 +195,40 @@ class CDCEngine:
         import_config.py:2230-2246). The caller guarantees the batch holds
         exactly that LSN range.
         """
+        # -- declared renames (metadata-only commit per rename) -------------
+        if self.renames:
+            cur_names = set(self.table.current().schema.fieldNames())
+            batch_names = set(batch.schema.fieldNames())
+            for old, new in self.renames.items():
+                if old in cur_names and new not in cur_names and new in batch_names:
+                    self.table.rename_column(old, new)
+                    cur_names.discard(old)
+                    cur_names.add(new)
+
         snap = self.table.current()
         if self.table.last_lsn() >= hi:
             return BatchStats(lo=lo, hi=hi, skipped=True)
 
-        # -- additive schema evolution (metadata-only) ----------------------
-        added = diff_payload_schema(snap.schema, batch.schema, ignore=LOG_BOOKKEEPING)
-        new_schema = evolve_schema(snap.schema, added) if added else snap.schema
+        # -- schema evolution: adds + type widenings (metadata-only) --------
+        delta = diff_payload_schema(snap.schema, batch.schema, ignore=LOG_BOOKKEEPING)
+        new_schema = evolve_schema(snap.schema, delta)
         payload_cols = [f.name for f in new_schema.fields if f.name not in AUDIT_COLUMNS]
 
         # align batch to the (evolved) payload column set; columns the batch
-        # doesn't carry (older log segments) come through as nulls
+        # doesn't carry (older log segments) come through as nulls; narrower
+        # batch columns are cast up to the table type
         bschema = {f.name: f for f in batch.schema.fields}
         aligned_cols = [F.col("lsn"), F.col("op")]
         for f in new_schema.fields:
             if f.name in AUDIT_COLUMNS:
                 continue
-            if f.name in bschema:
-                aligned_cols.append(F.col(f.name))
-            else:
+            bf = bschema.get(f.name)
+            if bf is None:
                 aligned_cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            elif bf.dataType != f.dataType:
+                aligned_cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                aligned_cols.append(F.col(f.name))
         has_commit_ts = "commit_ts" in bschema
         if has_commit_ts:
             aligned_cols.append(F.col("commit_ts"))
@@ -226,17 +260,39 @@ class CDCEngine:
             if has_commit_ts
             else []
         )
-        merge_ts = F.lit(max(ts_vals)) if ts_vals else F.current_timestamp()
+        # merge_ts must be STRICTLY monotonic across commits: it is the
+        # row-level change marker (dl_update_ts) the incremental export
+        # watermarks on with '>'. Two windows sharing a coarse commit_ts
+        # would otherwise make the second invisible to every future export.
+        from datetime import datetime, timedelta
+
+        merge_ts_val = max(ts_vals) if ts_vals else datetime.now()
+        prev_iso = snap.properties.get("last_merge_ts")
+        if prev_iso is not None:
+            prev_ts = datetime.fromisoformat(prev_iso)
+            if merge_ts_val <= prev_ts:
+                merge_ts_val = prev_ts + timedelta(microseconds=1)
+        merge_ts = F.lit(merge_ts_val)
 
         # -- dedup (LWW per key) --------------------------------------------
         batch_nc = batch.drop("commit_ts") if has_commit_ts else batch
 
         # -- target aligned to the (evolved) schema -------------------------
+        # added columns: nulls; widened columns: cast up (old files are also
+        # readable directly through the widened schema — SPARK-40876 — but
+        # this read predates the schema commit, so cast explicitly)
         target = self.table.read(self.spark, buckets=touched)
-        for f in added:
-            target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
-        # keep audit columns trailing to match new_schema order
-        target = target.select(*[f.name for f in new_schema.fields])
+        tcols = set(target.columns)
+        target = target.select(
+            *[
+                (
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name in tcols
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                )
+                for f in new_schema.fields
+            ]
+        )
 
         touched_set = set(touched)
         touched_have_files = any(f.bucket in touched_set for f in snap.files)
@@ -387,9 +443,10 @@ class CDCEngine:
                     "last_lsn": str(hi),
                     "last_batch_events": str(n_events),
                     "last_batch_mode": mode,
+                    "last_merge_ts": merge_ts_val.isoformat(),
                 },
                 lineage=lineage,
-                new_schema=new_schema if added else None,
+                new_schema=new_schema if delta else None,
                 expected_version=snap.version,
             )
         except CommitConflict:
@@ -447,12 +504,12 @@ class CDCEngine:
         rows = live.unionByName(dels_full).withColumn("dl_hist_ts", merge_ts)
 
         hsnap = ht.current()
-        hist_new_schema = None
-        if set(payload_cols) - set(hsnap.schema.fieldNames()):
-            payload_fields = [
-                f for f in new_schema.fields if f.name not in AUDIT_COLUMNS
-            ]
-            hist_new_schema = history_schema(T.StructType(payload_fields))
+        payload_fields = [f for f in new_schema.fields if f.name not in AUDIT_COLUMNS]
+        want = history_schema(T.StructType(payload_fields))
+        same = [(f.name, f.dataType) for f in want.fields] == [
+            (f.name, f.dataType) for f in hsnap.schema.fields
+        ]
+        hist_new_schema = None if same else want
         hexpr = ht.bucket_expr(key_col=key, num_buckets=hsnap.num_buckets)
         # one exchange keeps one file per bucket per append (history rows
         # are batch-sized, never table-sized — always cheap)
@@ -487,12 +544,19 @@ class CDCEngine:
         changes: DataFrame,
         num_batches: int = 1,
         stop_after: int | None = None,
+        allow_log_gap: bool = False,
     ) -> ReplayStats:
         """Apply a change log in ``num_batches`` LSN windows; resumable.
 
         ``stop_after`` aborts after N applied batches (test hook for
         kill-and-resume). Re-invoking replays the identical plan (loaded
         from the checkpoint) and skips committed windows.
+
+        If the log no longer covers the committed watermark (retention
+        truncated past it), raises ``LogTruncatedError`` — the reference's
+        forced-full-reload signal (import_config.py:2493-2517). Silently
+        skipping the gap would be data loss; ``allow_log_gap=True`` is the
+        explicit caller override.
         """
         ckpt_path = (
             f"{self.checkpoint_dir}/replay_plan.json" if self.checkpoint_dir else None
@@ -510,6 +574,16 @@ class CDCEngine:
             ).first()
             if bounds["lo"] is None:
                 return ReplayStats()
+            committed = self.table.last_lsn()
+            if committed >= 0 and bounds["lo"] > committed + 1 and not allow_log_gap:
+                from dbimport_spark.sources.changelog import LogTruncatedError
+
+                raise LogTruncatedError(
+                    f"log starts at lsn {bounds['lo']} but table watermark "
+                    f"is {committed}; changes in ({committed}, "
+                    f"{bounds['lo']}) are gone — full re-snapshot required "
+                    "(pass allow_log_gap=True to override)"
+                )
             start = max(self.table.last_lsn(), bounds["lo"] - 1)
             hi = bounds["hi"]
             span = hi - start

@@ -117,3 +117,33 @@ def write_changes(df: DataFrame, path: str, n_files: int = 32) -> None:
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_changes_segments(df: DataFrame, path: str, n_segments: int = 8) -> list[str]:
+    """Write the log as SEQUENTIAL segment files with ascending mtimes —
+    the shape a real WAL/binlog tailer produces, and the shape Spark's file
+    stream source requires for in-LSN-order delivery (it orders files by
+    modification time; a single parallel write gives all parts the same
+    mtime, so delivery order — and hence the committed watermark — would be
+    arbitrary). Segment k covers an LSN range strictly after segment k-1.
+    """
+    import os
+    import shutil
+
+    b = df.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).first()
+    lo, hi = b["lo"], b["hi"]
+    os.makedirs(path, exist_ok=True)
+    span = hi - lo + 1
+    out: list[str] = []
+    for k in range(n_segments):
+        s = lo - 1 + (span * k) // n_segments
+        e = lo - 1 + (span * (k + 1)) // n_segments
+        seg = df.filter((F.col("lsn") > s) & (F.col("lsn") <= e)).sortWithinPartitions("lsn")
+        tmp = f"{path}.seg-tmp"
+        seg.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(n for n in sorted(os.listdir(tmp)) if n.endswith(".parquet"))
+        dest = os.path.join(path, f"seg-{k:05d}.parquet")
+        os.replace(os.path.join(tmp, part), dest)
+        shutil.rmtree(tmp)
+        out.append(dest)
+    return out

@@ -50,22 +50,74 @@ def run_stream(
     stream_df: DataFrame,
     checkpoint_dir: str,
     available_now: bool = True,
+    on_out_of_order: str = "error",
 ):
     """Drive the CDC apply from a stream; returns the StreamingQuery.
 
     ``available_now=True`` processes everything present then stops (the
     batch-replay analogue); False runs continuously on new files.
+
+    Ordering violations are DETECTED, not silently absorbed: a micro-batch
+    that mixes below-watermark rows with fresh rows means a segment arrived
+    after a later one was committed — its old rows would be dropped
+    unapplied. ``on_out_of_order``: 'error' raises LogTruncatedError,
+    'warn' prints and continues (pure re-deliveries — every row ≤
+    watermark — are always skipped silently; that is the at-least-once →
+    exactly-once contract working as intended).
     """
+    if on_out_of_order not in ("error", "warn"):
+        raise ValueError("on_out_of_order must be 'error' or 'warn'")
 
     def apply_micro_batch(batch: DataFrame, batch_id: int) -> None:
         last = engine.table.last_lsn()
-        fresh = batch.filter(F.col("lsn") > F.lit(last))
-        bounds = fresh.agg(
-            F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+        stats = batch.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lsn").alias("mn"),
+            F.min(F.when(F.col("lsn") > F.lit(last), F.col("lsn"))).alias("lo"),
+            F.max("lsn").alias("hi"),
+            F.count(F.when(F.col("lsn") > F.lit(last), F.lit(1))).alias("n_fresh"),
         ).first()
-        if bounds["hi"] is None:
+        if stats["n"] == 0:
             return
-        engine.apply_batch(fresh, int(bounds["lo"]) - 1, int(bounds["hi"]))
+        dropped = stats["n"] - stats["n_fresh"]
+        suspect = None
+        if stats["n_fresh"] == 0:
+            if stats["hi"] == last:
+                # re-run of the exact window that set the watermark (crash
+                # between table commit and checkpoint commit): idempotent skip
+                return
+            # every row is below the watermark but this is NOT the
+            # watermark-setting window: either a full re-delivery after
+            # checkpoint loss (benign) or a segment that arrived after a
+            # later one was committed (data loss) — indistinguishable by
+            # LSN alone, so surface it
+            suspect = (
+                f"micro-batch {batch_id}: whole batch (lsn [{stats['mn']}, "
+                f"{stats['hi']}]) is below the committed watermark {last} "
+                "and is not the watermark-setting window. If this is "
+                "checkpoint-loss re-delivery, rerun with "
+                "on_out_of_order='warn'; if segments arrived out of order, "
+                "these events were never applied."
+            )
+        elif dropped > 0:
+            suspect = (
+                f"micro-batch {batch_id}: {dropped} event(s) with lsn in "
+                f"[{stats['mn']}, {last}] arrived AFTER the watermark "
+                f"passed them (out-of-order segment delivery) — they were "
+                "already applied from an earlier delivery, or they are "
+                "lost. Re-snapshot or replay the log in batch mode to "
+                "recover."
+            )
+        if suspect is not None:
+            from dbimport_spark.sources.changelog import LogTruncatedError
+
+            if on_out_of_order == "error":
+                raise LogTruncatedError(suspect)
+            print(f"WARN {suspect}", flush=True)
+        if stats["n_fresh"] == 0:
+            return
+        fresh = batch.filter(F.col("lsn") > F.lit(last))
+        engine.apply_batch(fresh, int(stats["lo"]) - 1, int(stats["hi"]))
 
     writer = stream_df.writeStream.foreachBatch(apply_micro_batch).option(
         "checkpointLocation", checkpoint_dir

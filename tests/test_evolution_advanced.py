@@ -1,0 +1,185 @@
+"""Round-2 engine-safety behaviors: type widening through replay, rename
+detection + declared renames, log-truncation guard, monotonic merge_ts
+(export watermark correctness), persisted delete_mode, hint recovery,
+streaming out-of-order detection (reference semantics:
+import_operations.py:2737-2911, import_config.py:2493-2517)."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbimport_spark.lake.evolve import RenameSuspected
+from dbimport_spark.lake.table import LakeTable
+from dbimport_spark.plans.engine import CDCEngine
+from dbimport_spark.plans.export import ParquetExporter
+from dbimport_spark.schema import CHANGE_SCHEMA
+from dbimport_spark.sources.changelog import LogTruncatedError
+from dbimport_spark.sources.loggen import generate_changes, write_changes_segments
+from dbimport_spark.streaming.stream import run_stream, stream_changes
+
+
+def _row(lsn, op, key, toks, src, ts):
+    return (lsn, op, key, toks, len(toks) if toks else None, src, ts)
+
+
+def test_widening_through_replay(spark, tmp_path):
+    """int→bigint mid-log: table schema widens metadata-only, old files stay
+    readable through the wider schema with values intact."""
+    table = CDCEngine.create_table(str(tmp_path / "w"), num_buckets=4)
+    eng = CDCEngine(spark, table)
+    b1 = spark.createDataFrame(
+        [_row(1, "I", "k1", [1, 2], "web", dt.datetime(2024, 1, 1))], CHANGE_SCHEMA
+    )
+    eng.apply_batch(b1, 0, 1)
+    assert dict((f.name, f.dataType.simpleString()) for f in table.current().schema)[
+        "n_tok"
+    ] == "int"
+
+    b2 = spark.createDataFrame(
+        [_row(2, "I", "k2", [3], "web", dt.datetime(2024, 1, 2))], CHANGE_SCHEMA
+    ).withColumn("n_tok", F.col("n_tok").cast("long"))
+    eng.apply_batch(b2, 1, 2)
+    types = {f.name: f.dataType.simpleString() for f in table.current().schema.fields}
+    assert types["n_tok"] == "bigint"
+    got = {(r["doc_id"], r["n_tok"]) for r in table.read(spark).collect()}
+    assert got == {("k1", 2), ("k2", 1)}
+    # and the reverse (narrower batch) needs no evolution at all
+    b3 = spark.createDataFrame(
+        [_row(3, "U", "k1", [9], "web", dt.datetime(2024, 1, 3))], CHANGE_SCHEMA
+    )  # n_tok back to int
+    eng.apply_batch(b3, 2, 3)
+    assert {f.name: f.dataType.simpleString() for f in table.current().schema.fields}[
+        "n_tok"
+    ] == "bigint"
+    assert {
+        (r["doc_id"], r["n_tok"]) for r in table.read(spark).collect()
+    } == {("k1", 1), ("k2", 1)}
+
+
+def test_rename_suspected_raises_and_declared_rename_applies(spark, tmp_path):
+    table = CDCEngine.create_table(str(tmp_path / "r"), num_buckets=4)
+    eng = CDCEngine(spark, table)
+    b1 = spark.createDataFrame(
+        [_row(1, "I", "k1", [1], "web", dt.datetime(2024, 1, 1))], CHANGE_SCHEMA
+    )
+    eng.apply_batch(b1, 0, 1)
+
+    renamed_batch = spark.createDataFrame(
+        [_row(2, "I", "k2", [2], "books", dt.datetime(2024, 1, 2))], CHANGE_SCHEMA
+    ).withColumnRenamed("source", "origin")
+    # undeclared: same position, same type => suspected rename, hard error
+    with pytest.raises(RenameSuspected):
+        eng.apply_batch(renamed_batch, 1, 2)
+
+    # declared: metadata-only rename, old rows readable under the new name
+    eng2 = CDCEngine(spark, table, renames={"source": "origin"})
+    eng2.apply_batch(renamed_batch, 1, 2)
+    names = table.current().schema.fieldNames()
+    assert "origin" in names and "source" not in names
+    got = {(r["doc_id"], r["origin"]) for r in table.read(spark).collect()}
+    assert got == {("k1", "web"), ("k2", "books")}
+
+
+def test_replay_raises_on_truncated_log(spark, tmp_path):
+    table = CDCEngine.create_table(str(tmp_path / "tr"), num_buckets=4)
+    eng = CDCEngine(spark, table, checkpoint_dir=None)
+    log = generate_changes(spark, 200, n_keys=20, seed=3)
+    eng.replay(log.filter("lsn <= 100"), num_batches=1)
+    assert table.last_lsn() == 100
+    # retention truncated the log past the watermark: lsn starts at 150
+    truncated = log.filter("lsn > 150")
+    with pytest.raises(LogTruncatedError):
+        eng.replay(truncated, num_batches=1)
+    # explicit override applies what is left
+    stats = eng.replay(truncated, num_batches=1, allow_log_gap=True)
+    assert stats.batches_applied == 1
+    assert table.last_lsn() == 200
+    # fresh table (no committed watermark) never trips the guard
+    t2 = CDCEngine.create_table(str(tmp_path / "tr2"), num_buckets=4)
+    CDCEngine(spark, t2).replay(log.filter("lsn > 150"), num_batches=1)
+    assert t2.last_lsn() == 200
+
+
+def test_merge_ts_strictly_monotonic_and_export_sees_second_window(spark, tmp_path):
+    """Two windows sharing one coarse commit_ts: the second's merge_ts must
+    still exceed the first's, so the '>' incremental export ships it."""
+    table = CDCEngine.create_table(str(tmp_path / "m"), num_buckets=4)
+    eng = CDCEngine(spark, table)
+    same_ts = dt.datetime(2024, 3, 1, 12, 0, 0)
+    b1 = spark.createDataFrame([_row(1, "I", "k1", [1], "web", same_ts)], CHANGE_SCHEMA)
+    eng.apply_batch(b1, 0, 1)
+    ex = ParquetExporter(table, str(tmp_path / "out"))
+    s1 = ex.export(spark, mode="incr")
+    assert s1["last_run_rows"] == 1
+
+    b2 = spark.createDataFrame([_row(2, "I", "k2", [2], "web", same_ts)], CHANGE_SCHEMA)
+    eng.apply_batch(b2, 1, 2)
+    ts = {r["doc_id"]: r["dl_update_ts"] for r in table.read(spark).collect()}
+    assert ts["k2"] > ts["k1"]  # strictly monotonic despite equal commit_ts
+    s2 = ex.export(spark, mode="incr")
+    assert s2["last_run_rows"] == 1  # k2 is NOT silently skipped
+    out = spark.read.parquet(s2["last_run_dir"]).collect()
+    assert {r["doc_id"] for r in out} == {"k2"}
+
+
+def test_delete_mode_is_table_property(spark, tmp_path):
+    soft = CDCEngine.create_table(str(tmp_path / "s"), num_buckets=4, soft_delete=True)
+    assert soft.properties["delete_mode"] == "soft"
+    # engine derives the mode when not given
+    assert CDCEngine(spark, soft).delete_mode == "soft"
+    # conflicting explicit mode refuses to run
+    with pytest.raises(ValueError):
+        CDCEngine(spark, soft, delete_mode="hard")
+    hard = CDCEngine.create_table(str(tmp_path / "h"), num_buckets=4)
+    assert CDCEngine(spark, hard).delete_mode == "hard"
+    with pytest.raises(ValueError):
+        CDCEngine(spark, hard, delete_mode="soft")
+
+
+def test_version_hint_recovery(spark, tmp_path):
+    root = str(tmp_path / "vh")
+    table = CDCEngine.create_table(root, num_buckets=4)
+    eng = CDCEngine(spark, table)
+    b1 = spark.createDataFrame(
+        [_row(1, "I", "k1", [1], "web", dt.datetime(2024, 1, 1))], CHANGE_SCHEMA
+    )
+    eng.apply_batch(b1, 0, 1)
+    v = table.current().version
+    hint = os.path.join(root, "metadata", "version-hint.text")
+    # crash-truncated hint
+    with open(hint, "w"):
+        pass
+    assert LakeTable.load(root).current().version == v
+    # missing hint entirely
+    os.unlink(hint)
+    assert LakeTable.load(root).current().version == v
+
+
+def test_stream_out_of_order_segment_detected(spark, tmp_path):
+    """A segment arriving after a later one was committed must raise, not
+    silently vanish (ADVICE: silent data loss)."""
+    log_dir = str(tmp_path / "oolog")
+    os.makedirs(log_dir)
+    changes = generate_changes(spark, 1000, n_keys=50, seed=31)
+    late = changes.filter("lsn <= 500")
+    first = changes.filter("lsn > 500")
+    write_changes_segments(first, log_dir, n_segments=1)
+
+    table = CDCEngine.create_table(str(tmp_path / "oot"), num_buckets=4)
+    eng = CDCEngine(spark, table)
+    ckpt = str(tmp_path / "ooc")
+    q = run_stream(eng, stream_changes(spark, log_dir), checkpoint_dir=ckpt)
+    q.awaitTermination(300)
+    assert table.last_lsn() == 1000
+
+    # now the EARLIER segment shows up (written elsewhere, moved in —
+    # its mtime is newer than the already-processed segment's)
+    stage = str(tmp_path / "stage")
+    late_file = write_changes_segments(late, stage, n_segments=1)[0]
+    os.replace(late_file, os.path.join(log_dir, "seg-late.parquet"))
+    q2 = run_stream(eng, stream_changes(spark, log_dir), checkpoint_dir=ckpt)
+    with pytest.raises(Exception, match="below the committed watermark"):
+        q2.awaitTermination(300)
+        raise AssertionError("stream should have failed on the late segment")

@@ -5,6 +5,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dbimport_spark.lake.evolve import (
+    RenameSuspected,
+    SchemaDelta,
     SchemaEvolutionError,
     diff_payload_schema,
     evolve_schema,
@@ -97,17 +99,84 @@ def test_schema_evolution_rules():
             T.StructField("extra", T.FloatType()),
         ]
     )
-    added = diff_payload_schema(base, batch, ignore={"lsn"})
-    assert [f.name for f in added] == ["extra"]
-    evolved = evolve_schema(base, added)
+    delta = diff_payload_schema(base, batch, ignore={"lsn"})
+    assert [f.name for f in delta.added] == ["extra"]
+    assert not delta.widened
+    evolved = evolve_schema(base, delta)
     assert evolved.fieldNames() == ["doc_id", "v", "extra"]
-    # type change rejected
-    bad = T.StructType([T.StructField("v", T.LongType())])
+    # safe widening accepted metadata-only (int -> bigint)
+    widen = T.StructType([T.StructField("v", T.LongType())])
+    d2 = diff_payload_schema(base, widen)
+    assert [f.name for f in d2.widened] == ["v"] and not d2.added
+    assert evolve_schema(base, d2)["v"].dataType == T.LongType()
+    # narrower batch column: no evolution (batch is cast up)
+    nar = T.StructType([T.StructField("v", T.ShortType())])
+    assert not diff_payload_schema(base, nar)
+    # incompatible type change rejected
+    bad = T.StructType([T.StructField("v", T.StringType())])
     with pytest.raises(SchemaEvolutionError):
         diff_payload_schema(base, bad)
     # drops are never propagated: table keeps columns the batch lacks
     narrow = T.StructType([T.StructField("doc_id", T.StringType())])
-    assert diff_payload_schema(base, narrow) == []
+    assert not diff_payload_schema(base, narrow)
+
+
+def test_rename_detection():
+    base = SCHEMA
+    # same payload position, same type, add+drop in one batch => rename
+    renamed = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("v2", T.IntegerType())]
+    )
+    with pytest.raises(RenameSuspected):
+        diff_payload_schema(base, renamed)
+    # a batch merely lacking a new table column + adding another one at a
+    # DIFFERENT position is a legitimate add, not a rename
+    base3 = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("w", T.StringType(), True)]
+    )
+    batch = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("w", T.StringType()),
+            T.StructField("x", T.LongType()),
+        ]
+    )
+    d = diff_payload_schema(base3, batch)
+    assert [f.name for f in d.added] == ["x"]
+
+
+def test_rename_column_metadata_only(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = LakeTable.create(root, SCHEMA, num_buckets=4)
+    f1 = _write(t, spark, [("a", 1), ("b", 2)], "s1")
+    t.commit(f1, {f.bucket for f in f1})
+    t.rename_column("v", "v_renamed")
+    assert t.current().schema.fieldNames() == ["doc_id", "v_renamed"]
+    # old files are read through the name mapping — values intact
+    got = {(r["doc_id"], r["v_renamed"]) for r in t.read(spark).collect()}
+    assert got == {("a", 1), ("b", 2)}
+    # new writes use the new physical name; mixed-epoch reads still align
+    df = spark.createDataFrame([("c", 3)], t.current().schema).withColumn(
+        "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int")
+    )
+    f2 = t.write_data_files(spark, df, "s2")
+    assert all(f.epoch == 1 for f in f2)
+    t.commit(f2, {f.bucket for f in f2})
+    got = {(r["doc_id"], r["v_renamed"]) for r in t.read(spark).collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 3)}
+
+
+def test_widened_schema_reads_old_files(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = LakeTable.create(root, SCHEMA, num_buckets=4)
+    f1 = _write(t, spark, [("a", 7)], "s1")
+    t.commit(f1, {f.bucket for f in f1})
+    delta = SchemaDelta(widened=[T.StructField("v", T.LongType(), True)])
+    t.commit([], set(), new_schema=evolve_schema(SCHEMA, delta))
+    rows = t.read(spark).collect()
+    assert rows[0]["v"] == 7
+    assert dict(t.read(spark).dtypes)["v"] == "bigint"
 
 
 def test_old_files_null_for_new_columns(spark, tmp_path):
@@ -115,7 +184,9 @@ def test_old_files_null_for_new_columns(spark, tmp_path):
     t = LakeTable.create(root, SCHEMA, num_buckets=4)
     f1 = _write(t, spark, [("a", 1)], "s1")
     t.commit(f1, {f.bucket for f in f1})
-    evolved = evolve_schema(SCHEMA, [T.StructField("extra", T.FloatType(), True)])
+    evolved = evolve_schema(
+        SCHEMA, SchemaDelta(added=[T.StructField("extra", T.FloatType(), True)])
+    )
     t.commit([], set(), new_schema=evolved)
     rows = t.read(spark).collect()
     assert rows[0]["extra"] is None

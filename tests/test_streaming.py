@@ -3,7 +3,11 @@ converge to the same state as batch replay (SURVEY.md §2.7)."""
 
 from dbimport_spark.plans.engine import CDCEngine
 from dbimport_spark.schema import PAYLOAD_COLUMNS
-from dbimport_spark.sources.loggen import generate_changes, write_changes
+from dbimport_spark.sources.loggen import (
+    generate_changes,
+    write_changes,
+    write_changes_segments,
+)
 from dbimport_spark.streaming.stream import run_stream, stream_changes
 from tests.oracle import as_tuple_set, lww_fold
 
@@ -11,7 +15,11 @@ from tests.oracle import as_tuple_set, lww_fold
 def test_stream_converges(spark, tmp_path):
     log_dir = str(tmp_path / "log")
     changes = generate_changes(spark, 2000, n_keys=120, seed=19)
-    write_changes(changes, log_dir, n_files=6)
+    # sequential segments (ascending mtime) — the WAL-tailer shape the file
+    # source needs for in-order delivery; a bulk parallel write gives every
+    # part the same mtime and arbitrary delivery order (real data loss,
+    # now detected by run_stream's out-of-order guard)
+    write_changes_segments(changes, log_dir, n_segments=6)
 
     root = str(tmp_path / "t")
     table = CDCEngine.create_table(root, num_buckets=8)
