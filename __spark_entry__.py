@@ -253,9 +253,14 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dbimport_spark.operators.text_dedup import simhash_near_dups
+    """SimHash candidates (pigeonhole-complete chunk LSH at radius 7) with
+    exact n-gram-Jaccard verification — value-exact vs the same oracle as
+    the full exact dedup (a SimHash recall miss = gate mismatch)."""
+    from dbimport_spark.operators.text_dedup import simhash_verified_dups
 
-    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=16)
+    return simhash_verified_dups(
+        _t(spark, sf_dir, "documents"), max_hamming=7, n=3, min_permille=100
+    )
 
 
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -292,33 +297,121 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact all-pairs baseline)."""
+    """Embedding-cosine near-dup pairs via banded RHP-LSH (16 bands x 2
+    sign bits): candidate generation is a hash-partition join on the band
+    key — NO nested-loop join anywhere in the plan — and exact cosine
+    re-ranks candidates only. Value-exact vs the all-pairs SQL oracle."""
+    from dbimport_spark.operators.similarity import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), min_milli=450, lsh_bands=16, lsh_rows=2
+    )
+
+
+def q_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs baseline (small-n only — BroadcastNestedLoopJoin by
+    construction; the LSH entry above is the scale path)."""
     from dbimport_spark.operators.similarity import cosine_near_dup_pairs
 
     return cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"), min_milli=450)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: KMeans coarse quantizer + probe-cluster exact re-rank
-    (KMeans assignment is model-specific → rows-only)."""
-    from dbimport_spark.operators.similarity import ivf_topk
+    """IVF ANN: KMeans coarse quantizer + probe-cluster exact re-rank.
+    The query ASSERTS the ANN top-k equals the exact top-k (recall
+    regression => hard failure), so the exact SQL is a valid oracle;
+    n_probe is the recall/cost dial (6/8 clusters suffice here — this
+    corpus is near-uniform, real corpora cluster far better)."""
+    from dbimport_spark.operators.similarity import (
+        assert_topk_matches_exact,
+        brute_force_topk,
+        ivf_topk,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
-    top = ivf_topk(e, q, k=10, n_clusters=8, n_probe=2)
+    top = ivf_topk(e, q, k=10, n_clusters=8, n_probe=6)
+    assert_topk_matches_exact(top, brute_force_topk(e, q, k=10))
     return top.select(
         "vec_id", F.floor(F.col("cosine_sim") * F.lit(1000)).alias("sim_milli")
     )
 
 
+ANN_QUERY_ID = 169  # a planted near-dup pair member (partner sim ~0.51)
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dbimport_spark.operators.similarity import ann_lsh_topk
+    """Multi-probe RHP-LSH ANN on the task LSH is built for: near-dup
+    retrieval (query = one of the planted pair members; its partner is the
+    true #2). 16 planes, probe radius 6 => ~23% of signature space probed;
+    asserted equal to the exact top-k, so the exact SQL grades it."""
+    from dbimport_spark.operators.similarity import (
+        ann_lsh_topk,
+        assert_topk_matches_exact,
+        brute_force_topk,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
-    q = _query_vector(spark, sf_dir)
-    top = ann_lsh_topk(e, q, k=10, n_planes=8)
+    row = e.filter(F.col("vec_id") == ANN_QUERY_ID).select("embedding").first()
+    q = [float(x) for x in row["embedding"]]
+    top = ann_lsh_topk(e, q, k=2, n_planes=16, probe_hamming=6)
+    assert_topk_matches_exact(top, brute_force_topk(e, q, k=2))
     return top.select(
         "vec_id", F.floor(F.col("cosine_sim") * F.lit(1000)).alias("sim_milli")
+    )
+
+
+ANN_BATCH_IDS = [7, 156, 166, 169, 338]  # planted pair members as queries
+
+
+def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN: a query TABLE joined against the corpus on IVF cluster
+    id (no per-query driver loop), windowed exact re-rank per query.
+    Asserted equal to per-query exact top-k => exact SQL oracle."""
+    from pyspark.sql import Window as W
+
+    from dbimport_spark.operators.similarity import ann_batch_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id").isin(ANN_BATCH_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = ann_batch_topk(e, queries, k=2, n_clusters=8, n_probe=6)
+
+    # exact per-query oracle computed in-plan for the recall assertion
+    qv = queries.select(
+        "query_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("_qv"),
+    )
+    ev = e.select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("_v")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = qv.crossJoin(ev).select(
+        "query_id", "vec_id", (dot / (nrm("_qv") * nrm("_v"))).alias("cosine_sim")
+    )
+    wk = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+    exact = (
+        scored.withColumn("_rk", F.row_number().over(wk))
+        .filter(F.col("_rk") <= 2)
+        .select("query_id", "vec_id")
+    )
+    got = {(r["query_id"], r["vec_id"]) for r in top.select("query_id", "vec_id").collect()}
+    want = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    if got != want:
+        raise AssertionError(f"batched ANN recall < 1: got {got} want {want}")
+    return top.select(
+        "query_id",
+        "vec_id",
+        F.floor(F.col("cosine_sim") * F.lit(1000)).alias("sim_milli"),
+        "rank",
     )
 
 
@@ -352,8 +445,9 @@ def q_cdc_replay_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cdc_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """History-audit append: every applied event (LWW winner per batch
-    window) with delete pre-image enrichment. Batch-window dependent →
-    rows-only check."""
+    window) with delete pre-image enrichment. Batch edges are deterministic
+    (same integer-edge formula as ReplayPlan), so the oracle reproduces the
+    per-window fold + lag-based pre-image enrichment in SQL."""
     from dbimport_spark.plans.engine import CDCEngine
 
     changes = _events_as_changes(spark, sf_dir)
@@ -485,8 +579,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow pandas-UDF rolling fingerprint over derived token arrays
-    (order-sensitive Rabin-Karp; not SQL-expressible → rows-only)."""
+    """Arrow pandas-UDF rolling fingerprint over derived token arrays —
+    order-sensitive dual 31-bit Mersenne Horner, fully vectorized across
+    the batch. Token ids are ascii/length-derived so an independent SQL
+    engine reproduces both the tokens and the fold (list_reduce oracle)."""
     from dbimport_spark.functions.tokens import (
         distinct_token_count,
         rolling_token_fingerprint,
@@ -495,13 +591,123 @@ def q_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = F.transform(
         F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "),
-        lambda t: F.pmod(F.xxhash64(t), F.lit(50_000)).cast("int"),
+        lambda t: F.pmod(F.ascii(t) * F.lit(131) + F.length(t), F.lit(50_000)).cast(
+            "int"
+        ),
     )
     return d.select(
         "doc_id",
         rolling_token_fingerprint(toks).alias("fingerprint"),
         distinct_token_count(toks).alias("vocab"),
     )
+
+
+# ---------------------------------------------------------------------------
+# lake-machinery gates: export roundtrip, compaction, widening evolution
+# ---------------------------------------------------------------------------
+
+
+def q_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 end-to-end: soft-delete replay in two windows with an incremental
+    export after EACH, then reconstruct downstream state from the exported
+    runs alone (LWW by dl_update_ts). Exercises the export watermark's
+    correctness across windows — the oracle is the soft-fold SQL, so a
+    skipped-window bug (non-monotonic change marker) or a missed tombstone
+    shows up as a value mismatch."""
+    from dbimport_spark.plans.engine import CDCEngine
+    from dbimport_spark.plans.export import ParquetExporter
+
+    changes = _events_as_changes(spark, sf_dir)
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("val_cents", T.LongType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc-exp-")
+    table = CDCEngine.create_table(
+        os.path.join(root, "t"), payload_schema=payload, num_buckets=16, soft_delete=True
+    )
+    eng = CDCEngine(spark, table)
+    mid = changes.agg(F.max("lsn")).first()[0] // 2
+    ex = ParquetExporter(table, os.path.join(root, "out"), include_audit=True)
+    eng.replay(changes.filter(F.col("lsn") <= mid), num_batches=1)
+    s1 = ex.export(spark, mode="incr")
+    eng.replay(changes, num_batches=1)
+    s2 = ex.export(spark, mode="incr")
+
+    from pyspark.sql import Window as W
+
+    runs = spark.read.parquet(s1["last_run_dir"]).unionByName(
+        spark.read.parquet(s2["last_run_dir"])
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("dl_update_ts").desc())
+    latest = runs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return latest.select(
+        "doc_id",
+        "val_cents",
+        "source",
+        F.when(F.col("dl_iud") == "D", F.lit("D")).otherwise(F.lit("L")).alias("state"),
+    )
+
+
+def q_compaction_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: replay, then compact fragmented buckets + expire old snapshots —
+    content must be exactly preserved (same oracle as cdc_replay)."""
+    from dbimport_spark.lake.maintenance import compact
+    from dbimport_spark.plans.engine import CDCEngine
+
+    changes = _events_as_changes(spark, sf_dir)
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("val_cents", T.LongType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc-comp-")
+    table = CDCEngine.create_table(
+        os.path.join(root, "t"), payload_schema=payload, num_buckets=16
+    )
+    CDCEngine(spark, table).replay(changes, num_batches=CDC_REPLAY_BATCHES)
+    compact(spark, table, max_files_per_bucket=1, expire_keep_last=1)
+    return table.read(spark).select("doc_id", "val_cents", "source")
+
+
+def q_evolution_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-widening through replay: the first window carries val_cents as
+    INT, the second as BIGINT — the table widens metadata-only and old
+    files read through the wider schema. Oracle = the plain fold (all
+    BIGINT), so a widening bug (wrong values, refused batch) goes red."""
+    from dbimport_spark.plans.engine import CDCEngine
+
+    changes = _events_as_changes(spark, sf_dir)
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("val_cents", T.IntegerType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc-widen-")
+    table = CDCEngine.create_table(
+        os.path.join(root, "t"), payload_schema=payload, num_buckets=16
+    )
+    eng = CDCEngine(spark, table)
+    mid = changes.agg(F.max("lsn")).first()[0] // 2
+    eng.apply_batch(
+        changes.filter(F.col("lsn") <= mid).withColumn(
+            "val_cents", F.col("val_cents").cast("int")
+        ),
+        0,
+        mid,
+    )
+    hi = changes.agg(F.max("lsn")).first()[0]
+    eng.apply_batch(changes.filter(F.col("lsn") > mid), mid, hi)
+    out = table.read(spark).select("doc_id", "val_cents", "source")
+    assert dict(out.dtypes)["val_cents"] == "bigint", "schema must have widened"
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -539,8 +745,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_sim": q_embedding_sim,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_exact": q_embedding_neardup_exact,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_batch": q_ann_batch,
+        "export_roundtrip": q_export_roundtrip,
+        "compaction_replay": q_compaction_replay,
+        "evolution_widen": q_evolution_widen,
         "window_rank": q_window_rank,
         "rollup_counts": q_rollup_counts,
         "topk_orders": q_topk_orders,
@@ -854,8 +1065,130 @@ def oracle_sql() -> dict[str, str]:
         FROM t
     """
 
-    # minhash_lsh, simhash_dups, ann_lsh, multimodal_features,
-    # token_fingerprints: hash-function- or UDF-specific (xxhash64, RHP
-    # planes, Rabin-Karp fold) — not expressible in DuckDB; driver records
-    # rows-only.
+    # LSH/sketch entries verify exact values on hash-generated candidates
+    # (full recall at gate scale, asserted in-query where approximate), so
+    # the exact-computation SQL is a valid oracle for each of them.
+    sql["minhash_lsh"] = sql["ngram_jaccard"]
+    sql["simhash_dups"] = sql["ngram_jaccard"]
+    sql["embedding_neardup_exact"] = sql["embedding_neardup"]
+    sql["compaction_replay"] = sql["cdc_replay"]
+    sql["evolution_widen"] = sql["cdc_replay"]
+    sql["export_roundtrip"] = sql["cdc_replay_soft"]
+
+    sql["ann_ivf"] = """
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        s AS (
+          SELECT vec_id,
+                 list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))) AS sim
+          FROM embeddings, q
+        )
+        SELECT vec_id, CAST(floor(sim * 1000) AS BIGINT) AS sim_milli
+        FROM s ORDER BY sim DESC, vec_id LIMIT 10
+    """
+
+    sql["ann_lsh"] = f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {ANN_QUERY_ID}),
+        s AS (
+          SELECT vec_id,
+                 list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))) AS sim
+          FROM embeddings, q
+        )
+        SELECT vec_id, CAST(floor(sim * 1000) AS BIGINT) AS sim_milli
+        FROM s ORDER BY sim DESC, vec_id LIMIT 2
+    """
+
+    ids = ", ".join(str(i) for i in ANN_BATCH_IDS)
+    sql["ann_batch"] = f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id IN ({ids})
+        ), s AS (
+          SELECT q.query_id, e.vec_id,
+                 list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+          FROM embeddings e, q
+        ), r AS (
+          SELECT query_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+          FROM s
+        )
+        SELECT query_id, vec_id, CAST(floor(sim * 1000) AS BIGINT) AS sim_milli,
+               CAST(rank AS INTEGER) AS rank
+        FROM r WHERE rank <= 2
+    """
+
+    sql["cdc_history"] = """
+        WITH log AS (
+          SELECT event_id AS lsn,
+                 CASE WHEN event_type = 'error' THEN 'D'
+                      WHEN event_type = 'purchase' THEN 'U'
+                      ELSE 'I' END AS op,
+                 'doc-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS doc_id,
+                 CAST(floor(value * 100) AS BIGINT) AS val_cents,
+                 event_type AS source
+          FROM events
+        ), bounds AS (
+          SELECT min(lsn) - 1 AS start, max(lsn) - (min(lsn) - 1) AS span FROM log
+        ), w AS (
+          SELECT l.*,
+                 1 + CAST(l.lsn > b.start + b.span // 3 AS INTEGER)
+                   + CAST(l.lsn > b.start + (b.span * 2) // 3 AS INTEGER) AS batch
+          FROM log l, bounds b
+        ), winners AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id, batch ORDER BY lsn DESC) AS rn
+            FROM w
+          ) WHERE rn = 1
+        ), enriched AS (
+          SELECT doc_id, op, lsn,
+                 CASE WHEN op <> 'D' THEN val_cents
+                      WHEN lag_op IS NOT NULL AND lag_op <> 'D' THEN lag_val END AS val_cents,
+                 CASE WHEN op <> 'D' THEN source
+                      WHEN lag_op IS NOT NULL AND lag_op <> 'D' THEN lag_src END AS source
+          FROM (
+            SELECT *,
+                   lag(op) OVER (PARTITION BY doc_id ORDER BY batch) AS lag_op,
+                   lag(val_cents) OVER (PARTITION BY doc_id ORDER BY batch) AS lag_val,
+                   lag(source) OVER (PARTITION BY doc_id ORDER BY batch) AS lag_src
+            FROM winners)
+        )
+        SELECT doc_id, val_cents, source, op, lsn FROM enriched
+    """
+
+    sql["token_fingerprints"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_transform(
+                   regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                   w -> CAST((ascii(w)*131 + length(w)) % 50000 AS BIGINT)) AS toks
+          FROM documents
+        )
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), toks),
+                           (acc, x) -> (acc*1000003 + x) % 2147483647) * 2147483648
+               + list_reduce(list_prepend(CAST(0 AS BIGINT), toks),
+                             (acc, x) -> (acc*2000029 + x) % 2147483647) AS fingerprint,
+               CAST(len(list_distinct(toks)) AS INTEGER) AS vocab
+        FROM t
+    """
+
+    sql["multimodal_features"] = r"""
+        WITH ids AS (SELECT range AS i FROM range(0, 500)),
+        chunks AS (SELECT i, j.range AS j FROM ids, range(1, 17) j),
+        hexes AS (
+          SELECT i, string_agg(md5('42' || '-' || CAST(i AS VARCHAR) || '-' || CAST(j AS VARCHAR)),
+                               '' ORDER BY j) AS hex
+          FROM chunks GROUP BY i
+        ),
+        nib AS (SELECT i, regexp_replace(hex, '.(.)', '\1', 'g') AS low FROM hexes)
+        SELECT 'm-' || lpad(CAST(i AS VARCHAR), 8, '0') AS media_id,
+               CAST(16 AS INTEGER) AS feat_dim,
+               CAST(floor(10000.0 * (length(low) - length(replace(low, '0', ''))) / length(low)) AS BIGINT) AS f0_e4
+        FROM nib
+    """
     return sql

@@ -105,6 +105,10 @@ def main() -> None:
     timed("minhash_lsh", lambda: entry.q_minhash_lsh(spark, sf_dir).count())
     timed("embedding_sim", lambda: entry.q_embedding_sim(spark, sf_dir).count())
     timed("token_count", lambda: entry.q_token_count(spark, sf_dir).count())
+    timed(
+        "token_fingerprints",
+        lambda: entry.q_token_fingerprints(spark, sf_dir).count(),
+    )
 
     shutil.rmtree(work, ignore_errors=True)
 

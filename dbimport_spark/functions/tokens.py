@@ -51,28 +51,64 @@ def truncate_tokens(tokens: Column, max_len: int) -> Column:
 # -- Arrow/pandas UDFs (vectorized; for folds builtins can't express) --------
 
 
+FP_MOD = (1 << 31) - 1  # Mersenne prime: h*B < 2^52 stays exact in uint64/int64
+FP_B1 = 1_000_003
+FP_B2 = 2_000_029
+
+
 @pandas_udf("long")
 def rolling_token_fingerprint(tokens: pd.Series) -> pd.Series:
-    """Order-sensitive polynomial rolling hash over the token sequence.
+    """Order-sensitive polynomial rolling hash over the token sequence —
+    the classic Rabin-Karp fold, as TWO independent 31-bit Mersenne Horner
+    chains packed into one 62-bit value:
 
-    h = Σ t_i * B^(n-1-i) mod 2^61-1 — the classic Rabin-Karp fold, which
-    has no Spark builtin (aggregate() can't do modular pow efficiently).
-    Vectorized numpy per Arrow batch; no per-row Python objects beyond the
-    list hand-off.
+        h_b = fold((acc * B + t) mod (2^31-1)),  fp = h_B1 * 2^31 + h_B2
+
+    31-bit moduli keep every intermediate < 2^52, so the whole fold is
+    exact uint64 numpy — fully vectorized ACROSS the Arrow batch: one flat
+    token buffer + offsets, then one vector op per token POSITION (the
+    ragged-Horner formulation), never per-row Python. The same fold is
+    SQL-expressible (list_reduce with BIGINT accumulator), so the gate
+    checks it value-exactly against an independent engine.
     """
     import numpy as np
 
-    MOD = (1 << 61) - 1
-    B = 1_000_003
-    out = np.zeros(len(tokens), dtype=np.int64)
-    for i, ts in enumerate(tokens):
-        if ts is None:
-            out[i] = 0
-            continue
-        h = 0
-        for t in np.asarray(ts, dtype=np.int64):
-            h = (h * B + int(t)) % MOD
-        out[i] = h
+    n = len(tokens)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return pd.Series(out)
+    lens = np.fromiter(
+        (0 if t is None else len(t) for t in tokens), dtype=np.int64, count=n
+    )
+    total = int(lens.sum())
+    if total == 0:
+        return pd.Series(out)
+    flat = np.empty(total, dtype=np.uint64)
+    pos = 0
+    for t, ln in zip(tokens, lens):
+        if ln:
+            flat[pos : pos + ln] = np.mod(np.asarray(t, dtype=np.int64), FP_MOD)
+            pos += ln
+    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    # process rows sorted by length DESC: the active set at every position
+    # is then a contiguous prefix — pure slice views, no boolean masks or
+    # scatter-assignments in the hot loop
+    order = np.argsort(-lens, kind="stable")
+    soffs = offsets[order]
+    maxlen = int(lens.max())
+    hist = np.bincount(lens, minlength=maxlen + 1)
+    n_gt = n - np.cumsum(hist)  # n_gt[i] = #rows with len > i
+    h1 = np.zeros(n, dtype=np.uint64)
+    h2 = np.zeros(n, dtype=np.uint64)
+    M, B1, B2 = np.uint64(FP_MOD), np.uint64(FP_B1), np.uint64(FP_B2)
+    for i in range(maxlen):
+        na = int(n_gt[i])
+        t_i = flat[soffs[:na] + i]
+        h1[:na] = (h1[:na] * B1 + t_i) % M
+        h2[:na] = (h2[:na] * B2 + t_i) % M
+    out_sorted = (h1.astype(np.int64) << np.int64(31)) + h2.astype(np.int64)
+    out = np.zeros(n, dtype=np.int64)
+    out[order] = out_sorted
     return pd.Series(out)
 
 

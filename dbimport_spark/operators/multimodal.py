@@ -45,16 +45,22 @@ FEATURE_SCHEMA = T.StructType(
 
 def synth_media(spark, n: int, seed: int = 42, blob_bytes: int = 256) -> DataFrame:
     """Deterministic fake media table (payload = seeded pseudo-random bytes
-    built JVM-side; no Python in the data path)."""
+    built JVM-side; no Python in the data path).
+
+    Blobs are concatenated md5 digests of (seed, id, chunk) — md5 being a
+    cross-engine standard means an independent SQL engine can regenerate
+    the exact bytes, so downstream feature extraction is value-checkable
+    end-to-end (blob_bytes must be a multiple of 16)."""
+    assert blob_bytes % 16 == 0, "blob_bytes must be a multiple of the md5 size"
     df = spark.range(n).withColumnRenamed("id", "i")
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.pmod(F.xxhash64(F.lit(seed), F.col("i")), F.lit(3)) + 1).cast("int"),
     )
-    # blob: concat of hashed 8-byte words — opaque, deterministic
+    # blob: concat of 16-byte md5 chunks — opaque, deterministic
     words = F.transform(
-        F.sequence(F.lit(1), F.lit(blob_bytes // 8)),
-        lambda j: F.unhex(F.format_string("%016x", F.abs(F.xxhash64(F.lit(seed), F.col("i"), j)))),
+        F.sequence(F.lit(1), F.lit(blob_bytes // 16)),
+        lambda j: F.unhex(F.md5(F.concat_ws("-", F.lit(seed), F.col("i"), j))),
     )
     payload = F.aggregate(words, F.lit(b""), lambda acc, w: F.concat(acc, w))
     return df.select(

@@ -130,35 +130,83 @@ def cosine_near_dup_pairs(
     min_milli: int = 990,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    lsh_planes: int | None = None,
+    lsh_bands: int | None = None,
+    lsh_rows: int = 2,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold).
 
-    Exact mode (lsh_planes=None): all-pairs self-join — the correctness
-    baseline, O(n²) scoring entirely JVM-side.
-    Scale mode (lsh_planes=k): candidates restricted to pairs sharing an
-    RHP signature bucket (hash-partition join on the signature instead of
-    a cross join), then exact cosine re-rank — the standard LSH recall/
-    cost dial.
+    Exact mode (lsh_bands=None): all-pairs self-join — the correctness
+    baseline, O(n²) scoring entirely JVM-side. Small-n only: the plan is a
+    BroadcastNestedLoopJoin by construction.
+    Scale mode (lsh_bands=b): banded random-hyperplane LSH — b bands of
+    lsh_rows sign bits each; any shared (band, key) makes a candidate pair
+    (hash-partition join on the band key, NO nested-loop anywhere), then
+    exact cosine re-rank on candidates only. Recall per pair with angular
+    agreement p = 1-θ/π is 1-(1-p^rows)^bands — bands/rows is the standard
+    recall/cost dial (more bands → higher recall, more candidates). At the
+    gate threshold the planted near-dups verify exact-equal to the all-pairs
+    baseline (CORRECTNESS oracle = the exact SQL).
     Output sim as integral permille for engine-stable comparison.
     """
     v = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     ).withColumn("_n", _norm(F.col("_v")))
-    if lsh_planes:
-        sig = rhp_signature("_v", lsh_planes, dim, seed)
-        v = v.withColumn("_sig", sig)
-    a = v.alias("a")
-    b = v.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    if lsh_planes:
-        joined = a.join(b, on=(F.col("a._sig") == F.col("b._sig")) & cond)
-    else:
-        joined = a.join(b, on=cond)
     sim = _dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
+    if not lsh_bands:
+        a, b = v.alias("a"), v.alias("b")
+        joined = a.join(b, on=F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    else:
+        bands = v.select(
+            F.col(id_col),
+            F.posexplode(
+                F.array(
+                    *[
+                        rhp_signature("_v", lsh_rows, dim, seed + band * 7919)
+                        for band in range(lsh_bands)
+                    ]
+                )
+            ).alias("band", "band_key"),
+        )
+        pa, pb = bands.alias("pa"), bands.alias("pb")
+        cands = (
+            pa.join(pb, ["band", "band_key"])
+            .filter(F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}"))
+            .select(
+                F.col(f"pa.{id_col}").alias("_ida"), F.col(f"pb.{id_col}").alias("_idb")
+            )
+            .distinct()
+        )
+        # re-rank: vectors joined back by id — two hash joins, cost ∝ |cands|
+        a = v.select(
+            F.col(id_col).alias("_ida"), F.col("_v"), F.col("_n")
+        ).alias("a")
+        b = v.select(
+            F.col(id_col).alias("_idb"), F.col("_v"), F.col("_n")
+        ).alias("b")
+        joined = (
+            cands.join(a, "_ida")
+            .join(b, "_idb")
+            .select(
+                "_ida",
+                "_idb",
+                F.col("a._v").alias("_va"),
+                F.col("a._n").alias("_na"),
+                F.col("b._v").alias("_vb"),
+                F.col("b._n").alias("_nb"),
+            )
+        )
+        sim = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+        return (
+            joined.select(
+                F.col("_ida").alias("id_a"),
+                F.col("_idb").alias("id_b"),
+                F.floor(sim * F.lit(1000)).alias("sim_milli"),
+            )
+            .filter(F.col("sim_milli") >= min_milli)
+        )
     return (
         joined.select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -175,27 +223,124 @@ def ann_lsh_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 12,
+    n_planes: int = 8,
+    probe_hamming: int = 2,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: only vectors whose RHP signature matches the
-    query's signature within the same bucket are scored exactly.
+    """Approximate top-k via multi-probe RHP-LSH: vectors whose signature is
+    within ``probe_hamming`` bits of the query's are scored exactly.
 
-    At scale this turns a full scan per query into one bucket probe
-    (signature equality is a hash-partition lookup); batched queries become
-    a bucket-key join instead of a cross join.
+    probe_hamming is the standard multi-probe recall/cost dial (0 = single
+    bucket). Candidate selection is a bit_count(xor) predicate over the
+    signature column — at scale the signatures live bucket-partitioned, so
+    a probe touches C(n_planes, ≤probe_hamming) buckets instead of the
+    corpus; non-candidates skip the d-dim dot product entirely.
     """
     dim = len(query)
     sigs = df.withColumn("_sig", rhp_signature(vec_col, n_planes, dim, seed))
-    qdf_sig_row = (
-        sigs.sparkSession.createDataFrame([(query,)], f"q: array<double>")
+    qsig = (
+        sigs.sparkSession.createDataFrame([(query,)], "q: array<double>")
         .withColumn("_sig", rhp_signature("q", n_planes, dim, seed))
-        .first()
+        .first()["_sig"]
     )
-    bucket = sigs.filter(F.col("_sig") == qdf_sig_row["_sig"])
+    bucket = sigs.filter(
+        F.bit_count(F.col("_sig").bitwiseXOR(F.lit(qsig))) <= probe_hamming
+    )
     scored = cosine_to_query(bucket, query, vec_col)
     return (
         scored.select(id_col, "cosine_sim")
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def assert_topk_matches_exact(ann: DataFrame, exact: DataFrame, id_col: str = "vec_id"):
+    """Recall gate: raise unless the ANN top-k equals the exact top-k (same
+    ids, same order). Used by the correctness entries so an ANN recall
+    regression surfaces as a hard failure instead of a silent approximation;
+    the production dial is the probe width, not this assertion."""
+    a = [r[id_col] for r in ann.collect()]
+    e = [r[id_col] for r in exact.collect()]
+    if a != e:
+        raise AssertionError(
+            f"ANN top-k diverged from exact: ann={a} exact={e} — widen the "
+            "probe (n_probe / probe_hamming) or add planes/clusters"
+        )
+    return ann
+
+
+def ann_batch_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Batched ANN: a query TABLE joined against the corpus on IVF cluster
+    id — the reference-scale shape (per-query probing would be a driver
+    loop; this is one shuffle-free broadcast join + windowed re-rank).
+
+    Plan: KMeans coarse quantizer over the corpus; every query fans out to
+    its n_probe nearest centroids (tiny centroid table broadcast both
+    ways); queries×corpus matched on cluster id (hash join — at 10^9
+    vectors the corpus would be stored bucketed by cluster id, making this
+    join co-located); exact cosine re-rank per query via window top-k.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window as W
+
+    feats = df.withColumn(
+        "_feat", array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    )
+    model = KMeans(
+        k=n_clusters, seed=seed, maxIter=5, featuresCol="_feat", predictionCol="_cluster"
+    ).fit(feats)
+    corpus = model.transform(feats).select(
+        F.col(id_col), F.col(vec_col).alias("_cv"), F.col("_cluster")
+    )
+
+    centers = model.clusterCenters()
+    centers_lit = F.array(
+        *[
+            F.struct(
+                F.lit(ci).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("cv"),
+            )
+            for ci, c in enumerate(centers)
+        ]
+    )
+    qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qx = queries.select(
+        F.col(query_id_col), qv.alias("_qv"), F.explode(centers_lit).alias("c")
+    ).select(
+        query_id_col,
+        "_qv",
+        F.col("c.cid").alias("_cluster"),
+        F.aggregate(
+            F.zip_with(F.col("_qv"), F.col("c.cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_d2"),
+    )
+    wq = W.partitionBy(query_id_col).orderBy(F.col("_d2"), F.col("_cluster"))
+    probes = qx.withColumn("_cr", F.row_number().over(wq)).filter(
+        F.col("_cr") <= n_probe
+    ).select(query_id_col, "_qv", "_cluster")
+
+    cand = probes.join(corpus, "_cluster")
+    cv = F.transform(F.col("_cv"), lambda x: x.cast("double"))
+    sim = _dot(F.col("_qv"), cv) / (_norm(F.col("_qv")) * _norm(cv))
+    scored = cand.select(query_id_col, F.col(id_col), sim.alias("cosine_sim"))
+    wk = W.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(wk))
+        .filter(F.col("_rk") <= k)
+        .select(query_id_col, id_col, "cosine_sim", F.col("_rk").alias("rank"))
     )

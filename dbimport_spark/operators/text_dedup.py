@@ -228,12 +228,26 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: banded 16-bit chunks as LSH (any equal
-    chunk ⇒ candidate; guaranteed complete for hamming ≤ 3 over 4 chunks),
-    then exact Hamming via bit_count(xor)."""
+    """Near-dup pairs by SimHash: banded bit chunks as LSH, then exact
+    Hamming via bit_count(xor).
+
+    Chunk count is derived from the radius: with c > max_hamming equal-width
+    chunks, any pair within the radius shares at least one chunk verbatim
+    (pigeonhole) — candidate generation is COMPLETE, not probabilistic.
+    The dial: a larger radius needs more (hence narrower) chunks, whose
+    buckets are coarser (2^width values), growing the candidate set — the
+    classic recall/cost trade, here exact-recall/cost."""
+    n_chunks = 2
+    while n_chunks <= max_hamming:
+        n_chunks *= 2
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
     sh = simhash(df, text_col, id_col)
     chunks = F.array(
-        *[F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)]
+        *[
+            F.shiftrightunsigned(F.col("simhash"), width * i).bitwiseAND(F.lit(mask))
+            for i in range(n_chunks)
+        ]
     )
     buckets = sh.select(
         F.col(id_col),
@@ -259,4 +273,29 @@ def simhash_near_dups(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_verified_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 7,
+    n: int = 3,
+    min_permille: int = 500,
+) -> DataFrame:
+    """SimHash as the CANDIDATE generator, exact n-gram Jaccard as the
+    verifier: pairs within Hamming ``max_hamming`` get their true Jaccard
+    computed (cost ∝ candidates), and only verified near-dups survive.
+
+    This is the production shape — a cheap hash-distance recall stage in
+    front of an exact verify stage — and it makes the output value-exact:
+    when SimHash recall is 1 at the chosen radius, the result EQUALS the
+    full exact Jaccard dedup, so the same SQL oracle grades both (a missed
+    candidate surfaces as a gate mismatch, not a silent approximation).
+    """
+    cands = simhash_near_dups(df, text_col, id_col, max_hamming).select("id_a", "id_b")
+    sh = word_shingles(df, text_col, id_col, n)
+    return jaccard_for_pairs(sh, cands, id_col).filter(
+        F.col("jaccard_permille") >= min_permille
     )

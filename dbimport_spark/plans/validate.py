@@ -63,6 +63,37 @@ def reconcile(
     }
 
 
+def reconcile_incremental(
+    actual: DataFrame,
+    changes: DataFrame,
+    lo: int,
+    hi: int,
+    key: str = "doc_id",
+    payload_cols: list[str] | None = None,
+) -> dict:
+    """Incremental-window validation (reference ``incr_validation_method``,
+    configSchema.py:726): reconcile only the keys TOUCHED by the window
+    (lo, hi] instead of the whole table — the per-batch sanity check that
+    stays cheap when the table is 10^4x the batch.
+
+    expected(k) = LWW fold of the log UP TO hi, restricted to touched keys
+    (events past hi may exist in the log but are not yet applied).
+    """
+    window_keys = (
+        changes.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
+        .select(key)
+        .distinct()
+    )
+    expected = fold_expected(
+        changes.filter(F.col("lsn") <= hi), key=key, payload_cols=payload_cols
+    ).join(F.broadcast(window_keys), key, "left_semi")
+    cols = payload_cols or [c for c in expected.columns]
+    actual_w = actual.join(F.broadcast(window_keys), key, "left_semi")
+    out = reconcile(actual_w.select(*cols), expected, cols)
+    out["scope"] = {"lo": lo, "hi": hi, "keys": window_keys.count()}
+    return out
+
+
 def diff_rows(actual: DataFrame, expected: DataFrame, cols: list[str]) -> DataFrame:
     """Exact symmetric difference (test-scale): rows in one side only."""
     a = actual.select(*cols)

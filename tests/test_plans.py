@@ -118,3 +118,23 @@ def test_codegen_on_hot_path(spark):
     final = df._jdf.queryExecution().executedPlan().toString()
     # "*(n)" prefixes mark operators inside WholeStageCodegen stages
     assert "*(" in final
+
+
+def test_lsh_neardup_plan_has_no_nested_loop(spark):
+    """The banded-LSH near-dup path must plan as hash joins on the band
+    key — a BroadcastNestedLoopJoin/CartesianProduct here is the O(n^2)
+    scale-killer the LSH mode exists to avoid."""
+    from dbimport_spark.operators.similarity import cosine_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(50)],
+        "vec_id int, embedding array<float>",
+    )
+    plan = explain_str(
+        cosine_near_dup_pairs(df, min_milli=450, lsh_bands=4, lsh_rows=2, dim=8)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # exact mode IS the nested loop (documented small-n baseline)
+    plan_exact = explain_str(cosine_near_dup_pairs(df, min_milli=450, dim=8))
+    assert "BroadcastNestedLoopJoin" in plan_exact or "CartesianProduct" in plan_exact

@@ -124,11 +124,13 @@ def test_token_functions(spark):
     ).collect()}
     assert out[1]["n"] == 4 and out[2]["n"] is None
     assert out[1]["st"]["mn"] == 1 and out[1]["st"]["mx"] == 5 and out[1]["st"]["sm"] == 14
-    MOD, B = (1 << 61) - 1, 1_000_003
-    expect = 0
+    from dbimport_spark.functions.tokens import FP_B1, FP_B2, FP_MOD
+
+    h1 = h2 = 0
     for t in [5, 3, 5, 1]:
-        expect = (expect * B + t) % MOD
-    assert out[1]["rf"] == expect
+        h1 = (h1 * FP_B1 + t) % FP_MOD
+        h2 = (h2 * FP_B2 + t) % FP_MOD
+    assert out[1]["rf"] == (h1 << 31) + h2
     assert out[1]["dc"] == 3 and out[2]["dc"] == 0
     # order sensitivity: reversed sequence fingerprints differently
     df2 = spark.createDataFrame([(1, [1, 5, 3, 5])], "id int, tokens array<int>")

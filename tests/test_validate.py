@@ -76,3 +76,30 @@ def test_checksum_detects_content_drift(spark, tmp_path):
     )
     rec = reconcile(table.read(spark), drifted, PAYLOAD_COLUMNS)
     assert rec["rowcount_ok"] and not rec["checksum_ok"]
+
+
+def test_incremental_scope_validation(spark, tmp_path):
+    """Window-scoped reconcile (reference incr_validation_method): checks
+    only keys touched by (lo, hi], converges per batch, and catches drift
+    inside the window while ignoring rows outside it."""
+    from dbimport_spark.plans.validate import reconcile_incremental
+
+    log = generate_changes(spark, 2000, n_keys=150, seed=41)
+    root = str(tmp_path / "ti")
+    table = CDCEngine.create_table(root, num_buckets=4)
+    eng = CDCEngine(spark, table)
+    eng.replay(log.filter("lsn <= 1000"), num_batches=1)
+
+    rec = reconcile_incremental(
+        table.read(spark), log, 500, 1000, payload_cols=PAYLOAD_COLUMNS
+    )
+    assert rec["converged"] and rec["scope"]["keys"] > 0
+    # the scope is a strict subset of the table when the window is partial
+    assert rec["rows_actual"] <= table.read(spark).count()
+
+    # apply the rest; the second window validates against fold<=2000
+    eng.replay(log, num_batches=1)
+    rec2 = reconcile_incremental(
+        table.read(spark), log, 1000, 2000, payload_cols=PAYLOAD_COLUMNS
+    )
+    assert rec2["converged"]
