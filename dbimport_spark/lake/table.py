@@ -321,12 +321,39 @@ class LakeTable:
             for name in sorted(os.listdir(subdir)):
                 if name.endswith(".parquet"):
                     todo.append((b, os.path.join(subdir, name)))
-        # footer stats in a thread pool — IO-bound, keeps the driver-side
-        # commit path off the critical serial fraction
-        from concurrent.futures import ThreadPoolExecutor
+        # footer stats: thread pool for small commits; for large commits
+        # (compaction / initial load at scale) the statting itself is
+        # distributed — executors open the footers, the driver only
+        # collects (path, rows, bytes) tuples, so the commit path never
+        # serializes on per-file driver IO against an object store
+        if len(todo) <= 256:
+            from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=16) as pool:
-            out = [f for f in pool.map(stat_one, todo) if f is not None]
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                out = [f for f in pool.map(stat_one, todo) if f is not None]
+        else:
+            root = self.root
+
+            def stat_remote(args: tuple[int, str]):
+                import os as _os
+
+                import pyarrow.parquet as _pq
+
+                b, p = args
+                nrows = _pq.ParquetFile(p).metadata.num_rows
+                return (p, b, nrows, _os.path.getsize(p))
+
+            sc = spark.sparkContext
+            stats = (
+                sc.parallelize(todo, max(1, min(len(todo) // 8, 256)))
+                .map(stat_remote)
+                .collect()
+            )
+            out = [
+                DataFile(os.path.relpath(p, root), b, nrows, nbytes, epoch)
+                for p, b, nrows, nbytes in stats
+                if nrows > 0
+            ]
         if os.environ.get("DBIMPORT_TIMINGS", "") not in ("", "0"):
             print(
                 f"TIMING write_parquet {t1 - t0:.2f} / footer_stats {time.time() - t1:.2f}",

@@ -104,16 +104,28 @@ def diff_rows(actual: DataFrame, expected: DataFrame, cols: list[str]) -> DataFr
 
 
 def custom_query_check(
-    spark, query: str, source: DataFrame, target: DataFrame, view: str = "t"
+    spark, query: str, source: DataFrame, target: DataFrame, view: str = "t",
+    max_rows: int = 10_000,
 ) -> dict:
     """Reference A5: run the SAME user SQL against source and target and
     compare the collected results (import_config.py:2257-2284, 2362-2387;
     executed at import_operations.py:275-328). The query must reference the
-    data as view ``t``."""
-    source.createOrReplaceTempView(view)
-    src_rows = [tuple(r) for r in spark.sql(query).collect()]
-    target.createOrReplaceTempView(view)
-    tgt_rows = [tuple(r) for r in spark.sql(query).collect()]
+    data as view ``t``. Results are user aggregates by contract; the
+    ``max_rows`` cap defends the driver against a query that is
+    accidentally a table scan."""
+
+    def run_capped(df: DataFrame) -> list[tuple]:
+        df.createOrReplaceTempView(view)
+        rows = [tuple(r) for r in spark.sql(query).limit(max_rows + 1).collect()]
+        if len(rows) > max_rows:
+            raise ValueError(
+                f"custom validation query returned more than {max_rows} "
+                "rows — it must aggregate, not scan (reference A5 contract)"
+            )
+        return rows
+
+    src_rows = run_capped(source)
+    tgt_rows = run_capped(target)
     return {
         "source": src_rows,
         "target": tgt_rows,

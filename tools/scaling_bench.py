@@ -40,9 +40,36 @@ spark = get_spark(master="local[32]", shuffle_partitions=32,
                   extra_conf={{"spark.ui.showConsoleProgress": "false"}})
 spark.sparkContext.setLogLevel("ERROR")
 write_changes(generate_changes(spark, {n}, n_keys={keys}, seed=42,
-                               tokens_min=32, tokens_max=128),
+                               tokens_min={tmin}, tokens_max={tmax}),
               {log!r}, n_files=64)
 print("GENERATED")
+"""
+
+# dedup-only stage: the keyed LWW fold (hash-aggregate max-LSN per key +
+# semi join back) — the engine's CPU-bound slice, column-pruned to
+# (doc_id, lsn, op) so host memory bandwidth is out of the picture.
+# Isolates ENGINE scaling from the single-box bandwidth ceiling that caps
+# the token-array-heavy full replay.
+DEDUP_SNIPPET = """
+import sys, json, time, os
+sys.path.insert(0, {repo!r})
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+from dbimport_spark.session import get_spark
+from dbimport_spark.operators.dedup import dedup_lww
+from pyspark.sql import functions as F
+spark = get_spark(master="local[{cpus}]", shuffle_partitions={cpus},
+                  extra_conf={{"spark.ui.showConsoleProgress": "false",
+                              "spark.io.compression.codec": "zstd",
+                              "spark.local.dir": {local_dir!r}}})
+spark.sparkContext.setLogLevel("ERROR")
+changes = spark.read.parquet({log!r}).select("doc_id", "lsn", "op")
+changes.count()  # warm page cache so the timed window is compute
+t0 = time.time()
+n = dedup_lww(changes, key="doc_id", order_col="lsn", strategy="maxjoin").count()
+dt = time.time() - t0
+print("RESULT " + json.dumps({{"cpus": {cpus}, "sec": round(dt, 3),
+      "events": {n_events}, "rows_out": n,
+      "eps": round({n_events} / dt, 1)}}))
 """
 
 RUN_SNIPPET = """
@@ -69,15 +96,21 @@ print("RESULT " + json.dumps({{"cpus": {cpus}, "sec": round(dt, 3),
 """
 
 
-def run_level(cpus: int, log: str, work: str, tag: str = "") -> dict:
+def run_level(cpus: int, log: str, work: str, tag: str = "", stage: str = "replay",
+              n_events: int = 0) -> dict:
     table = os.path.join(work, f"table-{cpus}{tag}")
     ckpt = os.path.join(work, f"ckpt-{cpus}{tag}")
     local_dir = os.path.join(work, f"sl-{cpus}{tag}")
     for p in (table, ckpt, local_dir):
         shutil.rmtree(p, ignore_errors=True)
-    code = RUN_SNIPPET.format(
-        repo=REPO, cpus=cpus, log=log, table=table, ckpt=ckpt, local_dir=local_dir
-    )
+    if stage == "dedup":
+        code = DEDUP_SNIPPET.format(
+            repo=REPO, cpus=cpus, log=log, local_dir=local_dir, n_events=n_events
+        )
+    else:
+        code = RUN_SNIPPET.format(
+            repo=REPO, cpus=cpus, log=log, table=table, ckpt=ckpt, local_dir=local_dir
+        )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
     )
@@ -94,20 +127,27 @@ def main() -> None:
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    # stage: "replay" (full engine, tokens 32-128), "replay_light"
+    # (full engine, tokens 4-8), "dedup" (keyed LWW fold only, pruned —
+    # the CPU-bound engine slice, isolating engine scaling from host
+    # memory bandwidth)
+    stage = sys.argv[5] if len(sys.argv) > 5 else "replay"
+    tmin, tmax = (32, 128) if stage == "replay" else (4, 8)
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="cdc-scale-", dir=base)
     log = os.path.join(work, "log")
     runs: dict[int, list[dict]] = {low: [], high: []}
     try:
         gen = subprocess.run(
-            [sys.executable, "-c", GEN_SNIPPET.format(repo=REPO, n=n, keys=n // 10, log=log)],
+            [sys.executable, "-c", GEN_SNIPPET.format(
+                repo=REPO, n=n, keys=n // 10, log=log, tmin=tmin, tmax=tmax)],
             capture_output=True, text=True, timeout=1800,
         )
         if "GENERATED" not in gen.stdout:
             raise RuntimeError(f"loggen failed: {gen.stdout[-1000:]}\n{gen.stderr[-1000:]}")
         for i in range(repeats):
             for cpus in (low, high):
-                r = run_level(cpus, log, work, tag=f"-r{i}")
+                r = run_level(cpus, log, work, tag=f"-r{i}", stage=stage, n_events=n)
                 runs[cpus].append(r)
                 print(f"run {i} local[{cpus}]: {r['sec']}s  {r['eps']:,} eps", flush=True)
     finally:
@@ -118,6 +158,7 @@ def main() -> None:
     eff = (best_high["eps"] / best_low["eps"]) / (high / low)
     summary = {
         "events": n,
+        "stage": stage,
         "low": best_low,
         "high": best_high,
         "all_runs": runs,
@@ -132,8 +173,8 @@ def main() -> None:
     # BENCH/BASELINE.md is the hand-consolidated evidence doc; fresh runs
     # land next to it without clobbering the analysis
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling_last_run.md"), "w") as fh:
-        fh.write(f"""# BENCH scaling run (auto-generated)
+    with open(os.path.join(REPO, "BENCH", f"scaling_last_run_{stage}.md"), "w") as fh:
+        fh.write(f"""# BENCH scaling run (auto-generated; stage={stage}, tokens {tmin}-{tmax})
 
 North rule: throughput scaling efficiency >= 0.8 going from N to 4N
 executors. Sandbox substitution (no real cluster): the same CDC replay —
