@@ -244,6 +244,19 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph (iterative
+    min-label propagation — the 'keep one canonical doc per duplicate
+    cluster' action). Oracle: recursive CTE reachability."""
+    from dbimport_spark.operators.text_dedup import (
+        neardup_clusters,
+        ngram_jaccard_dedup,
+    )
+
+    pairs = ngram_jaccard_dedup(_t(spark, sf_dir, "documents"), n=3, min_permille=100)
+    return neardup_clusters(pairs)
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbimport_spark.operators.text_dedup import minhash_lsh_dedup
 
@@ -740,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
+        "neardup_clusters": q_neardup_clusters,
         "minhash_lsh": q_minhash_lsh,
         "simhash_dups": q_simhash_dups,
         "embedding_sim": q_embedding_sim,
@@ -1069,6 +1083,38 @@ def oracle_sql() -> dict[str, str]:
     # (full recall at gate scale, asserted in-query where approximate), so
     # the exact-computation SQL is a valid oracle for each of them.
     sql["minhash_lsh"] = sql["ngram_jaccard"]
+
+    sql["neardup_clusters"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+          FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT id_a, id_b FROM common
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE floor(1000 * c / (sa.n + sb.n - c)) >= 100
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs
+        ), reach AS (
+          WITH RECURSIVE r(v, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN r ON e.dst = r.v
+          ) SELECT * FROM r
+        )
+        SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v
+    """
     sql["simhash_dups"] = sql["ngram_jaccard"]
     sql["embedding_neardup_exact"] = sql["embedding_neardup"]
     sql["compaction_replay"] = sql["cdc_replay"]

@@ -299,3 +299,63 @@ def simhash_verified_dups(
     return jaccard_for_pairs(sh, cands, id_col).filter(
         F.col("jaccard_permille") >= min_permille
     )
+
+
+# -- near-dup clustering (the dedup ACTION: one canonical doc per group) ------
+
+def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph (id_a, id_b) by
+    iterative min-label propagation: every member adopts the smallest id
+    reachable from it; the smallest id is the canonical survivor.
+
+    Scale shape: each round is one join + one aggregate on the (small)
+    pair-graph vertex set — rounds needed = graph diameter, and near-dup
+    components are tiny cliques/chains in practice (2-3 rounds). The loop
+    is driver-side control flow only; all data stays distributed. This is
+    the standard large-scale CC formulation (GraphFrames/Pregel-style)
+    without needing a graph library.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("v")).distinct().withColumn("lbl", F.col("v"))
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.v)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.v == nbr.src, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def dedup_survivors(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Documents surviving near-dup clustering: non-duplicates plus the
+    canonical (min-id) member of each duplicate cluster."""
+    clusters = neardup_clusters(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return df.join(
+        losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )

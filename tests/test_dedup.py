@@ -32,3 +32,24 @@ def test_salted_hot_key(spark):
     out = dedup_lww(df, strategy="salted", n_salts=8).collect()
     assert len(out) == 1
     assert out[0]["lsn"] == 2000
+
+
+def test_neardup_clusters_and_survivors(spark):
+    """Known graph: chain a-b-c (one component), pair e-f, isolated g not
+    in pairs. Min-label propagation must converge to min-id clusters and
+    survivors keep exactly one doc per component."""
+    from dbimport_spark.operators.text_dedup import dedup_survivors, neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("e", "f")], "id_a string, id_b string"
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"]) for r in neardup_clusters(pairs).collect()
+    }
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("e", "e"), ("f", "e")}
+
+    docs = spark.createDataFrame(
+        [(x, f"text {x}") for x in "abcefg"], "doc_id string, text string"
+    )
+    surv = {r["doc_id"] for r in dedup_survivors(docs, pairs).collect()}
+    assert surv == {"a", "e", "g"}
