@@ -310,14 +310,16 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via banded RHP-LSH (16 bands x 2
-    sign bits): candidate generation is a hash-partition join on the band
-    key — NO nested-loop join anywhere in the plan — and exact cosine
-    re-ranks candidates only. Value-exact vs the all-pairs SQL oracle."""
+    """Embedding-cosine near-dup pairs via the BLOCKED exact plan: at this
+    low threshold (0.45 — near the random-pair noise floor) no LSH family
+    prunes with recall ~1, so the honest scale path distributes the exact
+    O(n²) work evenly — block-grid broadcast join + hash join keyed by
+    block, bounded per-task memory, NO nested-loop node in the plan.
+    Value-exact vs the all-pairs SQL oracle."""
     from dbimport_spark.operators.similarity import cosine_near_dup_pairs
 
     return cosine_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), min_milli=450, lsh_bands=16, lsh_rows=2
+        _t(spark, sf_dir, "embeddings"), min_milli=450, blocks=16
     )
 
 

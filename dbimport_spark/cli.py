@@ -51,6 +51,11 @@ def main(argv: list[str] | None = None) -> int:
         help="declare a source column rename (repeatable; metadata-only)",
     )
     sp.add_argument(
+        "--no-rename-check", action="store_true",
+        help="treat positional add+drop batches as genuine adds (skip the "
+        "rename-suspicion guard)",
+    )
+    sp.add_argument(
         "--allow-log-gap", action="store_true",
         help="proceed even if the log no longer covers the committed "
         "watermark (DANGER: the gap's changes are skipped)",
@@ -151,6 +156,7 @@ def main(argv: list[str] | None = None) -> int:
             delete_mode=args.delete_mode,
             history_table=LakeTable.load(args.history) if args.history else None,
             renames=renames,
+            rename_check=not args.no_rename_check,
         )
         changes = spark.read.parquet(args.log_path)
         stats = eng.replay(

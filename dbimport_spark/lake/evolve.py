@@ -82,6 +82,7 @@ def diff_payload_schema(
     table_schema: T.StructType,
     batch_schema: T.StructType,
     ignore: set[str] | None = None,
+    check_renames: bool = True,
 ) -> SchemaDelta:
     """The evolution delta a batch demands from the table schema.
 
@@ -112,7 +113,7 @@ def diff_payload_schema(
             )
         # 'same' / 'narrow': no evolution (narrow batch columns are cast up)
 
-    if delta.added:
+    if delta.added and check_renames:
         _check_rename_pattern(table_schema, batch_schema, delta, ignore)
     return delta
 
@@ -131,7 +132,7 @@ def _check_rename_pattern(
     table_payload = [f for f in table_schema.fields if f.name not in AUDIT_COLUMNS]
     batch_payload = [f for f in batch_schema.fields if f.name not in ignore]
     missing = [f for f in table_payload if f.name not in batch_names]
-    if not missing or len(missing) != len(delta.added):
+    if not missing:
         return
     tbl_pos = {f.name: i for i, f in enumerate(table_payload)}
     bat_pos = {f.name: i for i, f in enumerate(batch_payload)}
@@ -144,15 +145,19 @@ def _check_rename_pattern(
             ):
                 pairs.append((m.name, a.name))
                 break
-    if len(pairs) == len(missing):
+    # ANY positional+type-compatible (missing, added) pair is suspicious —
+    # a rename mixed with genuine adds in one batch must not slip through
+    # just because the counts differ
+    if pairs:
         mapping = ", ".join(f"{o!r} -> {n!r}" for o, n in pairs)
         raise RenameSuspected(
             f"batch schema looks like a column rename ({mapping}): same "
             "payload position and compatible type. Treating it as add-new "
             "would freeze the old column as nulls. If this IS a rename, "
             "declare it (CDCEngine(renames={...}) / LakeTable."
-            "rename_column); if it is a genuine drop+add, rename the new "
-            "column or add it in a separate step."
+            "rename_column); if it is a genuine drop+add, declare "
+            "rename_check=False (CLI --no-rename-check) or add the column "
+            "in a separate step."
         )
 
 

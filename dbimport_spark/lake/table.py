@@ -380,6 +380,20 @@ class LakeTable:
         cur = self.current()
         if expected_version is not None and cur.version != expected_version:
             raise CommitConflict(f"expected v{expected_version}, found v{cur.version}")
+        if new_schema is not None and cur.renames:
+            # a column name that was renamed AWAY must never be re-added
+            # while its successor exists: the backdated schema for old
+            # files would then contain duplicate field names and every
+            # historical read would break
+            names = set(new_schema.fieldNames())
+            for r in cur.renames:
+                if r["from"] in names and r["to"] in names:
+                    raise ValueError(
+                        f"cannot add column {r['from']!r}: it is the former "
+                        f"name of {r['to']!r} (renamed away) and old data "
+                        "files still carry it physically — pick a different "
+                        "name"
+                    )
         kept = [f for f in cur.files if f.bucket not in replaced_buckets]
         props = dict(cur.properties)
         props.update(properties or {})

@@ -51,7 +51,8 @@ def synth_media(spark, n: int, seed: int = 42, blob_bytes: int = 256) -> DataFra
     cross-engine standard means an independent SQL engine can regenerate
     the exact bytes, so downstream feature extraction is value-checkable
     end-to-end (blob_bytes must be a multiple of 16)."""
-    assert blob_bytes % 16 == 0, "blob_bytes must be a multiple of the md5 size"
+    if blob_bytes % 16 != 0:
+        raise ValueError("blob_bytes must be a multiple of the md5 chunk size (16)")
     df = spark.range(n).withColumnRenamed("id", "i")
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),

@@ -130,35 +130,86 @@ def cosine_near_dup_pairs(
     min_milli: int = 990,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    blocks: int | None = None,
     lsh_bands: int | None = None,
-    lsh_rows: int = 2,
+    lsh_rows: int = 8,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold).
 
-    Exact mode (lsh_bands=None): all-pairs self-join — the correctness
-    baseline, O(n²) scoring entirely JVM-side. Small-n only: the plan is a
-    BroadcastNestedLoopJoin by construction.
-    Scale mode (lsh_bands=b): banded random-hyperplane LSH — b bands of
-    lsh_rows sign bits each; any shared (band, key) makes a candidate pair
-    (hash-partition join on the band key, NO nested-loop anywhere), then
-    exact cosine re-rank on candidates only. Recall per pair with angular
-    agreement p = 1-θ/π is 1-(1-p^rows)^bands — bands/rows is the standard
-    recall/cost dial (more bands → higher recall, more candidates). At the
-    gate threshold the planted near-dups verify exact-equal to the all-pairs
-    baseline (CORRECTNESS oracle = the exact SQL).
+    Three plans, picked by the similarity regime:
+
+    - **Exact all-pairs** (default): self-join on an inequality —
+      BroadcastNestedLoopJoin by construction. Correctness baseline,
+      small-n only.
+    - **Blocked exact** (``blocks=B``): the scale path for LOW thresholds,
+      where no LSH family can prune (a 0.45-cosine pair is nearly random —
+      any sketch with recall ~1 admits ~every pair). The O(n²) work is
+      unavoidable for exact output, so distribute it evenly instead: ids
+      hash into B blocks, the B(B+1)/2 block-grid is a tiny broadcast
+      join, and the candidate join runs as a hash join keyed by block —
+      per-task memory is one block of vectors (n/B), parallelism is the
+      grid, and there is no nested-loop node anywhere.
+    - **Banded RHP-LSH** (``lsh_bands=b``, ``lsh_rows=r``): the scale path
+      for HIGH thresholds (true near-dups, cosine ≳0.9) where hashing
+      genuinely prunes: shared (band, r-bit key) ⇒ candidate, exact cosine
+      re-rank on candidates only. Recall per pair with angular agreement
+      p = 1-θ/π is 1-(1-p^r)^b; r must be large enough (≥8 bits) that
+      random pairs rarely collide — tiny r degenerates into all-pairs
+      with extra steps.
+
     Output sim as integral permille for engine-stable comparison.
     """
     v = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     ).withColumn("_n", _norm(F.col("_v")))
-    sim = _dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
-    if not lsh_bands:
-        a, b = v.alias("a"), v.alias("b")
-        joined = a.join(b, on=F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    else:
+
+    def rerank(cand: DataFrame) -> DataFrame:
+        sim = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+        return cand.select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            F.floor(sim * F.lit(1000)).alias("sim_milli"),
+        ).filter(F.col("sim_milli") >= min_milli)
+
+    if blocks:
+        spark = df.sparkSession
+        blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).cast("int")
+        vb = v.withColumn("_blk", blk)
+        grid = spark.createDataFrame(
+            [(i, j) for i in range(blocks) for j in range(i, blocks)], "i int, j int"
+        )
+        left = vb.select(
+            F.col(id_col).alias("_la"),
+            F.col("_v").alias("_va"),
+            F.col("_n").alias("_na"),
+            F.col("_blk").alias("i"),
+        ).join(F.broadcast(grid), "i")
+        right = vb.select(
+            F.col(id_col).alias("_lb"),
+            F.col("_v").alias("_vb"),
+            F.col("_n").alias("_nb"),
+            F.col("_blk").alias("j"),
+        )
+        cand = (
+            left.join(right, "j")
+            # cross-block (i<j): every unordered pair appears exactly once;
+            # same-block: keep one orientation
+            .filter((F.col("i") < F.col("j")) | (F.col("_la") < F.col("_lb")))
+            .select(
+                F.least("_la", "_lb").alias("_ida"),
+                F.greatest("_la", "_lb").alias("_idb"),
+                "_va",
+                "_na",
+                "_vb",
+                "_nb",
+            )
+        )
+        return rerank(cand)
+
+    if lsh_bands:
         bands = v.select(
             F.col(id_col),
             F.posexplode(
@@ -179,42 +230,22 @@ def cosine_near_dup_pairs(
             )
             .distinct()
         )
-        # re-rank: vectors joined back by id — two hash joins, cost ∝ |cands|
-        a = v.select(
-            F.col(id_col).alias("_ida"), F.col("_v"), F.col("_n")
-        ).alias("a")
-        b = v.select(
-            F.col(id_col).alias("_idb"), F.col("_v"), F.col("_n")
-        ).alias("b")
-        joined = (
-            cands.join(a, "_ida")
-            .join(b, "_idb")
-            .select(
-                "_ida",
-                "_idb",
-                F.col("a._v").alias("_va"),
-                F.col("a._n").alias("_na"),
-                F.col("b._v").alias("_vb"),
-                F.col("b._n").alias("_nb"),
-            )
-        )
-        sim = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
-        return (
-            joined.select(
-                F.col("_ida").alias("id_a"),
-                F.col("_idb").alias("id_b"),
-                F.floor(sim * F.lit(1000)).alias("sim_milli"),
-            )
-            .filter(F.col("sim_milli") >= min_milli)
-        )
-    return (
-        joined.select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.floor(sim * F.lit(1000)).alias("sim_milli"),
-        )
-        .filter(F.col("sim_milli") >= min_milli)
+        a = v.select(F.col(id_col).alias("_ida"), F.col("_v").alias("_va"),
+                     F.col("_n").alias("_na"))
+        b = v.select(F.col(id_col).alias("_idb"), F.col("_v").alias("_vb"),
+                     F.col("_n").alias("_nb"))
+        return rerank(cands.join(a, "_ida").join(b, "_idb"))
+
+    a, b = v.alias("a"), v.alias("b")
+    joined = a.join(b, on=F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
+        F.col(f"a.{id_col}").alias("_ida"),
+        F.col(f"b.{id_col}").alias("_idb"),
+        F.col("a._v").alias("_va"),
+        F.col("a._n").alias("_na"),
+        F.col("b._v").alias("_vb"),
+        F.col("b._n").alias("_nb"),
     )
+    return rerank(joined)
 
 
 def ann_lsh_topk(

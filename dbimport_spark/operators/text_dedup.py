@@ -319,9 +319,17 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # edges are reused every round — keep them materialized; labels get
+    # their lineage TRUNCATED each round (localCheckpoint), otherwise round
+    # k re-executes k stacked joins and plan analysis grows superlinearly
+    edges = edges.localCheckpoint(eager=False)
     labels = (
-        edges.select(F.col("src").alias("v")).distinct().withColumn("lbl", F.col("v"))
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("lbl", F.col("v"))
+        .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.v)
@@ -336,6 +344,7 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                     F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -346,6 +355,12 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — a duplicate chain longer "
+            "than max_iter exists; raise max_iter"
+        )
     return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 

@@ -119,6 +119,7 @@ class CDCEngine:
         delete_mode: str | None = None,
         history_table: LakeTable | None = None,
         renames: dict[str, str] | None = None,
+        rename_check: bool = True,
     ):
         self.spark = spark
         self.table = table
@@ -149,6 +150,7 @@ class CDCEngine:
         self.delete_mode = delete_mode
         self.history_table = history_table
         self.renames = dict(renames or {})
+        self.rename_check = rename_check
         self.key = key
 
     # -- table bootstrap -----------------------------------------------------
@@ -204,13 +206,24 @@ class CDCEngine:
                     self.table.rename_column(old, new)
                     cur_names.discard(old)
                     cur_names.add(new)
+                    # the history table mirrors payload columns: rename it
+                    # through the same epoch machinery, otherwise its old
+                    # files would silently read the column as null
+                    ht = self.history_table
+                    if ht is not None:
+                        h_names = ht.current().schema.fieldNames()
+                        if old in h_names and new not in h_names:
+                            ht.rename_column(old, new)
 
         snap = self.table.current()
         if self.table.last_lsn() >= hi:
             return BatchStats(lo=lo, hi=hi, skipped=True)
 
         # -- schema evolution: adds + type widenings (metadata-only) --------
-        delta = diff_payload_schema(snap.schema, batch.schema, ignore=LOG_BOOKKEEPING)
+        delta = diff_payload_schema(
+            snap.schema, batch.schema, ignore=LOG_BOOKKEEPING,
+            check_renames=self.rename_check,
+        )
         new_schema = evolve_schema(snap.schema, delta)
         payload_cols = [f.name for f in new_schema.fields if f.name not in AUDIT_COLUMNS]
 

@@ -79,10 +79,15 @@ def reconcile_incremental(
     expected(k) = LWW fold of the log UP TO hi, restricted to touched keys
     (events past hi may exist in the log but are not yet applied).
     """
+    if payload_cols is not None and key not in payload_cols:
+        payload_cols = [key] + list(payload_cols)  # semi-joins need the key
     window_keys = (
         changes.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
         .select(key)
         .distinct()
+        # consumed by three jobs (two semi-joins + the count) — materialize
+        # once instead of re-scanning the log each time
+        .localCheckpoint(eager=True)
     )
     expected = fold_expected(
         changes.filter(F.col("lsn") <= hi), key=key, payload_cols=payload_cols

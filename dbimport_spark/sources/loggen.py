@@ -133,6 +133,8 @@ def write_changes_segments(df: DataFrame, path: str, n_segments: int = 8) -> lis
     b = df.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).first()
     lo, hi = b["lo"], b["hi"]
     os.makedirs(path, exist_ok=True)
+    if lo is None:
+        return []  # empty log: no segments
     span = hi - lo + 1
     out: list[str] = []
     for k in range(n_segments):

@@ -50,7 +50,7 @@ def run_stream(
     stream_df: DataFrame,
     checkpoint_dir: str,
     available_now: bool = True,
-    on_out_of_order: str = "error",
+    on_out_of_order: str = "auto",
 ):
     """Drive the CDC apply from a stream; returns the StreamingQuery.
 
@@ -58,17 +58,29 @@ def run_stream(
     batch-replay analogue); False runs continuously on new files.
 
     Ordering violations are DETECTED, not silently absorbed: a micro-batch
-    that mixes below-watermark rows with fresh rows means a segment arrived
-    after a later one was committed — its old rows would be dropped
-    unapplied. ``on_out_of_order``: 'error' raises LogTruncatedError,
-    'warn' prints and continues (pure re-deliveries — every row ≤
-    watermark — are always skipped silently; that is the at-least-once →
-    exactly-once contract working as intended).
+    carrying below-watermark rows that is not simply the re-run of the
+    watermark-setting window means either (a) a benign catch-up — a fresh
+    checkpoint over a log the table already absorbed (batch replay then
+    stream, or checkpoint loss), which always happens in the FIRST
+    micro-batches of a run — or (b) a segment that arrived after a later
+    one was committed: silent data loss. ``on_out_of_order``:
+
+    - 'auto' (default): warn on micro-batch 0 of a run (the catch-up
+      case), raise ``LogTruncatedError`` on later batches (true
+      out-of-order arrival mid-stream);
+    - 'error': always raise; 'warn': always warn and continue.
+
+    The exact re-run of the window that set the watermark is always
+    skipped silently — that is the at-least-once → exactly-once contract
+    working as intended.
     """
-    if on_out_of_order not in ("error", "warn"):
-        raise ValueError("on_out_of_order must be 'error' or 'warn'")
+    if on_out_of_order not in ("auto", "error", "warn"):
+        raise ValueError("on_out_of_order must be 'auto', 'error' or 'warn'")
+    first_batch_id: list[int] = []  # batch ids persist across checkpoint restarts
 
     def apply_micro_batch(batch: DataFrame, batch_id: int) -> None:
+        if not first_batch_id:
+            first_batch_id.append(batch_id)  # first micro-batch of THIS run
         last = engine.table.last_lsn()
         stats = batch.agg(
             F.count(F.lit(1)).alias("n"),
@@ -111,7 +123,11 @@ def run_stream(
         if suspect is not None:
             from dbimport_spark.sources.changelog import LogTruncatedError
 
-            if on_out_of_order == "error":
+            is_first = batch_id == first_batch_id[0]
+            policy = on_out_of_order
+            if policy == "auto":
+                policy = "warn" if is_first else "error"
+            if policy == "error":
                 raise LogTruncatedError(suspect)
             print(f"WARN {suspect}", flush=True)
         if stats["n_fresh"] == 0:

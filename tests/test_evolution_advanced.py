@@ -179,7 +179,103 @@ def test_stream_out_of_order_segment_detected(spark, tmp_path):
     stage = str(tmp_path / "stage")
     late_file = write_changes_segments(late, stage, n_segments=1)[0]
     os.replace(late_file, os.path.join(log_dir, "seg-late.parquet"))
-    q2 = run_stream(eng, stream_changes(spark, log_dir), checkpoint_dir=ckpt)
+    q2 = run_stream(
+        eng, stream_changes(spark, log_dir), checkpoint_dir=ckpt,
+        on_out_of_order="error",
+    )
     with pytest.raises(Exception, match="below the committed watermark"):
         q2.awaitTermination(300)
         raise AssertionError("stream should have failed on the late segment")
+
+
+def test_batch_replay_then_stream_resume_is_benign(spark, tmp_path):
+    """The supported flow 'batch replay, then tail the same dir with a
+    fresh checkpoint' must NOT be killed by the out-of-order guard: the
+    first micro-batch of a run is catch-up by construction (warn only
+    under the default 'auto' policy), and fresh events still apply."""
+    log_dir = str(tmp_path / "rslog")
+    changes = generate_changes(spark, 1000, n_keys=50, seed=33)
+    write_changes_segments(changes.filter("lsn <= 600"), log_dir, n_segments=2)
+
+    table = CDCEngine.create_table(str(tmp_path / "rst"), num_buckets=4)
+    eng = CDCEngine(spark, table)
+    eng.replay(spark.read.parquet(log_dir), num_batches=1)
+    assert table.last_lsn() == 600
+
+    # new segment lands, then a stream with a FRESH checkpoint tails the
+    # dir: first micro-batch mixes already-applied and fresh events
+    new_seg = write_changes_segments(
+        changes.filter("lsn > 600"), str(tmp_path / "rstage"), n_segments=1
+    )[0]
+    os.replace(new_seg, os.path.join(log_dir, "seg-00002.parquet"))
+    q = run_stream(
+        eng, stream_changes(spark, log_dir), checkpoint_dir=str(tmp_path / "rsc")
+    )
+    q.awaitTermination(300)
+    assert table.last_lsn() == 1000
+
+
+def test_rename_propagates_to_history_table(spark, tmp_path):
+    """A declared rename must also rename the history table — otherwise its
+    pre-rename files silently read the column as null."""
+    table = CDCEngine.create_table(str(tmp_path / "rh"), num_buckets=4)
+    hist = CDCEngine.create_history_table(str(tmp_path / "rhh"), num_buckets=4)
+    eng = CDCEngine(spark, table, history_table=hist)
+    b1 = spark.createDataFrame(
+        [_row(1, "I", "k1", [1], "web", dt.datetime(2024, 1, 1))], CHANGE_SCHEMA
+    )
+    eng.apply_batch(b1, 0, 1)
+
+    b2 = spark.createDataFrame(
+        [_row(2, "I", "k2", [2], "books", dt.datetime(2024, 1, 2))], CHANGE_SCHEMA
+    ).withColumnRenamed("source", "origin")
+    eng2 = CDCEngine(
+        spark, table, history_table=hist, renames={"source": "origin"}
+    )
+    eng2.apply_batch(b2, 1, 2)
+    assert "origin" in hist.current().schema.fieldNames()
+    got = {(r["doc_id"], r["origin"]) for r in hist.read(spark).collect()}
+    # the PRE-rename history row (k1) must still carry its value
+    assert got == {("k1", "web"), ("k2", "books")}
+
+
+def test_rename_mixed_with_add_still_detected(spark, tmp_path):
+    """rename + genuine add in one batch must not bypass the guard just
+    because the add/drop counts differ."""
+    from dbimport_spark.lake.evolve import diff_payload_schema
+    from pyspark.sql import types as T
+
+    base = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("a", T.IntegerType())]
+    )
+    batch = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("a2", T.IntegerType()),  # rename of a (same position)
+            T.StructField("c", T.StringType()),  # genuine add
+        ]
+    )
+    with pytest.raises(RenameSuspected):
+        diff_payload_schema(base, batch)
+    # explicit opt-out treats both as adds
+    d = diff_payload_schema(base, batch, check_renames=False)
+    assert sorted(f.name for f in d.added) == ["a2", "c"]
+
+
+def test_readding_renamed_away_name_is_refused(spark, tmp_path):
+    """After rename v->v2, a new column named 'v' would make old files'
+    backdated schema carry duplicate names — commit must refuse it."""
+    from pyspark.sql import types as T
+
+    from dbimport_spark.lake.evolve import SchemaDelta, evolve_schema
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("v", T.IntegerType())]
+    )
+    t = LakeTable.create(str(tmp_path / "ra"), schema, num_buckets=4)
+    t.rename_column("v", "v2")
+    bad = evolve_schema(
+        t.current().schema, SchemaDelta(added=[T.StructField("v", T.IntegerType(), True)])
+    )
+    with pytest.raises(ValueError, match="former name"):
+        t.commit([], set(), new_schema=bad)

@@ -120,21 +120,27 @@ def test_codegen_on_hot_path(spark):
     assert "*(" in final
 
 
-def test_lsh_neardup_plan_has_no_nested_loop(spark):
-    """The banded-LSH near-dup path must plan as hash joins on the band
-    key — a BroadcastNestedLoopJoin/CartesianProduct here is the O(n^2)
-    scale-killer the LSH mode exists to avoid."""
+def test_neardup_scale_plans_have_no_nested_loop(spark):
+    """Both scale paths of the near-dup operator (blocked exact for low
+    thresholds, banded LSH for high thresholds) must plan as hash joins —
+    a BroadcastNestedLoopJoin/CartesianProduct is the scale-killer these
+    modes exist to avoid."""
     from dbimport_spark.operators.similarity import cosine_near_dup_pairs
 
     df = spark.createDataFrame(
         [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(50)],
         "vec_id int, embedding array<float>",
     )
-    plan = explain_str(
-        cosine_near_dup_pairs(df, min_milli=450, lsh_bands=4, lsh_rows=2, dim=8)
-    )
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "CartesianProduct" not in plan
+    for kwargs in ({"blocks": 4}, {"lsh_bands": 4, "lsh_rows": 8, "dim": 8}):
+        plan = explain_str(cosine_near_dup_pairs(df, min_milli=450, **kwargs))
+        assert "BroadcastNestedLoopJoin" not in plan, kwargs
+        assert "CartesianProduct" not in plan, kwargs
+    # blocked mode must agree with exact all-pairs
+    exact = {tuple(r) for r in cosine_near_dup_pairs(df, min_milli=100).collect()}
+    blocked = {
+        tuple(r) for r in cosine_near_dup_pairs(df, min_milli=100, blocks=4).collect()
+    }
+    assert blocked == exact
     # exact mode IS the nested loop (documented small-n baseline)
-    plan_exact = explain_str(cosine_near_dup_pairs(df, min_milli=450, dim=8))
+    plan_exact = explain_str(cosine_near_dup_pairs(df, min_milli=450))
     assert "BroadcastNestedLoopJoin" in plan_exact or "CartesianProduct" in plan_exact
