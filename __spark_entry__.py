@@ -617,6 +617,42 @@ def q_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-key
+    running CDC digest over the change log delivered as WAL segments
+    through Structured Streaming. The final digest per key is the batch
+    aggregate of the whole log — the SQL oracle."""
+    from dbimport_spark.sources.loggen import write_changes_segments
+    from dbimport_spark.streaming.stateful import OUTPUT_SCHEMA, running_key_state
+
+    changes = _events_as_changes(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc-digest-")
+    log_dir = os.path.join(root, "log")
+    write_changes_segments(changes, log_dir, n_segments=4)
+
+    schema = changes.schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(log_dir)
+    )
+    emitted: list = []
+    q = (
+        running_key_state(stream)
+        .writeStream.foreachBatch(lambda df, _bid: emitted.extend(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    # digests are cumulative: the final one per key has the max (lsn, events)
+    final: dict = {}
+    for r in sorted(emitted, key=lambda r: (r["max_lsn"], r["events"])):
+        final[r["doc_id"]] = (
+            r["doc_id"], r["events"], r["max_lsn"], r["deletes"], r["last_op"]
+        )
+    return spark.createDataFrame(list(final.values()), OUTPUT_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # lake-machinery gates: export roundtrip, compaction, widening evolution
 # ---------------------------------------------------------------------------
@@ -765,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_batch": q_ann_batch,
+        "stream_digest": q_stream_digest,
         "export_roundtrip": q_export_roundtrip,
         "compaction_replay": q_compaction_replay,
         "evolution_widen": q_evolution_widen,
@@ -1122,6 +1159,23 @@ def oracle_sql() -> dict[str, str]:
     sql["compaction_replay"] = sql["cdc_replay"]
     sql["evolution_widen"] = sql["cdc_replay"]
     sql["export_roundtrip"] = sql["cdc_replay_soft"]
+
+    sql["stream_digest"] = """
+        WITH log AS (
+          SELECT event_id AS lsn,
+                 CASE WHEN event_type = 'error' THEN 'D'
+                      WHEN event_type = 'purchase' THEN 'U'
+                      ELSE 'I' END AS op,
+                 'doc-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS doc_id
+          FROM events
+        )
+        SELECT doc_id,
+               count(*) AS events,
+               max(lsn) AS max_lsn,
+               CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS deletes,
+               arg_max(op, lsn) AS last_op
+        FROM log GROUP BY doc_id
+    """
 
     sql["ann_ivf"] = """
         WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -67,3 +67,62 @@ def test_stream_restart_is_idempotent(spark, tmp_path):
         [r.asDict() for r in table.read(spark).collect()], PAYLOAD_COLUMNS
     )
     assert got == state
+
+
+def test_stateful_running_digest(spark, tmp_path):
+    """applyInPandasWithState per-key digest: state persists across
+    micro-batches AND across query restarts (same checkpoint), and the
+    final digest equals the batch groupBy over the whole log."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dbimport_spark.streaming.stateful import running_key_state
+
+    log_dir = str(tmp_path / "stlog")
+    changes = generate_changes(spark, 800, n_keys=40, seed=47)
+    write_changes_segments(changes.filter("lsn <= 400"), log_dir, n_segments=2)
+
+    ckpt = str(tmp_path / "stck")
+    emitted: list = []
+
+    def run_once():
+        q = (
+            running_key_state(stream_changes(spark, log_dir))
+            .writeStream.foreachBatch(
+                lambda df, _bid: emitted.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+
+    # more segments arrive; a RESTARTED query must resume its state
+    stage = str(tmp_path / "ststage")
+    seg = write_changes_segments(changes.filter("lsn > 400"), stage, n_segments=1)[0]
+    os.replace(seg, os.path.join(log_dir, "seg-late.parquet"))
+    run_once()
+
+    # last emitted update per key = the final digest
+    final: dict = {}
+    for r in sorted(emitted, key=lambda r: (r["max_lsn"], r["events"])):
+        final[r["doc_id"]] = r
+    got = {
+        (r["doc_id"], r["events"], r["max_lsn"], r["deletes"], r["last_op"])
+        for r in final.values()
+    }
+    expected_df = changes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("events"),
+        F.max("lsn").alias("max_lsn"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deletes"),
+        F.max_by("op", "lsn").alias("last_op"),
+    )
+    expected = {
+        (r["doc_id"], r["events"], r["max_lsn"], r["deletes"], r["last_op"])
+        for r in expected_df.collect()
+    }
+    assert got == expected
