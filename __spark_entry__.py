@@ -430,6 +430,45 @@ def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_replay_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite merge key (reference mergeColumns list): the engine replays
+    keyed on (doc_id, region) — bucketing, LWW dedup, and MERGE all operate
+    on the pair. Oracle: SQL fold partitioned by both columns."""
+    from dbimport_spark.plans.engine import CDCEngine
+
+    ev = _t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.col("event_type") == "purchase", F.lit("U"))
+        .otherwise(F.lit("I"))
+    )
+    is_del = op == "D"
+    changes = ev.select(
+        F.col("event_id").alias("lsn"),
+        op.alias("op"),
+        F.format_string("doc-%08d", F.col("user_id").cast("int")).alias("doc_id"),
+        F.format_string("r%d", F.pmod(F.col("user_id"), F.lit(3)).cast("int")).alias(
+            "region"
+        ),
+        F.when(~is_del, F.floor(F.col("value") * F.lit(100))).alias("val_cents"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("region", T.StringType(), False),
+            T.StructField("val_cents", T.LongType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc-comp-key-")
+    keys = ["doc_id", "region"]
+    table = CDCEngine.create_table(
+        os.path.join(root, "t"), payload_schema=payload, num_buckets=16, key=keys
+    )
+    eng = CDCEngine(spark, table, key=keys)
+    eng.replay(changes, num_batches=CDC_REPLAY_BATCHES)
+    return table.read(spark).select("doc_id", "region", "val_cents")
+
+
 def q_cdc_replay_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft-delete replay: deleted keys stay visible with their pre-delete
     payload and state 'D' (reference soft-delete branch). Oracle: two-level
@@ -774,6 +813,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay": q_cdc_replay,
+        "cdc_replay_composite": q_cdc_replay_composite,
         "cdc_replay_soft": q_cdc_replay_soft,
         "cdc_history": q_cdc_history,
         "lww_dedup": q_lww_dedup,
@@ -912,6 +952,25 @@ def oracle_sql() -> dict[str, str]:
           FROM log
         )
         SELECT doc_id, val_cents, source FROM w WHERE rn = 1 AND op <> 'D'
+    """
+
+    sql["cdc_replay_composite"] = """
+        WITH log AS (
+          SELECT event_id AS lsn,
+                 CASE WHEN event_type = 'error' THEN 'D'
+                      WHEN event_type = 'purchase' THEN 'U'
+                      ELSE 'I' END AS op,
+                 'doc-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS doc_id,
+                 'r' || CAST(user_id % 3 AS VARCHAR) AS region,
+                 CAST(floor(value * 100) AS BIGINT) AS val_cents
+          FROM events
+        ), w AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id, region ORDER BY lsn DESC
+          ) AS rn
+          FROM log
+        )
+        SELECT doc_id, region, val_cents FROM w WHERE rn = 1 AND op <> 'D'
     """
 
     sql["cdc_replay_soft"] = """

@@ -98,6 +98,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--max-files-per-bucket", type=int, default=4)
     sp.add_argument("--expire-keep-last", type=int, default=None)
 
+    sp = sub.add_parser("rename", help="metadata-only column rename")
+    sp.add_argument("table_root")
+    sp.add_argument("old")
+    sp.add_argument("new")
+
     args = p.parse_args(argv)
 
     from dbimport_spark.lake.table import LakeTable
@@ -113,6 +118,17 @@ def main(argv: list[str] | None = None) -> int:
         if args.lineage:
             for rec in lineage_history(table):
                 print(json.dumps(rec))
+        return 0
+    if args.cmd == "rename":
+        # metadata-only: no Spark session needed
+        table = LakeTable.load(args.table_root)
+        snap = table.rename_column(args.old, args.new)
+        print(
+            json.dumps(
+                {"renamed": {args.old: args.new}, "version": snap.version,
+                 "schema": snap.schema.fieldNames()}
+            )
+        )
         return 0
 
     spark = get_spark(app_name=f"dbimport-{args.cmd}", master=args.master)

@@ -75,7 +75,7 @@ class Snapshot:
     parent_snapshot_id: str | None
     schema: T.StructType
     num_buckets: int
-    bucket_column: str
+    bucket_column: str | list[str]  # one column or a composite key
     files: list[DataFile]
     properties: dict[str, str]
     lineage: list[dict]  # per-bucket records for THIS commit's applied batch
@@ -146,7 +146,7 @@ class LakeTable:
         root: str,
         schema: T.StructType,
         num_buckets: int = 32,
-        bucket_column: str = "doc_id",
+        bucket_column: str | list[str] = "doc_id",
         properties: dict[str, str] | None = None,
     ) -> "LakeTable":
         t = cls(root)
@@ -214,15 +214,22 @@ class LakeTable:
 
     # -- read path -----------------------------------------------------------
 
-    def bucket_expr(self, key_col: str | None = None, num_buckets: int | None = None) -> Column:
+    def bucket_expr(
+        self,
+        key_col: str | list[str] | None = None,
+        num_buckets: int | None = None,
+    ) -> Column:
         """THE bucket-assignment function — the single definition that the
         write path, merge pruning, history table, and compaction must all
-        agree on."""
+        agree on. Composite keys hash all components in one xxhash64."""
         if key_col is None or num_buckets is None:
             snap = self.current()
             key_col = key_col or snap.bucket_column
             num_buckets = num_buckets or snap.num_buckets
-        return F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
+        cols = [key_col] if isinstance(key_col, str) else list(key_col)
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in cols]), F.lit(num_buckets)
+        ).cast("int")
 
     def read(
         self,
@@ -434,7 +441,15 @@ class LakeTable:
             parent_snapshot_id=cur.snapshot_id,
             schema=T.StructType(fields),
             num_buckets=cur.num_buckets,
-            bucket_column=new if cur.bucket_column == old else cur.bucket_column,
+            bucket_column=(
+                new
+                if cur.bucket_column == old
+                else (
+                    [new if c == old else c for c in cur.bucket_column]
+                    if isinstance(cur.bucket_column, list)
+                    else cur.bucket_column
+                )
+            ),
             files=cur.files,
             properties=dict(cur.properties),
             lineage=[],

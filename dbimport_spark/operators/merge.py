@@ -68,7 +68,7 @@ def normalize_batch(batch: DataFrame) -> DataFrame:
 def merge_changes(
     target: DataFrame,
     batch: DataFrame,
-    key: str,
+    key: str | list[str],
     payload_cols: list[str],
     merge_ts: Column,
     mode: str = "broadcast",
@@ -95,7 +95,8 @@ def merge_changes(
     """
     soft = delete_mode == "soft"
     has_lv = soft and "_has_lv" in batch.columns
-    non_key = [c for c in payload_cols if c != key]
+    keys = [key] if isinstance(key, str) else list(key)
+    non_key = [c for c in payload_cols if c not in keys]
     t = target.alias("t")
     b = normalize_batch(batch).alias("b")
 
@@ -107,7 +108,10 @@ def merge_changes(
 
     if mode == "broadcast":
         bb = F.broadcast(b)
-        joined = t.join(bb, F.col(f"t.{key}") == F.col(f"b.{key}"), "left")
+        key_cond = F.lit(True)
+        for k in keys:
+            key_cond = key_cond & (F.col(f"t.{k}") == F.col(f"b.{k}"))
+        joined = t.join(bb, key_cond, "left")
         matched = F.col("b.op").isNotNull()
         is_del = matched & (F.col("b.op") == "D")
         revived = (
@@ -141,7 +145,7 @@ def merge_changes(
         survivors = joined if soft else joined.filter(~is_del)
         survivors = survivors.select(
             *out_cols,
-            F.col(f"t.{key}").alias(key),
+            *[F.col(f"t.{k}").alias(k) for k in keys],
             *[
                 F.when(is_del, del_payload(c))
                 .when(changed, F.col(f"b.{c}"))
@@ -154,11 +158,11 @@ def merge_changes(
         # inserts: batch keys with no target row. The semi-join result is
         # bounded by the batch size, so both joins stay broadcast — the big
         # target side is streamed, never shuffled.
-        matched_keys = target.select(key).join(
-            F.broadcast(batch.select(key)), key, "left_semi"
+        matched_keys = target.select(*keys).join(
+            F.broadcast(batch.select(*keys)), keys, "left_semi"
         )
         inserts = inserts_only(
-            batch.join(F.broadcast(matched_keys), key, "left_anti"),
+            batch.join(F.broadcast(matched_keys), keys, "left_anti"),
             key,
             payload_cols,
             merge_ts,
@@ -168,7 +172,7 @@ def merge_changes(
         return survivors.unionByName(inserts)
 
     if mode == "shuffle":
-        join_keys = ([bucket_col] if bucket_col else []) + [key]
+        join_keys = ([bucket_col] if bucket_col else []) + keys
         cond = F.lit(True)
         for k in join_keys:
             cond = cond & (F.col(f"t.{k}") == F.col(f"b.{k}"))
@@ -228,7 +232,10 @@ def merge_changes(
             )
         return joined.filter(keep).select(
             *out_cols,
-            F.coalesce(F.col(f"t.{key}"), F.col(f"b.{key}")).alias(key),
+            *[
+                F.coalesce(F.col(f"t.{k}"), F.col(f"b.{k}")).alias(k)
+                for k in keys
+            ],
             *[
                 F.when(is_del, del_payload(c))
                 .when(take_b, F.col(f"b.{c}"))
@@ -244,7 +251,7 @@ def merge_changes(
 
 def inserts_only(
     batch: DataFrame,
-    key: str,
+    key: str | list[str],
     payload_cols: list[str],
     merge_ts: Column,
     bucket_col: str | None = None,
@@ -254,7 +261,8 @@ def inserts_only(
     no target rows yet). In soft mode, a 'D' winner carrying a *_lv
     pre-image is inserted as a dead row (dl_iud='D', dl_delete_ts set)."""
     has_lv = soft and "_has_lv" in batch.columns
-    non_key = [c for c in payload_cols if c != key]
+    keys = [key] if isinstance(key, str) else list(key)
+    non_key = [c for c in payload_cols if c not in keys]
     out_cols = [F.col(bucket_col)] if bucket_col else []
     is_del = F.col("op") == "D"
     if has_lv:
@@ -284,7 +292,7 @@ def inserts_only(
         .filter(keep)
         .select(
             *out_cols,
-            key,
+            *keys,
             *payload,
             *audit_cols,
         )

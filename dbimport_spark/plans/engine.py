@@ -115,7 +115,7 @@ class CDCEngine:
         n_salts: int = 16,
         broadcast_threshold_rows: int = 200_000,
         repartition_output_bytes: int = 2 << 30,
-        key: str = MERGE_KEY,
+        key: str | list[str] = MERGE_KEY,
         delete_mode: str | None = None,
         history_table: LakeTable | None = None,
         renames: dict[str, str] | None = None,
@@ -151,7 +151,8 @@ class CDCEngine:
         self.history_table = history_table
         self.renames = dict(renames or {})
         self.rename_check = rename_check
-        self.key = key
+        # composite merge keys supported (reference mergeColumns is a list)
+        self.keys: list[str] = [key] if isinstance(key, str) else list(key)
 
     # -- table bootstrap -----------------------------------------------------
 
@@ -161,7 +162,7 @@ class CDCEngine:
         root: str,
         payload_schema: T.StructType = PAYLOAD_SCHEMA,
         num_buckets: int = 32,
-        key: str = MERGE_KEY,
+        key: str | list[str] = MERGE_KEY,
         soft_delete: bool = False,
     ) -> LakeTable:
         return LakeTable.create(
@@ -178,7 +179,7 @@ class CDCEngine:
         root: str,
         payload_schema: T.StructType = PAYLOAD_SCHEMA,
         num_buckets: int = 32,
-        key: str = MERGE_KEY,
+        key: str | list[str] = MERGE_KEY,
     ) -> LakeTable:
         return LakeTable.create(
             root,
@@ -248,7 +249,7 @@ class CDCEngine:
         batch = batch.select(*aligned_cols)
 
         # -- one metadata-sized agg: touched buckets + per-bucket lineage ---
-        bexpr = self.table.bucket_expr(key_col=self.key, num_buckets=snap.num_buckets)
+        bexpr = self.table.bucket_expr(key_col=self.keys, num_buckets=snap.num_buckets)
         agg_cols = [
             F.count(F.lit(1)).alias("events"),
             F.min("lsn").alias("first_lsn"),
@@ -321,13 +322,14 @@ class CDCEngine:
         # measurably cheaper than materializing token arrays into the JVM
         # block manager (deserialized cache showed 3x slowdown at 32 threads
         # from GC / memory-store contention).
-        def with_live_payload(deduped: DataFrame, src: DataFrame, keys) -> DataFrame:
+        def with_live_payload(deduped: DataFrame, src: DataFrame, keys: list) -> DataFrame:
             """Soft mode: attach the batch's last-live (op != 'D') payload as
             *_lv columns so a delete winner can still materialize its
             pre-image — final state stays invariant under batching (an I
             then D inside ONE window must equal I in one window, D in the
-            next)."""
-            non_key = [c for c in payload_cols if c != self.key]
+            next). ``keys`` is the dedup key list (merge keys, optionally
+            prefixed by _bucket)."""
+            non_key = [c for c in payload_cols if c not in self.keys]
             live = dedup_lww(
                 src.filter(F.col("op") != "D"),
                 key=keys,
@@ -335,13 +337,11 @@ class CDCEngine:
                 strategy=self.dedup_strategy,
                 n_salts=self.n_salts,
             ).select(
-                *( [keys[0]] if isinstance(keys, list) and keys[0] == "_bucket" else [] ),
-                self.key,
+                *keys,
                 F.lit(True).alias("_has_lv"),
                 *[F.col(c).alias(f"{c}_lv") for c in non_key],
             )
-            join_on = [self.key] if isinstance(keys, str) else list(keys)
-            return deduped.join(live, join_on, "left")
+            return deduped.join(live, list(keys), "left")
 
         if mode == "broadcast":
             # steady-state CDC: batch broadcast, target streamed — zero
@@ -349,17 +349,17 @@ class CDCEngine:
             # partitioning, so the partitionBy write stays shuffle-free.
             deduped = dedup_lww(
                 batch_nc,
-                key=self.key,
+                key=self.keys,
                 order_col="lsn",
                 strategy=self.dedup_strategy,
                 n_salts=self.n_salts,
             )
             if self.delete_mode == "soft":
-                deduped = with_live_payload(deduped, batch_nc, self.key)
+                deduped = with_live_payload(deduped, batch_nc, self.keys)
             merged = merge_changes(
                 target,
                 deduped,
-                self.key,
+                self.keys,
                 payload_cols,
                 merge_ts,
                 mode="broadcast",
@@ -391,17 +391,17 @@ class CDCEngine:
             )
             deduped = dedup_lww(
                 batch_b,
-                key=["_bucket", self.key],
+                key=["_bucket"] + self.keys,
                 order_col="lsn",
                 strategy=self.dedup_strategy,
                 n_salts=self.n_salts,
             )
             if self.delete_mode == "soft":
-                deduped = with_live_payload(deduped, batch_b, ["_bucket", self.key])
+                deduped = with_live_payload(deduped, batch_b, ["_bucket"] + self.keys)
             if mode == "insert-only":
                 out = inserts_only(
                     deduped,
-                    self.key,
+                    self.keys,
                     payload_cols,
                     merge_ts,
                     bucket_col="_bucket",
@@ -414,7 +414,7 @@ class CDCEngine:
                 out = merge_changes(
                     target_b,
                     deduped,
-                    self.key,
+                    self.keys,
                     payload_cols,
                     merge_ts,
                     mode="shuffle",
@@ -505,12 +505,12 @@ class CDCEngine:
         """
         ht = self.history_table
         hist = deduped.drop("_bucket") if "_bucket" in deduped.columns else deduped
-        key = self.key
-        dels = hist.filter(F.col("op") == "D").select("lsn", "op", key)
+        keys = self.keys
+        dels = hist.filter(F.col("op") == "D").select("lsn", "op", *keys)
         pre = target.select(*payload_cols).join(
-            F.broadcast(dels.select(key)), key, "left_semi"
+            F.broadcast(dels.select(*keys)), keys, "left_semi"
         )
-        dels_full = dels.join(F.broadcast(pre), key, "left").select(
+        dels_full = dels.join(F.broadcast(pre), keys, "left").select(
             *payload_cols, "op", "lsn"
         )
         live = hist.filter(F.col("op") != "D").select(*payload_cols, "op", "lsn")
@@ -523,7 +523,7 @@ class CDCEngine:
             (f.name, f.dataType) for f in hsnap.schema.fields
         ]
         hist_new_schema = None if same else want
-        hexpr = ht.bucket_expr(key_col=key, num_buckets=hsnap.num_buckets)
+        hexpr = ht.bucket_expr(key_col=keys, num_buckets=hsnap.num_buckets)
         # one exchange keeps one file per bucket per append (history rows
         # are batch-sized, never table-sized — always cheap)
         out = rows.withColumn("_bucket", hexpr).repartition(

@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dbimport_spark.lake.evolve import (
+    compare_types,
     RenameSuspected,
     SchemaDelta,
     SchemaEvolutionError,
@@ -191,3 +192,28 @@ def test_old_files_null_for_new_columns(spark, tmp_path):
     rows = t.read(spark).collect()
     assert rows[0]["extra"] is None
     assert os.path.isfile(os.path.join(root, "metadata", "v3.json")) is False
+
+
+def test_decimal_widening_rules():
+    assert compare_types(T.DecimalType(10, 2), T.DecimalType(12, 2)) == "widen"
+    assert compare_types(T.DecimalType(10, 2), T.DecimalType(12, 4)) == "widen"
+    assert compare_types(T.DecimalType(12, 2), T.DecimalType(10, 2)) == "narrow"
+    # scale grows but integral digits shrink: unsafe either way
+    assert compare_types(T.DecimalType(10, 2), T.DecimalType(10, 4)) == "incompatible"
+    assert compare_types(T.DecimalType(10, 2), T.IntegerType()) == "incompatible"
+
+
+def test_distributed_footer_stats_large_commit(spark, tmp_path):
+    """Commits with >256 files stat footers on executors; the DataFile list
+    must be identical in content to the threaded driver path."""
+    root = str(tmp_path / "big")
+    t = LakeTable.create(root, SCHEMA, num_buckets=300)
+    df = spark.range(3000).selectExpr(
+        "format_string('k%d', id) AS doc_id", "CAST(id AS INT) AS v"
+    ).withColumn("_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(300)).cast("int"))
+    files = t.write_data_files(spark, df.repartition(300, "_bucket"), "s1")
+    assert len(files) == 300
+    assert sum(f.rows for f in files) == 3000
+    assert all(f.bytes > 0 and f.epoch == 0 for f in files)
+    t.commit(files, {f.bucket for f in files})
+    assert t.read(spark).count() == 3000

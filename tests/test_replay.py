@@ -169,3 +169,66 @@ def test_n_tok_recomputed(spark, tmp_path):
     eng.apply_batch(spark.createDataFrame(rows, CHANGE_SCHEMA), 0, 1)
     got = eng.table.read(spark).collect()[0]
     assert got["n_tok"] == 3
+
+
+def test_composite_merge_key_replay(spark, tmp_path):
+    """Composite merge key (reference mergeColumns list): replay keyed on
+    (doc_id, source) — same doc_id under different sources are independent
+    rows; LWW/merge/bucketing all operate on the pair."""
+    from pyspark.sql import functions as F
+
+    log = generate_changes(spark, 3000, n_keys=60, seed=51)
+    # make source part of identity: deletes must carry it, so re-derive it
+    # deterministically from the lsn
+    src = F.element_at(
+        F.array(F.lit("web"), F.lit("books")),
+        (F.pmod(F.col("lsn"), F.lit(2)) + 1).cast("int"),
+    )
+    log = log.withColumn("source", src)
+
+    payload = log.drop("lsn", "op", "commit_ts").schema
+    table = CDCEngine.create_table(
+        str(tmp_path / "ck"), payload_schema=payload, num_buckets=8,
+        key=["doc_id", "source"],
+    )
+    eng = CDCEngine(spark, table, key=["doc_id", "source"])
+    eng.replay(log, num_batches=3)
+
+    # oracle: LWW fold per (doc_id, source)
+    winners: dict = {}
+    for ev in sorted([r.asDict() for r in log.collect()], key=lambda e: e["lsn"]):
+        k = (ev["doc_id"], ev["source"])
+        if ev["op"] == "D":
+            winners.pop(k, None)
+        else:
+            winners[k] = ev
+    expected = {
+        (k[0], k[1], tuple(ev["tokens"]), ev["n_tok"]) for k, ev in winners.items()
+    }
+    got = {
+        (r["doc_id"], r["source"], tuple(r["tokens"]), r["n_tok"])
+        for r in table.read(spark).collect()
+    }
+    assert got == expected
+    # both broadcast and shuffle paths under the composite key
+    eng2 = CDCEngine(
+        spark, table, key=["doc_id", "source"], broadcast_threshold_rows=0
+    )
+    log2 = generate_changes(spark, 500, n_keys=60, seed=52, first_lsn=3001).withColumn(
+        "source", src
+    )
+    eng2.apply_batch(log2, 3000, 3500)
+    for ev in sorted([r.asDict() for r in log2.collect()], key=lambda e: e["lsn"]):
+        k = (ev["doc_id"], ev["source"])
+        if ev["op"] == "D":
+            winners.pop(k, None)
+        else:
+            winners[k] = ev
+    expected2 = {
+        (k[0], k[1], tuple(ev["tokens"]), ev["n_tok"]) for k, ev in winners.items()
+    }
+    got2 = {
+        (r["doc_id"], r["source"], tuple(r["tokens"]), r["n_tok"])
+        for r in table.read(spark).collect()
+    }
+    assert got2 == expected2
