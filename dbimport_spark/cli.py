@@ -86,6 +86,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("table_root")
     sp.add_argument("log_path")
     sp.add_argument("--allowed-diff", type=int, default=None)
+    sp.add_argument(
+        "--window", nargs=2, type=int, metavar=("LO", "HI"), default=None,
+        help="incremental scope: reconcile only keys touched in (LO, HI]",
+    )
 
     sp = sub.add_parser("export")
     sp.add_argument("table_root")
@@ -226,8 +230,16 @@ def main(argv: list[str] | None = None) -> int:
             n_tombstones = actual.count() - live.count()
             actual = live
         cols = [c for c in actual.columns if c not in AUDIT_COLUMNS]
-        expected = fold_expected(spark.read.parquet(args.log_path), payload_cols=cols)
-        rec = reconcile(actual, expected, cols)
+        log_df = spark.read.parquet(args.log_path)
+        if args.window:
+            from dbimport_spark.plans.validate import reconcile_incremental
+
+            rec = reconcile_incremental(
+                actual, log_df, args.window[0], args.window[1], payload_cols=cols
+            )
+        else:
+            expected = fold_expected(log_df, payload_cols=cols)
+            rec = reconcile(actual, expected, cols)
         rec["tombstones_excluded"] = n_tombstones
         rec["rowcount_within_tolerance"] = validate_rowcount(
             rec["rows_actual"], rec["rows_expected"], args.allowed_diff
