@@ -430,6 +430,95 @@ def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_replay_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 resumability as a graded gate: replay is killed after the first
+    batch (stop_after=1), then resumed from the checkpointed plan — the
+    final state must equal the uninterrupted fold (same oracle as
+    cdc_replay)."""
+    from dbimport_spark.plans.engine import CDCEngine
+
+    changes = _events_as_changes(spark, sf_dir)
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("val_cents", T.LongType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc-resume-")
+    table = CDCEngine.create_table(
+        os.path.join(root, "t"), payload_schema=payload, num_buckets=16
+    )
+    eng = CDCEngine(spark, table, checkpoint_dir=os.path.join(root, "ckpt"))
+    stats1 = eng.replay(changes, num_batches=CDC_REPLAY_BATCHES, stop_after=1)
+    assert stats1.batches_applied == 1, "kill hook must stop mid-replay"
+    # fresh engine = the restarted job; it loads the plan and skips batch 1
+    eng2 = CDCEngine(spark, table, checkpoint_dir=os.path.join(root, "ckpt"))
+    eng2.replay(changes, num_batches=CDC_REPLAY_BATCHES)
+    return table.read(spark).select("doc_id", "val_cents", "source")
+
+
+def q_metadata_rowcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: table totals from SNAPSHOT METADATA ONLY (file manifests — no
+    data scan) must equal the fold's row count."""
+    from dbimport_spark.plans.engine import CDCEngine
+    from dbimport_spark.plans.lineage import table_totals
+
+    changes = _events_as_changes(spark, sf_dir)
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("val_cents", T.LongType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc-meta-")
+    table = CDCEngine.create_table(
+        os.path.join(root, "t"), payload_schema=payload, num_buckets=16
+    )
+    CDCEngine(spark, table).replay(changes, num_batches=CDC_REPLAY_BATCHES)
+    totals = table_totals(table)
+    return spark.createDataFrame(
+        [(totals["rows"], totals["last_lsn"])], "n_rows long, last_lsn long"
+    )
+
+
+def q_custom_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: the reference's custom-SQL validation — the SAME user aggregate
+    run against the independently-folded expectation and the replayed
+    table must match (custom_query_check), and the shared result is the
+    gate output."""
+    from dbimport_spark.plans.engine import CDCEngine
+    from dbimport_spark.plans.validate import custom_query_check, fold_expected
+
+    changes = _events_as_changes(spark, sf_dir)
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("val_cents", T.LongType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc-a5-")
+    table = CDCEngine.create_table(
+        os.path.join(root, "t"), payload_schema=payload, num_buckets=16
+    )
+    CDCEngine(spark, table).replay(changes, num_batches=CDC_REPLAY_BATCHES)
+    q = (
+        "SELECT source, count(*) AS n_rows, sum(val_cents) AS sum_cents "
+        "FROM t GROUP BY source"
+    )
+    expected = fold_expected(
+        changes, payload_cols=["doc_id", "val_cents", "source"]
+    )
+    actual = table.read(spark).select("doc_id", "val_cents", "source")
+    res = custom_query_check(spark, q, expected, actual)
+    if not res["match"]:
+        raise AssertionError(f"custom validation diverged: {res}")
+    actual.createOrReplaceTempView("t")
+    return spark.sql(q)
+
+
 def q_cdc_replay_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite merge key (reference mergeColumns list): the engine replays
     keyed on (doc_id, region) — bucketing, LWW dedup, and MERGE all operate
@@ -813,7 +902,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay": q_cdc_replay,
+        "cdc_replay_resume": q_cdc_replay_resume,
         "cdc_replay_composite": q_cdc_replay_composite,
+        "metadata_rowcount": q_metadata_rowcount,
+        "custom_validation": q_custom_validation,
         "cdc_replay_soft": q_cdc_replay_soft,
         "cdc_history": q_cdc_history,
         "lww_dedup": q_lww_dedup,
@@ -952,6 +1044,46 @@ def oracle_sql() -> dict[str, str]:
           FROM log
         )
         SELECT doc_id, val_cents, source FROM w WHERE rn = 1 AND op <> 'D'
+    """
+
+    sql["cdc_replay_resume"] = sql["cdc_replay"]
+
+    sql["metadata_rowcount"] = """
+        WITH log AS (
+          SELECT event_id AS lsn,
+                 CASE WHEN event_type = 'error' THEN 'D'
+                      WHEN event_type = 'purchase' THEN 'U'
+                      ELSE 'I' END AS op,
+                 'doc-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS doc_id
+          FROM events
+        ), w AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+          FROM log
+        )
+        SELECT count(*) AS n_rows,
+               (SELECT max(event_id) FROM events) AS last_lsn
+        FROM w WHERE rn = 1 AND op <> 'D'
+    """
+
+    sql["custom_validation"] = """
+        WITH log AS (
+          SELECT event_id AS lsn,
+                 CASE WHEN event_type = 'error' THEN 'D'
+                      WHEN event_type = 'purchase' THEN 'U'
+                      ELSE 'I' END AS op,
+                 'doc-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS doc_id,
+                 CAST(floor(value * 100) AS BIGINT) AS val_cents,
+                 event_type AS source
+          FROM events
+        ), w AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+          FROM log
+        ), state AS (
+          SELECT doc_id, val_cents, source FROM w WHERE rn = 1 AND op <> 'D'
+        )
+        SELECT source, count(*) AS n_rows,
+               CAST(sum(val_cents) AS BIGINT) AS sum_cents
+        FROM state GROUP BY source
     """
 
     sql["cdc_replay_composite"] = """

@@ -1,0 +1,76 @@
+"""Live JDBC tests against embedded Derby (ships in Spark's jars) —
+upgrades S1/S2/S12/P4 from builder-only to real round-trips: partitioned
+parallel scan, single-session scan, WHERE pushdown, JDBC export sink, and
+the full lake→RDBMS export path."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from dbimport_spark.plans.engine import CDCEngine
+from dbimport_spark.plans.export import export_to_jdbc
+from dbimport_spark.sources.jdbc import JdbcScan, plan_sessions
+from dbimport_spark.sources.loggen import generate_changes
+
+
+def _url(tmp_path, name: str) -> str:
+    return f"jdbc:derby:{os.path.join(str(tmp_path), name)};create=true"
+
+
+def test_partitioned_jdbc_scan_round_trip(spark, tmp_path):
+    """S1: parallel scan with split column — correct rows AND the declared
+    parallelism (one JDBC session per partition)."""
+    url = _url(tmp_path, "db1")
+    src = spark.range(1000).selectExpr("id", "CAST(id % 7 AS INT) AS grp")
+    src.write.jdbc(url, "events", mode="overwrite")
+
+    scan = JdbcScan(
+        url=url, table="events", partition_column="id",
+        lower_bound=0, upper_bound=999, num_partitions=4,
+    )
+    out = scan.load(spark)
+    assert out.rdd.getNumPartitions() == 4
+    assert out.count() == 1000
+    assert out.agg(F.sum("id")).first()[0] == 999 * 1000 // 2
+
+    # S2: single-session scan — same rows, one partition
+    single = JdbcScan(url=url, table="events").load(spark)
+    assert single.rdd.getNumPartitions() == 1
+    assert single.count() == 1000
+
+
+def test_jdbc_where_pushdown(spark, tmp_path):
+    """P4: user WHERE addition runs inside the database (subquery dbtable)."""
+    url = _url(tmp_path, "db2")
+    spark.range(100).selectExpr("id", "CAST(id % 2 AS INT) AS par").write.jdbc(
+        url, "t", mode="overwrite"
+    )
+    # Derby case-folds unquoted identifiers; the WHERE string is passed to
+    # the database verbatim, so quote as the database dialect requires
+    out = JdbcScan(url=url, table="t", where='"par" = 0').load(spark)
+    assert out.count() == 50
+    assert all(r["par"] == 0 for r in out.collect())
+
+
+def test_export_to_jdbc_and_full_path(spark, tmp_path):
+    """S12: lake table -> JDBC sink; the exported rows read back equal the
+    replayed state (token arrays serialized as JSON for the RDBMS)."""
+    url = _url(tmp_path, "db3")
+    log = generate_changes(spark, 2000, n_keys=100, seed=61)
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    CDCEngine(spark, table).replay(log, num_batches=2)
+
+    state = table.read(spark).select(
+        "doc_id", F.to_json(F.col("tokens")).alias("tokens_json"), "n_tok", "source"
+    )
+    export_to_jdbc(state, url, "target_tbl")
+    back = JdbcScan(url=url, table="target_tbl").load(spark)
+    a = {tuple(r) for r in state.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b and len(a) == table.read(spark).count()
+
+
+def test_plan_sessions_formula():
+    assert plan_sessions(0) == 1
+    assert plan_sessions(10 * 128 * 1024 * 1024) == 10
+    assert plan_sessions(10**15, max_sessions=24) == 24
