@@ -721,6 +721,32 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing (mapInPandas over binary blobs): the fake
+    codec is a deterministic stride downsample, so an independent engine
+    regenerates the exact resized bytes from the md5-chunk blobs."""
+    from dbimport_spark.operators.multimodal import resize_images, synth_media
+
+    media = synth_media(spark, 500, seed=42, blob_bytes=256)
+    res = resize_images(media, width=8, height=8)
+    return res.select(
+        "media_id", "width", "height", F.lower(F.hex("payload")).alias("payload_hex")
+    )
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling (one row fans out to n frames via
+    mapInPandas): fake frames are equal blob slices with evenly spaced
+    timestamps — byte-exact reproducible."""
+    from dbimport_spark.operators.multimodal import sample_frames, synth_media
+
+    media = synth_media(spark, 500, seed=42, blob_bytes=256)
+    fr = sample_frames(media, n_frames=4)
+    return fr.select(
+        "media_id", "frame_idx", "ts_ms", F.lower(F.hex("frame")).alias("frame_hex")
+    )
+
+
 def q_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow pandas-UDF rolling fingerprint over derived token arrays —
     order-sensitive dual 31-bit Mersenne Horner, fully vectorized across
@@ -944,6 +970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_status": q_pivot_status,
         "token_vocab": q_token_vocab,
         "multimodal_features": q_multimodal_features,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
         "token_fingerprints": q_token_fingerprints,
     }
 
@@ -1468,6 +1496,48 @@ def oracle_sql() -> dict[str, str]:
                              (acc, x) -> (acc*2000029 + x) % 2147483647) AS fingerprint,
                CAST(len(list_distinct(toks)) AS INTEGER) AS vocab
         FROM t
+    """
+
+    # shared blob/kind regeneration for the multimodal oracles
+    _media_cte = """
+        ids AS (SELECT range AS i FROM range(0, 500)),
+        chunks AS (SELECT i, j.range AS j FROM ids, range(1, 17) j),
+        hexes AS (
+          SELECT i, string_agg(md5('42' || '-' || CAST(i AS VARCHAR) || '-' || CAST(j AS VARCHAR)),
+                               '' ORDER BY j) AS hex
+          FROM chunks GROUP BY i
+        ),
+        kinds AS (
+          SELECT i, hex,
+                 (strpos('0123456789abcdef',
+                         substr(md5('42' || '-' || 'k' || '-' || CAST(i AS VARCHAR)), 1, 1)) - 1) % 3
+                 AS kind_idx
+          FROM hexes
+        )
+    """
+
+    sql["media_resize"] = f"""
+        WITH {_media_cte},
+        imgs AS (SELECT i, hex FROM kinds WHERE kind_idx = 0),
+        sampled AS (
+          SELECT i, string_agg(substr(hex, ((k.range * 256) // 64) * 2 + 1, 2),
+                               '' ORDER BY k.range) AS payload_hex
+          FROM imgs, range(0, 64) k GROUP BY i
+        )
+        SELECT 'm-' || lpad(CAST(i AS VARCHAR), 8, '0') AS media_id,
+               CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+               payload_hex
+        FROM sampled
+    """
+
+    sql["media_frames"] = f"""
+        WITH {_media_cte},
+        vids AS (SELECT i, hex FROM kinds WHERE kind_idx = 2)
+        SELECT 'm-' || lpad(CAST(i AS VARCHAR), 8, '0') AS media_id,
+               CAST(k.range AS INTEGER) AS frame_idx,
+               CAST(1000 * k.range // 4 AS INTEGER) AS ts_ms,
+               substr(hex, CAST(k.range AS INTEGER) * 128 + 1, 128) AS frame_hex
+        FROM vids, range(0, 4) k
     """
 
     sql["multimodal_features"] = r"""

@@ -54,9 +54,18 @@ def synth_media(spark, n: int, seed: int = 42, blob_bytes: int = 256) -> DataFra
     if blob_bytes % 16 != 0:
         raise ValueError("blob_bytes must be a multiple of the md5 chunk size (16)")
     df = spark.range(n).withColumnRenamed("id", "i")
+    # kind from the first md5 nibble (cross-engine reproducible, like blobs)
+    kind_idx = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("-", F.lit(seed), F.lit("k"), F.col("i"))), 1, 1),
+            16,
+            10,
+        ).cast("int"),
+        F.lit(3),
+    )
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.pmod(F.xxhash64(F.lit(seed), F.col("i")), F.lit(3)) + 1).cast("int"),
+        (kind_idx + 1).cast("int"),
     )
     # blob: concat of 16-byte md5 chunks — opaque, deterministic
     words = F.transform(
@@ -111,3 +120,107 @@ def extract_features(
             )
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, width: int = 32, height: int = 32, deterministic_fake: bool = True
+) -> DataFrame:
+    """Image resize over binary blobs via mapInPandas.
+
+    Real deployment: PIL/opencv decode → resize → re-encode inside the
+    iterator. Sandbox has no codecs, so the fake branch produces a
+    deterministic downsample: the blob byte-stream is re-sampled to
+    width*height bytes (stride sampling) — same memory/batch shape as the
+    real thing, value-checkable by any engine that can regenerate blobs.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        target = width * height
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "image decode requires codec libraries not present in "
+                    "this environment; use deterministic_fake=True"
+                )
+            out = []
+            for blob in pdf["payload"]:
+                if blob is None:
+                    out.append(None)
+                    continue
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                idx = (np.arange(target) * len(arr)) // target
+                out.append(arr[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "width": np.int32(width),
+                    "height": np.int32(height),
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+        T.StructField("ts_ms", T.IntegerType(), True),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int = 4, deterministic_fake: bool = True
+) -> DataFrame:
+    """Video frame sampling: one input row fans out to n_frames rows
+    (mapInPandas iterator keeps memory constant per task regardless of
+    video size). Fake branch slices the blob into n_frames equal chunks
+    with evenly-spaced timestamps over duration_ms."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "video decode requires ffmpeg, not present in this "
+                    "environment; use deterministic_fake=True"
+                )
+            ids, idxs, frames, tss = [], [], [], []
+            for mid, blob, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                if blob is None:
+                    continue
+                raw = bytes(blob)
+                step = max(len(raw) // n_frames, 1)
+                for k in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(k)
+                    frames.append(raw[k * step : (k + 1) * step])
+                    tss.append(int((dur or 0) * k // n_frames))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": np.array(idxs, dtype=np.int32),
+                    "frame": frames,
+                    "ts_ms": np.array(tss, dtype=np.int32),
+                }
+            )
+
+    return df.filter(F.col("kind") == "video").mapInPandas(run, FRAME_SCHEMA)

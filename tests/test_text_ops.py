@@ -211,3 +211,37 @@ def test_ivf_topk(spark):
         for r in ivf_topk(df, q, k=5, n_clusters=4, n_probe=2, seed=1).collect()
     ]
     assert approx == approx2
+
+
+def test_multimodal_resize_and_frames(spark):
+    """Resize + frame-sample plumbing: typed schemas, fan-out shape,
+    deterministic fake payloads with the right sizes."""
+    from dbimport_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, 60, seed=7, blob_bytes=128)
+    res = resize_images(media, width=8, height=4)
+    rows = res.collect()
+    assert len(rows) == media.filter("kind = 'image'").count()
+    assert all(len(bytes(r["payload"])) == 32 for r in rows)
+    assert all(r["width"] == 8 and r["height"] == 4 for r in rows)
+    # deterministic: same seed regenerates identical resized bytes
+    res2 = {r["media_id"]: bytes(r["payload"]) for r in resize_images(
+        synth_media(spark, 60, seed=7, blob_bytes=128), width=8, height=4
+    ).collect()}
+    assert all(bytes(r["payload"]) == res2[r["media_id"]] for r in rows)
+
+    fr = sample_frames(media, n_frames=4)
+    frows = fr.collect()
+    n_videos = media.filter("kind = 'video'").count()
+    assert len(frows) == 4 * n_videos
+    by_media = {}
+    for r in frows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, rs in by_media.items():
+        assert sorted(x["frame_idx"] for x in rs) == [0, 1, 2, 3]
+        assert all(x["ts_ms"] in (0, 250, 500, 750) for x in rs)
+        assert all(len(bytes(x["frame"])) == 32 for x in rs)
