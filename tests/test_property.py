@@ -46,3 +46,74 @@ def test_random_sequences_converge(spark, tmp_path_factory, ops, num_batches):
     )
     expected = lww_fold([r.asDict() for r in log.collect()])
     assert got == as_tuple_set(list(expected.values()), PAYLOAD_COLUMNS)
+
+
+evo_step = st.sampled_from(["plain", "widen", "add"])
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(evo_step, min_size=2, max_size=5))
+def test_random_evolution_sequences_converge(spark, tmp_path_factory, steps):
+    """Random interleavings of plain / type-widening / column-adding batches
+    must evolve the schema monotonically and keep every row readable with
+    the right values."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dbimport_spark.plans.engine import CDCEngine
+
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("v", T.IntegerType(), True),
+        ]
+    )
+    root = str(tmp_path_factory.mktemp("evoseq"))
+    table = CDCEngine.create_table(root + "/t", payload_schema=payload, num_buckets=4)
+    eng = CDCEngine(spark, table)
+
+    expected: dict = {}
+    q_seen = False
+    lsn = 0
+    for si, step in enumerate(steps):
+        rows = []
+        for k in range(3):
+            lsn += 1
+            key = f"k{(si + k) % 5}"
+            rows.append((lsn, "I", key, lsn * 10))
+            expected[key] = (lsn * 10, lsn if q_seen or step == "add" else None, step)
+        df = spark.createDataFrame(rows, "lsn long, op string, doc_id string, v long")
+        if step == "widen":
+            pass  # v already long: widening against the int table schema
+        elif step == "plain":
+            df = df.withColumn("v", F.col("v").cast("int"))
+        if step == "add" or q_seen:
+            q_seen = True
+            df = df.withColumn("q", F.col("lsn"))
+        eng.apply_batch(df, lsn - 3, lsn)
+
+    # recompute expectation precisely: LWW per key with q = lsn when the
+    # winning batch carried q, else null
+    winners: dict = {}
+    lsn = 0
+    q_from = None
+    for si, step in enumerate(steps):
+        if step == "add" and q_from is None:
+            q_from = lsn + 1
+        for k in range(3):
+            lsn += 1
+            key = f"k{(si + k) % 5}"
+            winners[key] = (lsn * 10, lsn if q_from is not None and lsn >= q_from else None)
+    got = {
+        (r["doc_id"], r["v"], r.asDict().get("q"))
+        for r in table.read(spark).collect()
+    }
+    want = {(k, v, q) for k, (v, q) in winners.items()}
+    assert got == want
+    # widened runs end with a bigint column
+    if "widen" in steps:
+        assert dict(table.read(spark).dtypes)["v"] == "bigint"
