@@ -153,6 +153,28 @@ def q_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CDC_REPLAY_BATCHES = 3
 
+CDC_PAYLOAD = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("val_cents", T.LongType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+
+def _replayed_cdc_table(spark: SparkSession, sf_dir: str, prefix: str, **kw):
+    """Shared gate preamble: fresh lake table + full replay of the derived
+    change log. Returns (table, changes, root)."""
+    from dbimport_spark.plans.engine import CDCEngine
+
+    changes = _events_as_changes(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix=prefix)
+    table = CDCEngine.create_table(
+        os.path.join(root, "t"), payload_schema=CDC_PAYLOAD, num_buckets=16
+    )
+    CDCEngine(spark, table, **kw).replay(changes, num_batches=CDC_REPLAY_BATCHES)
+    return table, changes, root
+
 
 def _events_as_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive a change log from events: lsn=event_id, op from event_type."""
@@ -176,22 +198,7 @@ def q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the full engine: create lake table, replay the derived log in
     K batches through dedup+MERGE with watermark commits, return the final
     converged state. The oracle folds the same log in SQL."""
-    from dbimport_spark.plans.engine import CDCEngine
-
-    changes = _events_as_changes(spark, sf_dir)
-    payload = T.StructType(
-        [
-            T.StructField("doc_id", T.StringType(), False),
-            T.StructField("val_cents", T.LongType(), True),
-            T.StructField("source", T.StringType(), True),
-        ]
-    )
-    root = tempfile.mkdtemp(prefix="cdc-replay-")
-    table = CDCEngine.create_table(
-        os.path.join(root, "t"), payload_schema=payload, num_buckets=16
-    )
-    eng = CDCEngine(spark, table, checkpoint_dir=os.path.join(root, "ckpt"))
-    eng.replay(changes, num_batches=CDC_REPLAY_BATCHES)
+    table, _, _ = _replayed_cdc_table(spark, sf_dir, "cdc-replay-")
     return table.read(spark).select("doc_id", "val_cents", "source")
 
 
@@ -438,16 +445,9 @@ def q_cdc_replay_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbimport_spark.plans.engine import CDCEngine
 
     changes = _events_as_changes(spark, sf_dir)
-    payload = T.StructType(
-        [
-            T.StructField("doc_id", T.StringType(), False),
-            T.StructField("val_cents", T.LongType(), True),
-            T.StructField("source", T.StringType(), True),
-        ]
-    )
     root = tempfile.mkdtemp(prefix="cdc-resume-")
     table = CDCEngine.create_table(
-        os.path.join(root, "t"), payload_schema=payload, num_buckets=16
+        os.path.join(root, "t"), payload_schema=CDC_PAYLOAD, num_buckets=16
     )
     eng = CDCEngine(spark, table, checkpoint_dir=os.path.join(root, "ckpt"))
     stats1 = eng.replay(changes, num_batches=CDC_REPLAY_BATCHES, stop_after=1)
@@ -461,22 +461,9 @@ def q_cdc_replay_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_metadata_rowcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: table totals from SNAPSHOT METADATA ONLY (file manifests — no
     data scan) must equal the fold's row count."""
-    from dbimport_spark.plans.engine import CDCEngine
     from dbimport_spark.plans.lineage import table_totals
 
-    changes = _events_as_changes(spark, sf_dir)
-    payload = T.StructType(
-        [
-            T.StructField("doc_id", T.StringType(), False),
-            T.StructField("val_cents", T.LongType(), True),
-            T.StructField("source", T.StringType(), True),
-        ]
-    )
-    root = tempfile.mkdtemp(prefix="cdc-meta-")
-    table = CDCEngine.create_table(
-        os.path.join(root, "t"), payload_schema=payload, num_buckets=16
-    )
-    CDCEngine(spark, table).replay(changes, num_batches=CDC_REPLAY_BATCHES)
+    table, _, _ = _replayed_cdc_table(spark, sf_dir, "cdc-meta-")
     totals = table_totals(table)
     return spark.createDataFrame(
         [(totals["rows"], totals["last_lsn"])], "n_rows long, last_lsn long"
@@ -488,22 +475,9 @@ def q_custom_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     run against the independently-folded expectation and the replayed
     table must match (custom_query_check), and the shared result is the
     gate output."""
-    from dbimport_spark.plans.engine import CDCEngine
     from dbimport_spark.plans.validate import custom_query_check, fold_expected
 
-    changes = _events_as_changes(spark, sf_dir)
-    payload = T.StructType(
-        [
-            T.StructField("doc_id", T.StringType(), False),
-            T.StructField("val_cents", T.LongType(), True),
-            T.StructField("source", T.StringType(), True),
-        ]
-    )
-    root = tempfile.mkdtemp(prefix="cdc-a5-")
-    table = CDCEngine.create_table(
-        os.path.join(root, "t"), payload_schema=payload, num_buckets=16
-    )
-    CDCEngine(spark, table).replay(changes, num_batches=CDC_REPLAY_BATCHES)
+    table, changes, _ = _replayed_cdc_table(spark, sf_dir, "cdc-a5-")
     q = (
         "SELECT source, count(*) AS n_rows, sum(val_cents) AS sum_cents "
         "FROM t GROUP BY source"
@@ -565,16 +539,9 @@ def q_cdc_replay_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbimport_spark.plans.engine import CDCEngine
 
     changes = _events_as_changes(spark, sf_dir)
-    payload = T.StructType(
-        [
-            T.StructField("doc_id", T.StringType(), False),
-            T.StructField("val_cents", T.LongType(), True),
-            T.StructField("source", T.StringType(), True),
-        ]
-    )
     root = tempfile.mkdtemp(prefix="cdc-soft-")
     table = CDCEngine.create_table(
-        os.path.join(root, "t"), payload_schema=payload, num_buckets=16, soft_delete=True
+        os.path.join(root, "t"), payload_schema=CDC_PAYLOAD, num_buckets=16, soft_delete=True
     )
     eng = CDCEngine(spark, table, delete_mode="soft")
     eng.replay(changes, num_batches=CDC_REPLAY_BATCHES)
@@ -594,19 +561,12 @@ def q_cdc_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbimport_spark.plans.engine import CDCEngine
 
     changes = _events_as_changes(spark, sf_dir)
-    payload = T.StructType(
-        [
-            T.StructField("doc_id", T.StringType(), False),
-            T.StructField("val_cents", T.LongType(), True),
-            T.StructField("source", T.StringType(), True),
-        ]
-    )
     root = tempfile.mkdtemp(prefix="cdc-hist-")
     table = CDCEngine.create_table(
-        os.path.join(root, "t"), payload_schema=payload, num_buckets=16
+        os.path.join(root, "t"), payload_schema=CDC_PAYLOAD, num_buckets=16
     )
     hist = CDCEngine.create_history_table(
-        os.path.join(root, "h"), payload_schema=payload, num_buckets=16
+        os.path.join(root, "h"), payload_schema=CDC_PAYLOAD, num_buckets=16
     )
     eng = CDCEngine(spark, table, history_table=hist)
     eng.replay(changes, num_batches=CDC_REPLAY_BATCHES)
@@ -778,15 +738,15 @@ def q_stream_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate of the whole log — the SQL oracle."""
     from dbimport_spark.sources.loggen import write_changes_segments
     from dbimport_spark.streaming.stateful import OUTPUT_SCHEMA, running_key_state
+    from dbimport_spark.streaming.stream import stream_changes
 
     changes = _events_as_changes(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="cdc-digest-")
     log_dir = os.path.join(root, "log")
     write_changes_segments(changes, log_dir, n_segments=4)
 
-    schema = changes.schema
-    stream = (
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(log_dir)
+    stream = stream_changes(
+        spark, log_dir, schema=changes.schema, max_files_per_trigger=2
     )
     emitted: list = []
     q = (
@@ -797,7 +757,9 @@ def q_stream_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stream_digest query did not finish within 600s")
     # digests are cumulative: the final one per key has the max (lsn, events)
     final: dict = {}
     for r in sorted(emitted, key=lambda r: (r["max_lsn"], r["events"])):
@@ -823,16 +785,9 @@ def q_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbimport_spark.plans.export import ParquetExporter
 
     changes = _events_as_changes(spark, sf_dir)
-    payload = T.StructType(
-        [
-            T.StructField("doc_id", T.StringType(), False),
-            T.StructField("val_cents", T.LongType(), True),
-            T.StructField("source", T.StringType(), True),
-        ]
-    )
     root = tempfile.mkdtemp(prefix="cdc-exp-")
     table = CDCEngine.create_table(
-        os.path.join(root, "t"), payload_schema=payload, num_buckets=16, soft_delete=True
+        os.path.join(root, "t"), payload_schema=CDC_PAYLOAD, num_buckets=16, soft_delete=True
     )
     eng = CDCEngine(spark, table)
     mid = changes.agg(F.max("lsn")).first()[0] // 2
@@ -861,21 +816,8 @@ def q_compaction_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11: replay, then compact fragmented buckets + expire old snapshots —
     content must be exactly preserved (same oracle as cdc_replay)."""
     from dbimport_spark.lake.maintenance import compact
-    from dbimport_spark.plans.engine import CDCEngine
 
-    changes = _events_as_changes(spark, sf_dir)
-    payload = T.StructType(
-        [
-            T.StructField("doc_id", T.StringType(), False),
-            T.StructField("val_cents", T.LongType(), True),
-            T.StructField("source", T.StringType(), True),
-        ]
-    )
-    root = tempfile.mkdtemp(prefix="cdc-comp-")
-    table = CDCEngine.create_table(
-        os.path.join(root, "t"), payload_schema=payload, num_buckets=16
-    )
-    CDCEngine(spark, table).replay(changes, num_batches=CDC_REPLAY_BATCHES)
+    table, _, _ = _replayed_cdc_table(spark, sf_dir, "cdc-comp-")
     compact(spark, table, max_files_per_bucket=1, expire_keep_last=1)
     return table.read(spark).select("doc_id", "val_cents", "source")
 

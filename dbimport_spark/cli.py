@@ -234,6 +234,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.window:
             from dbimport_spark.plans.validate import reconcile_incremental
 
+            if args.window[1] != table.last_lsn():
+                # the live table reflects last_lsn; folding only to an older
+                # (or future) HI would flag a consistent table as diverged
+                raise SystemExit(
+                    f"--window HI ({args.window[1]}) must equal the table "
+                    f"watermark ({table.last_lsn()}): incremental validation "
+                    "checks the most recently applied window"
+                )
             rec = reconcile_incremental(
                 actual, log_df, args.window[0], args.window[1], payload_cols=cols
             )

@@ -19,16 +19,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure CPU-heavy per-doc expression work (shingling, token hashing)
-    runs at cluster parallelism even when the input is a handful of parquet
-    files: a small-file corpus otherwise pins the whole map side to one
-    task. No-op (no shuffle) when the scan is already parallel — the 100 TB
-    case, where input splits outnumber cores."""
-    want = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
-        return df.repartition(want)
-    return df
+def _one_per_doc(df: DataFrame, id_col: str) -> DataFrame:
+    """One row per doc id, hash-distributed by id.
+
+    Does two jobs at once: (a) correctness — a duplicated doc_id row would
+    double every (id, shingle) pair downstream and poison the Jaccard
+    denominators (up to division by zero for identical dups); (b)
+    parallelism — the exchange spreads the CPU-heavy shingling/hashing
+    across the cluster even when the input is a handful of parquet files
+    (a small-file scan otherwise pins the whole map side to one task)."""
+    return df.dropDuplicates([id_col])
 
 
 # -- exact -------------------------------------------------------------------
@@ -67,9 +67,10 @@ def word_shingles(
             ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    # array_distinct already dedups within the doc, so the exploded rows
-    # are unique (id, shingle) pairs — no extra distinct/shuffle needed
-    return _spread(df).select(
+    # array_distinct dedups within the doc and _one_per_doc dedups the doc
+    # rows themselves, so the exploded rows are unique (id, shingle) pairs
+    # — no post-explode distinct/shuffle needed
+    return _one_per_doc(df, id_col).select(
         F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
@@ -230,7 +231,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     """(id, simhash): token hashes computed JVM-side, bit-vote in Arrow."""
     toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
     token_hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    return _spread(df).select(
+    return _one_per_doc(df, id_col).select(
         F.col(id_col), _simhash_from_hashes(token_hashes).alias("simhash")
     )
 

@@ -115,7 +115,7 @@ class CDCEngine:
         n_salts: int = 16,
         broadcast_threshold_rows: int = 200_000,
         repartition_output_bytes: int = 2 << 30,
-        key: str | list[str] = MERGE_KEY,
+        key: str | list[str] | None = None,
         delete_mode: str | None = None,
         history_table: LakeTable | None = None,
         renames: dict[str, str] | None = None,
@@ -151,8 +151,22 @@ class CDCEngine:
         self.history_table = history_table
         self.renames = dict(renames or {})
         self.rename_check = rename_check
-        # composite merge keys supported (reference mergeColumns is a list)
-        self.keys: list[str] = [key] if isinstance(key, str) else list(key)
+        # the merge key IS the table's bucket key (create_table stamps it):
+        # derive it, and refuse a conflicting override — replaying a
+        # composite-key table with a narrower key would collapse distinct
+        # rows in dedup AND compute bucket ids that disagree with the
+        # stored file layout (silent corruption, not an error).
+        bc = table.current().bucket_column
+        tbl_keys = [bc] if isinstance(bc, str) else list(bc)
+        if key is None:
+            self.keys: list[str] = tbl_keys
+        else:
+            self.keys = [key] if isinstance(key, str) else list(key)
+            if self.keys != tbl_keys:
+                raise ValueError(
+                    f"table at {table.root} is bucketed by {tbl_keys}; "
+                    f"running with merge key {self.keys} would corrupt it"
+                )
 
     # -- table bootstrap -----------------------------------------------------
 

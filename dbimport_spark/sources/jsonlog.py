@@ -71,6 +71,7 @@ def read_json_changes(
         F.col("op").cast("string").alias("op"),
         F.coalesce(*id_sources).alias("doc_id"),
     ]
+    taken = {"lsn", "op", "doc_id"}
     if has_doc:
         for f in raw.schema["doc"].dataType.fields:
             if f.name == id_field:
@@ -78,9 +79,19 @@ def read_json_changes(
             src = F.col(f"doc.{f.name}")
             if flatten and isinstance(f.dataType, T.StructType):
                 # one flatten level: parent__child (reference Mongo flatten)
-                for sub in f.dataType.fields:
-                    cols.append(src.getField(sub.name).alias(f"{f.name}__{sub.name}"))
+                emit = [(f"{f.name}__{sub.name}", src.getField(sub.name))
+                        for sub in f.dataType.fields]
             else:
-                cols.append(src.alias(f.name))
+                emit = [(f.name, src)]
+            for name, col in emit:
+                if name in taken:
+                    raise ValueError(
+                        f"document field {name!r} collides with a change-"
+                        "envelope column (lsn/op/doc_id) or another "
+                        "flattened field — rename it in the source or map "
+                        "it explicitly"
+                    )
+                taken.add(name)
+                cols.append(col.alias(name))
     out = raw.select(*cols)
     return normalize_dataframe(out, dates_to_string=dates_to_string)

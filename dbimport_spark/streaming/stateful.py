@@ -62,12 +62,14 @@ def _update_digest(
     )
 
 
-def running_key_state(stream_df: DataFrame, key: str = "doc_id") -> DataFrame:
+def running_key_state(stream_df: DataFrame) -> DataFrame:
     """Per-key running CDC digest over a change-event stream; emits the
-    updated digest for every key touched by each micro-batch."""
+    updated digest for every key touched by each micro-batch. The stream
+    must carry (doc_id, lsn, op) — the update function and output schema
+    are fixed to that contract (rename upstream if your key differs)."""
     return (
-        stream_df.select(key, "lsn", "op")
-        .groupBy(key)
+        stream_df.select("doc_id", "lsn", "op")
+        .groupBy("doc_id")
         .applyInPandasWithState(
             _update_digest,
             OUTPUT_SCHEMA,

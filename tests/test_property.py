@@ -76,7 +76,6 @@ def test_random_evolution_sequences_converge(spark, tmp_path_factory, steps):
     table = CDCEngine.create_table(root + "/t", payload_schema=payload, num_buckets=4)
     eng = CDCEngine(spark, table)
 
-    expected: dict = {}
     q_seen = False
     lsn = 0
     for si, step in enumerate(steps):
@@ -85,7 +84,6 @@ def test_random_evolution_sequences_converge(spark, tmp_path_factory, steps):
             lsn += 1
             key = f"k{(si + k) % 5}"
             rows.append((lsn, "I", key, lsn * 10))
-            expected[key] = (lsn * 10, lsn if q_seen or step == "add" else None, step)
         df = spark.createDataFrame(rows, "lsn long, op string, doc_id string, v long")
         if step == "widen":
             pass  # v already long: widening against the int table schema
