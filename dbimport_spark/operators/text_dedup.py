@@ -76,14 +76,34 @@ def word_shingles(
 
 
 def jaccard_pairs(
-    shingles: DataFrame, id_col: str = "doc_id", min_permille: int = 500
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    min_permille: int = 500,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All pairs with Jaccard ≥ threshold via an inverted shingle index.
 
     common(a,b) from the self-join on shingle; sizes joined back;
     jaccard_permille = floor(1000*c/(na+nb-c)) keeps the output integral.
+
+    ``max_doc_freq`` is the scale dial for the self-join's worst case: a
+    shingle present in d documents contributes d² candidate rows, so a few
+    ultra-common shingles (boilerplate/stopword n-grams) dominate the
+    shuffle quadratically. Capping document frequency drops them from the
+    INDEX only — sizes still count every shingle, so for pairs whose
+    overlap isn't exclusively boilerplate the Jaccard stays exact; pairs
+    supported only by dropped shingles can undercount (standard
+    common-shingle suppression trade-off, opt-in).
     """
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    if max_doc_freq is not None:
+        rare = (
+            shingles.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("shingle")
+        )
+        shingles = shingles.join(rare, "shingle", "left_semi")
     a = shingles.alias("a")
     b = shingles.alias("b")
     common = (

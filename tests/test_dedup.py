@@ -53,3 +53,30 @@ def test_neardup_clusters_and_survivors(spark):
     )
     surv = {r["doc_id"] for r in dedup_survivors(docs, pairs).collect()}
     assert surv == {"a", "e", "g"}
+
+
+def test_jaccard_max_doc_freq_cap(spark):
+    """Ultra-common shingles can be dropped from the inverted index (the
+    quadratic-shuffle dial); near-dup pairs supported by rarer shingles
+    still surface with exact-enough Jaccard."""
+    from dbimport_spark.operators.text_dedup import jaccard_pairs, word_shingles
+
+    boiler = "terms of service apply to all content"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha beta gamma delta epsilon zeta"),
+            (2, f"{boiler} alpha beta gamma delta epsilon eta"),
+            (3, f"{boiler} completely different body of text here"),
+            (4, f"{boiler} yet another unrelated body of words now"),
+        ],
+        "doc_id int, text string",
+    )
+    sh = word_shingles(docs, n=3)
+    full = {(r["id_a"], r["id_b"]) for r in jaccard_pairs(sh, min_permille=250).collect()}
+    assert (1, 2) in full
+    capped_rows = jaccard_pairs(sh, min_permille=250, max_doc_freq=2).collect()
+    capped = {(r["id_a"], r["id_b"]) for r in capped_rows}
+    # the boilerplate-only pairs (3,4 vs others) lose their support; the
+    # genuinely-similar pair survives on its rare shingles
+    assert (1, 2) in capped
+    assert capped <= full
