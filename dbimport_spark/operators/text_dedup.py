@@ -20,15 +20,19 @@ from pyspark.sql.functions import pandas_udf
 
 
 def _one_per_doc(df: DataFrame, id_col: str) -> DataFrame:
-    """One row per doc id, hash-distributed by id.
+    """One row per doc id, explicitly distributed.
 
-    Does two jobs at once: (a) correctness — a duplicated doc_id row would
-    double every (id, shingle) pair downstream and poison the Jaccard
+    Does two jobs: (a) correctness — a duplicated doc_id row would double
+    every (id, shingle) pair downstream and poison the Jaccard
     denominators (up to division by zero for identical dups); (b)
-    parallelism — the exchange spreads the CPU-heavy shingling/hashing
-    across the cluster even when the input is a handful of parquet files
-    (a small-file scan otherwise pins the whole map side to one task)."""
-    return df.dropDuplicates([id_col])
+    parallelism — the explicit repartition spreads the CPU-heavy
+    shingling/hashing across the cluster even when the input is a handful
+    of parquet files. The repartition must be EXPLICIT: doc rows are tiny
+    relative to their exploded shingles, so AQE would coalesce the
+    dropDuplicates exchange down to one partition and re-serialize the
+    expensive map work that follows."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    return df.dropDuplicates([id_col]).repartition(want)
 
 
 # -- exact -------------------------------------------------------------------
