@@ -178,13 +178,27 @@ class CDCEngine:
         num_buckets: int = 32,
         key: str | list[str] = MERGE_KEY,
         soft_delete: bool = False,
+        source_label: str | None = None,
     ) -> LakeTable:
+        """``source_label`` enables the provenance column (reference
+        datalake_source): every engine-applied live row carries the label;
+        the change log itself never provides it."""
+        fields = list(payload_schema.fields)
+        if source_label is not None:
+            from dbimport_spark.schema import AUDIT_SOURCE
+
+            fields.append(T.StructField(AUDIT_SOURCE, T.StringType(), True))
+        props = {"delete_mode": "soft" if soft_delete else "hard"}
+        if source_label is not None:
+            props["source_label"] = source_label
         return LakeTable.create(
             root,
-            schema=table_schema_with_audit(payload_schema, soft_delete=soft_delete),
+            schema=table_schema_with_audit(
+                T.StructType(fields), soft_delete=soft_delete
+            ),
             num_buckets=num_buckets,
             bucket_column=key,
-            properties={"delete_mode": "soft" if soft_delete else "hard"},
+            properties=props,
         )
 
     @classmethod
@@ -245,13 +259,22 @@ class CDCEngine:
         # align batch to the (evolved) payload column set; columns the batch
         # doesn't carry (older log segments) come through as nulls; narrower
         # batch columns are cast up to the table type
+        from dbimport_spark.schema import AUDIT_SOURCE
+
+        src_label = snap.properties.get("source_label")
         bschema = {f.name: f for f in batch.schema.fields}
         aligned_cols = [F.col("lsn"), F.col("op")]
         for f in new_schema.fields:
             if f.name in AUDIT_COLUMNS:
                 continue
             bf = bschema.get(f.name)
-            if bf is None:
+            if f.name == AUDIT_SOURCE and src_label is not None and bf is None:
+                # provenance column: stamped by the engine on live rows
+                # (reference datalake_source, etl_operations.py:237-239)
+                aligned_cols.append(
+                    F.when(F.col("op") != "D", F.lit(src_label)).alias(f.name)
+                )
+            elif bf is None:
                 aligned_cols.append(F.lit(None).cast(f.dataType).alias(f.name))
             elif bf.dataType != f.dataType:
                 aligned_cols.append(F.col(f.name).cast(f.dataType).alias(f.name))

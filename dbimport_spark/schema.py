@@ -46,4 +46,10 @@ AUDIT_IUD = "dl_iud"          # 'I'/'U'/'D' last operation
 AUDIT_INSERT = "dl_insert_ts"  # first-insert timestamp
 AUDIT_UPDATE = "dl_update_ts"  # last-merge timestamp
 AUDIT_DELETE = "dl_delete_ts"  # soft-delete timestamp (soft mode only)
+# provenance label (reference datalake_source, configSchema.py:754,
+# etl_operations.py:237-239): stamped by the ENGINE, not carried by the
+# change log — modeled as an auto-filled payload column (opt-in via
+# create_table(source_label=...)), so dedup/merge/pre-images treat it
+# uniformly and it rides the equality invariant like any payload column.
+AUDIT_SOURCE = "dl_source"
 AUDIT_COLUMNS = [AUDIT_IUD, AUDIT_INSERT, AUDIT_UPDATE, AUDIT_DELETE]

@@ -279,3 +279,22 @@ def test_readding_renamed_away_name_is_refused(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="former name"):
         t.commit([], set(), new_schema=bad)
+
+
+def test_source_label_provenance_column(spark, tmp_path):
+    """datalake_source analogue: the engine stamps the table's provenance
+    label on every live row; deletes keep their pre-image label in soft
+    mode and the log never needs to carry the column."""
+    table = CDCEngine.create_table(
+        str(tmp_path / "sl"), num_buckets=4, source_label="prod-mysql-01"
+    )
+    eng = CDCEngine(spark, table)
+    log = generate_changes(spark, 500, n_keys=40, seed=71)
+    eng.replay(log, num_batches=2)
+    rows = table.read(spark).collect()
+    assert len(rows) > 0
+    assert all(r["dl_source"] == "prod-mysql-01" for r in rows)
+    # label survives updates applied in a later window
+    more = generate_changes(spark, 100, n_keys=40, seed=72, first_lsn=501)
+    eng.apply_batch(more, 500, 600)
+    assert all(r["dl_source"] == "prod-mysql-01" for r in table.read(spark).collect())
