@@ -172,6 +172,7 @@ def _replayed_cdc_table(spark: SparkSession, sf_dir: str, prefix: str, **kw):
     table = CDCEngine.create_table(
         os.path.join(root, "t"), payload_schema=CDC_PAYLOAD, num_buckets=16
     )
+    kw.setdefault("checkpoint_dir", os.path.join(root, "ckpt"))
     CDCEngine(spark, table, **kw).replay(changes, num_batches=CDC_REPLAY_BATCHES)
     return table, changes, root
 

@@ -214,7 +214,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         from pyspark.sql import functions as F
 
-        from dbimport_spark.schema import AUDIT_COLUMNS, AUDIT_IUD
+        from dbimport_spark.schema import AUDIT_COLUMNS, AUDIT_IUD, AUDIT_SOURCE
 
         table = LakeTable.load(args.table_root)
         actual = table.read(spark)
@@ -229,7 +229,12 @@ def main(argv: list[str] | None = None) -> int:
             )
             n_tombstones = actual.count() - live.count()
             actual = live
-        cols = [c for c in actual.columns if c not in AUDIT_COLUMNS]
+        # dl_source is engine-stamped and absent from every change log —
+        # exclude it from the fold comparison like the audit columns
+        cols = [
+            c for c in actual.columns
+            if c not in AUDIT_COLUMNS and c != AUDIT_SOURCE
+        ]
         log_df = spark.read.parquet(args.log_path)
         if args.window:
             from dbimport_spark.plans.validate import reconcile_incremental

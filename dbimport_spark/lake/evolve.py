@@ -83,14 +83,17 @@ def diff_payload_schema(
     batch_schema: T.StructType,
     ignore: set[str] | None = None,
     check_renames: bool = True,
+    engine_cols: set[str] | None = None,
 ) -> SchemaDelta:
     """The evolution delta a batch demands from the table schema.
 
     ``ignore`` lists change-log bookkeeping columns (lsn/op/commit_ts) that
-    never become table columns. Incompatible type changes raise
-    ``SchemaEvolutionError``; a same-position same-type add+drop pattern
-    raises ``RenameSuspected`` (reference rename heuristic,
-    import_operations.py:2737-2795).
+    never become table columns. ``engine_cols`` lists table columns the
+    ENGINE stamps (e.g. the dl_source provenance label) — absent from every
+    batch by design, so they must not count as "dropped" in the rename
+    heuristic. Incompatible type changes raise ``SchemaEvolutionError``; a
+    same-position same-type add+drop pattern raises ``RenameSuspected``
+    (reference rename heuristic, import_operations.py:2737-2795).
     """
     ignore = ignore or set()
     existing = {f.name: f for f in table_schema.fields}
@@ -114,7 +117,9 @@ def diff_payload_schema(
         # 'same' / 'narrow': no evolution (narrow batch columns are cast up)
 
     if delta.added and check_renames:
-        _check_rename_pattern(table_schema, batch_schema, delta, ignore)
+        _check_rename_pattern(
+            table_schema, batch_schema, delta, ignore, engine_cols or set()
+        )
     return delta
 
 
@@ -123,13 +128,18 @@ def _check_rename_pattern(
     batch_schema: T.StructType,
     delta: SchemaDelta,
     ignore: set[str],
+    engine_cols: set[str],
 ) -> None:
     """Raise RenameSuspected when added/missing columns pair up by payload
     position and type — the reference's rename signature. A batch that
     merely lacks new table columns (old log segment) has no added columns
     and never trips this."""
     batch_names = {f.name for f in batch_schema.fields}
-    table_payload = [f for f in table_schema.fields if f.name not in AUDIT_COLUMNS]
+    table_payload = [
+        f
+        for f in table_schema.fields
+        if f.name not in AUDIT_COLUMNS and f.name not in engine_cols
+    ]
     batch_payload = [f for f in batch_schema.fields if f.name not in ignore]
     missing = [f for f in table_payload if f.name not in batch_names]
     if not missing:

@@ -156,8 +156,8 @@ def resize_images(
                 )
             out = []
             for blob in pdf["payload"]:
-                if blob is None:
-                    out.append(None)
+                if blob is None or len(blob) == 0:
+                    out.append(None if blob is None else b"")
                     continue
                 arr = np.frombuffer(bytes(blob), dtype=np.uint8)
                 idx = (np.arange(target) * len(arr)) // target

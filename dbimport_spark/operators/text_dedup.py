@@ -27,12 +27,13 @@ def _one_per_doc(df: DataFrame, id_col: str) -> DataFrame:
     denominators (up to division by zero for identical dups); (b)
     parallelism — the explicit repartition spreads the CPU-heavy
     shingling/hashing across the cluster even when the input is a handful
-    of parquet files. The repartition must be EXPLICIT: doc rows are tiny
-    relative to their exploded shingles, so AQE would coalesce the
-    dropDuplicates exchange down to one partition and re-serialize the
-    expensive map work that follows."""
+    of parquet files. The repartition must be EXPLICIT (doc rows are tiny
+    relative to their exploded shingles, so AQE would otherwise coalesce
+    the exchange to one partition and re-serialize the expensive map work)
+    and comes FIRST: dropDuplicates then reuses its hash distribution, so
+    the whole thing is ONE shuffle, not two."""
     want = df.sparkSession.sparkContext.defaultParallelism
-    return df.dropDuplicates([id_col]).repartition(want)
+    return df.repartition(want, F.col(id_col)).dropDuplicates([id_col])
 
 
 # -- exact -------------------------------------------------------------------

@@ -249,9 +249,14 @@ class CDCEngine:
             return BatchStats(lo=lo, hi=hi, skipped=True)
 
         # -- schema evolution: adds + type widenings (metadata-only) --------
+        from dbimport_spark.schema import AUDIT_SOURCE as _AUD_SRC
+
         delta = diff_payload_schema(
             snap.schema, batch.schema, ignore=LOG_BOOKKEEPING,
             check_renames=self.rename_check,
+            engine_cols=(
+                {_AUD_SRC} if snap.properties.get("source_label") else None
+            ),
         )
         new_schema = evolve_schema(snap.schema, delta)
         payload_cols = [f.name for f in new_schema.fields if f.name not in AUDIT_COLUMNS]

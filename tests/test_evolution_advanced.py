@@ -298,3 +298,36 @@ def test_source_label_provenance_column(spark, tmp_path):
     more = generate_changes(spark, 100, n_keys=40, seed=72, first_lsn=501)
     eng.apply_batch(more, 500, 600)
     assert all(r["dl_source"] == "prod-mysql-01" for r in table.read(spark).collect())
+
+
+def test_source_label_does_not_trip_rename_or_validation(spark, tmp_path):
+    """dl_source is engine-stamped and absent from every batch: adding a new
+    tail column must not pair with it in the rename heuristic, and CLI-style
+    validation must exclude it from the fold comparison."""
+    from dbimport_spark.plans.validate import fold_expected, reconcile
+    from dbimport_spark.schema import AUDIT_COLUMNS, AUDIT_SOURCE
+
+    table = CDCEngine.create_table(
+        str(tmp_path / "slr"), num_buckets=4, source_label="lbl"
+    )
+    eng = CDCEngine(spark, table)
+    log = generate_changes(spark, 300, n_keys=30, seed=73)
+    eng.replay(log.filter("lsn <= 200"), num_batches=1)
+
+    # batch adds a genuinely new column at dl_source's payload position —
+    # previously RenameSuspected (dl_source counted as 'dropped')
+    more = generate_changes(spark, 100, n_keys=30, seed=73, first_lsn=201).withColumn(
+        "note", F.lit("n")
+    )
+    eng.apply_batch(more, 200, 300)
+    assert "note" in table.current().schema.fieldNames()
+
+    actual = table.read(spark)
+    cols = [
+        c for c in actual.columns if c not in AUDIT_COLUMNS and c != AUDIT_SOURCE
+    ]
+    full_log = log.withColumn("note", F.when(F.col("lsn") > 200, F.lit("n")))
+    rec = reconcile(
+        actual.select(*cols), fold_expected(full_log, payload_cols=cols), cols
+    )
+    assert rec["converged"]
