@@ -7,8 +7,20 @@ commits) into a fresh lake table: full replay + an incremental tail batch.
 Plus the non-CDC headline operators at the same SF (LWW dedup scan,
 MinHash-LSH dedup, embedding similarity).
 
+Noise protocol (round 3): the sandbox VM shows ±2.4× run-to-run noise on
+identical code (BENCH/BASELINE.md), so every timed query is repeated
+``SPARK_GRAFT_BENCH_REPEATS`` times (default 3) INTERLEAVED — pass 1 runs
+every query once, then pass 2, then pass 3 — so a host-noise burst hits at
+most one sample of each query instead of all samples of one query. The
+reported per-query number is the best (min) wall time — the noise-robust
+capability estimate — and ALL samples are recorded in ``runs`` so the
+spread is auditable. Replay repeats each get a fresh lake table +
+checkpoint dir; the incremental-apply repeat runs against the table its
+own pass just replayed, preserving the full→incr dependency per pass.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32).
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_REPEATS (default 3).
 """
 
 from __future__ import annotations
@@ -30,6 +42,7 @@ KEYS_PER_SF = 2_000_000
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repeats = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")), 1)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
     n_events = max(int(EVENTS_PER_SF * sf), 10_000)
@@ -62,18 +75,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     work = tempfile.mkdtemp(prefix="cdc-bench-")
-    timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
 
-    def timed(name, fn):
+    def sample(name, fn):
         t0 = time.time()
         out = fn()
-        timings[name] = round(time.time() - t0, 3)
+        runs.setdefault(name, []).append(round(time.time() - t0, 3))
         return out
 
-    # -- materialize the change log (not counted in apply throughput) -------
+    # -- materialize the change log (setup; timed once, not repeated) --------
     full = int(n_events * 0.9)
     log_path = os.path.join(work, "log")
-    timed(
+    sample(
         "loggen_write",
         lambda: write_changes(
             generate_changes(
@@ -87,39 +100,56 @@ def main() -> None:
     head = changes.filter(F.col("lsn") <= full)
     tail = changes.filter(F.col("lsn") > full)
 
-    # -- full replay (4 batches) into a fresh table --------------------------
-    table = CDCEngine.create_table(
-        os.path.join(work, "table"), num_buckets=max(cpus * 2, 32)
-    )
-    eng = CDCEngine(spark, table, checkpoint_dir=os.path.join(work, "ckpt"))
-    timed("cdc_replay_full", lambda: eng.replay(head, num_batches=2))
+    def replay_pass(i: int) -> None:
+        """Fresh table per repeat; incr applies to this pass's own table."""
+        tdir = os.path.join(work, f"table-{i}")
+        cdir = os.path.join(work, f"ckpt-{i}")
+        table = CDCEngine.create_table(tdir, num_buckets=max(cpus * 2, 32))
+        eng = CDCEngine(spark, table, checkpoint_dir=cdir)
+        sample("cdc_replay_full", lambda: eng.replay(head, num_batches=2))
+        sample("cdc_apply_incr", lambda: eng.apply_batch(tail, full, n_events))
+        shutil.rmtree(tdir, ignore_errors=True)
+        shutil.rmtree(cdir, ignore_errors=True)
 
-    # -- steady-state incremental batch (10% tail) ---------------------------
-    timed("cdc_apply_incr", lambda: eng.apply_batch(tail, full, n_events))
+    operator_queries = [
+        ("lww_dedup", lambda: entry.q_lww_dedup(spark, sf_dir).count()),
+        ("minhash_lsh", lambda: entry.q_minhash_lsh(spark, sf_dir).count()),
+        ("embedding_sim", lambda: entry.q_embedding_sim(spark, sf_dir).count()),
+        ("token_count", lambda: entry.q_token_count(spark, sf_dir).count()),
+        (
+            "token_fingerprints",
+            lambda: entry.q_token_fingerprints(spark, sf_dir).count(),
+        ),
+    ]
 
-    replay_sec = timings["cdc_replay_full"] + timings["cdc_apply_incr"]
-    eps = n_events / replay_sec if replay_sec > 0 else 0.0
-
-    # -- headline operator queries at the SF dir -----------------------------
-    timed("lww_dedup", lambda: entry.q_lww_dedup(spark, sf_dir).count())
-    timed("minhash_lsh", lambda: entry.q_minhash_lsh(spark, sf_dir).count())
-    timed("embedding_sim", lambda: entry.q_embedding_sim(spark, sf_dir).count())
-    timed("token_count", lambda: entry.q_token_count(spark, sf_dir).count())
-    timed(
-        "token_fingerprints",
-        lambda: entry.q_token_fingerprints(spark, sf_dir).count(),
-    )
+    # -- interleaved best-of-N: pass i runs every query once ------------------
+    for i in range(repeats):
+        replay_pass(i)
+        for name, fn in operator_queries:
+            sample(name, fn)
 
     shutil.rmtree(work, ignore_errors=True)
 
-    total = round(sum(timings.values()), 3)
+    best = {name: min(samples) for name, samples in runs.items()}
+    spread = {
+        name: round(max(s) / min(s), 2) if min(s) > 0 else None
+        for name, s in runs.items()
+    }
+    replay_sec = best["cdc_replay_full"] + best["cdc_apply_incr"]
+    eps = n_events / replay_sec if replay_sec > 0 else 0.0
+
+    total = round(sum(best.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "cdc_bench_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": best,
+                "runs": runs,
+                "spread_max_over_min": spread,
+                "repeats": repeats,
+                "protocol": "interleaved best-of-N (min per query; all samples in 'runs')",
                 "sf": sf,
                 "events": n_events,
                 "keys": n_keys,
