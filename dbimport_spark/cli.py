@@ -60,6 +60,13 @@ def main(argv: list[str] | None = None) -> int:
         help="proceed even if the log no longer covers the committed "
         "watermark (DANGER: the gap's changes are skipped)",
     )
+    sp.add_argument(
+        "--full-reload", action="store_true",
+        help="re-create the table at the log's schema and replay from LSN 0 "
+        "— the declared recovery for incompatible type changes / key-type "
+        "widenings (DANGER: abandons current table contents; prior "
+        "snapshots stay readable until compact --expire-keep-last)",
+    )
 
     sp = sub.add_parser("stream")
     sp.add_argument("table_root")
@@ -179,9 +186,12 @@ def main(argv: list[str] | None = None) -> int:
             rename_check=not args.no_rename_check,
         )
         changes = spark.read.parquet(args.log_path)
-        stats = eng.replay(
-            changes, num_batches=args.batches, allow_log_gap=args.allow_log_gap
-        )
+        if args.full_reload:
+            stats = eng.full_reload(changes, num_batches=args.batches)
+        else:
+            stats = eng.replay(
+                changes, num_batches=args.batches, allow_log_gap=args.allow_log_gap
+            )
         print(
             json.dumps(
                 {

@@ -112,7 +112,11 @@ def diff_payload_schema(
             raise SchemaEvolutionError(
                 f"incompatible type change for column {f.name!r}: "
                 f"{cur.dataType.simpleString()} -> {f.dataType.simpleString()} "
-                "(only safe widenings are supported)"
+                "(only safe widenings are supported). If the source really "
+                "changed the type, declare a full reload — "
+                "CDCEngine.full_reload(changes) / CLI replay --full-reload — "
+                "to re-create the table at the new schema and replay from "
+                "LSN 0."
             )
         # 'same' / 'narrow': no evolution (narrow batch columns are cast up)
 

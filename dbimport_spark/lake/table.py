@@ -388,18 +388,24 @@ class LakeTable:
         if expected_version is not None and cur.version != expected_version:
             raise CommitConflict(f"expected v{expected_version}, found v{cur.version}")
         if new_schema is not None and cur.renames:
-            # a column name that was renamed AWAY must never be re-added
-            # while its successor exists: the backdated schema for old
-            # files would then contain duplicate field names and every
-            # historical read would break
-            names = set(new_schema.fieldNames())
-            for r in cur.renames:
-                if r["from"] in names and r["to"] in names:
+            # a new column name must not collide with any existing column's
+            # PHYSICAL name at any historical rename epoch: the backdated
+            # schema for that epoch's files would then contain duplicate
+            # field names and every historical read would break. Walking the
+            # full chain per epoch handles transitive renames (a->b then
+            # b->c: adding 'a' collides with c's epoch-0 physical name even
+            # though no single rename pair is (a, c)).
+            for epoch in range(len(cur.renames)):
+                names = new_schema.fieldNames()
+                for r in reversed(cur.renames[epoch:]):
+                    names = [r["from"] if n == r["to"] else n for n in names]
+                dupes = sorted({n for n in names if names.count(n) > 1})
+                if dupes:
                     raise ValueError(
-                        f"cannot add column {r['from']!r}: it is the former "
-                        f"name of {r['to']!r} (renamed away) and old data "
-                        "files still carry it physically — pick a different "
-                        "name"
+                        f"cannot add column(s) {dupes}: each is the physical "
+                        f"name of an existing column in epoch-{epoch} data "
+                        "files (renamed away since) — historical reads would "
+                        "see duplicate fields. Pick a different name."
                     )
         kept = [f for f in cur.files if f.bucket not in replaced_buckets]
         props = dict(cur.properties)
@@ -415,6 +421,50 @@ class LakeTable:
             properties=props,
             lineage=lineage or [],
             renames=cur.renames,
+        )
+        self._write_snapshot(snap)
+        return snap
+
+    def reset_for_reload(
+        self,
+        new_schema: T.StructType,
+        properties: dict[str, str] | None = None,
+        expected_version: int | None = None,
+    ) -> Snapshot:
+        """Full-reload commit: a new snapshot referencing ZERO data files at
+        a (possibly incompatible) new schema, with the LSN watermark reset
+        and the rename history cleared.
+
+        The declared recovery path for incompatible type changes and
+        merge-key type widenings — the reference's drop+re-add escape hatch
+        (import_operations.py:2893-2903) expressed as a normal atomic
+        commit: prior snapshots stay readable (time travel) until expired,
+        and a crash leaves either the old table or the empty reloaded one,
+        never a mix. Because the new snapshot clears ``renames``, newly
+        written files start at rename epoch 0 against the new schema; old
+        snapshots keep their own schema+renames, so historical reads are
+        untouched.
+        """
+        cur = self.current()
+        if expected_version is not None and cur.version != expected_version:
+            raise CommitConflict(
+                f"expected v{expected_version}, found v{cur.version}"
+            )
+        props = dict(cur.properties)
+        props.pop("last_merge_ts", None)
+        props["last_lsn"] = "-1"
+        props.update(properties or {})
+        snap = Snapshot(
+            version=cur.version + 1,
+            snapshot_id=uuid.uuid4().hex,
+            parent_snapshot_id=cur.snapshot_id,
+            schema=new_schema,
+            num_buckets=cur.num_buckets,
+            bucket_column=cur.bucket_column,
+            files=[],
+            properties=props,
+            lineage=[],
+            renames=[],
         )
         self._write_snapshot(snap)
         return snap

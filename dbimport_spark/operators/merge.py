@@ -53,14 +53,28 @@ def _changed_predicate(payload_cols: list[str]) -> Column:
 
 
 def normalize_batch(batch: DataFrame) -> DataFrame:
-    """Recompute n_tok = size(tokens) on apply (asserted consistent in tests)."""
+    """Recompute n_tok = size(tokens) on apply (asserted consistent in tests).
+
+    The recompute is cast back to the column's DECLARED type: size() yields
+    int, but after schema evolution (widen / declared full reload) the
+    table may carry n_tok as bigint/string — writing raw int32 there would
+    produce data files that disagree with the table schema and break every
+    later read of the bucket.
+    """
+    types = dict(batch.dtypes)
     if "n_tok" in batch.columns and "tokens" in batch.columns:
         batch = batch.withColumn(
-            "n_tok", F.when(F.col("tokens").isNotNull(), F.size("tokens"))
+            "n_tok",
+            F.when(F.col("tokens").isNotNull(), F.size("tokens")).cast(
+                types["n_tok"]
+            ),
         )
     if "n_tok_lv" in batch.columns and "tokens_lv" in batch.columns:
         batch = batch.withColumn(
-            "n_tok_lv", F.when(F.col("tokens_lv").isNotNull(), F.size("tokens_lv"))
+            "n_tok_lv",
+            F.when(F.col("tokens_lv").isNotNull(), F.size("tokens_lv")).cast(
+                types["n_tok_lv"]
+            ),
         )
     return batch
 

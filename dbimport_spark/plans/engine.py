@@ -25,7 +25,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dbimport_spark.lake.evolve import diff_payload_schema, evolve_schema
+from dbimport_spark.lake.evolve import (
+    SchemaEvolutionError,
+    diff_payload_schema,
+    evolve_schema,
+)
 from dbimport_spark.lake.table import CommitConflict, LakeTable
 from dbimport_spark.operators.dedup import dedup_lww
 from dbimport_spark.operators.merge import inserts_only, merge_changes
@@ -258,6 +262,24 @@ class CDCEngine:
                 {_AUD_SRC} if snap.properties.get("source_label") else None
             ),
         )
+        # bucket placement is pmod(xxhash64(key), N) and xxhash64 is
+        # type-sensitive (xxhash64(7 as int) != xxhash64(7 as bigint)):
+        # a metadata-only widen of a merge/bucket key would compute touched
+        # buckets under the new type while existing rows sit in buckets
+        # hashed under the old one — merges silently miss existing rows
+        # (duplicate inserts, lost deletes). Key-type changes require a
+        # rebucketing rewrite, i.e. a declared full reload.
+        key_widened = sorted(f.name for f in delta.widened if f.name in self.keys)
+        if key_widened:
+            raise SchemaEvolutionError(
+                f"type widening on merge/bucket key column(s) {key_widened}: "
+                "bucket ids are xxhash64 over the key value and the hash is "
+                "type-sensitive, so existing rows would no longer be found "
+                "by the merge. A key-type change requires rebucketing the "
+                "whole table — run CDCEngine.full_reload(changes) (CLI: "
+                "replay --full-reload) to re-create the table at the new "
+                "schema and replay from LSN 0."
+            )
         new_schema = evolve_schema(snap.schema, delta)
         payload_cols = [f.name for f in new_schema.fields if f.name not in AUDIT_COLUMNS]
 
@@ -591,6 +613,57 @@ class CDCEngine:
                 shutil.rmtree(os.path.join(ht.root, "data", hdir), ignore_errors=True)
                 return
             raise
+
+    # -- declared full reload ------------------------------------------------
+
+    def full_reload(self, changes: DataFrame, num_batches: int = 1) -> ReplayStats:
+        """Re-create the table at the change log's schema and replay from
+        LSN 0 — the declared recovery path for incompatible type changes
+        and merge-key type widenings (reference drop+re-add escape hatch,
+        import_operations.py:2893-2903; it too only runs on a declared full
+        non-merge re-import).
+
+        NEVER runs implicitly: ``apply_batch`` raises
+        ``SchemaEvolutionError`` naming this method, and calling it is the
+        operator's explicit decision because it abandons the current table
+        contents (prior snapshots stay readable via time travel until
+        ``expire_snapshots``). The history table, if configured, is reset in
+        the same way — its old rows describe the abandoned lineage. The
+        replay checkpoint is cleared: the old plan's LSN windows were
+        computed against the old watermark.
+        """
+        snap = self.table.current()
+        from dbimport_spark.schema import AUDIT_SOURCE
+
+        payload_fields = [
+            T.StructField(f.name, f.dataType, f.name not in self.keys)
+            for f in changes.schema.fields
+            if f.name not in LOG_BOOKKEEPING and f.name not in AUDIT_COLUMNS
+        ]
+        names = {f.name for f in payload_fields}
+        missing = [k for k in self.keys if k not in names]
+        if missing:
+            raise ValueError(
+                f"full_reload: change log lacks merge key column(s) {missing}"
+            )
+        if snap.properties.get("source_label") and AUDIT_SOURCE not in names:
+            payload_fields.append(T.StructField(AUDIT_SOURCE, T.StringType(), True))
+        full_schema = table_schema_with_audit(
+            T.StructType(payload_fields), soft_delete=self.delete_mode == "soft"
+        )
+        self.table.reset_for_reload(full_schema, expected_version=snap.version)
+        ht = self.history_table
+        if ht is not None:
+            hsnap = ht.current()
+            ht.reset_for_reload(
+                history_schema(T.StructType(payload_fields)),
+                expected_version=hsnap.version,
+            )
+        if self.checkpoint_dir:
+            plan_path = os.path.join(self.checkpoint_dir, "replay_plan.json")
+            if os.path.isfile(plan_path):
+                os.unlink(plan_path)
+        return self.replay(changes, num_batches=num_batches)
 
     # -- replay loop ---------------------------------------------------------
 

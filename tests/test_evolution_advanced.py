@@ -277,8 +277,122 @@ def test_readding_renamed_away_name_is_refused(spark, tmp_path):
     bad = evolve_schema(
         t.current().schema, SchemaDelta(added=[T.StructField("v", T.IntegerType(), True)])
     )
-    with pytest.raises(ValueError, match="former name"):
+    with pytest.raises(ValueError, match="physical name"):
         t.commit([], set(), new_schema=bad)
+
+
+def test_rename_chain_transitive_readd_refused(spark, tmp_path):
+    """After rename a->b then b->c, adding a new column 'a' must be refused:
+    epoch-0 files physically carry 'a' for what is now 'c', so the backdated
+    read schema would hold duplicate names (ADVICE r2: the direct-pair guard
+    missed the transitive chain)."""
+    from pyspark.sql import types as T
+
+    from dbimport_spark.lake.evolve import SchemaDelta, evolve_schema
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("a", T.IntegerType())]
+    )
+    t = LakeTable.create(str(tmp_path / "rc"), schema, num_buckets=4)
+    t.rename_column("a", "b")
+    t.rename_column("b", "c")
+    bad = evolve_schema(
+        t.current().schema, SchemaDelta(added=[T.StructField("a", T.IntegerType(), True)])
+    )
+    with pytest.raises(ValueError, match="physical name"):
+        t.commit([], set(), new_schema=bad)
+    # an unrelated name is still fine
+    ok = evolve_schema(
+        t.current().schema, SchemaDelta(added=[T.StructField("d", T.IntegerType(), True)])
+    )
+    t.commit([], set(), new_schema=ok)
+    assert "d" in t.current().schema.fieldNames()
+
+
+def test_key_type_widening_refused(spark, tmp_path):
+    """Widening the merge/bucket key's type must hard-error: xxhash64 bucket
+    placement is type-sensitive, so a metadata-only widen would leave
+    existing rows in buckets the merge no longer probes (silent duplicate
+    inserts / lost deletes — ADVICE r2 high)."""
+    from pyspark.sql import types as T
+
+    from dbimport_spark.lake.evolve import SchemaEvolutionError
+
+    payload = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("val", T.StringType(), True),
+        ]
+    )
+    table = CDCEngine.create_table(
+        str(tmp_path / "kw"), payload_schema=payload, num_buckets=4, key="id"
+    )
+    eng = CDCEngine(spark, table)
+    sch = T.StructType(
+        [
+            T.StructField("lsn", T.LongType(), False),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("id", T.IntegerType(), True),
+            T.StructField("val", T.StringType(), True),
+        ]
+    )
+    eng.apply_batch(spark.createDataFrame([(1, "I", 7, "x")], sch), 0, 1)
+    widened = spark.createDataFrame([(2, "U", 7, "y")], sch).withColumn(
+        "id", F.col("id").cast("long")
+    )
+    with pytest.raises(SchemaEvolutionError, match="full_reload"):
+        eng.apply_batch(widened, 1, 2)
+    # non-key widening on the same table still evolves fine
+    assert table.last_lsn() == 1
+
+
+def test_full_reload_recovers_incompatible_change(spark, tmp_path):
+    """An incompatible type change bricks incremental apply with a message
+    naming the recovery command; the declared full reload re-creates the
+    table at the new schema and converges on the full log (reference
+    drop+re-add, import_operations.py:2893-2903)."""
+    from pyspark.sql import types as T
+
+    from dbimport_spark.lake.evolve import SchemaEvolutionError
+
+    table = CDCEngine.create_table(str(tmp_path / "fr"), num_buckets=4)
+    eng = CDCEngine(spark, table, checkpoint_dir=str(tmp_path / "frc"))
+    b1 = spark.createDataFrame(
+        [_row(1, "I", "k1", [1, 2], "web", dt.datetime(2024, 1, 1))], CHANGE_SCHEMA
+    )
+    eng.apply_batch(b1, 0, 1)
+    old_version = table.current().version
+
+    # upstream changed n_tok int -> string: incompatible, refuses with the
+    # recovery command in the message
+    bad = spark.createDataFrame(
+        [_row(2, "I", "k2", [3], "web", dt.datetime(2024, 1, 2))], CHANGE_SCHEMA
+    ).withColumn("n_tok", F.col("n_tok").cast("string"))
+    with pytest.raises(SchemaEvolutionError, match="full_reload"):
+        eng.apply_batch(bad, 1, 2)
+
+    # the declared reload replays the WHOLE log at the new schema
+    full_log = spark.createDataFrame(
+        [
+            _row(1, "I", "k1", [1, 2], "web", dt.datetime(2024, 1, 1)),
+            _row(2, "I", "k2", [3], "web", dt.datetime(2024, 1, 2)),
+            _row(3, "U", "k1", [9], "books", dt.datetime(2024, 1, 3)),
+        ],
+        CHANGE_SCHEMA,
+    ).withColumn("n_tok", F.col("n_tok").cast("string"))
+    stats = eng.full_reload(full_log, num_batches=2)
+    assert stats.events_applied == 3
+    types = {f.name: f.dataType.simpleString() for f in table.current().schema.fields}
+    assert types["n_tok"] == "string"
+    got = {(r["doc_id"], r["n_tok"], r["source"]) for r in table.read(spark).collect()}
+    assert got == {("k1", "1", "books"), ("k2", "1", "web")}
+    assert table.last_lsn() == 3
+    # prior state stays time-travel readable until expired
+    old = table.read(spark, version=old_version).collect()
+    assert {(r["doc_id"], r["n_tok"]) for r in old} == {("k1", 2)}
+    # and the reload is resumable like any replay: re-running skips
+    stats2 = eng.replay(full_log, num_batches=2)
+    assert stats2.batches_applied == 0
 
 
 def test_source_label_provenance_column(spark, tmp_path):
