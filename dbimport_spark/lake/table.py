@@ -44,6 +44,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from dbimport_spark.lake.catalog import Catalog, CommitConflict, FileCatalog
+
 
 @dataclass
 class DataFile:
@@ -117,13 +119,15 @@ class Snapshot:
         )
 
 
-class CommitConflict(Exception):
-    """Another writer committed this version first."""
+_DEFAULT_CATALOG = FileCatalog()
 
 
 class LakeTable:
-    def __init__(self, root: str):
+    def __init__(self, root: str, catalog: Catalog | None = None):
         self.root = root
+        # commit arbitration is pluggable (lake/catalog.py): O_EXCL file
+        # create by default; a CAS catalog for object-store deployments
+        self.catalog = catalog or _DEFAULT_CATALOG
 
     # -- paths ---------------------------------------------------------------
 
@@ -148,8 +152,9 @@ class LakeTable:
         num_buckets: int = 32,
         bucket_column: str | list[str] = "doc_id",
         properties: dict[str, str] | None = None,
+        catalog: Catalog | None = None,
     ) -> "LakeTable":
-        t = cls(root)
+        t = cls(root, catalog=catalog)
         os.makedirs(t._meta_dir, exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         snap = Snapshot(
@@ -167,8 +172,8 @@ class LakeTable:
         return t
 
     @classmethod
-    def load(cls, root: str) -> "LakeTable":
-        t = cls(root)
+    def load(cls, root: str, catalog: Catalog | None = None) -> "LakeTable":
+        t = cls(root, catalog=catalog)
         t.current()  # raises if absent
         return t
 
@@ -509,26 +514,14 @@ class LakeTable:
         return snap
 
     def _write_snapshot(self, snap: Snapshot) -> None:
-        path = self._meta_path(snap.version)
-        # O_EXCL create = the atomic commit point (single-writer lock on a
-        # POSIX/HDFS filesystem; an object-store deployment would use a
-        # catalog compare-and-swap here instead).
-        try:
-            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
-        except FileExistsError as e:
-            # a racing writer created this version between our current()
-            # read and the create — surface it as the typed conflict
-            raise CommitConflict(f"version v{snap.version} already committed") from e
-        try:
-            with os.fdopen(fd, "w") as fh:
-                json.dump(snap.to_json(), fh)
-                fh.flush()
-                os.fsync(fh.fileno())
-        except BaseException:
-            os.unlink(path)
-            raise
-        # make the commit itself durable before advertising it
-        self._fsync_dir(self._meta_dir)
+        # the atomic commit point — delegated to the catalog (O_EXCL file
+        # create by default; CAS for object stores). Raises CommitConflict
+        # if a racing writer owns this version; nothing of ours is visible
+        # on that path.
+        self.catalog.commit_version(self._meta_dir, snap.version, snap.to_json())
+        # the hint is advisory (current() recovers without it): plain
+        # tmp+rename, last-writer-wins is fine because probe-forward finds
+        # any newer committed version anyway
         tmp = self._hint_path + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(str(snap.version))
