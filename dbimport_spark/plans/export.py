@@ -9,11 +9,27 @@ with an incremental filter and a pending/committed watermark
   (every merge stamps it, so "rows changed since the last export" is exact);
 - full mode re-exports everything;
 - the export watermark is committed to a JSON state file atomically AFTER
-  the export lands (two-phase: crash ⇒ re-export the same window; the
-  overwrite-by-run-directory layout makes re-export idempotent);
-- sink = parquet directory (S13 analogue; no S3/JDBC drivers in sandbox —
-  the JDBC sink reuses sources/jdbc.py option construction and
-  ``df.write.jdbc`` when a driver is present).
+  the export lands (two-phase: crash ⇒ re-export the same window);
+- row count AND the new watermark come from a single ``Observation`` on
+  the export write itself — no second scan of the exported data, and no
+  separate max-timestamp scan of the table (at a 100 TB export the old
+  re-read doubled the IO). The watermark observed over the exported window
+  equals the table max: in incr mode any row carrying the table max has
+  ``dl_update_ts > last`` and is in the window; an empty window means the
+  table max hasn't moved, so the old watermark stands.
+
+Sinks share one state machine (``_IncrementalExporter``):
+
+- ``ParquetExporter`` (S13): one ``run-NNNNN`` directory per window;
+  overwrite-by-run-directory makes crash re-export idempotent.
+- ``JdbcExporter`` (S12, reference export_operations.py:1058-1079): append
+  per window (full mode overwrites). Complex columns (array/map/struct —
+  e.g. the token arrays) are serialized with ``to_json`` because an RDBMS
+  has no array type, mirroring how the reference flattens for export.
+  Idempotency caveat, stated plainly: a crash AFTER the JDBC append but
+  BEFORE the state commit re-appends the same window on retry — dedupe at
+  the target with a primary key / staging table, exactly as the reference
+  requires; the parquet sink does not share this caveat.
 """
 
 from __future__ import annotations
@@ -21,22 +37,30 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dbimport_spark.lake.table import LakeTable
 from dbimport_spark.schema import AUDIT_COLUMNS, AUDIT_UPDATE
 
 
-class ParquetExporter:
-    def __init__(self, table: LakeTable, out_dir: str, include_audit: bool = False):
+class _IncrementalExporter:
+    """Watermark state machine shared by every export sink.
+
+    State file layout: ``{"last_update_ts": iso-or-null, "runs": N, ...}``
+    committed via tmp+rename only after the sink write succeeded — the
+    two-phase pending/committed watermark the reference keeps in its config
+    database (export_operations.py:1058-1079)."""
+
+    def __init__(self, table: LakeTable, state_dir: str, include_audit: bool = False):
         self.table = table
-        self.out_dir = out_dir
+        self.state_dir = state_dir
         self.include_audit = include_audit
 
     @property
     def _state_path(self) -> str:
-        return os.path.join(self.out_dir, "_export_state.json")
+        return os.path.join(self.state_dir, "_export_state.json")
 
     def _state(self) -> dict:
         if os.path.isfile(self._state_path):
@@ -45,42 +69,110 @@ class ParquetExporter:
         return {"last_update_ts": None, "runs": 0}
 
     def _save_state(self, state: dict) -> None:
-        os.makedirs(self.out_dir, exist_ok=True)
+        os.makedirs(self.state_dir, exist_ok=True)
         tmp = self._state_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(state, fh)
         os.replace(tmp, self._state_path)
 
+    def _write(
+        self, spark: SparkSession, df: DataFrame, state: dict, mode: str
+    ) -> dict:
+        """Sink hook: land ``df``, return sink-specific info for the state
+        record. Must be a single Spark action on ``df`` (the Observation
+        rides it)."""
+        raise NotImplementedError
+
     def export(self, spark: SparkSession, mode: str = "incr") -> dict:
-        """Run one export. mode='incr' exports rows with
-        dl_update_ts > last exported watermark; 'full' exports all."""
+        """Run one export window. mode='incr' exports rows with
+        dl_update_ts > the committed watermark; 'full' exports all."""
+        if mode not in ("incr", "full"):
+            raise ValueError("mode must be 'incr' or 'full'")
         state = self._state()
         df = self.table.read(spark)
-        hi_row = df.agg(F.max(AUDIT_UPDATE).alias("hi")).first()
-        hi = hi_row["hi"]
         last = state["last_update_ts"]
         if mode == "incr" and last is not None:
             df = df.filter(F.col(AUDIT_UPDATE) > F.lit(last).cast("timestamp"))
+        obs = Observation()  # auto-named: names must be unique per session
+        df = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.max(AUDIT_UPDATE).alias("hi"),
+        )
         if not self.include_audit:
             df = df.drop(*[c for c in AUDIT_COLUMNS if c in df.columns])
-        run_dir = os.path.join(self.out_dir, f"run-{state['runs']:05d}")
-        df.write.mode("overwrite").parquet(run_dir)
-        n = spark.read.parquet(run_dir).count()  # export validation count
+        info = self._write(spark, df, state, mode)
+        got = obs.get
+        hi = got["hi"]
         # commit point: watermark promoted only after the data landed
         state = {
             "last_update_ts": hi.isoformat() if hi is not None else last,
             "runs": state["runs"] + 1,
-            "last_run_rows": n,
-            "last_run_dir": run_dir,
+            "last_run_rows": got["rows"],
             "mode": mode,
+            **info,
         }
         self._save_state(state)
         return state
 
 
+class ParquetExporter(_IncrementalExporter):
+    def __init__(self, table: LakeTable, out_dir: str, include_audit: bool = False):
+        super().__init__(table, state_dir=out_dir, include_audit=include_audit)
+        self.out_dir = out_dir
+
+    def _write(
+        self, spark: SparkSession, df: DataFrame, state: dict, mode: str
+    ) -> dict:
+        run_dir = os.path.join(self.out_dir, f"run-{state['runs']:05d}")
+        df.write.mode("overwrite").parquet(run_dir)
+        return {"last_run_dir": run_dir}
+
+
+class JdbcExporter(_IncrementalExporter):
+    """Incremental lake → RDBMS export (S12). ``state_dir`` holds the
+    watermark state locally (the reference keeps it in its config DB —
+    same two-phase semantics). Live-tested against embedded Derby."""
+
+    def __init__(
+        self,
+        table: LakeTable,
+        url: str,
+        target_table: str,
+        state_dir: str,
+        properties: dict | None = None,
+        include_audit: bool = False,
+    ):
+        super().__init__(table, state_dir=state_dir, include_audit=include_audit)
+        self.url = url
+        self.target_table = target_table
+        self.properties = dict(properties or {})
+
+    @staticmethod
+    def _flatten_for_rdbms(df: DataFrame) -> DataFrame:
+        """Serialize complex-typed columns to JSON strings — RDBMS targets
+        have no array/map/struct types (reference flattens likewise on
+        export)."""
+        cols = []
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                cols.append(F.to_json(F.col(f.name)).alias(f.name))
+            else:
+                cols.append(F.col(f.name))
+        return df.select(*cols)
+
+    def _write(
+        self, spark: SparkSession, df: DataFrame, state: dict, mode: str
+    ) -> dict:
+        # full = truncate + insert (reference full export); incr = append
+        write_mode = "overwrite" if mode == "full" else "append"
+        self._flatten_for_rdbms(df).write.mode(write_mode).jdbc(
+            self.url, self.target_table, properties=self.properties
+        )
+        return {"target_table": self.target_table}
+
+
 def export_to_jdbc(df: DataFrame, url: str, table: str, properties: dict | None = None):
-    """JDBC export sink (reference export_operations.py:1076-1079):
-    ``df.write.mode('append').jdbc(...)``. Requires a JDBC driver on the
-    classpath — not available in this sandbox; kept thin and untested
-    beyond construction."""
+    """One-shot stateless JDBC append (reference export_operations.py:
+    1076-1079). For watermarked incremental export use ``JdbcExporter``."""
     return df.write.mode("append").jdbc(url, table, properties=properties or {})

@@ -70,6 +70,51 @@ def test_export_to_jdbc_and_full_path(spark, tmp_path):
     assert a == b and len(a) == table.read(spark).count()
 
 
+def test_incremental_jdbc_export_two_windows(spark, tmp_path):
+    """S12 incremental: the JDBC sink runs the same watermark state machine
+    as the parquet exporter (reference export_operations.py:1058-1079) —
+    window 2 appends ONLY rows merged after window 1's export."""
+    from dbimport_spark.plans.export import JdbcExporter
+
+    url = _url(tmp_path, "db4")
+    table = CDCEngine.create_table(str(tmp_path / "it"), num_buckets=4)
+    eng = CDCEngine(spark, table)
+    log = generate_changes(spark, 1000, n_keys=60, seed=62)
+    eng.replay(log.filter("lsn <= 700"), num_batches=1)
+
+    ex = JdbcExporter(table, url, "inc_tbl", state_dir=str(tmp_path / "st"))
+    s1 = ex.export(spark, mode="incr")
+    n1 = JdbcScan(url=url, table="inc_tbl").load(spark).count()
+    assert s1["last_run_rows"] == n1 == table.read(spark).count()
+
+    # second window: only the tail batch's merged rows ship
+    eng.apply_batch(log.filter("lsn > 700"), 700, 1000)
+    changed = (
+        table.read(spark)
+        .filter(F.col("dl_update_ts") > F.lit(s1["last_update_ts"]).cast("timestamp"))
+        .count()
+    )
+    s2 = ex.export(spark, mode="incr")
+    assert s2["last_run_rows"] == changed > 0
+    back = JdbcScan(url=url, table="inc_tbl").load(spark)
+    assert back.count() == n1 + changed
+    # and an empty window appends nothing, watermark stands
+    s3 = ex.export(spark, mode="incr")
+    assert s3["last_run_rows"] == 0
+    assert s3["last_update_ts"] == s2["last_update_ts"]
+    assert JdbcScan(url=url, table="inc_tbl").load(spark).count() == n1 + changed
+    # full mode truncates and re-exports the whole table
+    s4 = ex.export(spark, mode="full")
+    assert s4["last_run_rows"] == table.read(spark).count()
+    assert (
+        JdbcScan(url=url, table="inc_tbl").load(spark).count()
+        == table.read(spark).count()
+    )
+    # token arrays arrive JSON-serialized (RDBMS has no array type)
+    row = JdbcScan(url=url, table="inc_tbl").load(spark).first()
+    assert isinstance(row["tokens"], str) and row["tokens"].startswith("[")
+
+
 def test_plan_sessions_formula():
     assert plan_sessions(0) == 1
     assert plan_sessions(10 * 128 * 1024 * 1024) == 10
