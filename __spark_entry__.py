@@ -346,6 +346,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_probe is the recall/cost dial (6/8 clusters suffice here — this
     corpus is near-uniform, real corpora cluster far better)."""
     from dbimport_spark.operators.similarity import (
+        IVFIndex,
         assert_topk_matches_exact,
         brute_force_topk,
         ivf_topk,
@@ -353,7 +354,15 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
-    top = ivf_topk(e, q, k=10, n_clusters=8, n_probe=6)
+    # production shape: quantizer fit ONCE, persisted, loaded per query —
+    # the query itself runs no KMeans job (pure-expression assignment)
+    import os as _os
+    import tempfile as _tf
+
+    idx = IVFIndex.fit(e, n_clusters=8)
+    path = _os.path.join(_tf.mkdtemp(prefix="ivf-"), "centroids.json")
+    idx.save(path)
+    top = ivf_topk(e, q, k=10, n_probe=6, index=IVFIndex.load(path))
     assert_topk_matches_exact(top, brute_force_topk(e, q, k=10))
     return top.select(
         "vec_id", F.floor(F.col("cosine_sim") * F.lit(1000)).alias("sim_milli")
@@ -393,13 +402,15 @@ def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Asserted equal to per-query exact top-k => exact SQL oracle."""
     from pyspark.sql import Window as W
 
-    from dbimport_spark.operators.similarity import ann_batch_topk
+    from dbimport_spark.operators.similarity import IVFIndex, ann_batch_topk
 
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id").isin(ANN_BATCH_IDS)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    top = ann_batch_topk(e, queries, k=2, n_clusters=8, n_probe=6)
+    top = ann_batch_topk(
+        e, queries, k=2, n_probe=6, index=IVFIndex.fit(e, n_clusters=8)
+    )
 
     # exact per-query oracle computed in-plan for the recall assertion
     qv = queries.select(

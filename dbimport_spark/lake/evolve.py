@@ -69,13 +69,18 @@ def compare_types(cur: T.DataType, new: T.DataType) -> str:
 
 @dataclass
 class SchemaDelta:
-    """The evolution a batch demands: columns to add, columns to widen."""
+    """The evolution a batch demands: columns to add, columns to widen,
+    column comments to (re)apply."""
 
     added: list[T.StructField] = field(default_factory=list)
     widened: list[T.StructField] = field(default_factory=list)
+    # (column, new comment) — metadata-only, applied as part of the same
+    # snapshot commit (reference applies comment changes as table ALTERs,
+    # import_operations.py:2952-2956)
+    commented: list[tuple[str, str]] = field(default_factory=list)
 
     def __bool__(self) -> bool:
-        return bool(self.added or self.widened)
+        return bool(self.added or self.widened or self.commented)
 
 
 def diff_payload_schema(
@@ -103,8 +108,18 @@ def diff_payload_schema(
             continue
         cur = existing.get(f.name)
         if cur is None:
-            delta.added.append(T.StructField(f.name, f.dataType, True))  # always nullable
+            delta.added.append(
+                T.StructField(f.name, f.dataType, True, f.metadata)
+            )  # always nullable; source comment metadata carried along
             continue
+        # comment propagation (reference ALTERs comments on change,
+        # import_operations.py:2952-2956): only when the batch CARRIES a
+        # comment that differs — a batch without metadata (the normal case
+        # for parquet change logs) never clears an existing comment,
+        # mirroring the never-drop column rule.
+        new_comment = (f.metadata or {}).get("comment")
+        if new_comment and new_comment != (cur.metadata or {}).get("comment"):
+            delta.commented.append((f.name, new_comment))
         rel = compare_types(cur.dataType, f.dataType)
         if rel == "widen":
             delta.widened.append(T.StructField(f.name, f.dataType, True))
@@ -176,13 +191,23 @@ def _check_rename_pattern(
 
 
 def evolve_schema(table_schema: T.StructType, delta: SchemaDelta) -> T.StructType:
-    """Apply a delta: widen types in place, append new nullable fields
-    before the trailing audit columns."""
+    """Apply a delta: widen types in place, update comments in place,
+    append new nullable fields before the trailing audit columns."""
     if not delta:
         return table_schema
     wider = {f.name: f.dataType for f in delta.widened}
+    comments = dict(delta.commented)
     fields = [
-        T.StructField(f.name, wider.get(f.name, f.dataType), f.nullable, f.metadata)
+        T.StructField(
+            f.name,
+            wider.get(f.name, f.dataType),
+            f.nullable,
+            (
+                {**(f.metadata or {}), "comment": comments[f.name]}
+                if f.name in comments
+                else f.metadata
+            ),
+        )
         for f in table_schema.fields
     ]
     audit = [f for f in fields if f.name in AUDIT_COLUMNS]

@@ -80,6 +80,105 @@ def rhp_signature(vec_col: str, n_planes: int = 16, dim: int = 64, seed: int = 4
     return sig
 
 
+class IVFIndex:
+    """Persisted IVF coarse quantizer: fit ONCE, save, load, reuse.
+
+    At scale the quantizer is trained once over a corpus sample, its
+    centroids (n_clusters × dim floats — KB-sized) are persisted, and every
+    query/batch job loads them; re-fitting KMeans inside each query (the
+    round-2 shape) re-scans the corpus per call and yields a different
+    partitioning whenever the corpus changed. Cluster assignment here is a
+    pure Catalyst expression (argmin over the centroid literal via
+    transform + array_min) — queries need no pyspark.ml at all, and the
+    corpus can be written bucketed by cluster id so the batch join is
+    co-located.
+    """
+
+    def __init__(self, centers: list[list[float]], seed: int = 42):
+        self.centers = [list(map(float, c)) for c in centers]
+        self.seed = seed
+
+    # -- lifecycle -----------------------------------------------------------
+
+    @classmethod
+    def fit(
+        cls,
+        df: DataFrame,
+        n_clusters: int = 16,
+        vec_col: str = "embedding",
+        seed: int = 42,
+        max_iter: int = 5,
+    ) -> "IVFIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = df.withColumn(
+            "_feat",
+            array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+        )
+        model = KMeans(
+            k=n_clusters, seed=seed, maxIter=max_iter,
+            featuresCol="_feat", predictionCol="_cluster",
+        ).fit(feats)
+        return cls([list(c) for c in model.clusterCenters()], seed=seed)
+
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"seed": self.seed, "centers": self.centers}, fh)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "IVFIndex":
+        import json
+
+        with open(path) as fh:
+            d = json.load(fh)
+        return cls(d["centers"], seed=d.get("seed", 42))
+
+    # -- query-side ----------------------------------------------------------
+
+    def _centers_lit(self) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(ci).alias("cid"),
+                    F.array(*[F.lit(x).cast("double") for x in c]).alias("cv"),
+                )
+                for ci, c in enumerate(self.centers)
+            ]
+        )
+
+    def assign_expr(self, vec_col: str = "embedding") -> Column:
+        """Nearest-centroid id as a pure expression (no ml, no shuffle)."""
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        dists = F.transform(
+            self._centers_lit(),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(v, c["cv"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        return F.array_min(dists)["cid"]
+
+    def nearest(self, query: list[float], n_probe: int) -> list[int]:
+        """Driver-side probe list: the n_probe centroids closest to one
+        query (centroid table is KB-sized — never a Spark job)."""
+        import numpy as np
+
+        q = np.asarray(query, dtype=np.float64)
+        dists = [float(np.linalg.norm(np.asarray(c) - q)) for c in self.centers]
+        return sorted(range(len(dists)), key=lambda i: (dists[i], i))[:n_probe]
+
+
 def ivf_topk(
     df: DataFrame,
     query: list[float],
@@ -89,34 +188,22 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    index: IVFIndex | None = None,
 ) -> DataFrame:
-    """IVF approximate top-k: KMeans coarse quantizer (pyspark.ml), exact
-    cosine re-rank inside the n_probe clusters nearest the query.
+    """IVF approximate top-k: coarse quantizer + exact cosine re-rank inside
+    the n_probe clusters nearest the query.
 
     The inverted-file structure is the classic ANN scale path: at 10^9
     vectors the per-query scan drops from N to ~N*(n_probe/n_clusters),
-    and cluster id becomes the partition key for routing. Deterministic
-    via fixed seed + fixed maxIter.
+    and cluster id becomes the partition key for routing. Pass a
+    pre-fitted ``index`` (IVFIndex.fit → save → load) to skip the KMeans
+    job entirely — the query is then pure expressions; omitting it fits
+    on the fly (deterministic via fixed seed + fixed maxIter).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    feats = df.withColumn(
-        "_feat", array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double")))
-    )
-    model = KMeans(
-        k=n_clusters, seed=seed, maxIter=5, featuresCol="_feat", predictionCol="_cluster"
-    ).fit(feats)
-    assigned = model.transform(feats)
-
-    import numpy as np
-
-    q = np.asarray(query, dtype=np.float64)
-    centers = model.clusterCenters()
-    dists = [float(np.linalg.norm(np.asarray(c) - q)) for c in centers]
-    probe = sorted(range(len(dists)), key=lambda i: dists[i])[:n_probe]
-
-    bucket = assigned.filter(F.col("_cluster").isin(probe)).drop("_feat", "_cluster")
+    if index is None:
+        index = IVFIndex.fit(df, n_clusters, vec_col, seed)
+    probe = index.nearest([float(x) for x in query], n_probe)
+    bucket = df.filter(index.assign_expr(vec_col).isin(probe))
     scored = cosine_to_query(bucket, list(map(float, query)), vec_col)
     return (
         scored.select(id_col, "cosine_sim")
@@ -310,41 +397,30 @@ def ann_batch_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     seed: int = 42,
+    index: IVFIndex | None = None,
 ) -> DataFrame:
     """Batched ANN: a query TABLE joined against the corpus on IVF cluster
     id — the reference-scale shape (per-query probing would be a driver
     loop; this is one shuffle-free broadcast join + windowed re-rank).
 
-    Plan: KMeans coarse quantizer over the corpus; every query fans out to
-    its n_probe nearest centroids (tiny centroid table broadcast both
-    ways); queries×corpus matched on cluster id (hash join — at 10^9
-    vectors the corpus would be stored bucketed by cluster id, making this
-    join co-located); exact cosine re-rank per query via window top-k.
+    Plan: IVF coarse quantizer over the corpus (pass a pre-fitted persisted
+    ``index`` to skip the KMeans job — the production shape); every query
+    fans out to its n_probe nearest centroids (tiny centroid table
+    broadcast both ways); queries×corpus matched on cluster id (hash join —
+    at 10^9 vectors the corpus would be stored bucketed by cluster id,
+    making this join co-located); exact cosine re-rank per query via
+    window top-k.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window as W
 
-    feats = df.withColumn(
-        "_feat", array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    if index is None:
+        index = IVFIndex.fit(df, n_clusters, vec_col, seed)
+    corpus = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_cv"),
+        index.assign_expr(vec_col).alias("_cluster"),
     )
-    model = KMeans(
-        k=n_clusters, seed=seed, maxIter=5, featuresCol="_feat", predictionCol="_cluster"
-    ).fit(feats)
-    corpus = model.transform(feats).select(
-        F.col(id_col), F.col(vec_col).alias("_cv"), F.col("_cluster")
-    )
-
-    centers = model.clusterCenters()
-    centers_lit = F.array(
-        *[
-            F.struct(
-                F.lit(ci).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in c]).alias("cv"),
-            )
-            for ci, c in enumerate(centers)
-        ]
-    )
+    centers_lit = index._centers_lit()
     qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     qx = queries.select(
         F.col(query_id_col), qv.alias("_qv"), F.explode(centers_lit).alias("c")

@@ -19,8 +19,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
-def _one_per_doc(df: DataFrame, id_col: str) -> DataFrame:
-    """One row per doc id, explicitly distributed.
+def _one_per_doc(
+    df: DataFrame, id_col: str, num_partitions: int | None = None
+) -> DataFrame:
+    """One row per doc id, explicitly distributed, deterministic survivor.
 
     Does two jobs: (a) correctness — a duplicated doc_id row would double
     every (id, shingle) pair downstream and poison the Jaccard
@@ -30,10 +32,26 @@ def _one_per_doc(df: DataFrame, id_col: str) -> DataFrame:
     of parquet files. The repartition must be EXPLICIT (doc rows are tiny
     relative to their exploded shingles, so AQE would otherwise coalesce
     the exchange to one partition and re-serialize the expensive map work)
-    and comes FIRST: dropDuplicates then reuses its hash distribution, so
-    the whole thing is ONE shuffle, not two."""
-    want = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(want, F.col(id_col)).dropDuplicates([id_col])
+    and comes FIRST: the groupBy then reuses its hash distribution, so the
+    whole thing is ONE shuffle, not two.
+
+    ``num_partitions`` defaults to defaultParallelism — right for local /
+    small corpora; on a real cluster the right width is data-sized, not
+    core-count-sized, so callers thread it through.
+
+    When the id-uniqueness contract IS violated (two rows, same id,
+    different text), the survivor is the row with the max payload struct —
+    deterministic, so dedup output and every gate hash built on it is
+    stable run-to-run (dropDuplicates keeps an arbitrary row)."""
+    want = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    others = [c for c in df.columns if c != id_col]
+    part = df.repartition(want, F.col(id_col))
+    if not others:
+        return part.dropDuplicates([id_col])
+    out = part.groupBy(id_col).agg(
+        F.max(F.struct(*[F.col(c) for c in others])).alias("_s")
+    )
+    return out.select(id_col, *[F.col(f"_s.{c}").alias(c) for c in others])
 
 
 # -- exact -------------------------------------------------------------------
@@ -56,7 +74,11 @@ def exact_dedup(
 # -- shingles ----------------------------------------------------------------
 
 def word_shingles(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Distinct word n-gram shingle hashes per doc: (id, shingle_hash)."""
     toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
@@ -75,7 +97,7 @@ def word_shingles(
     # array_distinct dedups within the doc and _one_per_doc dedups the doc
     # rows themselves, so the exploded rows are unique (id, shingle) pairs
     # — no post-explode distinct/shuffle needed
-    return _one_per_doc(df, id_col).select(
+    return _one_per_doc(df, id_col, num_partitions).select(
         F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
@@ -137,8 +159,11 @@ def ngram_jaccard_dedup(
     id_col: str = "doc_id",
     n: int = 3,
     min_permille: int = 500,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    return jaccard_pairs(word_shingles(df, text_col, id_col, n), id_col, min_permille)
+    return jaccard_pairs(
+        word_shingles(df, text_col, id_col, n, num_partitions), id_col, min_permille
+    )
 
 
 # -- MinHash + LSH -----------------------------------------------------------
@@ -219,11 +244,12 @@ def minhash_lsh_dedup(
     num_perm: int = 32,
     bands: int = 8,
     min_permille: int = 500,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from LSH, verified with exact Jaccard — but only on
     the candidates (see jaccard_for_pairs)."""
     rows = num_perm // bands
-    sh = word_shingles(df, text_col, id_col, n)
+    sh = word_shingles(df, text_col, id_col, n, num_partitions)
     sigs = minhash_signatures(sh, id_col, num_perm)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
     return jaccard_for_pairs(sh, cands, id_col).filter(
@@ -252,11 +278,16 @@ def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
     """(id, simhash): token hashes computed JVM-side, bit-vote in Arrow."""
     toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
     token_hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    return _one_per_doc(df, id_col).select(
+    return _one_per_doc(df, id_col, num_partitions).select(
         F.col(id_col), _simhash_from_hashes(token_hashes).alias("simhash")
     )
 
@@ -266,6 +297,7 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: banded bit chunks as LSH, then exact
     Hamming via bit_count(xor).
@@ -281,7 +313,7 @@ def simhash_near_dups(
         n_chunks *= 2
     width = 64 // n_chunks
     mask = (1 << width) - 1
-    sh = simhash(df, text_col, id_col)
+    sh = simhash(df, text_col, id_col, num_partitions)
     chunks = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), width * i).bitwiseAND(F.lit(mask))
@@ -322,6 +354,7 @@ def simhash_verified_dups(
     max_hamming: int = 7,
     n: int = 3,
     min_permille: int = 500,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """SimHash as the CANDIDATE generator, exact n-gram Jaccard as the
     verifier: pairs within Hamming ``max_hamming`` get their true Jaccard
@@ -333,8 +366,10 @@ def simhash_verified_dups(
     full exact Jaccard dedup, so the same SQL oracle grades both (a missed
     candidate surfaces as a gate mismatch, not a silent approximation).
     """
-    cands = simhash_near_dups(df, text_col, id_col, max_hamming).select("id_a", "id_b")
-    sh = word_shingles(df, text_col, id_col, n)
+    cands = simhash_near_dups(
+        df, text_col, id_col, max_hamming, num_partitions
+    ).select("id_a", "id_b")
+    sh = word_shingles(df, text_col, id_col, n, num_partitions)
     return jaccard_for_pairs(sh, cands, id_col).filter(
         F.col("jaccard_permille") >= min_permille
     )

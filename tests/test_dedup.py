@@ -80,3 +80,28 @@ def test_jaccard_max_doc_freq_cap(spark):
     # genuinely-similar pair survives on its rare shingles
     assert (1, 2) in capped
     assert capped <= full
+
+
+def test_one_per_doc_width_and_deterministic_survivor(spark):
+    """_one_per_doc: partition width is a parameter (data-sized on a real
+    cluster, not core-count-sized), and a violated id-uniqueness contract
+    yields a DETERMINISTIC survivor (max payload struct), not an arbitrary
+    dropDuplicates row (ADVICE r2)."""
+    from dbimport_spark.operators.text_dedup import _one_per_doc, word_shingles
+
+    rows = [("d1", "alpha beta gamma"), ("d1", "zzz yyy xxx"), ("d2", "one two three")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    out = _one_per_doc(df, "doc_id", num_partitions=7)
+    assert out.rdd.getNumPartitions() == 7
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    # max-struct survivor: 'zzz yyy xxx' > 'alpha beta gamma'
+    assert got == {"d1": "zzz yyy xxx", "d2": "one two three"}
+    # stable across repeated evaluation and input order
+    df_rev = spark.createDataFrame(list(reversed(rows)), ["doc_id", "text"])
+    got2 = {r["doc_id"]: r["text"] for r in _one_per_doc(df_rev, "doc_id").collect()}
+    assert got2 == got
+
+    # the width threads through the public entry points
+    sh = word_shingles(df, num_partitions=5)
+    assert sh.rdd.getNumPartitions() == 5

@@ -445,3 +445,59 @@ def test_source_label_does_not_trip_rename_or_validation(spark, tmp_path):
         actual.select(*cols), fold_expected(full_log, payload_cols=cols), cols
     )
     assert rec["converged"]
+
+
+def test_comment_metadata_evolution(spark, tmp_path):
+    """Column comments propagate as metadata-only evolution (reference
+    applies comment changes as ALTERs, import_operations.py:2952-2956);
+    a later batch WITHOUT metadata never clears an existing comment
+    (never-drop analogue)."""
+    from pyspark.sql import types as T
+
+    table = CDCEngine.create_table(str(tmp_path / "cm"), num_buckets=4)
+    eng = CDCEngine(spark, table)
+
+    commented = T.StructType(
+        [
+            f
+            if f.name != "source"
+            else T.StructField(
+                "source", f.dataType, True, {"comment": "origin system"}
+            )
+            for f in CHANGE_SCHEMA.fields
+        ]
+    )
+    b1 = spark.createDataFrame(
+        [_row(1, "I", "k1", [1], "web", dt.datetime(2024, 1, 1))], commented
+    )
+    eng.apply_batch(b1, 0, 1)
+    meta = {f.name: dict(f.metadata or {}) for f in table.current().schema.fields}
+    assert meta["source"].get("comment") == "origin system"
+
+    # comment-free later batch: comment survives
+    b2 = spark.createDataFrame(
+        [_row(2, "I", "k2", [2], "web", dt.datetime(2024, 1, 2))], CHANGE_SCHEMA
+    )
+    eng.apply_batch(b2, 1, 2)
+    meta = {f.name: dict(f.metadata or {}) for f in table.current().schema.fields}
+    assert meta["source"].get("comment") == "origin system"
+
+    # changed comment: updated in place, data intact
+    recommented = T.StructType(
+        [
+            f
+            if f.name != "source"
+            else T.StructField(
+                "source", f.dataType, True, {"comment": "upstream origin"}
+            )
+            for f in CHANGE_SCHEMA.fields
+        ]
+    )
+    b3 = spark.createDataFrame(
+        [_row(3, "U", "k1", [9], "web", dt.datetime(2024, 1, 3))], recommented
+    )
+    eng.apply_batch(b3, 2, 3)
+    meta = {f.name: dict(f.metadata or {}) for f in table.current().schema.fields}
+    assert meta["source"].get("comment") == "upstream origin"
+    got = {(r["doc_id"], r["n_tok"]) for r in table.read(spark).collect()}
+    assert got == {("k1", 1), ("k2", 1)}
