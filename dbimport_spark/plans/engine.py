@@ -614,6 +614,124 @@ class CDCEngine:
                 return
             raise
 
+    # -- targeted key repair -------------------------------------------------
+
+    def repair_keys(self, changes: DataFrame, keys: DataFrame) -> BatchStats:
+        """Authoritative re-fold for a key subset: recompute the LWW fold of
+        ``changes`` (the full log as currently known) restricted to ``keys``
+        and merge the result into those keys' buckets — regardless of the
+        committed watermark.
+
+        This is the recovery path for out-of-order segment delivery
+        (streaming): the watermark can never move backward, so a late
+        segment's events can never be applied through ``apply_batch``;
+        repair instead recomputes final state for exactly the touched keys
+        from the whole log. The watermark is left unchanged (no events past
+        it are introduced); the commit carries a repair marker in lineage.
+        Schema evolution deliberately does NOT run here — a repair replays
+        history, it never advances the schema.
+        """
+        snap = self.table.current()
+        key_rows = keys.select(*self.keys).distinct()
+        scoped = changes.join(F.broadcast(key_rows), self.keys, "left_semi")
+
+        # align to the CURRENT table schema (missing columns null, narrower
+        # cast up, engine-stamped provenance label re-stamped)
+        from dbimport_spark.schema import AUDIT_SOURCE
+
+        src_label = snap.properties.get("source_label")
+        payload_cols = [
+            f.name for f in snap.schema.fields if f.name not in AUDIT_COLUMNS
+        ]
+        bschema = {f.name: f for f in scoped.schema.fields}
+        aligned = [F.col("lsn"), F.col("op")]
+        for f in snap.schema.fields:
+            if f.name in AUDIT_COLUMNS:
+                continue
+            bf = bschema.get(f.name)
+            if f.name == AUDIT_SOURCE and src_label is not None and bf is None:
+                aligned.append(
+                    F.when(F.col("op") != "D", F.lit(src_label)).alias(f.name)
+                )
+            elif bf is None:
+                aligned.append(F.lit(None).cast(f.dataType).alias(f.name))
+            elif bf.dataType != f.dataType:
+                aligned.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                aligned.append(F.col(f.name))
+        scoped = scoped.select(*aligned)
+
+        deduped = dedup_lww(
+            scoped,
+            key=self.keys,
+            order_col="lsn",
+            strategy=self.dedup_strategy,
+            n_salts=self.n_salts,
+        )
+        if self.delete_mode == "soft":
+            non_key = [c for c in payload_cols if c not in self.keys]
+            live = dedup_lww(
+                scoped.filter(F.col("op") != "D"),
+                key=self.keys,
+                order_col="lsn",
+                strategy=self.dedup_strategy,
+                n_salts=self.n_salts,
+            ).select(
+                *self.keys,
+                F.lit(True).alias("_has_lv"),
+                *[F.col(c).alias(f"{c}_lv") for c in non_key],
+            )
+            deduped = deduped.join(live, list(self.keys), "left")
+
+        bexpr = self.table.bucket_expr(key_col=self.keys, num_buckets=snap.num_buckets)
+        touched = sorted(
+            r["bucket"]
+            for r in key_rows.select(bexpr.alias("bucket")).distinct().collect()
+        )
+        n_keys = key_rows.count()
+
+        # strictly monotonic merge_ts (same contract as apply_batch)
+        from datetime import datetime, timedelta
+
+        merge_ts_val = datetime.now()
+        prev_iso = snap.properties.get("last_merge_ts")
+        if prev_iso is not None:
+            prev_ts = datetime.fromisoformat(prev_iso)
+            if merge_ts_val <= prev_ts:
+                merge_ts_val = prev_ts + timedelta(microseconds=1)
+
+        target = self.table.read(self.spark, buckets=touched)
+        merged = merge_changes(
+            target,
+            deduped,
+            self.keys,
+            payload_cols,
+            F.lit(merge_ts_val),
+            mode="broadcast",  # repairs are key-scoped: batch side is small
+            delete_mode=self.delete_mode,
+        )
+        out = merged.withColumn("_bucket", bexpr).repartition(
+            max(len(touched), 1), "_bucket"
+        )
+        version_dir = f"r{snap.version + 1}-{uuid.uuid4().hex[:8]}"
+        new_files = self.table.write_data_files(self.spark, out, version_dir)
+        self.table.commit(
+            new_files,
+            replaced_buckets=set(touched),
+            properties={"last_merge_ts": merge_ts_val.isoformat()},
+            lineage=[{"repair": True, "keys": n_keys, "buckets": touched}],
+            expected_version=snap.version,
+        )
+        return BatchStats(
+            lo=-1,
+            hi=self.table.last_lsn(),
+            events=n_keys,
+            touched_buckets=len(touched),
+            mode="repair",
+            out_rows=sum(f.rows for f in new_files),
+            out_bytes=sum(f.bytes for f in new_files),
+        )
+
     # -- declared full reload ------------------------------------------------
 
     def full_reload(self, changes: DataFrame, num_batches: int = 1) -> ReplayStats:

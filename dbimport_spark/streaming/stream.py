@@ -17,19 +17,56 @@ filtered (they were already applied from a previous file).
 Ordering assumption: log segments are appended in LSN order (true for any
 real binlog/WAL tailer writing sequential segments) and the file source
 delivers them in discovery order — so the committed watermark only ever
-trails the stream. A delivery that violated LSN order across micro-batches
-would need per-segment (not scalar) offset tracking; out of scope, as the
-reference's sources are all scalar-watermark ordered too
-(import_config.py:2087-2255).
+trails the stream. Violations are detected per micro-batch, and with the
+per-segment ledger (one ``(file, lsn-range)`` record per processed segment,
+kept next to the checkpoint) they are also RECOVERABLE: a re-delivered
+already-ledgered segment is skipped silently (at-least-once contract), and
+a genuinely late segment under ``on_out_of_order='recover'`` triggers a
+key-scoped authoritative re-fold (``CDCEngine.repair_keys``) over the
+ledgered log instead of demanding a manual batch replay. The reference's
+sources are all scalar-watermark ordered (import_config.py:2087-2255); the
+ledger is the generalization a bulk-parallel segment writer needs.
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbimport_spark.plans.engine import CDCEngine
 from dbimport_spark.schema import CHANGE_SCHEMA
+
+
+def _ledger_path(checkpoint_dir: str) -> str:
+    # lives inside the checkpoint dir (Structured Streaming ignores foreign
+    # entries) so checkpoint loss and ledger loss are atomic — a fresh
+    # checkpoint always starts with a fresh ledger, which is exactly the
+    # "benign catch-up" signature the policy relies on
+    return os.path.join(checkpoint_dir, "dbimport-segments.jsonl")
+
+
+def _ledger_read(path: str) -> dict[str, dict]:
+    seen: dict[str, dict] = {}
+    if os.path.isfile(path):
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    rec = json.loads(line)
+                    seen[rec["file"]] = rec
+    return seen
+
+
+def _ledger_append(path: str, records: list[dict]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "a") as fh:
+        for rec in records:
+            fh.write(json.dumps(rec) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
 
 
 def stream_changes(
@@ -57,31 +94,55 @@ def run_stream(
     ``available_now=True`` processes everything present then stops (the
     batch-replay analogue); False runs continuously on new files.
 
-    Ordering violations are DETECTED, not silently absorbed: a micro-batch
-    carrying below-watermark rows that is not simply the re-run of the
-    watermark-setting window means either (a) a benign catch-up — a fresh
-    checkpoint over a log the table already absorbed (batch replay then
-    stream, or checkpoint loss), which always happens in the FIRST
-    micro-batches of a run — or (b) a segment that arrived after a later
-    one was committed: silent data loss. ``on_out_of_order``:
+    Ordering violations are DETECTED per micro-batch and classified with
+    the per-segment ledger (``dbimport-segments.jsonl`` inside the
+    checkpoint dir — one (file, lsn-range) record per processed segment):
 
-    - 'auto' (default): warn on micro-batch 0 of a run (the catch-up
-      case), raise ``LogTruncatedError`` on later batches (true
-      out-of-order arrival mid-stream);
+    - below-watermark rows from segments the ledger already records are a
+      benign re-delivery (crash between table commit and checkpoint
+      commit, or checkpoint-loss catch-up): skipped silently, the
+      at-least-once → exactly-once contract working as intended;
+    - below-watermark rows from segments the ledger has NEVER seen are a
+      genuinely late segment — a delivery that violated LSN order.
+
+    ``on_out_of_order`` decides the late-segment response:
+
+    - 'auto' (default): warn on the first micro-batch of a run over a
+      BRAND-NEW checkpoint (no ledger yet — the batch-replay-then-stream
+      catch-up), raise ``LogTruncatedError`` otherwise. The ledger is the
+      run marker: a restart over an existing checkpoint never downgrades
+      a real out-of-order arrival to a warning, even on batch 0.
+    - 'recover': re-fold the late keys authoritatively over the full
+      ledgered log + this batch (``CDCEngine.repair_keys``) — converges
+      without manual intervention, then continue with the fresh rows;
     - 'error': always raise; 'warn': always warn and continue.
-
-    The exact re-run of the window that set the watermark is always
-    skipped silently — that is the at-least-once → exactly-once contract
-    working as intended.
     """
-    if on_out_of_order not in ("auto", "error", "warn"):
-        raise ValueError("on_out_of_order must be 'auto', 'error' or 'warn'")
+    if on_out_of_order not in ("auto", "error", "warn", "recover"):
+        raise ValueError(
+            "on_out_of_order must be 'auto', 'error', 'warn' or 'recover'"
+        )
+    ledger = _ledger_path(checkpoint_dir)
+    fresh_checkpoint = not os.path.isfile(ledger)
     first_batch_id: list[int] = []  # batch ids persist across checkpoint restarts
 
     def apply_micro_batch(batch: DataFrame, batch_id: int) -> None:
         if not first_batch_id:
             first_batch_id.append(batch_id)  # first micro-batch of THIS run
         last = engine.table.last_lsn()
+        spark = batch.sparkSession
+        per_file = [
+            r.asDict()
+            for r in batch.groupBy(F.input_file_name().alias("file"))
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.min("lsn").alias("min_lsn"),
+                F.max("lsn").alias("max_lsn"),
+            )
+            .collect()
+        ]
+        if not per_file:
+            return
+        seen = _ledger_read(ledger)
         stats = batch.agg(
             F.count(F.lit(1)).alias("n"),
             F.min("lsn").alias("mn"),
@@ -89,51 +150,73 @@ def run_stream(
             F.max("lsn").alias("hi"),
             F.count(F.when(F.col("lsn") > F.lit(last), F.lit(1))).alias("n_fresh"),
         ).first()
-        if stats["n"] == 0:
-            return
         dropped = stats["n"] - stats["n_fresh"]
-        suspect = None
-        if stats["n_fresh"] == 0:
-            if stats["hi"] == last:
-                # re-run of the exact window that set the watermark (crash
-                # between table commit and checkpoint commit): idempotent skip
-                return
-            # every row is below the watermark but this is NOT the
-            # watermark-setting window: either a full re-delivery after
-            # checkpoint loss (benign) or a segment that arrived after a
-            # later one was committed (data loss) — indistinguishable by
-            # LSN alone, so surface it
+        # stale rows are suspicious only when they come from segments the
+        # ledger has never recorded: a recorded segment re-appearing is the
+        # benign at-least-once re-delivery. A whole-batch re-run whose max
+        # lsn IS the watermark is the watermark-setting window re-delivered
+        # (crash between table commit and ledger/checkpoint commit) — also
+        # benign even though its files missed the ledger.
+        watermark_rerun = stats["n_fresh"] == 0 and stats["hi"] == last
+        late_files = [
+            r["file"]
+            for r in per_file
+            if r["file"] not in seen and r["min_lsn"] <= last
+        ]
+        if dropped > 0 and late_files and not watermark_rerun:
             suspect = (
-                f"micro-batch {batch_id}: whole batch (lsn [{stats['mn']}, "
-                f"{stats['hi']}]) is below the committed watermark {last} "
-                "and is not the watermark-setting window. If this is "
-                "checkpoint-loss re-delivery, rerun with "
-                "on_out_of_order='warn'; if segments arrived out of order, "
-                "these events were never applied."
+                f"micro-batch {batch_id}: segment(s) {late_files} carry "
+                f"event(s) at or below the committed watermark {last} and "
+                "were never processed before (out-of-order segment "
+                "delivery) — their events were skipped by the watermark. "
+                "on_out_of_order='recover' re-folds the affected keys from "
+                "the ledgered log; a batch replay also recovers."
             )
-        elif dropped > 0:
-            suspect = (
-                f"micro-batch {batch_id}: {dropped} event(s) with lsn in "
-                f"[{stats['mn']}, {last}] arrived AFTER the watermark "
-                f"passed them (out-of-order segment delivery) — they were "
-                "already applied from an earlier delivery, or they are "
-                "lost. Re-snapshot or replay the log in batch mode to "
-                "recover."
-            )
-        if suspect is not None:
             from dbimport_spark.sources.changelog import LogTruncatedError
 
-            is_first = batch_id == first_batch_id[0]
+            is_catchup = fresh_checkpoint and batch_id == first_batch_id[0]
             policy = on_out_of_order
             if policy == "auto":
-                policy = "warn" if is_first else "error"
+                policy = "warn" if is_catchup else "error"
             if policy == "error":
                 raise LogTruncatedError(suspect)
-            print(f"WARN {suspect}", flush=True)
-        if stats["n_fresh"] == 0:
-            return
-        fresh = batch.filter(F.col("lsn") > F.lit(last))
-        engine.apply_batch(fresh, int(stats["lo"]) - 1, int(stats["hi"]))
+            if policy == "recover":
+                print(f"RECOVER {suspect}", flush=True)
+                late = batch.filter(
+                    F.input_file_name().isin(late_files)
+                    & (F.col("lsn") <= F.lit(last))
+                )
+                key_rows = late.select(*engine.keys).distinct()
+                ledgered = sorted(seen.keys())
+                # the authoritative fold = ledgered segments + THIS batch's
+                # new segments. Batch rows re-delivered from ledgered files
+                # are excluded — they would duplicate (key, lsn) rows
+                batch_new = (
+                    batch.filter(~F.input_file_name().isin(ledgered))
+                    if ledgered
+                    else batch
+                )
+                full_log = batch_new if not ledgered else batch_new.unionByName(
+                    spark.read.schema(batch.schema).parquet(*ledgered),
+                    allowMissingColumns=True,
+                )
+                engine.repair_keys(full_log, key_rows)
+            else:
+                print(f"WARN {suspect}", flush=True)
+        if stats["n_fresh"] > 0:
+            fresh = batch.filter(F.col("lsn") > F.lit(last))
+            engine.apply_batch(fresh, int(stats["lo"]) - 1, int(stats["hi"]))
+        # record this batch's segments only after they are fully absorbed:
+        # a crash before this point re-delivers them, and re-delivery of
+        # ledgered segments is benign by construction
+        _ledger_append(
+            ledger,
+            [
+                {**r, "batch_id": batch_id}
+                for r in per_file
+                if r["file"] not in seen
+            ],
+        )
 
     writer = stream_df.writeStream.foreachBatch(apply_micro_batch).option(
         "checkpointLocation", checkpoint_dir

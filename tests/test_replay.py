@@ -232,3 +232,40 @@ def test_composite_merge_key_replay(spark, tmp_path):
         for r in table.read(spark).collect()
     }
     assert got2 == expected2
+
+
+def test_repair_keys_hard_and_soft(spark, tmp_path):
+    """repair_keys: authoritative key-scoped re-fold over the full log —
+    fixes keys whose events were skipped (simulated gap) without moving
+    the watermark; soft mode re-materializes tombstones with pre-images."""
+    from pyspark.sql import functions as F
+
+    from dbimport_spark.plans.validate import fold_expected, reconcile
+    from dbimport_spark.schema import PAYLOAD_COLUMNS
+
+    for soft in (False, True):
+        name = "soft" if soft else "hard"
+        log = generate_changes(spark, 800, n_keys=40, seed=53)
+        table = CDCEngine.create_table(
+            str(tmp_path / f"rp-{name}"), num_buckets=4, soft_delete=soft
+        )
+        eng = CDCEngine(spark, table)
+        # simulate an out-of-order gap: a middle window never applied
+        eng.replay(log.filter("lsn <= 300"), num_batches=1)
+        eng.replay(
+            log.filter("lsn > 500"), num_batches=1, allow_log_gap=True
+        )
+        assert table.last_lsn() == 800
+
+        gap = log.filter("(lsn > 300) and (lsn <= 500)")
+        stats = eng.repair_keys(log, gap.select("doc_id").distinct())
+        assert stats.mode == "repair"
+        assert table.last_lsn() == 800  # watermark untouched
+
+        actual = table.read(spark)
+        if soft:
+            actual = actual.filter(F.col("dl_delete_ts").isNull())
+        rec = reconcile(actual, fold_expected(log), PAYLOAD_COLUMNS)
+        assert rec["converged"], (name, rec)
+        # repair marker in lineage
+        assert table.current().lineage[0].get("repair") is True

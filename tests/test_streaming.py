@@ -126,3 +126,74 @@ def test_stateful_running_digest(spark, tmp_path):
         for r in expected_df.collect()
     }
     assert got == expected
+
+
+def test_stream_late_segment_recover_converges(spark, tmp_path):
+    """on_out_of_order='recover': a segment arriving AFTER a later one was
+    committed triggers a key-scoped authoritative re-fold over the
+    per-segment ledger — the stream converges to the full-log fold without
+    manual batch replay (VERDICT r2 #9)."""
+    import os
+
+    log_dir = str(tmp_path / "rlog")
+    os.makedirs(log_dir)
+    changes = generate_changes(spark, 1000, n_keys=50, seed=41)
+    late = changes.filter("lsn <= 500")
+    first = changes.filter("lsn > 500")
+    write_changes_segments(first, log_dir, n_segments=1)
+
+    table = CDCEngine.create_table(str(tmp_path / "rt"), num_buckets=4)
+    eng = CDCEngine(spark, table)
+    ckpt = str(tmp_path / "rck")
+    q = run_stream(eng, stream_changes(spark, log_dir), checkpoint_dir=ckpt)
+    q.awaitTermination(300)
+    assert table.last_lsn() == 1000
+
+    # the EARLIER segment shows up late
+    stage = str(tmp_path / "rstage")
+    late_file = write_changes_segments(late, stage, n_segments=1)[0]
+    os.replace(late_file, os.path.join(log_dir, "seg-late.parquet"))
+    q2 = run_stream(
+        eng, stream_changes(spark, log_dir), checkpoint_dir=ckpt,
+        on_out_of_order="recover",
+    )
+    q2.awaitTermination(300)
+
+    got = as_tuple_set(
+        [r.asDict() for r in table.read(spark).collect()], PAYLOAD_COLUMNS
+    )
+    expected = lww_fold([r.asDict() for r in changes.collect()])
+    assert got == as_tuple_set(list(expected.values()), PAYLOAD_COLUMNS)
+    assert table.last_lsn() == 1000  # watermark never moved backward
+
+
+def test_stream_auto_escalates_on_restarted_checkpoint(spark, tmp_path):
+    """ADVICE r2: under 'auto', a late segment arriving on micro-batch 0 of
+    a RESTARTED checkpoint (ledger exists) must raise — only a brand-new
+    checkpoint's first batch is the benign catch-up case."""
+    import os
+
+    import pytest
+
+    log_dir = str(tmp_path / "alog")
+    os.makedirs(log_dir)
+    changes = generate_changes(spark, 1000, n_keys=50, seed=43)
+    write_changes_segments(changes.filter("lsn > 500"), log_dir, n_segments=1)
+
+    table = CDCEngine.create_table(str(tmp_path / "at"), num_buckets=4)
+    eng = CDCEngine(spark, table)
+    ckpt = str(tmp_path / "ack")
+    q = run_stream(eng, stream_changes(spark, log_dir), checkpoint_dir=ckpt)
+    q.awaitTermination(300)
+
+    stage = str(tmp_path / "astage")
+    late_file = write_changes_segments(
+        changes.filter("lsn <= 500"), stage, n_segments=1
+    )[0]
+    os.replace(late_file, os.path.join(log_dir, "seg-late.parquet"))
+    # SAME checkpoint, default 'auto': batch 0 of this run, but the ledger
+    # marks the checkpoint as restarted -> hard error, not a warning
+    q2 = run_stream(eng, stream_changes(spark, log_dir), checkpoint_dir=ckpt)
+    with pytest.raises(Exception, match="below the committed watermark"):
+        q2.awaitTermination(300)
+        raise AssertionError("auto policy must escalate on a restarted checkpoint")
