@@ -43,10 +43,17 @@ def _one_per_doc(
     different text), the survivor is the row with the max payload struct —
     deterministic, so dedup output and every gate hash built on it is
     stable run-to-run (dropDuplicates keeps an arbitrary row)."""
+    from pyspark.sql import types as T
+
     want = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     others = [c for c in df.columns if c != id_col]
     part = df.repartition(want, F.col(id_col))
-    if not others:
+    has_unorderable = any(
+        isinstance(f.dataType, T.MapType) for f in df.schema.fields
+    )
+    if not others or has_unorderable:
+        # map columns are not orderable → no deterministic max-struct;
+        # fall back to dropDuplicates (arbitrary survivor) rather than fail
         return part.dropDuplicates([id_col])
     out = part.groupBy(id_col).agg(
         F.max(F.struct(*[F.col(c) for c in others])).alias("_s")

@@ -73,7 +73,7 @@ print("RESULT " + json.dumps({{"cpus": {cpus}, "sec": round(dt, 3),
 """
 
 RUN_SNIPPET = """
-import sys, json, time, os
+import sys, json, time, os, shutil
 sys.path.insert(0, {repo!r})
 os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
 from dbimport_spark.session import get_spark
@@ -85,6 +85,15 @@ spark = get_spark(master="local[{cpus}]", shuffle_partitions={cpus},
                               "spark.local.dir": {local_dir!r}}})
 spark.sparkContext.setLogLevel("ERROR")
 changes = spark.read.parquet({log!r})
+if {warm}:
+    # untimed warmup replay in the SAME JVM: isolates the steady-state
+    # engine from one-time JIT/codegen/class-load cost, which is a fixed
+    # per-process constant irrelevant at 10^10-event scale
+    wt = CDCEngine.create_table({table!r} + "-warm", num_buckets=64)
+    CDCEngine(spark, wt, checkpoint_dir={ckpt!r} + "-warm").replay(
+        changes, num_batches=2)
+    shutil.rmtree({table!r} + "-warm", ignore_errors=True)
+    shutil.rmtree({ckpt!r} + "-warm", ignore_errors=True)
 table = CDCEngine.create_table({table!r}, num_buckets=64)
 eng = CDCEngine(spark, table, checkpoint_dir={ckpt!r})
 t0 = time.time()
@@ -109,7 +118,8 @@ def run_level(cpus: int, log: str, work: str, tag: str = "", stage: str = "repla
         )
     else:
         code = RUN_SNIPPET.format(
-            repo=REPO, cpus=cpus, log=log, table=table, ckpt=ckpt, local_dir=local_dir
+            repo=REPO, cpus=cpus, log=log, table=table, ckpt=ckpt,
+            local_dir=local_dir, warm=stage.endswith("_warm"),
         )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
@@ -132,7 +142,10 @@ def main() -> None:
     # the CPU-bound engine slice, isolating engine scaling from host
     # memory bandwidth)
     stage = sys.argv[5] if len(sys.argv) > 5 else "replay"
-    tmin, tmax = (32, 128) if stage == "replay" else (4, 8)
+    # stages: replay / replay_warm = production token sizes; replay_light /
+    # replay_light_warm = narrow rows (payload-bandwidth control); dedup =
+    # pruned CPU-bound slice. *_warm adds an untimed same-JVM warmup replay.
+    tmin, tmax = (32, 128) if stage.startswith("replay") and "light" not in stage else (4, 8)
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="cdc-scale-", dir=base)
     log = os.path.join(work, "log")
