@@ -528,15 +528,7 @@ class LakeTable:
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, self._hint_path)
-        self._fsync_dir(self._meta_dir)
-
-    @staticmethod
-    def _fsync_dir(path: str) -> None:
-        fd = os.open(path, os.O_RDONLY)
-        try:
-            os.fsync(fd)
-        finally:
-            os.close(fd)
+        Catalog._fsync_dir(self._meta_dir)
 
     # -- maintenance ---------------------------------------------------------
 

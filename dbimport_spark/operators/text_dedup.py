@@ -48,9 +48,16 @@ def _one_per_doc(
     want = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     others = [c for c in df.columns if c != id_col]
     part = df.repartition(want, F.col(id_col))
-    has_unorderable = any(
-        isinstance(f.dataType, T.MapType) for f in df.schema.fields
-    )
+    def _has_map(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
+
+    has_unorderable = any(_has_map(f.dataType) for f in df.schema.fields)
     if not others or has_unorderable:
         # map columns are not orderable → no deterministic max-struct;
         # fall back to dropDuplicates (arbitrary survivor) rather than fail

@@ -629,11 +629,23 @@ class CDCEngine:
         from the whole log. The watermark is left unchanged (no events past
         it are introduced); the commit carries a repair marker in lineage.
         Schema evolution deliberately does NOT run here — a repair replays
-        history, it never advances the schema.
+        history, it never advances the schema. The history table, if
+        configured, receives the repaired row images (its own commit BEFORE
+        the main one, so a crash between them re-runs the repair; history
+        rows for a re-run repair can therefore appear twice — history is
+        at-least-once under repair crashes, exactly-once under normal
+        replay).
+
+        Key sets up to ``broadcast_threshold_rows`` run the broadcast merge
+        (zero target exchange); larger sets fall back to the bucket-aligned
+        shuffle plan — same switch apply_batch makes.
         """
         snap = self.table.current()
         key_rows = keys.select(*self.keys).distinct()
-        scoped = changes.join(F.broadcast(key_rows), self.keys, "left_semi")
+        n_keys = key_rows.count()
+        big = n_keys > self.broadcast_threshold_rows
+        scope = key_rows if big else F.broadcast(key_rows)
+        scoped = changes.join(scope, self.keys, "left_semi")
 
         # align to the CURRENT table schema (missing columns null, narrower
         # cast up, engine-stamped provenance label re-stamped)
@@ -688,7 +700,6 @@ class CDCEngine:
             r["bucket"]
             for r in key_rows.select(bexpr.alias("bucket")).distinct().collect()
         )
-        n_keys = key_rows.count()
 
         # strictly monotonic merge_ts (same contract as apply_batch)
         from datetime import datetime, timedelta
@@ -701,18 +712,48 @@ class CDCEngine:
                 merge_ts_val = prev_ts + timedelta(microseconds=1)
 
         target = self.table.read(self.spark, buckets=touched)
-        merged = merge_changes(
-            target,
-            deduped,
-            self.keys,
-            payload_cols,
-            F.lit(merge_ts_val),
-            mode="broadcast",  # repairs are key-scoped: batch side is small
-            delete_mode=self.delete_mode,
-        )
-        out = merged.withColumn("_bucket", bexpr).repartition(
-            max(len(touched), 1), "_bucket"
-        )
+        if not big:
+            merged = merge_changes(
+                target,
+                deduped,
+                self.keys,
+                payload_cols,
+                F.lit(merge_ts_val),
+                mode="broadcast",
+                delete_mode=self.delete_mode,
+            )
+            out = merged.withColumn("_bucket", bexpr).repartition(
+                max(len(touched), 1), "_bucket"
+            )
+        else:
+            nparts = snap.num_buckets
+            deduped_b = deduped.withColumn("_bucket", bexpr).repartition(
+                nparts, "_bucket"
+            )
+            target_b = target.withColumn("_bucket", bexpr).repartition(
+                nparts, "_bucket"
+            )
+            out = merge_changes(
+                target_b,
+                deduped_b,
+                self.keys,
+                payload_cols,
+                F.lit(merge_ts_val),
+                mode="shuffle",
+                bucket_col="_bucket",
+                delete_mode=self.delete_mode,
+            )
+
+        if self.history_table is not None:
+            self._append_history(
+                deduped,
+                target,
+                payload_cols,
+                snap.schema,
+                F.lit(merge_ts_val),
+                self.table.last_lsn(),
+            )
+
         version_dir = f"r{snap.version + 1}-{uuid.uuid4().hex[:8]}"
         new_files = self.table.write_data_files(self.spark, out, version_dir)
         self.table.commit(

@@ -164,11 +164,16 @@ class JdbcExporter(_IncrementalExporter):
     def _write(
         self, spark: SparkSession, df: DataFrame, state: dict, mode: str
     ) -> dict:
-        # full = truncate + insert (reference full export); incr = append
-        write_mode = "overwrite" if mode == "full" else "append"
-        self._flatten_for_rdbms(df).write.mode(write_mode).jdbc(
-            self.url, self.target_table, properties=self.properties
+        # full = TRUNCATE + insert (reference full export). truncate=true
+        # matters: without it Spark's JDBC overwrite DROPs and recreates the
+        # table, destroying the target's primary key / indexes / grants —
+        # including the very PK the incremental path's retry-dedupe relies on
+        w = self._flatten_for_rdbms(df).write.mode(
+            "overwrite" if mode == "full" else "append"
         )
+        if mode == "full":
+            w = w.option("truncate", "true")
+        w.jdbc(self.url, self.target_table, properties=self.properties)
         return {"target_table": self.target_table}
 
 

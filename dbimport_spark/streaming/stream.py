@@ -124,12 +124,22 @@ def run_stream(
     ledger = _ledger_path(checkpoint_dir)
     fresh_checkpoint = not os.path.isfile(ledger)
     first_batch_id: list[int] = []  # batch ids persist across checkpoint restarts
+    # the ledger is single-writer (this stream) and append-only: load once,
+    # keep in memory, update on append — no per-trigger re-read of an
+    # ever-growing file
+    seen: dict[str, dict] = {}
+    seen_loaded: list[bool] = []
 
     def apply_micro_batch(batch: DataFrame, batch_id: int) -> None:
         if not first_batch_id:
             first_batch_id.append(batch_id)  # first micro-batch of THIS run
+        if not seen_loaded:
+            seen.update(_ledger_read(ledger))
+            seen_loaded.append(True)
         last = engine.table.last_lsn()
         spark = batch.sparkSession
+        # ONE aggregation job per micro-batch: per-file lsn ranges + the
+        # fresh/stale split (batch-wide numbers derive from these)
         per_file = [
             r.asDict()
             for r in batch.groupBy(F.input_file_name().alias("file"))
@@ -137,33 +147,47 @@ def run_stream(
                 F.count(F.lit(1)).alias("rows"),
                 F.min("lsn").alias("min_lsn"),
                 F.max("lsn").alias("max_lsn"),
+                F.count(F.when(F.col("lsn") > F.lit(last), F.lit(1))).alias(
+                    "fresh_rows"
+                ),
+                F.min(F.when(F.col("lsn") > F.lit(last), F.col("lsn"))).alias(
+                    "fresh_lo"
+                ),
             )
             .collect()
         ]
         if not per_file:
             return
-        seen = _ledger_read(ledger)
-        stats = batch.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("lsn").alias("mn"),
-            F.min(F.when(F.col("lsn") > F.lit(last), F.col("lsn"))).alias("lo"),
-            F.max("lsn").alias("hi"),
-            F.count(F.when(F.col("lsn") > F.lit(last), F.lit(1))).alias("n_fresh"),
-        ).first()
-        dropped = stats["n"] - stats["n_fresh"]
-        # stale rows are suspicious only when they come from segments the
-        # ledger has never recorded: a recorded segment re-appearing is the
-        # benign at-least-once re-delivery. A whole-batch re-run whose max
-        # lsn IS the watermark is the watermark-setting window re-delivered
-        # (crash between table commit and ledger/checkpoint commit) — also
-        # benign even though its files missed the ledger.
-        watermark_rerun = stats["n_fresh"] == 0 and stats["hi"] == last
-        late_files = [
-            r["file"]
-            for r in per_file
-            if r["file"] not in seen and r["min_lsn"] <= last
+        n_fresh = sum(r["fresh_rows"] for r in per_file)
+        hi = max(r["max_lsn"] for r in per_file)
+        lo = min(
+            (r["fresh_lo"] for r in per_file if r["fresh_lo"] is not None),
+            default=None,
+        )
+
+        # Classify unledgered below-watermark files. The last commit's
+        # lineage gives the low bound of the watermark-setting window: a
+        # re-delivered file of THAT window (crash between table commit and
+        # ledger append) has min_lsn inside it — benign. A file whose
+        # min_lsn predates the window is late even when it arrives
+        # co-delivered with a benign re-run (the co-delivery masking case).
+        lin = engine.table.current().lineage
+        prev_lo = min(
+            (rec["first_lsn"] for rec in lin if "first_lsn" in rec), default=None
+        )
+        candidates = [
+            r for r in per_file if r["file"] not in seen and r["min_lsn"] <= last
         ]
-        if dropped > 0 and late_files and not watermark_rerun:
+        if prev_lo is not None:
+            late = [r for r in candidates if r["min_lsn"] < prev_lo]
+        else:
+            # no lineage to anchor on (empty-window or repair commit last):
+            # fall back to the batch-wide signature of a pure window re-run
+            late = [] if (n_fresh == 0 and hi == last) else candidates
+        late_files = [r["file"] for r in late]
+        skipped_late: list[str] = []
+
+        if late_files:
             suspect = (
                 f"micro-batch {batch_id}: segment(s) {late_files} carry "
                 f"event(s) at or below the committed watermark {last} and "
@@ -175,18 +199,34 @@ def run_stream(
             from dbimport_spark.sources.changelog import LogTruncatedError
 
             is_catchup = fresh_checkpoint and batch_id == first_batch_id[0]
+            ledger_hi = max((r["max_lsn"] for r in seen.values()), default=None)
+            ledger_covers = ledger_hi is not None and ledger_hi >= last
             policy = on_out_of_order
             if policy == "auto":
                 policy = "warn" if is_catchup else "error"
+            elif policy == "recover":
+                if is_catchup:
+                    # batch-replay-then-stream catch-up: the table already
+                    # holds these events; repairing from an empty ledger
+                    # would REGRESS keys to stale values
+                    policy = "warn"
+                elif not ledger_covers:
+                    policy = "error"
+                    suspect += (
+                        " Cannot auto-recover: the ledger does not cover "
+                        "the committed watermark (it was created after "
+                        "history passed), so the authoritative fold would "
+                        "be incomplete — replay the log in batch mode."
+                    )
             if policy == "error":
                 raise LogTruncatedError(suspect)
             if policy == "recover":
                 print(f"RECOVER {suspect}", flush=True)
-                late = batch.filter(
+                late_rows = batch.filter(
                     F.input_file_name().isin(late_files)
                     & (F.col("lsn") <= F.lit(last))
                 )
-                key_rows = late.select(*engine.keys).distinct()
+                key_rows = late_rows.select(*engine.keys).distinct()
                 ledgered = sorted(seen.keys())
                 # the authoritative fold = ledgered segments + THIS batch's
                 # new segments. Batch rows re-delivered from ledgered files
@@ -203,20 +243,26 @@ def run_stream(
                 engine.repair_keys(full_log, key_rows)
             else:
                 print(f"WARN {suspect}", flush=True)
-        if stats["n_fresh"] > 0:
+                # warned-but-skipped late segments must NOT be ledgered:
+                # they were not absorbed, and ledgering them would make any
+                # future re-delivery look benign (and a later 'recover'
+                # blind to them)
+                skipped_late = late_files
+
+        if n_fresh > 0:
             fresh = batch.filter(F.col("lsn") > F.lit(last))
-            engine.apply_batch(fresh, int(stats["lo"]) - 1, int(stats["hi"]))
+            engine.apply_batch(fresh, int(lo) - 1, int(hi))
         # record this batch's segments only after they are fully absorbed:
         # a crash before this point re-delivers them, and re-delivery of
         # ledgered segments is benign by construction
-        _ledger_append(
-            ledger,
-            [
-                {**r, "batch_id": batch_id}
-                for r in per_file
-                if r["file"] not in seen
-            ],
-        )
+        new_records = [
+            {**r, "batch_id": batch_id}
+            for r in per_file
+            if r["file"] not in seen and r["file"] not in skipped_late
+        ]
+        _ledger_append(ledger, new_records)
+        for rec in new_records:
+            seen[rec["file"]] = rec
 
     writer = stream_df.writeStream.foreachBatch(apply_micro_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -105,3 +105,31 @@ def test_one_per_doc_width_and_deterministic_survivor(spark):
     # the width threads through the public entry points
     sh = word_shingles(df, num_partitions=5)
     assert sh.rdd.getNumPartitions() == 5
+
+
+def test_one_per_doc_nested_map_falls_back(spark):
+    """Nested map columns (array<map>, struct<...map...>) are not orderable
+    at any depth: _one_per_doc must fall back to dropDuplicates instead of
+    failing on the max-struct aggregate."""
+    from pyspark.sql import types as T
+
+    from dbimport_spark.operators.text_dedup import _one_per_doc
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField(
+                "attrs",
+                T.ArrayType(T.MapType(T.StringType(), T.StringType())),
+            ),
+        ]
+    )
+    df = spark.createDataFrame(
+        [("d1", "hello world", [{"k": "v"}]), ("d1", "hello world", [{"k": "v"}]),
+         ("d2", "bye", None)],
+        schema,
+    )
+    out = _one_per_doc(df, "doc_id", num_partitions=3)
+    assert out.count() == 2
+    assert out.rdd.getNumPartitions() == 3

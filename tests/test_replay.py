@@ -269,3 +269,35 @@ def test_repair_keys_hard_and_soft(spark, tmp_path):
         assert rec["converged"], (name, rec)
         # repair marker in lineage
         assert table.current().lineage[0].get("repair") is True
+
+
+def test_repair_keys_appends_history_images(spark, tmp_path):
+    """code-review r3: a repair must land its I/U/D row images in the
+    history-audit table too — otherwise history silently diverges from the
+    live table forever."""
+    table = CDCEngine.create_table(str(tmp_path / "rph"), num_buckets=4)
+    hist = CDCEngine.create_history_table(str(tmp_path / "rphh"), num_buckets=4)
+    eng = CDCEngine(spark, table, history_table=hist)
+    log = generate_changes(spark, 600, n_keys=30, seed=59)
+    eng.replay(log.filter("lsn <= 200"), num_batches=1)
+    eng.replay(log.filter("lsn > 400"), num_batches=1, allow_log_gap=True)
+    h_before = hist.read(spark).count()
+
+    gap = log.filter("(lsn > 200) and (lsn <= 400)")
+    n_keys = gap.select("doc_id").distinct().count()
+    eng.repair_keys(log, gap.select("doc_id").distinct())
+    h_after = hist.read(spark)
+    # one repaired image per key (the key's LWW winner over the full log)
+    assert h_after.count() == h_before + n_keys
+    from pyspark.sql import functions as F
+
+    winners = (
+        log.join(gap.select("doc_id").distinct(), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.max("lsn").alias("lsn"))
+    )
+    got = {
+        (r["doc_id"], r["lsn"])
+        for r in h_after.join(winners, ["doc_id", "lsn"], "left_semi").collect()
+    }
+    assert len(got) == n_keys  # every repaired key's winner image landed

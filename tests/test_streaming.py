@@ -197,3 +197,88 @@ def test_stream_auto_escalates_on_restarted_checkpoint(spark, tmp_path):
     with pytest.raises(Exception, match="below the committed watermark"):
         q2.awaitTermination(300)
         raise AssertionError("auto policy must escalate on a restarted checkpoint")
+
+
+def test_stream_recover_catchup_does_not_regress_state(spark, tmp_path):
+    """code-review r3: 'recover' on a fresh checkpoint's catch-up batch must
+    NOT repair from the (empty) ledger — that fold would regress keys to
+    stale values. It downgrades to a warning and leaves state untouched."""
+    import os
+
+    log_dir = str(tmp_path / "cglog")
+    os.makedirs(log_dir)
+    changes = generate_changes(spark, 1000, n_keys=50, seed=47)
+    table = CDCEngine.create_table(str(tmp_path / "cgt"), num_buckets=4)
+    eng = CDCEngine(spark, table)
+    # table fully up to date via batch replay in TWO windows, so the last
+    # commit's lineage anchors at lsn 501 — an early segment is then
+    # classified late, triggering the policy decision under test
+    eng.replay(changes, num_batches=2)
+    assert table.last_lsn() == 1000
+    v = table.current().version
+    before = as_tuple_set(
+        [r.asDict() for r in table.read(spark).collect()], PAYLOAD_COLUMNS
+    )
+
+    # only the EARLY half is (re-)delivered to a brand-new checkpoint
+    write_changes_segments(changes.filter("lsn <= 400"), log_dir, n_segments=1)
+    q = run_stream(
+        eng, stream_changes(spark, log_dir),
+        checkpoint_dir=str(tmp_path / "cgc"), on_out_of_order="recover",
+    )
+    q.awaitTermination(300)
+    # no repair commit, byte-identical state
+    assert table.current().version == v
+    after = as_tuple_set(
+        [r.asDict() for r in table.read(spark).collect()], PAYLOAD_COLUMNS
+    )
+    assert after == before
+
+
+def test_stream_codelivered_late_segment_not_masked(spark, tmp_path):
+    """code-review r3: a late segment co-delivered WITH a benign re-run of
+    the watermark-setting window must still be detected (the old batch-wide
+    hi==watermark signature masked it); under 'warn' the skipped late
+    segment must NOT be ledgered, so it stays recoverable."""
+    import json
+    import os
+
+    import pytest
+
+    log_dir = str(tmp_path / "colog")
+    os.makedirs(log_dir)
+    changes = generate_changes(spark, 1000, n_keys=50, seed=49)
+    table = CDCEngine.create_table(str(tmp_path / "cot"), num_buckets=4)
+    eng = CDCEngine(spark, table)
+    eng.replay(changes, num_batches=2)  # last window (500, 1000]
+
+    # one batch delivers BOTH: the re-run of the watermark window (benign,
+    # min_lsn inside the last commit's window) and a genuinely late early
+    # segment (min_lsn predates it)
+    write_changes_segments(changes.filter("lsn > 500"), log_dir, n_segments=1)
+    stage = str(tmp_path / "costage")
+    late_file = write_changes_segments(
+        changes.filter("lsn <= 300"), stage, n_segments=1
+    )[0]
+    os.replace(late_file, os.path.join(log_dir, "seg-late.parquet"))
+
+    with pytest.raises(Exception, match="below the committed watermark"):
+        q = run_stream(
+            eng, stream_changes(spark, log_dir),
+            checkpoint_dir=str(tmp_path / "coc1"), on_out_of_order="error",
+        )
+        q.awaitTermination(300)
+        raise AssertionError("co-delivered late segment was masked")
+
+    # same delivery under 'warn': continues, but the late segment is NOT
+    # recorded in the ledger (it was skipped, not absorbed)
+    ckpt2 = str(tmp_path / "coc2")
+    q2 = run_stream(
+        eng, stream_changes(spark, log_dir),
+        checkpoint_dir=ckpt2, on_out_of_order="warn",
+    )
+    q2.awaitTermination(300)
+    ledger = os.path.join(ckpt2, "dbimport-segments.jsonl")
+    files = [json.loads(line)["file"] for line in open(ledger)]
+    assert not any("seg-late" in f for f in files)
+    assert any("seg-late" not in f for f in files)  # the benign rerun IS ledgered
