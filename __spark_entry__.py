@@ -869,6 +869,48 @@ def q_evolution_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# -- training-data shaping (packing / sampling / decontamination) -----------
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (the LLM pretraining shape):
+    per-source streams chunked into 4096-length context windows via a
+    DISTRIBUTED two-phase prefix sum (no one-task-per-stratum window)."""
+    from dbimport_spark.operators.training import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"),
+        context_len=4096,
+        len_col="n_chars",
+        part_col="source",
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted mixture sampling by md5-hash threshold —
+    re-runnable, order/partitioning-independent, reproducible in any
+    engine with md5 (the oracle recomputes the same hash in DuckDB)."""
+    from dbimport_spark.operators.training import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        rates_permille={"src0": 900, "src1": 500, "src2": 250},
+        default_permille=100,
+        seed=7,
+    ).select("doc_id", "source")
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: shingle containment of held-out
+    'benchmark' docs (doc_id % 20 == 0) inside the training split."""
+    from dbimport_spark.operators.training import contamination_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return contamination_pairs(train, bench, n=3, min_permille=100)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -927,6 +969,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
         "token_fingerprints": q_token_fingerprints,
+        "pack_sequences": q_pack_sequences,
+        "stratified_sample": q_stratified_sample,
+        "contamination": q_contamination,
     }
 
 
@@ -1508,4 +1553,54 @@ def oracle_sql() -> dict[str, str]:
                CAST(floor(10000.0 * (length(low) - length(replace(low, '0', ''))) / length(low)) AS BIGINT) AS f0_e4
         FROM nib
     """
+    sql["pack_sequences"] = """
+        WITH c AS (
+          SELECT doc_id, source, n_chars,
+                 CAST(COALESCE(SUM(n_chars) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ), 0) AS BIGINT) AS prev
+          FROM documents
+        )
+        SELECT doc_id, source, n_chars,
+               CAST(floor(prev / 4096) AS BIGINT) AS pack_id,
+               CAST(prev % 4096 AS BIGINT) AS pack_offset
+        FROM c
+    """
+
+    # same md5-prefix hash both sides: Spark conv(substr(md5, 1, 8), 16, 10)
+    # == DuckDB ('0x' || substr(md5, 1, 8))::UBIGINT
+    sql["stratified_sample"] = """
+        SELECT doc_id, source
+        FROM documents
+        WHERE CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|7'), 1, 8)) AS UBIGINT) % 1000
+              < (CASE source WHEN 'src0' THEN 900 WHEN 'src1' THEN 500
+                             WHEN 'src2' THEN 250 ELSE 100 END)
+    """
+
+    sql["contamination"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+          FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+        ), bsh AS (
+          SELECT * FROM sh WHERE doc_id % 20 = 0
+        ), tsh AS (
+          SELECT * FROM sh WHERE doc_id % 20 <> 0
+        ), bsizes AS (
+          SELECT doc_id, count(*) AS bn FROM bsh GROUP BY doc_id
+        ), common AS (
+          SELECT t.doc_id AS train_id, b.doc_id AS bench_id, count(*) AS c
+          FROM tsh t JOIN bsh b ON t.s = b.s
+          GROUP BY t.doc_id, b.doc_id
+        )
+        SELECT train_id, bench_id,
+               CAST(floor(1000 * c / bn) AS BIGINT) AS containment_permille
+        FROM common JOIN bsizes ON bsizes.doc_id = bench_id
+        WHERE floor(1000 * c / bn) >= 100
+    """
+
     return sql
