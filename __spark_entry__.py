@@ -869,6 +869,46 @@ def q_evolution_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_cdc_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order recovery gate: the middle third of the LSN range is
+    SKIPPED during replay (a late segment), then repair_keys re-folds the
+    gap's keys authoritatively over the full log. Final state must equal
+    the complete fold — same oracle as cdc_replay, so a repair defect is a
+    value mismatch, not a silent divergence."""
+    from dbimport_spark.plans.engine import CDCEngine
+
+    changes = _events_as_changes(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc-repair-")
+    table = CDCEngine.create_table(
+        os.path.join(root, "t"), payload_schema=CDC_PAYLOAD, num_buckets=16
+    )
+    eng = CDCEngine(spark, table, checkpoint_dir=os.path.join(root, "ckpt"))
+    b = changes.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).first()
+    m1 = b["lo"] + (b["hi"] - b["lo"]) // 3
+    m2 = b["lo"] + 2 * (b["hi"] - b["lo"]) // 3
+    eng.replay(changes.filter(F.col("lsn") <= m1), num_batches=1)
+    eng.replay(
+        changes.filter(F.col("lsn") > m2), num_batches=1, allow_log_gap=True
+    )
+    gap = changes.filter((F.col("lsn") > m1) & (F.col("lsn") <= m2))
+    eng.repair_keys(changes, gap.select("doc_id").distinct())
+    return table.read(spark).select("doc_id", "val_cents", "source")
+
+
+def q_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-ingest: the odd-id half of documents (the incoming batch)
+    anti-joined against near-dups of the even-id half (the corpus) via
+    asymmetric MinHash-LSH + exact-Jaccard verify — no corpus self-join."""
+    from dbimport_spark.operators.text_dedup import dedup_against_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup_against_corpus(
+        batch, corpus, method="minhash", n=3, min_permille=100
+    ).select("doc_id")
+
+
 # -- training-data shaping (packing / sampling / decontamination) -----------
 
 
@@ -972,6 +1012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
         "contamination": q_contamination,
+        "cdc_repair": q_cdc_repair,
+        "corpus_dedup": q_corpus_dedup,
     }
 
 
@@ -1553,6 +1595,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(floor(10000.0 * (length(low) - length(replace(low, '0', ''))) / length(low)) AS BIGINT) AS f0_e4
         FROM nib
     """
+    sql["cdc_repair"] = sql["cdc_replay"]
+
+    sql["corpus_dedup"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+          FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+        ), bsh AS (SELECT * FROM sh WHERE doc_id % 2 = 1),
+        csh AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        dup AS (
+          SELECT DISTINCT b.doc_id
+          FROM bsh b JOIN csh c ON b.s = c.s
+          JOIN sizes sb ON sb.doc_id = b.doc_id
+          JOIN sizes sc ON sc.doc_id = c.doc_id
+          GROUP BY b.doc_id, c.doc_id, sb.n, sc.n
+          HAVING floor(1000 * count(*) / (sb.n + sc.n - count(*))) >= 100
+        )
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id % 2 = 1 AND d.doc_id NOT IN (SELECT doc_id FROM dup)
+    """
+
     sql["pack_sequences"] = """
         WITH c AS (
           SELECT doc_id, source, n_chars,

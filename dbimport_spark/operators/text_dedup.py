@@ -271,6 +271,90 @@ def minhash_lsh_dedup(
     )
 
 
+def dedup_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "exact",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    min_permille: int = 500,
+    normalized: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dedup-on-ingest: return the batch rows that are NOT duplicates of
+    any existing corpus document (the asymmetric variant of the self-join
+    dedups — what a CDC/ingest pipeline runs per incoming batch).
+
+    - ``method='exact'``: one shuffle on the md5 text digest, left-anti
+      join against the corpus digests. At 100 TB the corpus digest set is
+      a precomputed column — the batch side is the only new work.
+    - ``method='minhash'``: asymmetric LSH. Batch signatures join corpus
+      signatures on shared band buckets (cost ∝ batch × collisions, NEVER
+      a corpus self-join), candidates verified with exact Jaccard scoped
+      to the candidate pairs, verified near-dups anti-joined out. At scale
+      the corpus signatures/shingles are precomputed and stored bucketed
+      by band key.
+
+    ``batch`` and ``corpus`` ids must be disjoint (true for any id scheme
+    where ids are assigned at ingest).
+    """
+    if method == "exact":
+        from dbimport_spark.operators.text import normalize_text
+
+        def digest(df: DataFrame) -> DataFrame:
+            text = F.col(text_col)
+            d = F.md5(normalize_text(text) if normalized else text)
+            return df.select(F.col(id_col), d.alias("_d"))
+
+        dup_ids = (
+            digest(batch)
+            .join(digest(corpus).select("_d").distinct(), "_d", "left_semi")
+            .select(id_col)
+        )
+        return batch.join(dup_ids, id_col, "left_anti")
+
+    if method == "minhash":
+        rows = num_perm // bands
+        bsh = word_shingles(batch, text_col, id_col, n, num_partitions)
+        csh = word_shingles(corpus, text_col, id_col, n, num_partitions)
+        bsig = minhash_signatures(bsh, id_col, num_perm)
+        csig = minhash_signatures(csh, id_col, num_perm)
+
+        def band_buckets(sigs: DataFrame, out: str) -> DataFrame:
+            keys = F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b), *[F.col(f"m{b * rows + r}") for r in range(rows)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+            return sigs.select(
+                F.col(id_col).alias(out), F.explode(keys).alias("band_key")
+            )
+
+        cands = (
+            band_buckets(bsig, "id_a")
+            .join(band_buckets(csig, "id_b"), "band_key")
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        # verify with exact Jaccard over the union's shingles (ids disjoint)
+        verified = jaccard_for_pairs(
+            bsh.unionByName(csh), cands, id_col
+        ).filter(F.col("jaccard_permille") >= min_permille)
+        return batch.join(
+            verified.select(F.col("id_a").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
+        )
+
+    raise ValueError("method must be 'exact' or 'minhash'")
+
+
 # -- SimHash -----------------------------------------------------------------
 
 @pandas_udf("long")

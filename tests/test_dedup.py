@@ -133,3 +133,34 @@ def test_one_per_doc_nested_map_falls_back(spark):
     out = _one_per_doc(df, "doc_id", num_partitions=3)
     assert out.count() == 2
     assert out.rdd.getNumPartitions() == 3
+
+
+def test_dedup_against_corpus_exact_and_minhash(spark):
+    """Dedup-on-ingest: batch rows duplicating the corpus are dropped;
+    exact matches by digest, near-dups by asymmetric LSH + verify."""
+    from dbimport_spark.operators.text_dedup import dedup_against_corpus
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog every day"),
+            (2, "completely different corpus content about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (11, "the quick brown fox jumps over the lazy dog every day"),  # exact dup
+            (13, "the quick brown fox jumps over the lazy dog every night"),  # near-dup
+            (15, "entirely novel text with no overlap whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {r["doc_id"] for r in dedup_against_corpus(batch, corpus).collect()}
+    assert exact == {13, 15}  # only the byte-identical dup removed
+    near = {
+        r["doc_id"]
+        for r in dedup_against_corpus(
+            batch, corpus, method="minhash", n=3, min_permille=500
+        ).collect()
+    }
+    assert near == {15}  # the near-dup goes too
