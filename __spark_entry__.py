@@ -898,7 +898,14 @@ def q_cdc_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-on-ingest: the odd-id half of documents (the incoming batch)
     anti-joined against near-dups of the even-id half (the corpus) via
-    asymmetric MinHash-LSH + exact-Jaccard verify — no corpus self-join."""
+    asymmetric MinHash-LSH + exact-Jaccard verify — no corpus self-join.
+
+    Oracle validity note (same contract as the minhash_lsh gate): the
+    exhaustive SQL oracle equals the LSH path because this corpus is
+    BIMODAL — planted near-dups sit at Jaccard ≥0.9 where 8×4-band recall
+    is ~1, and everything else is near 0 where neither side pairs. A
+    moderate-similarity pair (~0.1-0.5) would be a genuine LSH recall
+    miss; the gate would then rightly fail rather than hide it."""
     from dbimport_spark.operators.text_dedup import dedup_against_corpus
 
     docs = _t(spark, sf_dir, "documents")

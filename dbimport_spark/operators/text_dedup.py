@@ -196,16 +196,23 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", bands: int = 8, rows: int = 4
-) -> DataFrame:
-    """Docs sharing any LSH band bucket (band key = hash of its rows)."""
-    band_keys = F.array(
+def _band_keys(bands: int, rows: int) -> Column:
+    """THE band-key expression — one definition shared by the self-join and
+    the asymmetric (batch-vs-corpus) paths, so precomputed corpus-side
+    buckets stay compatible with batch-side ones."""
+    return F.array(
         *[
             F.xxhash64(F.lit(b), *[F.col(f"m{b * rows + r}") for r in range(rows)])
             for b in range(bands)
         ]
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 8, rows: int = 4
+) -> DataFrame:
+    """Docs sharing any LSH band bucket (band key = hash of its rows)."""
+    band_keys = _band_keys(bands, rows)
     buckets = signatures.select(
         F.col(id_col), F.explode(band_keys).alias("band_key")
     )
@@ -324,16 +331,9 @@ def dedup_against_corpus(
         csig = minhash_signatures(csh, id_col, num_perm)
 
         def band_buckets(sigs: DataFrame, out: str) -> DataFrame:
-            keys = F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b), *[F.col(f"m{b * rows + r}") for r in range(rows)]
-                    )
-                    for b in range(bands)
-                ]
-            )
             return sigs.select(
-                F.col(id_col).alias(out), F.explode(keys).alias("band_key")
+                F.col(id_col).alias(out),
+                F.explode(_band_keys(bands, rows)).alias("band_key"),
             )
 
         cands = (

@@ -60,17 +60,39 @@ def pack_sequences(
         df.select(part_col, id_col, len_col)
         .repartitionByRange(nparts, F.col(part_col), F.col(id_col))
         .withColumn("_pid", F.spark_partition_id())
+        # MATERIALIZE before fanning out to two jobs: range-partition
+        # boundaries come from sampling and are not guaranteed identical
+        # across executions — without this, a boundary row could land in
+        # partition 7 for the totals job but partition 8 for the join job,
+        # mis-aligning offsets. localCheckpoint pins one concrete
+        # partitioning both phases read.
+        .localCheckpoint(eager=True)
     )
     # phase 1: per-(partition, stratum) token totals — ≤ nparts × strata
     # rows, metadata-sized by construction
     totals = d.groupBy("_pid", part_col).agg(F.sum(len_col).alias("_t")).collect()
+    if any(r[part_col] is None for r in totals):
+        raise ValueError(
+            f"pack_sequences: NULL values in stratum column {part_col!r} — "
+            "packs are joined on stratum equality, which silently drops "
+            "nulls; fill or filter them first"
+        )
     run: dict = {}
     offsets = []
     for r in sorted(totals, key=lambda r: (r[part_col], r["_pid"])):
         offsets.append((r["_pid"], r[part_col], run.get(r[part_col], 0)))
         run[r[part_col]] = run.get(r[part_col], 0) + r["_t"]
+    from pyspark.sql import types as T
+
     off_df = spark.createDataFrame(
-        offsets, f"_pid int, {part_col} string, _off long"
+        offsets,
+        T.StructType(
+            [
+                T.StructField("_pid", T.IntegerType()),
+                d.schema[part_col],  # stratum keeps its actual type
+                T.StructField("_off", T.LongType()),
+            ]
+        ),
     )
     # phase 2: bounded within-partition cumsum + broadcast offset join.
     # The window partitions by (_pid, stratum): every task's window fits

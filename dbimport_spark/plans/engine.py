@@ -494,7 +494,10 @@ class CDCEngine:
         # main commit: crash between them re-applies the main batch, crash
         # after history re-skips it via its own last_lsn) ------------------
         if self.history_table is not None and self.history_table.last_lsn() < hi:
-            self._append_history(deduped, target, payload_cols, new_schema, merge_ts, hi)
+            self._append_history(
+                deduped, target, payload_cols, new_schema, merge_ts, hi,
+                broadcast_ok=n_events <= self.broadcast_threshold_rows,
+            )
 
         # -- lineage + atomic commit ----------------------------------------
         out_by_bucket: dict[int, list[int]] = {}
@@ -560,21 +563,27 @@ class CDCEngine:
         new_schema: T.StructType,
         merge_ts,
         hi: int,
+        broadcast_ok: bool = True,
     ) -> None:
         """Append I/U/D row images to the history table (reference
         etl_operations.py:319-360). Delete events carry null payload in the
         log, so their pre-images are recovered from the target — the
         deleted-row enrichment join (reference J5, etl_operations.py:544-589)
         done as semi+broadcast so the target is streamed, never shuffled.
+        ``broadcast_ok=False`` (batches past the broadcast threshold) drops
+        the explicit hints and lets AQE pick the join strategy — forcing a
+        multi-million-row delete set through a broadcast would OOM exactly
+        where the shuffle merge path was chosen for size.
         """
         ht = self.history_table
         hist = deduped.drop("_bucket") if "_bucket" in deduped.columns else deduped
         keys = self.keys
+        bc = F.broadcast if broadcast_ok else (lambda df: df)
         dels = hist.filter(F.col("op") == "D").select("lsn", "op", *keys)
         pre = target.select(*payload_cols).join(
-            F.broadcast(dels.select(*keys)), keys, "left_semi"
+            bc(dels.select(*keys)), keys, "left_semi"
         )
-        dels_full = dels.join(F.broadcast(pre), keys, "left").select(
+        dels_full = dels.join(bc(pre), keys, "left").select(
             *payload_cols, "op", "lsn"
         )
         live = hist.filter(F.col("op") != "D").select(*payload_cols, "op", "lsn")
@@ -752,6 +761,7 @@ class CDCEngine:
                 snap.schema,
                 F.lit(merge_ts_val),
                 self.table.last_lsn(),
+                broadcast_ok=not big,
             )
 
         version_dir = f"r{snap.version + 1}-{uuid.uuid4().hex[:8]}"

@@ -165,12 +165,19 @@ def run_stream(
             default=None,
         )
 
-        # Classify unledgered below-watermark files. The last commit's
-        # lineage gives the low bound of the watermark-setting window: a
-        # re-delivered file of THAT window (crash between table commit and
-        # ledger append) has min_lsn inside it — benign. A file whose
-        # min_lsn predates the window is late even when it arrives
-        # co-delivered with a benign re-run (the co-delivery masking case).
+        # Classify unledgered below-watermark files. Benign re-delivery of
+        # the watermark-setting window (crash between table commit and
+        # ledger append) can only appear on the FIRST micro-batch of a run
+        # — Structured Streaming re-runs the failed batch id on restart,
+        # and a fresh checkpoint's batch 0 is the catch-up case. On that
+        # first batch, the last commit's lineage gives the window's low
+        # bound: files with min_lsn inside the window are the re-run;
+        # files predating it are late even when co-delivered with it.
+        # Mid-stream (any later batch) an unledgered below-watermark file
+        # is late, full stop — classifying by lsn range there would let a
+        # never-applied segment that happens to fall inside the last
+        # window's range vanish silently.
+        is_first_of_run = batch_id == first_batch_id[0]
         lin = engine.table.current().lineage
         prev_lo = min(
             (rec["first_lsn"] for rec in lin if "first_lsn" in rec), default=None
@@ -178,7 +185,9 @@ def run_stream(
         candidates = [
             r for r in per_file if r["file"] not in seen and r["min_lsn"] <= last
         ]
-        if prev_lo is not None:
+        if not is_first_of_run:
+            late = candidates
+        elif prev_lo is not None:
             late = [r for r in candidates if r["min_lsn"] < prev_lo]
         else:
             # no lineage to anchor on (empty-window or repair commit last):
@@ -243,11 +252,17 @@ def run_stream(
                 engine.repair_keys(full_log, key_rows)
             else:
                 print(f"WARN {suspect}", flush=True)
-                # warned-but-skipped late segments must NOT be ledgered:
-                # they were not absorbed, and ledgering them would make any
-                # future re-delivery look benign (and a later 'recover'
-                # blind to them)
-                skipped_late = late_files
+                # mid-stream warned-but-skipped late segments must NOT be
+                # ledgered: they were not absorbed, and ledgering them
+                # would make future re-delivery look benign (and a later
+                # 'recover' blind to them). Catch-up is the exception —
+                # those files' events ARE in the table (batch replay
+                # preceded the stream), so ledgering them keeps the ledger
+                # COMPLETE, which a later 'recover' depends on (an
+                # incomplete ledger that still reaches the watermark would
+                # fold stale winners).
+                if not is_catchup:
+                    skipped_late = late_files
 
         if n_fresh > 0:
             fresh = batch.filter(F.col("lsn") > F.lit(last))
@@ -255,8 +270,16 @@ def run_stream(
         # record this batch's segments only after they are fully absorbed:
         # a crash before this point re-delivers them, and re-delivery of
         # ledgered segments is benign by construction
+        # durable segment facts only — fresh_rows/fresh_lo are relative to
+        # this run's transient watermark and meaningless once written
         new_records = [
-            {**r, "batch_id": batch_id}
+            {
+                "file": r["file"],
+                "rows": r["rows"],
+                "min_lsn": r["min_lsn"],
+                "max_lsn": r["max_lsn"],
+                "batch_id": batch_id,
+            }
             for r in per_file
             if r["file"] not in seen and r["file"] not in skipped_late
         ]

@@ -270,14 +270,29 @@ def test_stream_codelivered_late_segment_not_masked(spark, tmp_path):
         q.awaitTermination(300)
         raise AssertionError("co-delivered late segment was masked")
 
-    # same delivery under 'warn': continues, but the late segment is NOT
-    # recorded in the ledger (it was skipped, not absorbed)
+    # mid-stream 'warn' (restarted checkpoint, so NOT the catch-up case):
+    # continues, but the skipped late segment is NOT recorded in the
+    # ledger — future re-delivery must not look benign. First establish
+    # the checkpoint on the benign window alone, then let the late
+    # segment arrive.
+    os.rename(
+        os.path.join(log_dir, "seg-late.parquet"),
+        os.path.join(str(tmp_path), "seg-late-parked.parquet"),
+    )
     ckpt2 = str(tmp_path / "coc2")
     q2 = run_stream(
+        eng, stream_changes(spark, log_dir), checkpoint_dir=ckpt2
+    )
+    q2.awaitTermination(300)
+    os.rename(
+        os.path.join(str(tmp_path), "seg-late-parked.parquet"),
+        os.path.join(log_dir, "seg-late.parquet"),
+    )
+    q3 = run_stream(
         eng, stream_changes(spark, log_dir),
         checkpoint_dir=ckpt2, on_out_of_order="warn",
     )
-    q2.awaitTermination(300)
+    q3.awaitTermination(300)
     ledger = os.path.join(ckpt2, "dbimport-segments.jsonl")
     files = [json.loads(line)["file"] for line in open(ledger)]
     assert not any("seg-late" in f for f in files)
