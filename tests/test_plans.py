@@ -144,3 +144,43 @@ def test_neardup_scale_plans_have_no_nested_loop(spark):
     # exact mode IS the nested loop (documented small-n baseline)
     plan_exact = explain_str(cosine_near_dup_pairs(df, min_milli=450))
     assert "BroadcastNestedLoopJoin" in plan_exact or "CartesianProduct" in plan_exact
+
+
+def test_corpus_dedup_plan_has_no_nested_loop(spark):
+    """The asymmetric minhash ingest-dedup must stay hash-join shaped:
+    band-bucket equijoin + shingle equijoins, never a cartesian or
+    nested-loop node (the corpus side is never self-joined either)."""
+    from dbimport_spark.operators.text_dedup import dedup_against_corpus
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc number {i} with some shared words") for i in range(0, 40, 2)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(i, f"batch doc number {i} with some shared words") for i in range(1, 40, 2)],
+        "doc_id long, text string",
+    )
+    out = dedup_against_corpus(batch, corpus, method="minhash", min_permille=100)
+    plan = explain_str(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    out.count()  # and it executes
+
+
+def test_pack_sequences_plan_is_partition_parallel(spark):
+    """The packing cumsum must never collapse to a single-partition window
+    (Window with empty partitionBy): the plan's window runs per
+    (_pid, stratum) and the stratum offsets arrive via broadcast."""
+    from dbimport_spark.operators.training import pack_sequences
+
+    df = spark.createDataFrame(
+        [(f"d{i:03d}", f"s{i % 4}", 100 + i) for i in range(300)],
+        "doc_id string, source string, n_tok int",
+    )
+    out = pack_sequences(df, context_len=512, num_partitions=6)
+    plan = explain_str(out)
+    # a global (unpartitioned) window would show 'Window [...]' with no
+    # partition spec and a preceding Exchange SinglePartition
+    assert "SinglePartition" not in plan
+    assert "BroadcastExchange" in plan  # offsets joined via broadcast
+    assert out.count() == 300
