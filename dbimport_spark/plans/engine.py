@@ -220,6 +220,37 @@ class CDCEngine:
             bucket_column=key,
         )
 
+    # -- rename-aware column sourcing ----------------------------------------
+
+    def _former_names(self, name: str, snap) -> list[str]:
+        """Former names of a current column, most recent first: declared
+        renames plus the snapshot's recorded rename chain (handles
+        a→b→c transitively). A mixed log — segments written before and
+        after a rename, read with mergeSchema — carries values under
+        whichever name was current at write time; alignment must coalesce
+        across them or old segments' values silently become null."""
+        formers = [old for old, new in self.renames.items() if new == name]
+        phys = name
+        for r in reversed(snap.renames):
+            if r["to"] == phys:
+                phys = r["from"]
+                if phys not in formers:
+                    formers.append(phys)
+        return formers
+
+    def _source_expr(self, f, bschema: dict, snap):
+        """Column expression sourcing schema field ``f`` from a batch:
+        coalesce of the current name and any former names present, cast to
+        the field type; None when the batch carries no candidate."""
+        cands = [n for n in [f.name] + self._former_names(f.name, snap) if n in bschema]
+        if not cands:
+            return None
+        if len(cands) == 1 and cands[0] == f.name and bschema[f.name].dataType == f.dataType:
+            return F.col(f.name)
+        return F.coalesce(
+            *[F.col(c).cast(f.dataType) for c in cands]
+        ).alias(f.name)
+
     # -- single batch --------------------------------------------------------
 
     def apply_batch(self, batch: DataFrame, lo: int, hi: int) -> BatchStats:
@@ -255,8 +286,17 @@ class CDCEngine:
         # -- schema evolution: adds + type widenings (metadata-only) --------
         from dbimport_spark.schema import AUDIT_SOURCE as _AUD_SRC
 
+        # a mixed log (mergeSchema read spanning a rename) also carries the
+        # FORMER column names — they are sourced via coalesce in alignment,
+        # never evolution adds (an add of a renamed-away name would be
+        # refused by the commit guard anyway)
+        former_cols = {
+            n
+            for f in snap.schema.fields
+            for n in self._former_names(f.name, snap)
+        }
         delta = diff_payload_schema(
-            snap.schema, batch.schema, ignore=LOG_BOOKKEEPING,
+            snap.schema, batch.schema, ignore=LOG_BOOKKEEPING | former_cols,
             check_renames=self.rename_check,
             engine_cols=(
                 {_AUD_SRC} if snap.properties.get("source_label") else None
@@ -294,19 +334,17 @@ class CDCEngine:
         for f in new_schema.fields:
             if f.name in AUDIT_COLUMNS:
                 continue
-            bf = bschema.get(f.name)
-            if f.name == AUDIT_SOURCE and src_label is not None and bf is None:
+            src = self._source_expr(f, bschema, snap)
+            if f.name == AUDIT_SOURCE and src_label is not None and src is None:
                 # provenance column: stamped by the engine on live rows
                 # (reference datalake_source, etl_operations.py:237-239)
                 aligned_cols.append(
                     F.when(F.col("op") != "D", F.lit(src_label)).alias(f.name)
                 )
-            elif bf is None:
+            elif src is None:
                 aligned_cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-            elif bf.dataType != f.dataType:
-                aligned_cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
             else:
-                aligned_cols.append(F.col(f.name))
+                aligned_cols.append(src)
         has_commit_ts = "commit_ts" in bschema
         if has_commit_ts:
             aligned_cols.append(F.col("commit_ts"))
@@ -653,34 +691,33 @@ class CDCEngine:
         key_rows = keys.select(*self.keys).distinct()
         n_keys = key_rows.count()
         big = n_keys > self.broadcast_threshold_rows
-        scope = key_rows if big else F.broadcast(key_rows)
-        scoped = changes.join(scope, self.keys, "left_semi")
-
-        # align to the CURRENT table schema (missing columns null, narrower
-        # cast up, engine-stamped provenance label re-stamped)
+        # align to the CURRENT table schema FIRST (missing columns null,
+        # narrower cast up, former names coalesced — a repair fold spans
+        # the whole log, which may straddle a rename — provenance label
+        # re-stamped), THEN scope by key: the key itself may carry a former
+        # name in old segments, so scoping must run on the aligned frame.
         from dbimport_spark.schema import AUDIT_SOURCE
 
         src_label = snap.properties.get("source_label")
         payload_cols = [
             f.name for f in snap.schema.fields if f.name not in AUDIT_COLUMNS
         ]
-        bschema = {f.name: f for f in scoped.schema.fields}
+        bschema = {f.name: f for f in changes.schema.fields}
         aligned = [F.col("lsn"), F.col("op")]
         for f in snap.schema.fields:
             if f.name in AUDIT_COLUMNS:
                 continue
-            bf = bschema.get(f.name)
-            if f.name == AUDIT_SOURCE and src_label is not None and bf is None:
+            src = self._source_expr(f, bschema, snap)
+            if f.name == AUDIT_SOURCE and src_label is not None and src is None:
                 aligned.append(
                     F.when(F.col("op") != "D", F.lit(src_label)).alias(f.name)
                 )
-            elif bf is None:
+            elif src is None:
                 aligned.append(F.lit(None).cast(f.dataType).alias(f.name))
-            elif bf.dataType != f.dataType:
-                aligned.append(F.col(f.name).cast(f.dataType).alias(f.name))
             else:
-                aligned.append(F.col(f.name))
-        scoped = scoped.select(*aligned)
+                aligned.append(src)
+        scope = key_rows if big else F.broadcast(key_rows)
+        scoped = changes.select(*aligned).join(scope, self.keys, "left_semi")
 
         deduped = dedup_lww(
             scoped,

@@ -245,8 +245,12 @@ def run_stream(
                     if ledgered
                     else batch
                 )
+                # mergeSchema: ledgered segments may predate schema
+                # evolution or a rename — the union of their schemas keeps
+                # old column names alive for repair's rename-aware
+                # alignment (a fixed schema would silently null them)
                 full_log = batch_new if not ledgered else batch_new.unionByName(
-                    spark.read.schema(batch.schema).parquet(*ledgered),
+                    spark.read.option("mergeSchema", "true").parquet(*ledgered),
                     allowMissingColumns=True,
                 )
                 engine.repair_keys(full_log, key_rows)

@@ -501,3 +501,49 @@ def test_comment_metadata_evolution(spark, tmp_path):
     assert meta["source"].get("comment") == "upstream origin"
     got = {(r["doc_id"], r["n_tok"]) for r in table.read(spark).collect()}
     assert got == {("k1", 1), ("k2", 1)}
+
+
+def test_mixed_name_log_replay_and_repair_coalesce_former_names(spark, tmp_path):
+    """A log whose segments straddle a declared rename (read with
+    mergeSchema ⇒ BOTH column names present, each row carrying one):
+    alignment must coalesce the former name instead of nulling old
+    segments' values — in normal apply AND in repair_keys."""
+    import os
+
+    table = CDCEngine.create_table(str(tmp_path / "mx"), num_buckets=4)
+    eng = CDCEngine(spark, table, renames={"source": "origin"})
+
+    log_dir = str(tmp_path / "mxlog")
+    os.makedirs(log_dir)
+    old_seg = spark.createDataFrame(
+        [
+            _row(1, "I", "k1", [1], "web", dt.datetime(2024, 1, 1)),
+            _row(2, "I", "k2", [2], "books", dt.datetime(2024, 1, 1)),
+        ],
+        CHANGE_SCHEMA,
+    )
+    new_seg = spark.createDataFrame(
+        [
+            _row(3, "U", "k2", [9], "press", dt.datetime(2024, 1, 2)),
+            _row(4, "I", "k3", [3], "wiki", dt.datetime(2024, 1, 2)),
+        ],
+        CHANGE_SCHEMA,
+    ).withColumnRenamed("source", "origin")
+    old_seg.write.parquet(os.path.join(log_dir, "seg-old"))
+    new_seg.write.parquet(os.path.join(log_dir, "seg-new"))
+
+    mixed = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(log_dir, "seg-old"), os.path.join(log_dir, "seg-new")
+    )
+    assert "source" in mixed.columns and "origin" in mixed.columns
+
+    # ONE batch containing both names: rename applied, old values kept
+    eng.apply_batch(mixed, 0, 4)
+    got = {(r["doc_id"], r["origin"]) for r in table.read(spark).collect()}
+    assert got == {("k1", "web"), ("k2", "press"), ("k3", "wiki")}
+
+    # repair over the mixed log: re-fold k1 (old-name segment only) — its
+    # value must survive the rename-aware alignment
+    eng.repair_keys(mixed, spark.createDataFrame([("k1",)], "doc_id string"))
+    got = {(r["doc_id"], r["origin"]) for r in table.read(spark).collect()}
+    assert got == {("k1", "web"), ("k2", "press"), ("k3", "wiki")}
