@@ -74,8 +74,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--checkpoint", required=True)
     sp.add_argument("--continuous", action="store_true")
     sp.add_argument(
-        "--on-out-of-order", default="error", choices=["error", "warn"],
-        help="what to do when a segment arrives after the watermark passed it",
+        "--on-out-of-order", default="error",
+        choices=["error", "warn", "auto", "recover"],
+        help="late-segment policy: error (default, strict) | warn (skip, "
+        "keep the segment unledgered for later recovery) | auto (warn only "
+        "on a brand-new checkpoint's catch-up batch) | recover (re-fold the "
+        "affected keys from the per-segment ledger)",
     )
 
     sp = sub.add_parser("gen")
@@ -108,6 +112,19 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("table_root")
     sp.add_argument("--max-files-per-bucket", type=int, default=4)
     sp.add_argument("--expire-keep-last", type=int, default=None)
+
+    sp = sub.add_parser(
+        "repair",
+        help="authoritative key-scoped re-fold: recompute final state for "
+        "the keys touched in a lost LSN window from the FULL log (the "
+        "watermark never moves backward, so late events cannot go through "
+        "replay)",
+    )
+    sp.add_argument("table_root")
+    sp.add_argument("log_path", help="the full log as currently known")
+    sp.add_argument("--lo", type=int, required=True, help="window low bound (exclusive)")
+    sp.add_argument("--hi", type=int, required=True, help="window high bound (inclusive)")
+    sp.add_argument("--history", default=None, help="history-audit table path")
 
     sp = sub.add_parser("rename", help="metadata-only column rename")
     sp.add_argument("table_root")
@@ -277,6 +294,32 @@ def main(argv: list[str] | None = None) -> int:
             table, args.out_dir, include_audit=args.include_audit
         ).export(spark, mode=args.mode)
         print(json.dumps(out))
+    elif args.cmd == "repair":
+        from pyspark.sql import functions as F
+
+        table = LakeTable.load(args.table_root)
+        eng = CDCEngine(
+            spark,
+            table,
+            history_table=LakeTable.load(args.history) if args.history else None,
+        )
+        changes = spark.read.option("mergeSchema", "true").parquet(args.log_path)
+        keys = (
+            changes.filter((F.col("lsn") > args.lo) & (F.col("lsn") <= args.hi))
+            .select(*eng.keys)
+            .distinct()
+        )
+        stats = eng.repair_keys(changes, keys)
+        print(
+            json.dumps(
+                {
+                    "repaired_keys": stats.events,
+                    "touched_buckets": stats.touched_buckets,
+                    "out_rows": stats.out_rows,
+                    "last_lsn": table.last_lsn(),
+                }
+            )
+        )
     elif args.cmd == "compact":
         from dbimport_spark.lake.maintenance import compact
 

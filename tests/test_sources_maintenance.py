@@ -174,3 +174,32 @@ def test_commit_race_raises_typed_conflict(tmp_path):
     dup = dataclasses.replace(t1.current())  # version 1 already exists
     with _pytest.raises(CommitConflict):
         t2._write_snapshot(dup)
+
+
+def test_cli_repair_smoke(spark, tmp_path):
+    """CLI repair: a lost middle window recovered end-to-end through the
+    spark-submit entry point."""
+    log = generate_changes(spark, 600, n_keys=40, seed=77)
+    log_path = str(tmp_path / "rlog")
+    log.write.parquet(log_path)
+    table = CDCEngine.create_table(str(tmp_path / "rt"), num_buckets=4)
+    eng = CDCEngine(spark, table)
+    eng.replay(log.filter("lsn <= 200"), num_batches=1)
+    eng.replay(log.filter("lsn > 400"), num_batches=1, allow_log_gap=True)
+
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "dbimport_spark.cli", "repair",
+            str(tmp_path / "rt"), log_path, "--lo", "200", "--hi", "400",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    data = json.loads(out.stdout.strip().splitlines()[-1])
+    assert data["repaired_keys"] > 0
+    assert data["last_lsn"] == 600  # watermark untouched
+
+    from dbimport_spark.plans.validate import fold_expected, reconcile
+    from dbimport_spark.schema import PAYLOAD_COLUMNS
+
+    rec = reconcile(table.read(spark), fold_expected(log), PAYLOAD_COLUMNS)
+    assert rec["converged"], rec
