@@ -125,6 +125,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--lo", type=int, required=True, help="window low bound (exclusive)")
     sp.add_argument("--hi", type=int, required=True, help="window high bound (inclusive)")
     sp.add_argument("--history", default=None, help="history-audit table path")
+    sp.add_argument(
+        "--rename", action="append", default=[], metavar="OLD=NEW",
+        help="declared column renames the log straddles (repeatable)",
+    )
 
     sp = sub.add_parser("rename", help="metadata-only column rename")
     sp.add_argument("table_root")
@@ -295,21 +299,18 @@ def main(argv: list[str] | None = None) -> int:
         ).export(spark, mode=args.mode)
         print(json.dumps(out))
     elif args.cmd == "repair":
-        from pyspark.sql import functions as F
-
         table = LakeTable.load(args.table_root)
         eng = CDCEngine(
             spark,
             table,
             history_table=LakeTable.load(args.history) if args.history else None,
+            renames=dict(r.split("=", 1) for r in args.rename),
         )
         changes = spark.read.option("mergeSchema", "true").parquet(args.log_path)
-        keys = (
-            changes.filter((F.col("lsn") > args.lo) & (F.col("lsn") <= args.hi))
-            .select(*eng.keys)
-            .distinct()
-        )
-        stats = eng.repair_keys(changes, keys)
+        # keys are derived INSIDE repair_keys from the rename-aligned log —
+        # selecting them from the raw frame here would yield nulls for
+        # pre-rename segments and silently no-op the repair
+        stats = eng.repair_keys(changes, window=(args.lo, args.hi))
         print(
             json.dumps(
                 {

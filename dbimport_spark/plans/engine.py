@@ -222,27 +222,51 @@ class CDCEngine:
 
     # -- rename-aware column sourcing ----------------------------------------
 
-    def _former_names(self, name: str, snap) -> list[str]:
-        """Former names of a current column, most recent first: declared
-        renames plus the snapshot's recorded rename chain (handles
-        a→b→c transitively). A mixed log — segments written before and
-        after a rename, read with mergeSchema — carries values under
-        whichever name was current at write time; alignment must coalesce
-        across them or old segments' values silently become null."""
-        formers = [old for old, new in self.renames.items() if new == name]
-        phys = name
-        for r in reversed(snap.renames):
-            if r["to"] == phys:
-                phys = r["from"]
-                if phys not in formers:
-                    formers.append(phys)
+    def _former_names(self, name: str) -> list[str]:
+        """Former names of a current column under the DECLARED renames
+        (transitive: declaring {a: b, b: c} chains a→b→c). A mixed log —
+        segments written before and after a rename, read with mergeSchema —
+        carries values under whichever name was current at write time;
+        alignment coalesces across them or old segments' values silently
+        become null.
+
+        Deliberately DECLARED-only, never the snapshot's historical rename
+        chain: a later batch column that merely reuses an ancient former
+        name is indistinguishable from a rename echo by type, and silently
+        coalescing it would leak the new column's values into the renamed
+        one. Undeclared, such a column flows to the evolution diff and the
+        epoch-collision commit guard refuses it loudly; the operator then
+        either declares the rename (echo case) or picks a new name."""
+        formers: list[str] = []
+        frontier = [name]
+        while frontier:
+            cur = frontier.pop()
+            for old, new in self.renames.items():
+                if new == cur and old not in formers:
+                    formers.append(old)
+                    frontier.append(old)
         return formers
 
-    def _source_expr(self, f, bschema: dict, snap):
+    def _source_expr(self, f, bschema: dict):
         """Column expression sourcing schema field ``f`` from a batch:
-        coalesce of the current name and any former names present, cast to
-        the field type; None when the batch carries no candidate."""
-        cands = [n for n in [f.name] + self._former_names(f.name, snap) if n in bschema]
+        coalesce of the current name and any DECLARED former names present,
+        cast to the field type; None when the batch carries no candidate.
+        A former-name candidate with an incompatible type raises — the
+        same loud stop the same-name path gets from the evolution diff,
+        instead of cast-to-null data loss."""
+        from dbimport_spark.lake.evolve import compare_types
+
+        cands = [n for n in [f.name] + self._former_names(f.name) if n in bschema]
+        for c in cands:
+            if c != f.name and compare_types(f.dataType, bschema[c].dataType) == (
+                "incompatible"
+            ):
+                raise SchemaEvolutionError(
+                    f"former-name column {c!r} (rename source of {f.name!r}) "
+                    f"has incompatible type {bschema[c].dataType.simpleString()}"
+                    f" vs {f.dataType.simpleString()} — a mixed log cannot "
+                    "be folded across a type change; declare a full reload"
+                )
         if not cands:
             return None
         if len(cands) == 1 and cands[0] == f.name and bschema[f.name].dataType == f.dataType:
@@ -250,6 +274,31 @@ class CDCEngine:
         return F.coalesce(
             *[F.col(c).cast(f.dataType) for c in cands]
         ).alias(f.name)
+
+    def _align_exprs(self, fields, bschema: dict, src_label: str | None) -> list:
+        """THE payload-alignment rule, shared by apply_batch and
+        repair_keys so normal replay and recovery can never fold the same
+        log differently: each field sourced via _source_expr (former-name
+        coalesce), engine-stamped provenance label, nulls for absent
+        columns."""
+        from dbimport_spark.schema import AUDIT_SOURCE
+
+        out = []
+        for f in fields:
+            if f.name in AUDIT_COLUMNS:
+                continue
+            src = self._source_expr(f, bschema)
+            if f.name == AUDIT_SOURCE and src_label is not None and src is None:
+                # provenance column: stamped by the engine on live rows
+                # (reference datalake_source, etl_operations.py:237-239)
+                out.append(
+                    F.when(F.col("op") != "D", F.lit(src_label)).alias(f.name)
+                )
+            elif src is None:
+                out.append(F.lit(None).cast(f.dataType).alias(f.name))
+            else:
+                out.append(src)
+        return out
 
     # -- single batch --------------------------------------------------------
 
@@ -286,14 +335,14 @@ class CDCEngine:
         # -- schema evolution: adds + type widenings (metadata-only) --------
         from dbimport_spark.schema import AUDIT_SOURCE as _AUD_SRC
 
-        # a mixed log (mergeSchema read spanning a rename) also carries the
-        # FORMER column names — they are sourced via coalesce in alignment,
-        # never evolution adds (an add of a renamed-away name would be
-        # refused by the commit guard anyway)
+        # a mixed log (mergeSchema read spanning a DECLARED rename) also
+        # carries the former column names — they are sourced via coalesce
+        # in alignment, never evolution adds. Only declared formers are
+        # excluded: an undeclared column matching a historical former name
+        # still reaches the diff and the epoch-collision commit guard, the
+        # designed loud refusal for that ambiguity.
         former_cols = {
-            n
-            for f in snap.schema.fields
-            for n in self._former_names(f.name, snap)
+            n for f in snap.schema.fields for n in self._former_names(f.name)
         }
         delta = diff_payload_schema(
             snap.schema, batch.schema, ignore=LOG_BOOKKEEPING | former_cols,
@@ -326,25 +375,11 @@ class CDCEngine:
         # align batch to the (evolved) payload column set; columns the batch
         # doesn't carry (older log segments) come through as nulls; narrower
         # batch columns are cast up to the table type
-        from dbimport_spark.schema import AUDIT_SOURCE
-
         src_label = snap.properties.get("source_label")
         bschema = {f.name: f for f in batch.schema.fields}
-        aligned_cols = [F.col("lsn"), F.col("op")]
-        for f in new_schema.fields:
-            if f.name in AUDIT_COLUMNS:
-                continue
-            src = self._source_expr(f, bschema, snap)
-            if f.name == AUDIT_SOURCE and src_label is not None and src is None:
-                # provenance column: stamped by the engine on live rows
-                # (reference datalake_source, etl_operations.py:237-239)
-                aligned_cols.append(
-                    F.when(F.col("op") != "D", F.lit(src_label)).alias(f.name)
-                )
-            elif src is None:
-                aligned_cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-            else:
-                aligned_cols.append(src)
+        aligned_cols = [F.col("lsn"), F.col("op")] + self._align_exprs(
+            new_schema.fields, bschema, src_label
+        )
         has_commit_ts = "commit_ts" in bschema
         if has_commit_ts:
             aligned_cols.append(F.col("commit_ts"))
@@ -663,11 +698,23 @@ class CDCEngine:
 
     # -- targeted key repair -------------------------------------------------
 
-    def repair_keys(self, changes: DataFrame, keys: DataFrame) -> BatchStats:
+    def repair_keys(
+        self,
+        changes: DataFrame,
+        keys: DataFrame | None = None,
+        window: tuple[int, int] | None = None,
+    ) -> BatchStats:
         """Authoritative re-fold for a key subset: recompute the LWW fold of
-        ``changes`` (the full log as currently known) restricted to ``keys``
-        and merge the result into those keys' buckets — regardless of the
-        committed watermark.
+        ``changes`` (the full log as currently known) restricted to the
+        given keys and merge the result into their buckets — regardless of
+        the committed watermark.
+
+        The scope is either an explicit ``keys`` frame (columns = the merge
+        keys, CURRENT names) or an LSN ``window`` (lo, hi] — the keys are
+        then derived from the ALIGNED log, so a lost window inside
+        pre-rename segments still resolves its keys through the declared
+        former names. Null merge keys in scope raise (they signal an
+        undeclared rename — repairing 'null' would silently no-op).
 
         This is the recovery path for out-of-order segment delivery
         (streaming): the watermark can never move backward, so a late
@@ -687,37 +734,53 @@ class CDCEngine:
         (zero target exchange); larger sets fall back to the bucket-aligned
         shuffle plan — same switch apply_batch makes.
         """
+        if (keys is None) == (window is None):
+            raise ValueError("pass exactly one of keys= or window=")
         snap = self.table.current()
-        key_rows = keys.select(*self.keys).distinct()
-        n_keys = key_rows.count()
-        big = n_keys > self.broadcast_threshold_rows
         # align to the CURRENT table schema FIRST (missing columns null,
-        # narrower cast up, former names coalesced — a repair fold spans
-        # the whole log, which may straddle a rename — provenance label
-        # re-stamped), THEN scope by key: the key itself may carry a former
-        # name in old segments, so scoping must run on the aligned frame.
-        from dbimport_spark.schema import AUDIT_SOURCE
-
+        # narrower cast up, declared former names coalesced — a repair fold
+        # spans the whole log, which may straddle a rename — provenance
+        # label re-stamped), THEN scope by key: the key itself may carry a
+        # former name in old segments, so key derivation and scoping must
+        # run on the aligned frame.
         src_label = snap.properties.get("source_label")
         payload_cols = [
             f.name for f in snap.schema.fields if f.name not in AUDIT_COLUMNS
         ]
         bschema = {f.name: f for f in changes.schema.fields}
-        aligned = [F.col("lsn"), F.col("op")]
-        for f in snap.schema.fields:
-            if f.name in AUDIT_COLUMNS:
-                continue
-            src = self._source_expr(f, bschema, snap)
-            if f.name == AUDIT_SOURCE and src_label is not None and src is None:
-                aligned.append(
-                    F.when(F.col("op") != "D", F.lit(src_label)).alias(f.name)
-                )
-            elif src is None:
-                aligned.append(F.lit(None).cast(f.dataType).alias(f.name))
-            else:
-                aligned.append(src)
+        aligned_df = changes.select(
+            F.col("lsn"),
+            F.col("op"),
+            *self._align_exprs(snap.schema.fields, bschema, src_label),
+        )
+        if keys is None:
+            lo, hi = window
+            key_src = aligned_df.filter(
+                (F.col("lsn") > lo) & (F.col("lsn") <= hi)
+            )
+        else:
+            key_src = keys
+        # one materialized frame feeds the count, the scoping join, and the
+        # touched-bucket collect — on a CLI repair the source is the whole
+        # log, so re-deriving it per consumer would triple the log scans
+        key_rows = key_src.select(*self.keys).distinct().localCheckpoint(eager=True)
+        null_pred = F.lit(False)
+        for k in self.keys:
+            null_pred = null_pred | F.col(k).isNull()
+        counts = key_rows.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(null_pred, F.lit(1))).alias("nulls"),
+        ).first()
+        if counts["nulls"] > 0:
+            raise ValueError(
+                "repair scope contains null merge key(s) — the log likely "
+                "carries the key under an undeclared former name; declare "
+                "the rename (CDCEngine(renames={...})) and retry"
+            )
+        n_keys = counts["n"]
+        big = n_keys > self.broadcast_threshold_rows
         scope = key_rows if big else F.broadcast(key_rows)
-        scoped = changes.select(*aligned).join(scope, self.keys, "left_semi")
+        scoped = aligned_df.join(scope, self.keys, "left_semi")
 
         deduped = dedup_lww(
             scoped,

@@ -547,3 +547,62 @@ def test_mixed_name_log_replay_and_repair_coalesce_former_names(spark, tmp_path)
     eng.repair_keys(mixed, spark.createDataFrame([("k1",)], "doc_id string"))
     got = {(r["doc_id"], r["origin"]) for r in table.read(spark).collect()}
     assert got == {("k1", "web"), ("k2", "press"), ("k3", "wiki")}
+
+
+def test_undeclared_former_name_reuse_is_refused_loudly(spark, tmp_path):
+    """After rename source->origin, a LATER batch column named 'source'
+    WITHOUT a declared rename is ambiguous (new column reusing the name vs
+    rename echo) — it must flow to the evolution diff and be refused by
+    the epoch-collision guard, never silently coalesced into 'origin'."""
+    table = CDCEngine.create_table(str(tmp_path / "ud"), num_buckets=4)
+    eng = CDCEngine(spark, table, renames={"source": "origin"})
+    b1 = spark.createDataFrame(
+        [_row(1, "I", "k1", [1], "web", dt.datetime(2024, 1, 1))], CHANGE_SCHEMA
+    ).withColumnRenamed("source", "origin")
+    eng.apply_batch(b1, 0, 1)
+    assert "origin" in table.current().schema.fieldNames()
+
+    # fresh engine, NO declared renames: a batch column named 'source'
+    fresh = CDCEngine(spark, table, rename_check=False)
+    b2 = spark.createDataFrame(
+        [_row(2, "I", "k2", [2], "books", dt.datetime(2024, 1, 2))], CHANGE_SCHEMA
+    ).withColumn("origin", F.lit("b2"))  # carries BOTH origin and source
+    with pytest.raises(ValueError, match="physical name"):
+        fresh.apply_batch(b2, 1, 2)
+    # values untouched
+    got = {(r["doc_id"], r["origin"]) for r in table.read(spark).collect()}
+    assert got == {("k1", "web")}
+
+
+def test_repair_window_api_and_null_key_guard(spark, tmp_path):
+    """repair_keys(window=...): keys derive from the rename-ALIGNED log; a
+    renamed merge key without a declared rename yields null keys and must
+    raise instead of silently no-opping."""
+    from pyspark.sql import types as T
+
+    payload = T.StructType(
+        [
+            T.StructField("uid", T.StringType(), False),
+            T.StructField("val", T.IntegerType(), True),
+        ]
+    )
+    table = CDCEngine.create_table(
+        str(tmp_path / "wk"), payload_schema=payload, num_buckets=4, key="uid"
+    )
+    sch_old = (
+        "lsn long, op string, id string, val int"  # key under its OLD name
+    )
+    old_log = spark.createDataFrame(
+        [(1, "I", "k1", 10), (2, "I", "k2", 20), (3, "U", "k1", 11)], sch_old
+    )
+    # undeclared: alignment has no candidate for 'uid' -> null keys -> raise
+    eng_plain = CDCEngine(spark, table)
+    with pytest.raises(ValueError, match="undeclared former name"):
+        eng_plain.repair_keys(old_log, window=(0, 3))
+
+    # declared: keys resolve through the former name, repair converges
+    eng = CDCEngine(spark, table, renames={"id": "uid"})
+    stats = eng.repair_keys(old_log, window=(0, 3))
+    assert stats.events == 2
+    got = {(r["uid"], r["val"]) for r in table.read(spark).collect()}
+    assert got == {("k1", 11), ("k2", 20)}
