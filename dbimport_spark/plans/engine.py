@@ -733,6 +733,18 @@ class CDCEngine:
         Key sets up to ``broadcast_threshold_rows`` run the broadcast merge
         (zero target exchange); larger sets fall back to the bucket-aligned
         shuffle plan — same switch apply_batch makes.
+
+        Design trade-off, stated for the record: storing a per-row version
+        column (dl_lsn = the winning event's LSN) would make late events
+        directly mergeable (apply iff event.lsn > row.dl_lsn) with a single
+        bucket-pruned merge — no log re-scan. We chose the log-re-fold
+        because (a) the per-segment ledger is needed anyway to classify
+        re-delivery vs late arrival, (b) out-of-order delivery is the
+        exception path (the reference's sources are all ordered), and
+        (c) re-fold needs zero schema/merge-expression surface in the hot
+        path. At a deployment where late segments are ROUTINE, the dl_lsn
+        column is the better design and this method is where it would slot
+        in.
         """
         if (keys is None) == (window is None):
             raise ValueError("pass exactly one of keys= or window=")
