@@ -137,6 +137,11 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
+    if getattr(args, "rename", None):
+        bad = [r for r in args.rename if "=" not in r]
+        if bad:
+            p.error(f"--rename expects OLD=NEW, got: {', '.join(bad)}")
+
     from dbimport_spark.lake.table import LakeTable
     from dbimport_spark.plans.engine import CDCEngine
     from dbimport_spark.session import get_spark

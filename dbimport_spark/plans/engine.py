@@ -251,19 +251,24 @@ class CDCEngine:
         """Column expression sourcing schema field ``f`` from a batch:
         coalesce of the current name and any DECLARED former names present,
         cast to the field type; None when the batch carries no candidate.
-        A former-name candidate with an incompatible type raises — the
-        same loud stop the same-name path gets from the evolution diff,
-        instead of cast-to-null data loss."""
+        A former-name candidate with an incompatible OR WIDER type raises —
+        the same loud stop the same-name path gets from the evolution diff.
+        Wider must error here too: former columns are excluded from the
+        evolution diff (they can never widen the table), so silently
+        casting a wider former column DOWN to the narrower table type
+        would truncate/overflow instead of losing loudly."""
         from dbimport_spark.lake.evolve import compare_types
 
         cands = [n for n in [f.name] + self._former_names(f.name) if n in bschema]
         for c in cands:
-            if c != f.name and compare_types(f.dataType, bschema[c].dataType) == (
-                "incompatible"
+            if c != f.name and compare_types(f.dataType, bschema[c].dataType) in (
+                "incompatible",
+                "widen",
             ):
                 raise SchemaEvolutionError(
                     f"former-name column {c!r} (rename source of {f.name!r}) "
-                    f"has incompatible type {bschema[c].dataType.simpleString()}"
+                    f"has incompatible or wider type "
+                    f"{bschema[c].dataType.simpleString()}"
                     f" vs {f.dataType.simpleString()} — a mixed log cannot "
                     "be folded across a type change; declare a full reload"
                 )
@@ -916,11 +921,45 @@ class CDCEngine:
         snap = self.table.current()
         from dbimport_spark.schema import AUDIT_SOURCE
 
-        payload_fields = [
-            T.StructField(f.name, f.dataType, f.name not in self.keys)
+        # Declared former names must NOT become table columns: over a
+        # mergeSchema log that straddles a declared rename, the log carries
+        # BOTH the old and new name; keeping both would leave a zombie
+        # duplicate column with pre-rename values split across two fields.
+        # Former names fold into their successors via _align_exprs — the
+        # same former_cols exclusion apply_batch's evolution diff makes.
+        # When the log carries ONLY the former name (reload from an
+        # entirely pre-rename log), the declared terminal name takes its
+        # place so alignment still sources it via the former-name coalesce.
+        raw_fields = [
+            f
             for f in changes.schema.fields
             if f.name not in LOG_BOOKKEEPING and f.name not in AUDIT_COLUMNS
         ]
+        present = {f.name for f in raw_fields}
+        former_all = set(self.renames.keys())
+        payload_fields: list[T.StructField] = []
+        seen_names: set[str] = set()
+        for f in raw_fields:
+            name, dtype = f.name, f.dataType
+            if name in former_all:
+                term = name
+                hops = 0
+                while term in self.renames:
+                    term = self.renames[term]
+                    hops += 1
+                    if hops > len(self.renames):
+                        raise ValueError(
+                            f"rename chain starting at {name!r} is cyclic"
+                        )
+                if term in present or term in seen_names:
+                    continue
+                name = term
+            if name in seen_names:
+                continue
+            seen_names.add(name)
+            payload_fields.append(
+                T.StructField(name, dtype, name not in self.keys)
+            )
         names = {f.name for f in payload_fields}
         missing = [k for k in self.keys if k not in names]
         if missing:

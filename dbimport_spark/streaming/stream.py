@@ -231,29 +231,29 @@ def run_stream(
                 raise LogTruncatedError(suspect)
             if policy == "recover":
                 print(f"RECOVER {suspect}", flush=True)
-                late_rows = batch.filter(
-                    F.input_file_name().isin(late_files)
-                    & (F.col("lsn") <= F.lit(last))
+                # The authoritative fold = ledgered segments + THIS batch's
+                # segments, ALL re-read from disk with mergeSchema: the
+                # streaming frame was read with the FIXED stream schema, so
+                # a late segment written before a declared rename would
+                # have its old-name columns silently nulled if the batch
+                # frame were unioned in directly. Re-reading from paths
+                # keeps old column names alive for repair's rename-aware
+                # alignment; the path set is deduplicated, so re-delivered
+                # ledgered files cannot duplicate (key, lsn) rows.
+                batch_files = {r["file"] for r in per_file}
+                all_paths = sorted(set(seen.keys()) | batch_files)
+                full_log = spark.read.option("mergeSchema", "true").parquet(
+                    *all_paths
                 )
-                key_rows = late_rows.select(*engine.keys).distinct()
-                ledgered = sorted(seen.keys())
-                # the authoritative fold = ledgered segments + THIS batch's
-                # new segments. Batch rows re-delivered from ledgered files
-                # are excluded — they would duplicate (key, lsn) rows
-                batch_new = (
-                    batch.filter(~F.input_file_name().isin(ledgered))
-                    if ledgered
-                    else batch
-                )
-                # mergeSchema: ledgered segments may predate schema
-                # evolution or a rename — the union of their schemas keeps
-                # old column names alive for repair's rename-aware
-                # alignment (a fixed schema would silently null them)
-                full_log = batch_new if not ledgered else batch_new.unionByName(
-                    spark.read.option("mergeSchema", "true").parquet(*ledgered),
-                    allowMissingColumns=True,
-                )
-                engine.repair_keys(full_log, key_rows)
+                # Scope by LSN window rather than raw batch keys: repair
+                # derives keys from the ALIGNED log, so a late segment
+                # whose key column travels under a former name still
+                # resolves (selecting engine.keys from the fixed-schema
+                # batch would yield nulls there). The window is a superset
+                # of the late rows (ledgered events in the same range are
+                # re-folded too) — idempotent, converges to the same state.
+                lo_late = min(r["min_lsn"] for r in late)
+                engine.repair_keys(full_log, window=(int(lo_late) - 1, int(last)))
             else:
                 print(f"WARN {suspect}", flush=True)
                 # mid-stream warned-but-skipped late segments must NOT be
@@ -268,9 +268,24 @@ def run_stream(
                 if not is_catchup:
                     skipped_late = late_files
 
-        if n_fresh > 0:
+        # Warn-skipped late files must stay WHOLLY unprocessed: a straddling
+        # file (min_lsn <= last < max_lsn) would otherwise have its fresh
+        # rows applied (advancing the watermark past them) while being
+        # excluded from the ledger — under-representing absorbed events and
+        # re-flagging already-applied rows on a later re-delivery. Excluding
+        # its fresh rows from the apply (and from the window bounds) keeps
+        # the skipped file cleanly recoverable as one unit.
+        applied = [r for r in per_file if r["file"] not in skipped_late]
+        n_fresh_a = sum(r["fresh_rows"] for r in applied)
+        if n_fresh_a > 0:
+            hi_a = max(r["max_lsn"] for r in applied)
+            lo_a = min(
+                r["fresh_lo"] for r in applied if r["fresh_lo"] is not None
+            )
             fresh = batch.filter(F.col("lsn") > F.lit(last))
-            engine.apply_batch(fresh, int(lo) - 1, int(hi))
+            if skipped_late:
+                fresh = fresh.filter(~F.input_file_name().isin(skipped_late))
+            engine.apply_batch(fresh, int(lo_a) - 1, int(hi_a))
         # record this batch's segments only after they are fully absorbed:
         # a crash before this point re-delivers them, and re-delivery of
         # ledgered segments is benign by construction

@@ -606,3 +606,80 @@ def test_repair_window_api_and_null_key_guard(spark, tmp_path):
     assert stats.events == 2
     got = {(r["uid"], r["val"]) for r in table.read(spark).collect()}
     assert got == {("k1", 11), ("k2", 20)}
+
+
+def test_full_reload_folds_declared_former_names(spark, tmp_path):
+    """ADVICE r3: full_reload over a mergeSchema log that straddles a
+    declared rename must NOT create both the old and new column — former
+    names fold into their successors via alignment, exactly as apply_batch
+    excludes former_cols from the evolution diff."""
+    table = CDCEngine.create_table(str(tmp_path / "frn"), num_buckets=4)
+    eng = CDCEngine(
+        spark,
+        table,
+        renames={"source": "origin"},
+        checkpoint_dir=str(tmp_path / "frnc"),
+    )
+    log_dir = str(tmp_path / "frnlog")
+    os.makedirs(log_dir)
+    old_seg = spark.createDataFrame(
+        [
+            _row(1, "I", "k1", [1], "web", dt.datetime(2024, 1, 1)),
+            _row(2, "I", "k2", [2], "books", dt.datetime(2024, 1, 1)),
+        ],
+        CHANGE_SCHEMA,
+    )
+    new_seg = spark.createDataFrame(
+        [
+            _row(3, "U", "k2", [9], "press", dt.datetime(2024, 1, 2)),
+            _row(4, "I", "k3", [3], "wiki", dt.datetime(2024, 1, 2)),
+        ],
+        CHANGE_SCHEMA,
+    ).withColumnRenamed("source", "origin")
+    old_seg.write.parquet(os.path.join(log_dir, "seg-old"))
+    new_seg.write.parquet(os.path.join(log_dir, "seg-new"))
+    mixed = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(log_dir, "seg-old"), os.path.join(log_dir, "seg-new")
+    )
+    assert "source" in mixed.columns and "origin" in mixed.columns
+
+    eng.full_reload(mixed, num_batches=1)
+    names = table.current().schema.fieldNames()
+    assert "origin" in names and "source" not in names  # no zombie column
+    got = {(r["doc_id"], r["origin"]) for r in table.read(spark).collect()}
+    assert got == {("k1", "web"), ("k2", "press"), ("k3", "wiki")}
+
+    # reload from an ENTIRELY pre-rename log: the declared terminal name
+    # takes the former's place, values still sourced via the coalesce
+    eng.full_reload(spark.read.parquet(os.path.join(log_dir, "seg-old")))
+    names = table.current().schema.fieldNames()
+    assert "origin" in names and "source" not in names
+    got = {(r["doc_id"], r["origin"]) for r in table.read(spark).collect()}
+    assert got == {("k1", "web"), ("k2", "books")}
+
+
+def test_former_name_wider_type_refused(spark, tmp_path):
+    """ADVICE r3: a former-name column WIDER than the current field type
+    must raise instead of being silently cast DOWN (truncation/overflow) —
+    former columns never reach the evolution diff, so they can never widen
+    the table; the only safe answer is a loud stop."""
+    from dbimport_spark.lake.evolve import SchemaEvolutionError
+
+    table = CDCEngine.create_table(str(tmp_path / "fw"), num_buckets=4)
+    eng = CDCEngine(spark, table, renames={"n_tok": "tok_n"})
+    b1 = spark.createDataFrame(
+        [_row(1, "I", "k1", [1], "web", dt.datetime(2024, 1, 1))], CHANGE_SCHEMA
+    )
+    eng.apply_batch(b1, 0, 1)
+    b2 = spark.createDataFrame(
+        [_row(2, "I", "k2", [2], "web", dt.datetime(2024, 1, 2))], CHANGE_SCHEMA
+    ).withColumnRenamed("n_tok", "tok_n")
+    eng.apply_batch(b2, 1, 2)
+    assert "tok_n" in table.current().schema.fieldNames()
+
+    # old name resurfaces WIDER (int -> bigint): refuse loudly
+    b3 = spark.createDataFrame(
+        [_row(3, "I", "k3", [3], "web", dt.datetime(2024, 1, 3))], CHANGE_SCHEMA
+    ).withColumn("n_tok", F.col("n_tok").cast("bigint"))
+    with pytest.raises(SchemaEvolutionError, match="wider"):
+        eng.apply_batch(b3, 2, 3)

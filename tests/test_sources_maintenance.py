@@ -203,3 +203,19 @@ def test_cli_repair_smoke(spark, tmp_path):
 
     rec = reconcile(table.read(spark), fold_expected(log), PAYLOAD_COLUMNS)
     assert rec["converged"], rec
+
+
+def test_cli_repair_bad_rename_is_usage_error(tmp_path, capsys):
+    """ADVICE r3: a --rename value without '=' must exit with a clear
+    argparse usage error naming the flag, not an opaque dict ValueError."""
+    from dbimport_spark.cli import main
+
+    with pytest.raises(SystemExit) as ei:
+        main(
+            [
+                "repair", str(tmp_path / "t"), str(tmp_path / "log"),
+                "--lo", "0", "--hi", "1", "--rename", "oldnew",
+            ]
+        )
+    assert ei.value.code == 2
+    assert "OLD=NEW" in capsys.readouterr().err

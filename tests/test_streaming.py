@@ -297,3 +297,130 @@ def test_stream_codelivered_late_segment_not_masked(spark, tmp_path):
     files = [json.loads(line)["file"] for line in open(ledger)]
     assert not any("seg-late" in f for f in files)
     assert any("seg-late" not in f for f in files)  # the benign rerun IS ledgered
+
+
+def test_stream_recover_late_prerename_segment_keeps_payload(spark, tmp_path):
+    """ADVICE r3: under 'recover', a late segment written BEFORE a declared
+    rename must have its old-name payload columns folded into their
+    successors. The stream frame is read with the FIXED stream schema
+    (old names nulled), so the recover path must re-read THIS batch's
+    segment paths from disk with mergeSchema — not union the stream frame."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from dbimport_spark.schema import CHANGE_SCHEMA
+
+    new_schema = T.StructType(
+        [
+            T.StructField(
+                "origin" if f.name == "source" else f.name, f.dataType, f.nullable
+            )
+            for f in CHANGE_SCHEMA.fields
+        ]
+    )
+    log_dir = str(tmp_path / "prlog")
+    os.makedirs(log_dir)
+    new_seg = spark.createDataFrame(
+        [
+            (2, "U", "k1", [9], 1, "press", None),
+            (3, "I", "k3", [3], 1, "wiki", None),
+        ],
+        CHANGE_SCHEMA,
+    ).withColumnRenamed("source", "origin")
+    write_changes_segments(new_seg, log_dir, n_segments=1)
+
+    table = CDCEngine.create_table(str(tmp_path / "prt"), num_buckets=4)
+    eng = CDCEngine(spark, table, renames={"source": "origin"})
+    ckpt = str(tmp_path / "prck")
+    q = run_stream(
+        eng, stream_changes(spark, log_dir, schema=new_schema), checkpoint_dir=ckpt
+    )
+    q.awaitTermination(300)
+    assert table.last_lsn() == 3
+    assert "origin" in table.current().schema.fieldNames()
+
+    # late PRE-rename segment: lsn 1 carries k2's only row image under the
+    # OLD column name — if recover trusted the fixed-schema stream frame,
+    # k2 would materialize with origin=null
+    late = spark.createDataFrame(
+        [(1, "I", "k2", [2], 1, "web", None)], CHANGE_SCHEMA
+    )
+    stage = str(tmp_path / "prstage")
+    late_file = write_changes_segments(late, stage, n_segments=1)[0]
+    os.replace(late_file, os.path.join(log_dir, "seg-late.parquet"))
+    q2 = run_stream(
+        eng,
+        stream_changes(spark, log_dir, schema=new_schema),
+        checkpoint_dir=ckpt,
+        on_out_of_order="recover",
+    )
+    q2.awaitTermination(300)
+
+    got = {(r["doc_id"], r["origin"]) for r in table.read(spark).collect()}
+    assert got == {("k1", "press"), ("k2", "web"), ("k3", "wiki")}
+    assert table.last_lsn() == 3
+
+
+def test_stream_warn_straddling_segment_wholly_skipped(spark, tmp_path):
+    """ADVICE r3: under 'warn', a late segment that STRADDLES the watermark
+    (min_lsn <= last < max_lsn) must stay wholly unprocessed — applying its
+    fresh rows while excluding it from the ledger would advance the
+    watermark past skipped events and under-represent absorbed history.
+    The skipped file then recovers cleanly as one unit (repair + replay)."""
+    import os
+
+    changes = generate_changes(spark, 1200, n_keys=60, seed=53)
+    main_part = changes.filter("lsn > 500 AND lsn <= 1000")
+    straddle = changes.filter("lsn <= 500 OR lsn > 1000")
+
+    log_dir = str(tmp_path / "stlog")
+    os.makedirs(log_dir)
+    write_changes_segments(main_part, log_dir, n_segments=1)
+
+    table = CDCEngine.create_table(str(tmp_path / "stt"), num_buckets=4)
+    eng = CDCEngine(spark, table)
+    ckpt = str(tmp_path / "stck")
+    q = run_stream(eng, stream_changes(spark, log_dir), checkpoint_dir=ckpt)
+    q.awaitTermination(300)
+    assert table.last_lsn() == 1000
+    v = table.current().version
+    before = as_tuple_set(
+        [r.asDict() for r in table.read(spark).collect()], PAYLOAD_COLUMNS
+    )
+
+    stage = str(tmp_path / "ststage")
+    f = write_changes_segments(straddle, stage, n_segments=1)[0]
+    os.replace(f, os.path.join(log_dir, "seg-straddle.parquet"))
+    q2 = run_stream(
+        eng,
+        stream_changes(spark, log_dir),
+        checkpoint_dir=ckpt,
+        on_out_of_order="warn",
+    )
+    q2.awaitTermination(300)
+
+    # wholly skipped: no commit, watermark unmoved, file NOT ledgered
+    assert table.last_lsn() == 1000
+    assert table.current().version == v
+    after = as_tuple_set(
+        [r.asDict() for r in table.read(spark).collect()], PAYLOAD_COLUMNS
+    )
+    assert after == before
+    import json as _json
+
+    ledger = os.path.join(ckpt, "dbimport-segments.jsonl")
+    files = [_json.loads(line)["file"] for line in open(ledger)]
+    assert not any("straddle" in p for p in files)
+
+    # clean recovery as one unit: repair the below-watermark half, replay
+    # the fresh half — converges on the full-log fold
+    full_log = spark.read.parquet(log_dir)
+    eng.repair_keys(full_log, window=(0, 1000))
+    eng.replay(full_log, num_batches=1)
+    got = as_tuple_set(
+        [r.asDict() for r in table.read(spark).collect()], PAYLOAD_COLUMNS
+    )
+    expected = lww_fold([r.asDict() for r in changes.collect()])
+    assert got == as_tuple_set(list(expected.values()), PAYLOAD_COLUMNS)
+    assert table.last_lsn() == 1200
