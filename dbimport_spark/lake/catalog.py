@@ -56,6 +56,17 @@ class Catalog:
         finally:
             os.close(fd)
 
+    @staticmethod
+    def _disk_version(meta_dir: str) -> int:
+        """Highest committed version already on disk, -1 for none — used to
+        adopt a table the catalog is seeing for the first time mid-life."""
+        latest = -1
+        if os.path.isdir(meta_dir):
+            for name in os.listdir(meta_dir):
+                if name.startswith("v") and name.endswith(".json"):
+                    latest = max(latest, int(name[1:-5]))
+        return latest
+
 
 class FileCatalog(Catalog):
     """Exclusive-create arbitration (POSIX/HDFS). Stateless — every
@@ -93,14 +104,6 @@ class CASCatalog(Catalog):
         self._lock = threading.Lock()
         self._versions: dict[str, int] = {}
 
-    def _disk_version(self, meta_dir: str) -> int:
-        latest = -1
-        if os.path.isdir(meta_dir):
-            for name in os.listdir(meta_dir):
-                if name.startswith("v") and name.endswith(".json"):
-                    latest = max(latest, int(name[1:-5]))
-        return latest
-
     def commit_version(self, meta_dir: str, version: int, payload: dict) -> None:
         key = os.path.abspath(meta_dir)
         with self._lock:
@@ -123,3 +126,96 @@ class CASCatalog(Catalog):
             self._fsync_dir(meta_dir)
             # advance the pointer only after the file is durable
             self._versions[key] = version
+
+
+class SqliteCatalog(Catalog):
+    """Durable cross-process CAS arbitration (sqlite-backed pointer).
+
+    The production shape of ``CASCatalog``: the per-table current-version
+    pointer lives in a sqlite database (WAL journal, synchronous=FULL), so
+    it survives process death and arbitrates across OS processes — sqlite
+    serializes writers with a database write lock (``BEGIN IMMEDIATE``),
+    the same role the reference's metastore/catalog plays for Iceberg
+    commits (import_operations.py:1117-1146). Swapping this class for a
+    DynamoDB/ZooKeeper/REST-catalog client is the only change an
+    object-store deployment needs.
+
+    Commit protocol, all under the database write lock:
+
+    1. CAS check: pointer (or, for a table the catalog first sees
+       mid-life, the highest version on disk) must equal ``version - 1``;
+       otherwise ``CommitConflict`` with ZERO writes — a losing writer
+       leaves nothing behind but its orphaned data files, which
+       ``maintenance.remove_orphan_files`` sweeps.
+    2. Write the metadata file durably (tmp + fsync + rename + dir fsync)
+       — all-or-nothing for readers, who resolve the current version from
+       the metadata files themselves.
+    3. Advance the pointer and commit the transaction.
+
+    Crash windows: dying before (2) completes leaves the pointer
+    unchanged and at most a ``.tmp-*`` turd (never a visible version);
+    dying between (2) and (3) leaves a metadata file whose version the
+    pointer does not own yet — the next committer wins the CAS for that
+    same version and atomically replaces the file, so readers only ever
+    see complete snapshots. Partial state is impossible in every window.
+
+    ``db_path=None`` (default) keeps one database per table inside its
+    metadata dir (``<meta_dir>/catalog.db`` — the ``v*.json`` listing
+    ignores it); pass a shared path to arbitrate a whole deployment's
+    tables from one catalog database.
+    """
+
+    def __init__(self, db_path: str | None = None, busy_timeout_s: float = 30.0):
+        self.db_path = db_path
+        self.busy_timeout_s = busy_timeout_s
+
+    def _connect(self, db_path: str):
+        import sqlite3
+
+        con = sqlite3.connect(db_path, timeout=self.busy_timeout_s)
+        con.execute("PRAGMA journal_mode=WAL")
+        con.execute("PRAGMA synchronous=FULL")
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS table_pointer ("
+            "  key TEXT PRIMARY KEY,"
+            "  version INTEGER NOT NULL)"
+        )
+        con.commit()
+        return con
+
+    def commit_version(self, meta_dir: str, version: int, payload: dict) -> None:
+        key = os.path.abspath(meta_dir)
+        db_path = self.db_path or os.path.join(meta_dir, "catalog.db")
+        con = self._connect(db_path)
+        try:
+            con.execute("BEGIN IMMEDIATE")  # database write lock: one committer
+            row = con.execute(
+                "SELECT version FROM table_pointer WHERE key = ?", (key,)
+            ).fetchone()
+            cur = row[0] if row is not None else self._disk_version(meta_dir)
+            if version != cur + 1:
+                raise CommitConflict(
+                    f"CAS failed: expected current v{version - 1}, found v{cur}"
+                )
+            path = self._meta_path(meta_dir, version)
+            tmp = f"{path}.tmp-{os.getpid()}-{threading.get_ident()}"
+            with open(tmp, "w") as fh:
+                json.dump(payload, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, path)
+            self._fsync_dir(meta_dir)
+            con.execute(
+                "INSERT INTO table_pointer(key, version) VALUES(?, ?) "
+                "ON CONFLICT(key) DO UPDATE SET version = excluded.version",
+                (key, version),
+            )
+            con.commit()
+        except BaseException:
+            try:
+                con.rollback()
+            except Exception:
+                pass
+            raise
+        finally:
+            con.close()

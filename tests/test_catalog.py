@@ -10,7 +10,7 @@ import os
 import pytest
 from pyspark.sql import types as T
 
-from dbimport_spark.lake.catalog import CASCatalog, FileCatalog
+from dbimport_spark.lake.catalog import CASCatalog, FileCatalog, SqliteCatalog
 from dbimport_spark.lake.table import CommitConflict, DataFile, LakeTable
 
 SCHEMA = T.StructType(
@@ -23,7 +23,7 @@ def _snapshot_files(root):
     return sorted(n for n in os.listdir(meta) if n.endswith(".json"))
 
 
-@pytest.mark.parametrize("catalog_cls", [FileCatalog, CASCatalog])
+@pytest.mark.parametrize("catalog_cls", [FileCatalog, CASCatalog, SqliteCatalog])
 def test_lost_race_is_conflict_with_no_partial_state(tmp_path, catalog_cls):
     """Two writers race the same version: exactly one wins, the loser gets
     CommitConflict, and the committed metadata is exactly the winner's."""
@@ -52,7 +52,7 @@ def test_lost_race_is_conflict_with_no_partial_state(tmp_path, catalog_cls):
     assert not [n for n in os.listdir(os.path.join(root, "metadata")) if ".tmp" in n]
 
 
-@pytest.mark.parametrize("catalog_cls", [FileCatalog, CASCatalog])
+@pytest.mark.parametrize("catalog_cls", [FileCatalog, CASCatalog, SqliteCatalog])
 def test_race_detected_at_commit_even_without_expected_version(tmp_path, catalog_cls):
     """Even when the caller skips optimistic expected_version, the catalog
     itself must refuse the duplicate version number."""
@@ -140,3 +140,117 @@ def test_file_and_cas_agree_on_layout(tmp_path):
     assert snap.version == 1
     assert snap.properties["k"] == "v"
     assert snap.files[0].rows == 10
+
+
+def test_sqlite_catalog_pointer_survives_process_death(tmp_path):
+    """VERDICT r3 #2: the CAS pointer must be durable — a commit made by a
+    process that then dies is still known to the catalog (the sqlite row,
+    not just the disk scan), so the next process CASes against it."""
+    import sqlite3
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "t5")
+    LakeTable.create(root, SCHEMA, num_buckets=4, catalog=SqliteCatalog())
+    script = tmp_path / "commit_once.py"
+    script.write_text(
+        "import sys\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from dbimport_spark.lake.catalog import SqliteCatalog\n"
+        "from dbimport_spark.lake.table import LakeTable\n"
+        f"t = LakeTable.load({root!r}, catalog=SqliteCatalog())\n"
+        "t.commit([], set(), properties={'writer': 'child'})\n"
+        "print('COMMITTED', t.current().version)\n"
+    )
+    out = subprocess.run(
+        [sys.executable, str(script)], capture_output=True, text=True, timeout=60
+    )
+    assert "COMMITTED 1" in out.stdout, out.stderr
+
+    # the pointer row itself survived the process (not merely the v1.json)
+    db = os.path.join(root, "metadata", "catalog.db")
+    row = sqlite3.connect(db).execute(
+        "SELECT version FROM table_pointer"
+    ).fetchone()
+    assert row == (1,)
+
+    # a new process-equivalent (fresh catalog instance) continues the chain
+    t = LakeTable.load(root, catalog=SqliteCatalog())
+    t.commit([], set(), properties={"writer": "parent"})
+    assert t.current().version == 2
+    with pytest.raises(CommitConflict):
+        t.catalog.commit_version(os.path.join(root, "metadata"), 2, {"stale": 1})
+
+
+def test_sqlite_catalog_two_process_race_and_loser_gc(tmp_path):
+    """VERDICT r3 #2 (the full bar): two OS processes race the same commit
+    version through the durable catalog — exactly one wins, the loser
+    raises CommitConflict with zero partial metadata, and the loser's
+    orphaned data files are swept by remove_orphan_files while the
+    winner's stay live."""
+    import subprocess
+    import sys
+
+    from dbimport_spark.lake.maintenance import remove_orphan_files
+
+    root = str(tmp_path / "t6")
+    LakeTable.create(root, SCHEMA, num_buckets=4, catalog=SqliteCatalog())
+
+    # each writer's (pre-written) data file — the state a real committer has
+    # on disk before entering commit arbitration
+    for w in ("A", "B"):
+        d = os.path.join(root, "data", f"race{w}")
+        os.makedirs(d)
+        with open(os.path.join(d, "f.parquet"), "wb") as fh:
+            fh.write(b"x" * 16)
+
+    go = tmp_path / "go"
+    script = tmp_path / "racer.py"
+    script.write_text(
+        "import os, sys, time\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from dbimport_spark.lake.catalog import CommitConflict, SqliteCatalog\n"
+        "from dbimport_spark.lake.table import DataFile, LakeTable\n"
+        "w = sys.argv[1]\n"
+        f"t = LakeTable.load({root!r}, catalog=SqliteCatalog())\n"
+        "v = t.current().version\n"
+        f"while not os.path.exists({str(go)!r}):\n"
+        "    time.sleep(0.005)\n"
+        "try:\n"
+        "    t.commit([DataFile(f'data/race{w}/f.parquet', 0, 1, 16)], set(),\n"
+        "             properties={'writer': w}, expected_version=v)\n"
+        "    print('WIN', w)\n"
+        "except CommitConflict:\n"
+        "    print('LOSE', w)\n"
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), w],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for w in ("A", "B")
+    ]
+    import time
+
+    time.sleep(2.0)  # both racers loaded and spinning on the barrier
+    go.write_text("go")
+    outs = [p.communicate(timeout=60) for p in procs]
+    stdout = "".join(o[0] for o in outs)
+    assert stdout.count("WIN") == 1, outs
+    assert stdout.count("LOSE") == 1, outs
+    winner = [line.split()[1] for line in stdout.splitlines() if "WIN" in line][0]
+    loser = "B" if winner == "A" else "A"
+
+    t = LakeTable.load(root, catalog=SqliteCatalog())
+    snap = t.current()
+    assert snap.version == 1
+    assert snap.properties["writer"] == winner
+    assert [f.path for f in snap.files] == [f"data/race{winner}/f.parquet"]
+    meta = os.path.join(root, "metadata")
+    assert not [n for n in os.listdir(meta) if ".tmp" in n]
+
+    # GC: the loser's orphaned data file goes, the winner's stays
+    removed = remove_orphan_files(t, older_than_seconds=0)
+    assert removed == 1
+    assert os.path.isfile(os.path.join(root, f"data/race{winner}/f.parquet"))
+    assert not os.path.exists(os.path.join(root, f"data/race{loser}"))
