@@ -13,7 +13,6 @@ and is skipped (idempotent re-apply).
 from __future__ import annotations
 
 import json
-import os
 from dataclasses import dataclass, field
 
 
@@ -35,18 +34,18 @@ class ReplayPlan:
         )
 
 
-def save_plan(path: str, plan: ReplayPlan) -> None:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(plan.to_json(), fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, path)
+def save_plan(path: str, plan: ReplayPlan, store=None) -> None:
+    """Atomic write through the pluggable state store (lake/statestore.py);
+    default LocalStateStore keeps the historical tmp+fsync+rename layout."""
+    from dbimport_spark.lake.statestore import DEFAULT_STORE
+
+    (store or DEFAULT_STORE).write_text(path, json.dumps(plan.to_json()))
 
 
-def load_plan(path: str) -> ReplayPlan | None:
-    if not os.path.isfile(path):
+def load_plan(path: str, store=None) -> ReplayPlan | None:
+    from dbimport_spark.lake.statestore import DEFAULT_STORE
+
+    text = (store or DEFAULT_STORE).read_text(path)
+    if text is None:
         return None
-    with open(path) as fh:
-        return ReplayPlan.from_json(json.load(fh))
+    return ReplayPlan.from_json(json.loads(text))

@@ -124,10 +124,17 @@ class CDCEngine:
         history_table: LakeTable | None = None,
         renames: dict[str, str] | None = None,
         rename_check: bool = True,
+        state_store=None,
     ):
         self.spark = spark
         self.table = table
         self.checkpoint_dir = checkpoint_dir
+        # small-state seam (lake/statestore.py): where the replay plan
+        # lives. Local files by default; an HDFS/S3 deployment swaps the
+        # store, nothing else.
+        from dbimport_spark.lake.statestore import DEFAULT_STORE
+
+        self.state_store = state_store or DEFAULT_STORE
         self.dedup_strategy = dedup_strategy
         self.n_salts = n_salts
         self.broadcast_threshold_rows = broadcast_threshold_rows
@@ -981,8 +988,7 @@ class CDCEngine:
             )
         if self.checkpoint_dir:
             plan_path = os.path.join(self.checkpoint_dir, "replay_plan.json")
-            if os.path.isfile(plan_path):
-                os.unlink(plan_path)
+            self.state_store.delete(plan_path)
         return self.replay(changes, num_batches=num_batches)
 
     # -- replay loop ---------------------------------------------------------
@@ -1009,7 +1015,7 @@ class CDCEngine:
         ckpt_path = (
             f"{self.checkpoint_dir}/replay_plan.json" if self.checkpoint_dir else None
         )
-        plan = load_plan(ckpt_path) if ckpt_path else None
+        plan = load_plan(ckpt_path, self.state_store) if ckpt_path else None
         if plan is not None and plan.completed >= len(plan.ranges):
             # prior plan fully applied; if the log has grown since, re-plan
             # the remainder (the steady-state "tail the log again" call)
@@ -1044,7 +1050,7 @@ class CDCEngine:
             ]
             plan = ReplayPlan(ranges=ranges)
             if ckpt_path:
-                save_plan(ckpt_path, plan)
+                save_plan(ckpt_path, plan, self.state_store)
 
         stats = ReplayStats()
         for i, (rlo, rhi) in enumerate(plan.ranges):
@@ -1061,7 +1067,7 @@ class CDCEngine:
                 stats.events_applied += bs.events
             plan.completed = i + 1
             if ckpt_path:
-                save_plan(ckpt_path, plan)
+                save_plan(ckpt_path, plan, self.state_store)
             if stop_after is not None and stats.batches_applied >= stop_after:
                 break
         return stats

@@ -53,27 +53,33 @@ class _IncrementalExporter:
     two-phase pending/committed watermark the reference keeps in its config
     database (export_operations.py:1058-1079)."""
 
-    def __init__(self, table: LakeTable, state_dir: str, include_audit: bool = False):
+    def __init__(
+        self,
+        table: LakeTable,
+        state_dir: str,
+        include_audit: bool = False,
+        state_store=None,
+    ):
+        from dbimport_spark.lake.statestore import DEFAULT_STORE
+
         self.table = table
         self.state_dir = state_dir
         self.include_audit = include_audit
+        # watermark state rides the small-state seam (lake/statestore.py)
+        self.state_store = state_store or DEFAULT_STORE
 
     @property
     def _state_path(self) -> str:
         return os.path.join(self.state_dir, "_export_state.json")
 
     def _state(self) -> dict:
-        if os.path.isfile(self._state_path):
-            with open(self._state_path) as fh:
-                return json.load(fh)
+        text = self.state_store.read_text(self._state_path)
+        if text is not None:
+            return json.loads(text)
         return {"last_update_ts": None, "runs": 0}
 
     def _save_state(self, state: dict) -> None:
-        os.makedirs(self.state_dir, exist_ok=True)
-        tmp = self._state_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(state, fh)
-        os.replace(tmp, self._state_path)
+        self.state_store.write_text(self._state_path, json.dumps(state))
 
     def _write(
         self, spark: SparkSession, df: DataFrame, state: dict, mode: str
@@ -117,8 +123,19 @@ class _IncrementalExporter:
 
 
 class ParquetExporter(_IncrementalExporter):
-    def __init__(self, table: LakeTable, out_dir: str, include_audit: bool = False):
-        super().__init__(table, state_dir=out_dir, include_audit=include_audit)
+    def __init__(
+        self,
+        table: LakeTable,
+        out_dir: str,
+        include_audit: bool = False,
+        state_store=None,
+    ):
+        super().__init__(
+            table,
+            state_dir=out_dir,
+            include_audit=include_audit,
+            state_store=state_store,
+        )
         self.out_dir = out_dir
 
     def _write(
@@ -126,7 +143,15 @@ class ParquetExporter(_IncrementalExporter):
     ) -> dict:
         run_dir = os.path.join(self.out_dir, f"run-{state['runs']:05d}")
         df.write.mode("overwrite").parquet(run_dir)
-        return {"last_run_dir": run_dir}
+        # schema sidecar next to the output (reference uploads one with
+        # every S3 parquet export, export_operations.py:1067-1073):
+        # written atomically BEFORE the watermark commit, so consumers that
+        # see a committed run always find a sidecar matching its schema (a
+        # crash in between re-exports the window and rewrites the sidecar
+        # with identical content)
+        schema_path = os.path.join(self.out_dir, "_export_schema.json")
+        self.state_store.write_text(schema_path, df.schema.json())
+        return {"last_run_dir": run_dir, "schema_file": schema_path}
 
 
 class JdbcExporter(_IncrementalExporter):
@@ -142,8 +167,14 @@ class JdbcExporter(_IncrementalExporter):
         state_dir: str,
         properties: dict | None = None,
         include_audit: bool = False,
+        state_store=None,
     ):
-        super().__init__(table, state_dir=state_dir, include_audit=include_audit)
+        super().__init__(
+            table,
+            state_dir=state_dir,
+            include_audit=include_audit,
+            state_store=state_store,
+        )
         self.url = url
         self.target_table = target_table
         self.properties = dict(properties or {})

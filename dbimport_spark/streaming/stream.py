@@ -48,25 +48,17 @@ def _ledger_path(checkpoint_dir: str) -> str:
     return os.path.join(checkpoint_dir, "dbimport-segments.jsonl")
 
 
-def _ledger_read(path: str) -> dict[str, dict]:
+def _ledger_read(path: str, store) -> dict[str, dict]:
     seen: dict[str, dict] = {}
-    if os.path.isfile(path):
-        with open(path) as fh:
-            for line in fh:
-                line = line.strip()
-                if line:
-                    rec = json.loads(line)
-                    seen[rec["file"]] = rec
+    for line in store.read_lines(path):
+        rec = json.loads(line)
+        seen[rec["file"]] = rec
     return seen
 
 
-def _ledger_append(path: str, records: list[dict]) -> None:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "a") as fh:
-        for rec in records:
-            fh.write(json.dumps(rec) + "\n")
-        fh.flush()
-        os.fsync(fh.fileno())
+def _ledger_append(path: str, records: list[dict], store) -> None:
+    for rec in records:
+        store.append_line(path, json.dumps(rec))
 
 
 def stream_changes(
@@ -88,6 +80,7 @@ def run_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     on_out_of_order: str = "auto",
+    state_store=None,
 ):
     """Drive the CDC apply from a stream; returns the StreamingQuery.
 
@@ -121,8 +114,15 @@ def run_stream(
         raise ValueError(
             "on_out_of_order must be 'auto', 'error', 'warn' or 'recover'"
         )
+    # the ledger rides the small-state seam (lake/statestore.py): POSIX
+    # append by default, record-per-object on a real object store. The
+    # Structured Streaming checkpoint itself stays Spark-managed (Spark
+    # already speaks HDFS/S3 there).
+    from dbimport_spark.lake.statestore import DEFAULT_STORE
+
+    store = state_store or DEFAULT_STORE
     ledger = _ledger_path(checkpoint_dir)
-    fresh_checkpoint = not os.path.isfile(ledger)
+    fresh_checkpoint = not store.exists(ledger)
     first_batch_id: list[int] = []  # batch ids persist across checkpoint restarts
     # the ledger is single-writer (this stream) and append-only: load once,
     # keep in memory, update on append — no per-trigger re-read of an
@@ -134,7 +134,7 @@ def run_stream(
         if not first_batch_id:
             first_batch_id.append(batch_id)  # first micro-batch of THIS run
         if not seen_loaded:
-            seen.update(_ledger_read(ledger))
+            seen.update(_ledger_read(ledger, store))
             seen_loaded.append(True)
         last = engine.table.last_lsn()
         spark = batch.sparkSession
@@ -302,7 +302,7 @@ def run_stream(
             for r in per_file
             if r["file"] not in seen and r["file"] not in skipped_late
         ]
-        _ledger_append(ledger, new_records)
+        _ledger_append(ledger, new_records, store)
         for rec in new_records:
             seen[rec["file"]] = rec
 

@@ -62,3 +62,40 @@ def test_incremental_export_sees_soft_delete_tombstones(spark, tmp_path):
     assert s["last_run_rows"] == 1
     out = spark.read.parquet(s["last_run_dir"]).collect()
     assert out[0]["doc_id"] == "k1" and out[0]["dl_iud"] == "D"
+
+
+def test_parquet_export_schema_sidecar(spark, tmp_path):
+    """VERDICT r3 #8 (reference export_operations.py:1067-1073): every
+    parquet export run leaves a schema JSON sidecar next to the output,
+    written atomically before the watermark commit and matching the
+    exported files' schema exactly — including evolution between runs."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "t")
+    table = CDCEngine.create_table(root, num_buckets=4)
+    eng = CDCEngine(spark, table)
+    eng.replay(generate_changes(spark, 300, n_keys=30, seed=5), num_batches=1)
+
+    out = str(tmp_path / "out")
+    exp = ParquetExporter(table, out)
+    s1 = exp.export(spark, mode="incr")
+    sidecar = os.path.join(out, "_export_schema.json")
+    assert s1["schema_file"] == sidecar
+    with open(sidecar) as fh:
+        sidecar_schema = T.StructType.fromJson(json.load(fh))
+    exported = spark.read.parquet(s1["last_run_dir"])
+    assert sidecar_schema == exported.schema
+
+    # schema evolution between runs refreshes the sidecar
+    evolved = generate_changes(
+        spark, 300, n_keys=30, seed=6, first_lsn=301, evolve_at_lsn=300
+    )
+    eng.replay(evolved, num_batches=1)
+    s2 = exp.export(spark, mode="incr")
+    with open(sidecar) as fh:
+        sidecar_schema2 = T.StructType.fromJson(json.load(fh))
+    assert "quality_score" in sidecar_schema2.fieldNames()
+    assert sidecar_schema2 == spark.read.parquet(s2["last_run_dir"]).schema
