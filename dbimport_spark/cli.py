@@ -31,6 +31,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("table_root")
     sp.add_argument("--buckets", type=int, default=64)
     sp.add_argument("--soft-delete", action="store_true")
+    sp.add_argument(
+        "--track-lsn", action="store_true",
+        help="per-row version column dl_lsn: late events merge directly "
+        "(bounded work) instead of a full-log re-fold; requires "
+        "--soft-delete",
+    )
     sp.add_argument("--history", default=None, help="also create a history-audit table at this path")
 
     sp = sub.add_parser("replay")
@@ -173,7 +179,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "init":
         CDCEngine.create_table(
-            args.table_root, num_buckets=args.buckets, soft_delete=args.soft_delete
+            args.table_root, num_buckets=args.buckets,
+            soft_delete=args.soft_delete, track_lsn=args.track_lsn
         )
         if args.history:
             CDCEngine.create_history_table(args.history, num_buckets=args.buckets)
@@ -183,6 +190,7 @@ def main(argv: list[str] | None = None) -> int:
                     "created": args.table_root,
                     "buckets": args.buckets,
                     "soft_delete": args.soft_delete,
+                    "track_lsn": args.track_lsn,
                     "history": args.history,
                 }
             )

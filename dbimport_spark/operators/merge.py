@@ -41,7 +41,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dbimport_spark.schema import AUDIT_DELETE, AUDIT_INSERT, AUDIT_IUD, AUDIT_UPDATE
+from dbimport_spark.schema import (
+    AUDIT_DELETE,
+    AUDIT_INSERT,
+    AUDIT_IUD,
+    AUDIT_LSN,
+    AUDIT_UPDATE,
+)
 
 
 def _changed_predicate(payload_cols: list[str]) -> Column:
@@ -109,6 +115,12 @@ def merge_changes(
     """
     soft = delete_mode == "soft"
     has_lv = soft and "_has_lv" in batch.columns
+    # row-version mode is a TABLE property surfaced by the target carrying
+    # dl_lsn: every branch then stamps the batch event's lsn on every row
+    # it touched — INCLUDING content-identical matches (audit timestamps
+    # stay put there), because a later-but-equal event must still win over
+    # an in-between late event on the version comparison
+    track_lsn = AUDIT_LSN in target.columns
     keys = [key] if isinstance(key, str) else list(key)
     non_key = [c for c in payload_cols if c not in keys]
     t = target.alias("t")
@@ -156,6 +168,12 @@ def merge_changes(
                 .otherwise(F.col(f"t.{AUDIT_DELETE}"))
                 .alias(AUDIT_DELETE)
             )
+        if track_lsn:
+            audit_cols.append(
+                F.when(matched, F.col("b.lsn"))
+                .otherwise(F.col(f"t.{AUDIT_LSN}"))
+                .alias(AUDIT_LSN)
+            )
         survivors = joined if soft else joined.filter(~is_del)
         survivors = survivors.select(
             *out_cols,
@@ -182,6 +200,7 @@ def merge_changes(
             merge_ts,
             bucket_col=bucket_col,
             soft=soft,
+            track_lsn=track_lsn,
         )
         return survivors.unionByName(inserts)
 
@@ -211,18 +230,26 @@ def merge_changes(
             )
         # hard: drop matched deletes entirely; soft: keep matched deletes and
         # not-matched deletes that carry a pre-image; drop only pre-image-
-        # less not-matched deletes (no row to mark)
-        if soft and has_lv:
+        # less not-matched deletes (no row to mark) — EXCEPT in track_lsn
+        # mode, where they become null-payload tombstones: dropping them
+        # would erase the very version a later late event must lose to
+        # (the absent-row ambiguity apply_late exists to avoid).
+        if soft and track_lsn:
+            keep = F.lit(True)
+        elif soft and has_lv:
             keep = ~(is_del & ~has_t & ~F.coalesce(F.col("b._has_lv"), F.lit(False)))
         elif soft:
             keep = ~(is_del & ~has_t)
         else:
             keep = ~is_del
-        dead_insert = (
-            (is_del & ~has_t & F.coalesce(F.col("b._has_lv"), F.lit(False)))
-            if has_lv
-            else F.lit(False)
-        )
+        if soft and track_lsn:
+            dead_insert = is_del & ~has_t
+        elif has_lv:
+            dead_insert = is_del & ~has_t & F.coalesce(
+                F.col("b._has_lv"), F.lit(False)
+            )
+        else:
+            dead_insert = F.lit(False)
         audit_cols = [
             F.when(insert, F.lit("I"))
             .when(is_del & (has_t | dead_insert), F.lit("D"))
@@ -243,6 +270,12 @@ def merge_changes(
                 .when(has_t & has_b, F.lit(None).cast("timestamp"))
                 .otherwise(F.col(f"t.{AUDIT_DELETE}"))
                 .alias(AUDIT_DELETE)
+            )
+        if track_lsn:
+            audit_cols.append(
+                F.when(has_b, F.col("b.lsn"))
+                .otherwise(F.col(f"t.{AUDIT_LSN}"))
+                .alias(AUDIT_LSN)
             )
         return joined.filter(keep).select(
             *out_cols,
@@ -270,6 +303,7 @@ def inserts_only(
     merge_ts: Column,
     bucket_col: str | None = None,
     soft: bool = False,
+    track_lsn: bool = False,
 ) -> DataFrame:
     """Insert projection (also the fast path when the touched buckets hold
     no target rows yet). In soft mode, a 'D' winner carrying a *_lv
@@ -280,7 +314,13 @@ def inserts_only(
     out_cols = [F.col(bucket_col)] if bucket_col else []
     is_del = F.col("op") == "D"
     if has_lv:
-        keep = ~is_del | F.coalesce(F.col("_has_lv"), F.lit(False))
+        # track_lsn keeps pre-image-less 'D' winners as null-payload
+        # tombstones (their dl_lsn is what gates later late events)
+        keep = (
+            F.lit(True)
+            if track_lsn
+            else (~is_del | F.coalesce(F.col("_has_lv"), F.lit(False)))
+        )
         payload = [
             F.when(is_del, F.col(f"{c}_lv")).otherwise(F.col(c)).alias(c)
             for c in non_key
@@ -301,6 +341,8 @@ def inserts_only(
         ]
         if soft:
             audit_cols.append(F.lit(None).cast("timestamp").alias(AUDIT_DELETE))
+    if track_lsn:
+        audit_cols.append(F.col("lsn").alias(AUDIT_LSN))
     return (
         normalize_batch(batch)
         .filter(keep)

@@ -64,8 +64,12 @@ class _phase_timer:
 
 
 def table_schema_with_audit(
-    payload: T.StructType = PAYLOAD_SCHEMA, soft_delete: bool = False
+    payload: T.StructType = PAYLOAD_SCHEMA,
+    soft_delete: bool = False,
+    track_lsn: bool = False,
 ) -> T.StructType:
+    from dbimport_spark.schema import AUDIT_LSN
+
     fields = list(payload.fields) + [
         T.StructField(AUDIT_IUD, T.StringType(), True),
         T.StructField(AUDIT_INSERT, T.TimestampType(), True),
@@ -73,6 +77,8 @@ def table_schema_with_audit(
     ]
     if soft_delete:
         fields.append(T.StructField(AUDIT_DELETE, T.TimestampType(), True))
+    if track_lsn:
+        fields.append(T.StructField(AUDIT_LSN, T.LongType(), True))
     return T.StructType(fields)
 
 
@@ -159,6 +165,7 @@ class CDCEngine:
                 "its tombstones"
             )
         self.delete_mode = delete_mode
+        self.track_lsn = table.properties.get("track_lsn") == "true"
         self.history_table = history_table
         self.renames = dict(renames or {})
         self.rename_check = rename_check
@@ -190,10 +197,25 @@ class CDCEngine:
         key: str | list[str] = MERGE_KEY,
         soft_delete: bool = False,
         source_label: str | None = None,
+        track_lsn: bool = False,
     ) -> LakeTable:
         """``source_label`` enables the provenance column (reference
         datalake_source): every engine-applied live row carries the label;
-        the change log itself never provides it."""
+        the change log itself never provides it.
+
+        ``track_lsn=True`` adds the per-row version column ``dl_lsn`` (the
+        LSN of the event that last touched the row): late events then merge
+        directly via ``apply_late`` (event.lsn > row.dl_lsn) instead of a
+        full-log re-fold — the right mode when out-of-order segment
+        delivery is routine. Pairs with ``soft_delete=True`` (a hard delete
+        erases the row's version, making late-vs-deleted undecidable)."""
+        if track_lsn and not soft_delete:
+            raise ValueError(
+                "track_lsn=True requires soft_delete=True: a hard delete "
+                "erases the row's dl_lsn, so a later late event could not "
+                "tell 'never seen' from 'deleted after me' and would "
+                "silently resurrect the key"
+            )
         fields = list(payload_schema.fields)
         if source_label is not None:
             from dbimport_spark.schema import AUDIT_SOURCE
@@ -202,10 +224,14 @@ class CDCEngine:
         props = {"delete_mode": "soft" if soft_delete else "hard"}
         if source_label is not None:
             props["source_label"] = source_label
+        if track_lsn:
+            props["track_lsn"] = "true"
         return LakeTable.create(
             root,
             schema=table_schema_with_audit(
-                T.StructType(fields), soft_delete=soft_delete
+                T.StructType(fields),
+                soft_delete=soft_delete,
+                track_lsn=track_lsn,
             ),
             num_buckets=num_buckets,
             bucket_column=key,
@@ -555,6 +581,7 @@ class CDCEngine:
                     merge_ts,
                     bucket_col="_bucket",
                     soft=self.delete_mode == "soft",
+                    track_lsn=self.track_lsn,
                 )
             else:
                 target_b = target.withColumn("_bucket", bexpr).repartition(
@@ -907,6 +934,166 @@ class CDCEngine:
             out_bytes=sum(f.bytes for f in new_files),
         )
 
+    # -- bounded late-event merge (track_lsn tables) -------------------------
+
+    def apply_late(self, late: DataFrame) -> BatchStats:
+        """Bounded-work merge of LATE events (lsn ≤ the committed
+        watermark) for tables created with ``track_lsn=True``: an event
+        wins iff ``event.lsn > row.dl_lsn`` — a single bucket-pruned merge
+        over exactly the late keys' buckets, reading NOTHING but the late
+        events themselves and the touched target buckets. This is the
+        alternative the ``repair_keys`` docstring names for deployments
+        where out-of-order segments are routine; ``repair_keys`` (full-log
+        re-fold) remains the recovery path for tables without the version
+        column.
+
+        Requires ``delete_mode='soft'``: under hard deletes an absent row
+        is ambiguous (never seen vs deleted by a LATER event), so a late
+        insert could silently resurrect a deleted key. Soft tombstones
+        keep the deleted row's ``dl_lsn``, making the comparison total.
+
+        Idempotent: a re-delivered late batch finds every key's
+        ``dl_lsn`` already ≥ its events and commits nothing. The watermark
+        is left unchanged; the commit carries a ``late_merge`` lineage
+        marker.
+        """
+        if not self.track_lsn:
+            raise ValueError(
+                "apply_late requires a table created with track_lsn=True; "
+                "use repair_keys (full-log re-fold) otherwise"
+            )
+        if self.delete_mode != "soft":
+            raise ValueError(
+                "apply_late requires delete_mode='soft': hard deletes erase "
+                "the row's dl_lsn, so late-vs-deleted cannot be decided"
+            )
+        from dbimport_spark.schema import AUDIT_LSN
+
+        snap = self.table.current()
+        src_label = snap.properties.get("source_label")
+        payload_cols = [
+            f.name for f in snap.schema.fields if f.name not in AUDIT_COLUMNS
+        ]
+        non_key = [c for c in payload_cols if c not in self.keys]
+        bschema = {f.name: f for f in late.schema.fields}
+        aligned = late.select(
+            F.col("lsn"),
+            F.col("op"),
+            *self._align_exprs(snap.schema.fields, bschema, src_label),
+        )
+
+        bexpr = self.table.bucket_expr(
+            key_col=self.keys, num_buckets=snap.num_buckets
+        )
+        touched = sorted(
+            r["bucket"]
+            for r in aligned.select(bexpr.alias("bucket")).distinct().collect()
+        )
+        if not touched:
+            return BatchStats(lo=-1, hi=self.table.last_lsn(), skipped=True)
+
+        # bucket-pruned target read, aligned to the table schema
+        target = self.table.read(self.spark, buckets=touched)
+        tcols = set(target.columns)
+        target = target.select(
+            *[
+                (
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name in tcols
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                )
+                for f in snap.schema.fields
+            ]
+        )
+
+        # the version gate, applied to EVENTS (not winners): every late
+        # event with lsn ≤ the row's dl_lsn is strictly obsolete — gating
+        # before dedup also keeps a 'D' winner's *_lv pre-image from
+        # regressing to a live event the row version already absorbed.
+        # right_outer with the small late side broadcast: the pruned target
+        # streams, no shuffle on either side.
+        row_versions = target.select(*self.keys, F.col(AUDIT_LSN).alias("_row_lsn"))
+        gated_events = (
+            row_versions.join(F.broadcast(aligned), list(self.keys), "right_outer")
+            .filter(F.col("lsn") > F.coalesce(F.col("_row_lsn"), F.lit(-1)))
+            .drop("_row_lsn")
+        )
+        winners = dedup_lww(
+            gated_events,
+            key=self.keys,
+            order_col="lsn",
+            strategy=self.dedup_strategy,
+            n_salts=self.n_salts,
+        )
+        # soft pre-images for 'D' winners, same construction as apply_batch
+        live = dedup_lww(
+            gated_events.filter(F.col("op") != "D"),
+            key=self.keys,
+            order_col="lsn",
+            strategy=self.dedup_strategy,
+            n_salts=self.n_salts,
+        ).select(
+            *self.keys,
+            F.lit(True).alias("_has_lv"),
+            *[F.col(c).alias(f"{c}_lv") for c in non_key],
+        )
+        gated = winners.join(live, list(self.keys), "left").localCheckpoint(
+            eager=True
+        )
+        n_keys = gated.count()
+        if n_keys == 0:
+            return BatchStats(lo=-1, hi=self.table.last_lsn(), skipped=True)
+
+        from datetime import datetime, timedelta
+
+        merge_ts_val = datetime.now()
+        prev_iso = snap.properties.get("last_merge_ts")
+        if prev_iso is not None:
+            prev_ts = datetime.fromisoformat(prev_iso)
+            if merge_ts_val <= prev_ts:
+                merge_ts_val = prev_ts + timedelta(microseconds=1)
+
+        merged = merge_changes(
+            target,
+            gated,
+            self.keys,
+            payload_cols,
+            F.lit(merge_ts_val),
+            mode="broadcast",
+            delete_mode=self.delete_mode,
+        )
+        out = merged.withColumn("_bucket", bexpr).repartition(
+            max(len(touched), 1), "_bucket"
+        )
+        if self.history_table is not None:
+            self._append_history(
+                gated,
+                target,
+                payload_cols,
+                snap.schema,
+                F.lit(merge_ts_val),
+                self.table.last_lsn(),
+                broadcast_ok=True,
+            )
+        version_dir = f"l{snap.version + 1}-{uuid.uuid4().hex[:8]}"
+        new_files = self.table.write_data_files(self.spark, out, version_dir)
+        self.table.commit(
+            new_files,
+            replaced_buckets=set(touched),
+            properties={"last_merge_ts": merge_ts_val.isoformat()},
+            lineage=[{"late_merge": True, "keys": n_keys, "buckets": touched}],
+            expected_version=snap.version,
+        )
+        return BatchStats(
+            lo=-1,
+            hi=self.table.last_lsn(),
+            events=n_keys,
+            touched_buckets=len(touched),
+            mode="late_merge",
+            out_rows=sum(f.rows for f in new_files),
+            out_bytes=sum(f.bytes for f in new_files),
+        )
+
     # -- declared full reload ------------------------------------------------
 
     def full_reload(self, changes: DataFrame, num_batches: int = 1) -> ReplayStats:
@@ -976,7 +1163,9 @@ class CDCEngine:
         if snap.properties.get("source_label") and AUDIT_SOURCE not in names:
             payload_fields.append(T.StructField(AUDIT_SOURCE, T.StringType(), True))
         full_schema = table_schema_with_audit(
-            T.StructType(payload_fields), soft_delete=self.delete_mode == "soft"
+            T.StructType(payload_fields),
+            soft_delete=self.delete_mode == "soft",
+            track_lsn=self.track_lsn,
         )
         self.table.reset_for_reload(full_schema, expected_version=snap.version)
         ht = self.history_table

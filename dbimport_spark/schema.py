@@ -52,4 +52,12 @@ AUDIT_DELETE = "dl_delete_ts"  # soft-delete timestamp (soft mode only)
 # create_table(source_label=...)), so dedup/merge/pre-images treat it
 # uniformly and it rides the equality invariant like any payload column.
 AUDIT_SOURCE = "dl_source"
-AUDIT_COLUMNS = [AUDIT_IUD, AUDIT_INSERT, AUDIT_UPDATE, AUDIT_DELETE]
+# per-row version column (opt-in via create_table(track_lsn=True)): the LSN
+# of the event that last touched the row — including content-identical
+# events, so a later-but-equal event still advances it. Makes LATE events
+# directly mergeable (apply iff event.lsn > row.dl_lsn) with a single
+# bucket-pruned merge instead of a full-log re-fold — the design the
+# repair_keys docstring recommends for deployments where out-of-order
+# segments are ROUTINE rather than exceptional.
+AUDIT_LSN = "dl_lsn"
+AUDIT_COLUMNS = [AUDIT_IUD, AUDIT_INSERT, AUDIT_UPDATE, AUDIT_DELETE, AUDIT_LSN]

@@ -219,7 +219,11 @@ def run_stream(
                     # holds these events; repairing from an empty ledger
                     # would REGRESS keys to stale values
                     policy = "warn"
-                elif not ledger_covers:
+                elif not ledger_covers and not (
+                    engine.track_lsn and engine.delete_mode == "soft"
+                ):
+                    # ledger completeness only matters for the full-log
+                    # re-fold; the track_lsn bounded merge never re-scans
                     policy = "error"
                     suspect += (
                         " Cannot auto-recover: the ledger does not cover "
@@ -231,6 +235,20 @@ def run_stream(
                 raise LogTruncatedError(suspect)
             if policy == "recover":
                 print(f"RECOVER {suspect}", flush=True)
+                if engine.track_lsn and engine.delete_mode == "soft":
+                    # track_lsn table: bounded-work path — merge the late
+                    # events directly (event.lsn > row.dl_lsn), reading
+                    # ONLY the late segment files and the touched buckets;
+                    # the ledgered log is never re-scanned. mergeSchema on
+                    # the late files keeps pre-rename column names alive
+                    # for the engine's alignment.
+                    late_df = spark.read.option("mergeSchema", "true").parquet(
+                        *late_files
+                    ).filter(F.col("lsn") <= F.lit(last))
+                    engine.apply_late(late_df)
+                    fold_needed = False
+                else:
+                    fold_needed = True
                 # The authoritative fold = ledgered segments + THIS batch's
                 # segments, ALL re-read from disk with mergeSchema: the
                 # streaming frame was read with the FIXED stream schema, so
@@ -240,20 +258,23 @@ def run_stream(
                 # keeps old column names alive for repair's rename-aware
                 # alignment; the path set is deduplicated, so re-delivered
                 # ledgered files cannot duplicate (key, lsn) rows.
-                batch_files = {r["file"] for r in per_file}
-                all_paths = sorted(set(seen.keys()) | batch_files)
-                full_log = spark.read.option("mergeSchema", "true").parquet(
-                    *all_paths
-                )
-                # Scope by LSN window rather than raw batch keys: repair
-                # derives keys from the ALIGNED log, so a late segment
-                # whose key column travels under a former name still
-                # resolves (selecting engine.keys from the fixed-schema
-                # batch would yield nulls there). The window is a superset
-                # of the late rows (ledgered events in the same range are
-                # re-folded too) — idempotent, converges to the same state.
-                lo_late = min(r["min_lsn"] for r in late)
-                engine.repair_keys(full_log, window=(int(lo_late) - 1, int(last)))
+                if fold_needed:
+                    batch_files = {r["file"] for r in per_file}
+                    all_paths = sorted(set(seen.keys()) | batch_files)
+                    full_log = spark.read.option("mergeSchema", "true").parquet(
+                        *all_paths
+                    )
+                    # Scope by LSN window rather than raw batch keys: repair
+                    # derives keys from the ALIGNED log, so a late segment
+                    # whose key column travels under a former name still
+                    # resolves (selecting engine.keys from the fixed-schema
+                    # batch would yield nulls there). The window is a
+                    # superset of the late rows (ledgered events in the same
+                    # range are re-folded too) — idempotent, converges.
+                    lo_late = min(r["min_lsn"] for r in late)
+                    engine.repair_keys(
+                        full_log, window=(int(lo_late) - 1, int(last))
+                    )
             else:
                 print(f"WARN {suspect}", flush=True)
                 # mid-stream warned-but-skipped late segments must NOT be
