@@ -141,6 +141,41 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("old")
     sp.add_argument("new")
 
+    sp = sub.add_parser(
+        "tables",
+        help="multi-table registry: add/list/remove managed tables "
+        "(reference import_tables config rows)",
+    )
+    sp.add_argument("registry", help="registry JSON path")
+    tsub = sp.add_subparsers(dest="tcmd", required=True)
+    tp = tsub.add_parser("add")
+    tp.add_argument("name")
+    tp.add_argument("table_root")
+    tp.add_argument("log_path")
+    tp.add_argument("--history", default=None)
+    tp.add_argument("--checkpoint", default=None)
+    tp.add_argument("--batches", type=int, default=1)
+    tp.add_argument("--schedule", default=None, help="free-form hint, e.g. hourly")
+    tp.add_argument(
+        "--rename", action="append", default=[], metavar="OLD=NEW",
+        help="declared source column renames for this table (repeatable)",
+    )
+    tsub.add_parser("list")
+    tp = tsub.add_parser("remove")
+    tp.add_argument("name")
+
+    sp = sub.add_parser(
+        "replay-all",
+        help="one sweep over every enabled registry table: independent "
+        "watermarks, independent failures (a broken table never blocks "
+        "the rest)",
+    )
+    sp.add_argument("registry", help="registry JSON path")
+    sp.add_argument(
+        "--only", action="append", default=None, metavar="NAME",
+        help="restrict the sweep to the named table(s) (repeatable)",
+    )
+
     args = p.parse_args(argv)
 
     if getattr(args, "rename", None):
@@ -172,6 +207,37 @@ def main(argv: list[str] | None = None) -> int:
                  "schema": snap.schema.fieldNames()}
             )
         )
+        return 0
+    if args.cmd == "tables":
+        # registry is plain config: no Spark session needed
+        from dataclasses import asdict
+
+        from dbimport_spark.plans.registry import TableEntry, TableRegistry
+
+        reg = TableRegistry(args.registry)
+        if args.tcmd == "add":
+            reg.add(
+                TableEntry(
+                    name=args.name,
+                    table_root=args.table_root,
+                    log_path=args.log_path,
+                    history=args.history,
+                    checkpoint=args.checkpoint,
+                    renames=dict(r.split("=", 1) for r in args.rename),
+                    batches=args.batches,
+                    schedule=args.schedule,
+                )
+            )
+            print(json.dumps({"added": args.name}))
+        elif args.tcmd == "list":
+            print(
+                json.dumps(
+                    {n: asdict(e) for n, e in reg.load().items()}, indent=2
+                )
+            )
+        elif args.tcmd == "remove":
+            reg.remove(args.name)
+            print(json.dumps({"removed": args.name}))
         return 0
 
     spark = get_spark(app_name=f"dbimport-{args.cmd}", master=args.master)
@@ -334,6 +400,15 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+    elif args.cmd == "replay-all":
+        from dbimport_spark.plans.registry import TableRegistry, replay_all
+
+        results = replay_all(
+            spark, TableRegistry(args.registry), only=args.only
+        )
+        print(json.dumps(results, indent=2))
+        if any(not r.get("ok") for r in results.values()):
+            return 1
     elif args.cmd == "compact":
         from dbimport_spark.lake.maintenance import compact
 

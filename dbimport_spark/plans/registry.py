@@ -1,0 +1,128 @@
+"""Multi-table registry: one config document driving a fleet of tables.
+
+The reference manages fleets through per-table config rows in its MySQL
+database (import_tables, configSchema.py:686-766) discovered via
+``discoverAndAddTablesFromSource`` (import_operations.py:518-648) and
+scheduled per table by generated Airflow DAGs. DAG generation is out of
+scope (SURVEY §2.1); this module is the minimal equivalent a user needs to
+drive many tables from one invocation:
+
+- a JSON registry (through the small-state seam, lake/statestore.py) maps
+  table name → {table_root, log_path, history, checkpoint, renames,
+  batches, schedule, enabled};
+- ``replay_all`` iterates the registry with INDEPENDENT watermarks and
+  INDEPENDENT failure domains — one table's error is recorded and the
+  sweep continues, exactly how the reference's per-table Airflow tasks
+  isolate failures.
+
+Each entry's watermark/checkpoint state lives with its own table (lake
+commit property + per-table replay plan), never in the registry — the
+registry is configuration, not state, so concurrent single-table runs and
+registry sweeps compose safely (the table commit CAS arbitrates).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import SparkSession
+
+
+@dataclass
+class TableEntry:
+    """One managed table (reference import_tables row analogue)."""
+
+    name: str
+    table_root: str
+    log_path: str
+    history: str | None = None
+    checkpoint: str | None = None
+    renames: dict[str, str] = field(default_factory=dict)
+    batches: int = 1
+    # free-form scheduling hint (e.g. "hourly") — recorded for the
+    # orchestrator the deployment pairs this with; replay_all ignores it
+    schedule: str | None = None
+    enabled: bool = True
+
+
+class TableRegistry:
+    def __init__(self, path: str, store=None):
+        from dbimport_spark.lake.statestore import DEFAULT_STORE
+
+        self.path = path
+        self.store = store or DEFAULT_STORE
+
+    def load(self) -> dict[str, TableEntry]:
+        text = self.store.read_text(self.path)
+        if text is None:
+            return {}
+        raw = json.loads(text)
+        return {name: TableEntry(**rec) for name, rec in raw.items()}
+
+    def save(self, entries: dict[str, TableEntry]) -> None:
+        self.store.write_text(
+            self.path,
+            json.dumps({n: asdict(e) for n, e in entries.items()}, indent=2),
+        )
+
+    def add(self, entry: TableEntry) -> None:
+        entries = self.load()
+        if entry.name in entries:
+            raise ValueError(f"table {entry.name!r} already registered")
+        entries[entry.name] = entry
+        self.save(entries)
+
+    def remove(self, name: str) -> None:
+        entries = self.load()
+        if name not in entries:
+            raise KeyError(f"table {name!r} not registered")
+        del entries[name]
+        self.save(entries)
+
+
+def replay_all(
+    spark: SparkSession,
+    registry: TableRegistry,
+    only: list[str] | None = None,
+) -> dict[str, dict]:
+    """One sweep over every enabled registry entry: independent replays,
+    independent watermarks, independent failures. Returns per-table
+    results; a failed table reports its error and never blocks the rest.
+    """
+    from dbimport_spark.lake.table import LakeTable
+    from dbimport_spark.plans.engine import CDCEngine
+
+    entries = registry.load()
+    results: dict[str, dict] = {}
+    for name, e in entries.items():
+        if only is not None and name not in only:
+            continue
+        if not e.enabled:
+            results[name] = {"ok": True, "skipped": "disabled"}
+            continue
+        try:
+            table = LakeTable.load(e.table_root)
+            eng = CDCEngine(
+                spark,
+                table,
+                checkpoint_dir=e.checkpoint,
+                history_table=LakeTable.load(e.history) if e.history else None,
+                renames=e.renames,
+                state_store=registry.store,
+            )
+            changes = spark.read.option("mergeSchema", "true").parquet(e.log_path)
+            stats = eng.replay(changes, num_batches=e.batches)
+            results[name] = {
+                "ok": True,
+                "batches_applied": stats.batches_applied,
+                "batches_skipped": stats.batches_skipped,
+                "events_applied": stats.events_applied,
+                "last_lsn": table.last_lsn(),
+            }
+        except Exception as exc:  # isolate per-table failures, keep sweeping
+            results[name] = {
+                "ok": False,
+                "error": f"{type(exc).__name__}: {exc}",
+            }
+    return results

@@ -1,0 +1,110 @@
+"""Multi-table registry (VERDICT r3 #5; reference import_tables config
+rows, configSchema.py:686-766): one sweep drives many tables with
+independent watermarks, and one table's failure never blocks the rest."""
+
+import json
+
+import pytest
+
+from dbimport_spark.plans.engine import CDCEngine
+from dbimport_spark.plans.registry import TableEntry, TableRegistry, replay_all
+from dbimport_spark.plans.validate import fold_expected, reconcile
+from dbimport_spark.schema import PAYLOAD_COLUMNS
+from dbimport_spark.sources.loggen import generate_changes, write_changes
+
+
+def test_registry_add_list_remove(tmp_path):
+    reg = TableRegistry(str(tmp_path / "reg.json"))
+    assert reg.load() == {}
+    reg.add(TableEntry(name="a", table_root="/r/a", log_path="/l/a"))
+    reg.add(
+        TableEntry(
+            name="b", table_root="/r/b", log_path="/l/b",
+            renames={"old": "new"}, batches=3, schedule="hourly",
+        )
+    )
+    with pytest.raises(ValueError, match="already registered"):
+        reg.add(TableEntry(name="a", table_root="/x", log_path="/y"))
+    loaded = reg.load()
+    assert set(loaded) == {"a", "b"}
+    assert loaded["b"].renames == {"old": "new"}
+    assert loaded["b"].batches == 3
+    # the registry document round-trips as plain JSON (a user can edit it)
+    raw = json.loads(open(str(tmp_path / "reg.json")).read())
+    assert raw["b"]["schedule"] == "hourly"
+    reg.remove("a")
+    assert set(reg.load()) == {"b"}
+    with pytest.raises(KeyError):
+        reg.remove("a")
+
+
+def test_replay_all_independent_tables_and_failure_isolation(spark, tmp_path):
+    """Two healthy tables replay to convergence with independent
+    watermarks; a third with a broken log path fails in isolation. A
+    second sweep after new events advances only the table that grew."""
+    logs, tables = {}, {}
+    for name, (n, keys, seed) in {
+        "alpha": (1500, 80, 31),
+        "beta": (800, 40, 37),
+    }.items():
+        log = generate_changes(spark, n, n_keys=keys, seed=seed)
+        path = str(tmp_path / f"log-{name}")
+        write_changes(log, path, 4)
+        CDCEngine.create_table(str(tmp_path / f"t-{name}"), num_buckets=4)
+        logs[name] = log
+        tables[name] = str(tmp_path / f"t-{name}")
+
+    reg = TableRegistry(str(tmp_path / "reg.json"))
+    for name in ("alpha", "beta"):
+        reg.add(
+            TableEntry(
+                name=name,
+                table_root=tables[name],
+                log_path=str(tmp_path / f"log-{name}"),
+                checkpoint=str(tmp_path / f"ck-{name}"),
+                batches=2,
+            )
+        )
+    reg.add(
+        TableEntry(
+            name="broken",
+            table_root=str(tmp_path / "does-not-exist"),
+            log_path=str(tmp_path / "no-log"),
+        )
+    )
+
+    results = replay_all(spark, reg)
+    assert results["alpha"]["ok"] and results["alpha"]["last_lsn"] == 1500
+    assert results["beta"]["ok"] and results["beta"]["last_lsn"] == 800
+    assert not results["broken"]["ok"]
+    assert "error" in results["broken"]
+
+    from dbimport_spark.lake.table import LakeTable
+
+    for name in ("alpha", "beta"):
+        rec = reconcile(
+            LakeTable.load(tables[name]).read(spark),
+            fold_expected(logs[name]),
+            PAYLOAD_COLUMNS,
+        )
+        assert rec["converged"], (name, rec)
+
+    # grow only beta; the next sweep applies beta, skips alpha
+    extra = generate_changes(spark, 200, n_keys=40, seed=38, first_lsn=801)
+    write_changes(
+        spark.read.parquet(str(tmp_path / "log-beta")).unionByName(extra),
+        str(tmp_path / "log-beta2"),
+        4,
+    )
+    entries = reg.load()
+    entries["beta"].log_path = str(tmp_path / "log-beta2")
+    entries["broken"].enabled = False
+    reg.save(entries)
+    results2 = replay_all(spark, reg)
+    assert results2["alpha"]["ok"] and results2["alpha"]["events_applied"] == 0
+    assert results2["beta"]["ok"] and results2["beta"]["last_lsn"] == 1000
+    assert results2["broken"] == {"ok": True, "skipped": "disabled"}
+
+    # --only restricts the sweep
+    results3 = replay_all(spark, reg, only=["alpha"])
+    assert set(results3) == {"alpha"}
