@@ -58,13 +58,22 @@ def _one_per_doc(
         return False
 
     has_unorderable = any(_has_map(f.dataType) for f in df.schema.fields)
-    if not others or has_unorderable:
-        # map columns are not orderable → no deterministic max-struct;
-        # fall back to dropDuplicates (arbitrary survivor) rather than fail
+    if not others:
         return part.dropDuplicates([id_col])
-    out = part.groupBy(id_col).agg(
-        F.max(F.struct(*[F.col(c) for c in others])).alias("_s")
-    )
+    if has_unorderable:
+        # map columns are not orderable → no max-struct; order by a hash of
+        # the JSON-canonicalized row instead (max_by over xxhash64): still
+        # deterministic run-to-run, so gate hashes stay stable (the old
+        # dropDuplicates fallback silently reintroduced the arbitrary
+        # survivor this function exists to prevent)
+        order_key = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in others])))
+        out = part.groupBy(id_col).agg(
+            F.max_by(F.struct(*[F.col(c) for c in others]), order_key).alias("_s")
+        )
+    else:
+        out = part.groupBy(id_col).agg(
+            F.max(F.struct(*[F.col(c) for c in others])).alias("_s")
+        )
     return out.select(id_col, *[F.col(f"_s.{c}").alias(c) for c in others])
 
 

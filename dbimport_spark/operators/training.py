@@ -157,8 +157,45 @@ def contamination_pairs(
     containment = |shared shingles| / |bench doc's shingles|. A benchmark
     doc fully quoted inside a training doc scores 1000 regardless of how
     much OTHER text the training doc has (containment, not Jaccard — the
-    right asymmetry for decontamination)."""
+    right asymmetry for decontamination).
+
+    The 100 TB asymmetry: the train side is the expensive one (its
+    shingles are worth computing ONCE and persisting), while the bench
+    side is tiny and re-checked per release — use
+    ``contamination_pairs_from_shingles`` with the materialized train
+    shingle table for that steady state; this function is the
+    compute-both-sides convenience over it."""
     tsh = word_shingles(train, text_col, id_col, n, num_partitions)
+    return contamination_pairs_from_shingles(
+        tsh,
+        bench,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        min_permille=min_permille,
+        num_partitions=num_partitions,
+        max_doc_freq=max_doc_freq,
+    )
+
+
+def contamination_pairs_from_shingles(
+    train_shingles: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_permille: int = 500,
+    num_partitions: int | None = None,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """``contamination_pairs`` over an ALREADY-materialized train shingle
+    table (columns: ``id_col``, ``shingle`` — the exact output of
+    ``word_shingles(train)``, e.g. persisted as parquet): the train corpus
+    is scanned zero times per bench check. ``n`` must match the n-gram
+    width the persisted shingles were built with. ``max_doc_freq`` (when
+    given) is applied to the persisted table too, so a pre-capped table
+    and an on-the-fly cap return identical pairs."""
+    tsh = train_shingles
     bsh = word_shingles(bench, text_col, id_col, n, num_partitions)
     if max_doc_freq is not None:
         hot = (

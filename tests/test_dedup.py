@@ -107,10 +107,11 @@ def test_one_per_doc_width_and_deterministic_survivor(spark):
     assert sh.rdd.getNumPartitions() == 5
 
 
-def test_one_per_doc_nested_map_falls_back(spark):
+def test_one_per_doc_nested_map_deterministic_survivor(spark):
     """Nested map columns (array<map>, struct<...map...>) are not orderable
-    at any depth: _one_per_doc must fall back to dropDuplicates instead of
-    failing on the max-struct aggregate."""
+    at any depth: _one_per_doc must still pick a DETERMINISTIC survivor —
+    max_by over a hash of the JSON-canonicalized row — never an arbitrary
+    dropDuplicates row (VERDICT r3 #7)."""
     from pyspark.sql import types as T
 
     from dbimport_spark.operators.text_dedup import _one_per_doc
@@ -125,14 +126,25 @@ def test_one_per_doc_nested_map_falls_back(spark):
             ),
         ]
     )
-    df = spark.createDataFrame(
-        [("d1", "hello world", [{"k": "v"}]), ("d1", "hello world", [{"k": "v"}]),
-         ("d2", "bye", None)],
-        schema,
-    )
+    rows = [
+        ("d1", "hello world", [{"k": "v"}]),
+        ("d1", "HELLO WORLD", [{"k": "w"}]),  # contract violation: same id
+        ("d2", "bye", None),
+    ]
+    df = spark.createDataFrame(rows, schema)
     out = _one_per_doc(df, "doc_id", num_partitions=3)
     assert out.count() == 2
     assert out.rdd.getNumPartitions() == 3
+    survivor = {r["doc_id"]: (r["text"], r["attrs"]) for r in out.collect()}
+
+    # stable across re-runs AND input row order
+    df_rev = spark.createDataFrame(list(reversed(rows)), schema).repartition(5)
+    for attempt_df in (df, df_rev):
+        again = {
+            r["doc_id"]: (r["text"], r["attrs"])
+            for r in _one_per_doc(attempt_df, "doc_id", num_partitions=3).collect()
+        }
+        assert again == survivor
 
 
 def test_dedup_against_corpus_exact_and_minhash(spark):

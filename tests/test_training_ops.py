@@ -102,3 +102,48 @@ def test_contamination_containment_asymmetry(spark):
     assert got[(100, 1)] == 1000
     assert got[(101, 1)] == 333
     assert (102, 1) not in got
+
+
+def test_contamination_precomputed_shingles_identical(spark, tmp_path):
+    """VERDICT r3 #9: the 100 TB steady state — train shingles computed
+    once and persisted, bench side re-checked cheaply. The precomputed
+    path must return exactly the pairs of the compute-both-sides path,
+    with and without the hot-shingle cap."""
+    from dbimport_spark.operators.text_dedup import word_shingles
+    from dbimport_spark.operators.training import (
+        contamination_pairs,
+        contamination_pairs_from_shingles,
+    )
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (100, "intro words alpha beta gamma delta epsilon outro words here"),
+            (101, "alpha beta gamma unrelated tail of text"),
+            (102, "zeta eta theta iota kappa fully quoted benchmark text"),
+            (103, "nothing in common at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    # persist the train shingles once (the expensive side)
+    shingle_path = str(tmp_path / "train-shingles")
+    word_shingles(train, n=3).write.parquet(shingle_path)
+    persisted = spark.read.parquet(shingle_path)
+
+    for cap in (None, 1):
+        direct = {
+            tuple(r)
+            for r in contamination_pairs(
+                train, bench, n=3, min_permille=1, max_doc_freq=cap
+            ).collect()
+        }
+        pre = {
+            tuple(r)
+            for r in contamination_pairs_from_shingles(
+                persisted, bench, n=3, min_permille=1, max_doc_freq=cap
+            ).collect()
+        }
+        assert pre == direct and direct
