@@ -163,6 +163,15 @@ def main(argv: list[str] | None = None) -> int:
     tsub.add_parser("list")
     tp = tsub.add_parser("remove")
     tp.add_argument("name")
+    tp = tsub.add_parser(
+        "discover",
+        help="register every lake table found under a base directory "
+        "(additive; reference discoverAndAddTablesFromSource)",
+    )
+    tp.add_argument("base_dir")
+    tp.add_argument("--log-base", required=True,
+                    help="change logs live at <log-base>/<table-name>")
+    tp.add_argument("--batches", type=int, default=1)
 
     sp = sub.add_parser(
         "replay-all",
@@ -238,6 +247,13 @@ def main(argv: list[str] | None = None) -> int:
         elif args.tcmd == "remove":
             reg.remove(args.name)
             print(json.dumps({"removed": args.name}))
+        elif args.tcmd == "discover":
+            from dbimport_spark.plans.registry import discover_tables
+
+            added = discover_tables(
+                reg, args.base_dir, args.log_base, batches=args.batches
+            )
+            print(json.dumps({"discovered": added}))
         return 0
 
     spark = get_spark(app_name=f"dbimport-{args.cmd}", master=args.master)

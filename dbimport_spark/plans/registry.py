@@ -81,6 +81,44 @@ class TableRegistry:
         self.save(entries)
 
 
+def discover_tables(
+    registry: TableRegistry,
+    base_dir: str,
+    log_base: str,
+    batches: int = 1,
+) -> list[str]:
+    """Bootstrap the registry from a directory of lake tables — the
+    reference's ``discoverAndAddTablesFromSource``
+    (import_operations.py:518-648) reshaped for the lake: every immediate
+    subdirectory of ``base_dir`` that IS a lake table (has table metadata)
+    and is not yet registered gets an entry named after its directory,
+    with its change log expected at ``<log_base>/<name>``. Already-
+    registered names are left untouched (discovery is additive, like the
+    reference's). Returns the newly added names."""
+    import os
+
+    from dbimport_spark.lake.table import LakeTable
+
+    entries = registry.load()
+    added: list[str] = []
+    for name in sorted(os.listdir(base_dir)):
+        root = os.path.join(base_dir, name)
+        if not os.path.isdir(root) or not LakeTable.exists(root):
+            continue
+        if name in entries:
+            continue
+        entries[name] = TableEntry(
+            name=name,
+            table_root=root,
+            log_path=os.path.join(log_base, name),
+            batches=batches,
+        )
+        added.append(name)
+    if added:
+        registry.save(entries)
+    return added
+
+
 def replay_all(
     spark: SparkSession,
     registry: TableRegistry,

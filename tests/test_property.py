@@ -115,3 +115,58 @@ def test_random_evolution_sequences_converge(spark, tmp_path_factory, steps):
     # widened runs end with a bigint column
     if "widen" in steps:
         assert dict(table.read(spark).dtypes)["v"] == "bigint"
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(event, min_size=2, max_size=14),
+    st.lists(st.booleans(), min_size=2, max_size=14),
+)
+def test_random_late_splits_converge_via_apply_late(
+    spark, tmp_path_factory, ops, late_mask
+):
+    """track_lsn invariant: for ANY split of a log into an applied window
+    and a late remainder (arbitrary interleaving of which LSNs are late —
+    deletes, re-inserts, duplicate content included), replay(applied) then
+    apply_late(late) equals the full-log fold on live rows, and late keys'
+    tombstones gate correctly."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i, (op, key, toks) in enumerate(ops, start=1):
+        if op == "D":
+            rows.append((i, op, key, None, None, None, dt.datetime(2024, 1, 1)))
+        else:
+            rows.append(
+                (i, op, key, toks, len(toks), "web", dt.datetime(2024, 1, 1))
+            )
+    mask = (late_mask * len(rows))[: len(rows)]
+    applied_rows = [r for r, m in zip(rows, mask) if not m]
+    late_rows = [r for r, m in zip(rows, mask) if m]
+    if not applied_rows or not late_rows:
+        return
+    log = spark.createDataFrame(rows, CHANGE_SCHEMA)
+    root = str(tmp_path_factory.mktemp("latep"))
+    table = CDCEngine.create_table(
+        root + "/t", num_buckets=4, soft_delete=True, track_lsn=True
+    )
+    eng = CDCEngine(spark, table, broadcast_threshold_rows=2)
+    eng.replay(
+        spark.createDataFrame(applied_rows, CHANGE_SCHEMA), num_batches=1
+    )
+    eng.apply_late(spark.createDataFrame(late_rows, CHANGE_SCHEMA))
+
+    live = table.read(spark).filter(F.col("dl_iud") != "D")
+    got = as_tuple_set(
+        [r.asDict() for r in live.collect()], PAYLOAD_COLUMNS
+    )
+    expected = lww_fold([r.asDict() for r in log.collect()])
+    assert got == as_tuple_set(list(expected.values()), PAYLOAD_COLUMNS)
+    # idempotent: re-delivering the late window commits nothing
+    v = table.current().version
+    eng.apply_late(spark.createDataFrame(late_rows, CHANGE_SCHEMA))
+    assert table.current().version == v

@@ -108,3 +108,38 @@ def test_replay_all_independent_tables_and_failure_isolation(spark, tmp_path):
     # --only restricts the sweep
     results3 = replay_all(spark, reg, only=["alpha"])
     assert set(results3) == {"alpha"}
+
+
+def test_discover_tables_is_additive(spark, tmp_path):
+    """Discovery registers every lake table under a base dir, skips
+    non-tables and already-registered names (reference
+    discoverAndAddTablesFromSource, import_operations.py:518-648)."""
+    import os
+
+    from dbimport_spark.plans.registry import discover_tables
+
+    base = tmp_path / "warehouse"
+    logs = tmp_path / "logs"
+    os.makedirs(base)
+    CDCEngine.create_table(str(base / "orders"), num_buckets=4)
+    CDCEngine.create_table(str(base / "events"), num_buckets=4)
+    os.makedirs(base / "not-a-table")  # plain dir, must be skipped
+
+    reg = TableRegistry(str(tmp_path / "reg.json"))
+    reg.add(
+        TableEntry(
+            name="orders",
+            table_root="/custom/root",  # pre-registered: discovery keeps it
+            log_path="/custom/log",
+        )
+    )
+    added = discover_tables(reg, str(base), str(logs), batches=2)
+    assert added == ["events"]
+    entries = reg.load()
+    assert set(entries) == {"orders", "events"}
+    assert entries["orders"].table_root == "/custom/root"  # untouched
+    assert entries["events"].table_root == str(base / "events")
+    assert entries["events"].log_path == os.path.join(str(logs), "events")
+    assert entries["events"].batches == 2
+    # second discovery adds nothing
+    assert discover_tables(reg, str(base), str(logs)) == []
