@@ -331,14 +331,6 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs baseline (small-n only — BroadcastNestedLoopJoin by
-    construction; the LSH entry above is the scale path)."""
-    from dbimport_spark.operators.similarity import cosine_near_dup_pairs
-
-    return cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"), min_milli=450)
-
-
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans coarse quantizer + probe-cluster exact re-rank.
     The query ASSERTS the ANN top-k equals the exact top-k (recall
@@ -998,10 +990,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_sim": q_embedding_sim,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
-        # embedding_neardup_exact (tiny-n brute-force baseline) is retired from
-        # the gate in favor of corpus_dedup: the driver grades at most 50
-        # entries and the blocked plan above covers the same semantics; the
-        # exact baseline stays pytest-covered (tests/test_dedup.py).
+        # The former embedding_neardup_exact gate entry (tiny-n brute-force
+        # baseline) is retired in favor of corpus_dedup: the driver grades
+        # at most 50 entries, the blocked plan above is oracle-verified for
+        # the same semantics, and the exact no-blocks path stays covered by
+        # tests/test_plans.py (blocked-equals-exact assertion).
         "corpus_dedup": q_corpus_dedup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,

@@ -191,6 +191,9 @@ def main(argv: list[str] | None = None) -> int:
         bad = [r for r in args.rename if "=" not in r]
         if bad:
             p.error(f"--rename expects OLD=NEW, got: {', '.join(bad)}")
+    if args.cmd == "init" and args.track_lsn and not args.soft_delete:
+        p.error("--track-lsn requires --soft-delete (a hard delete erases "
+                "the row's dl_lsn, making late-vs-deleted undecidable)")
 
     from dbimport_spark.lake.table import LakeTable
     from dbimport_spark.plans.engine import CDCEngine

@@ -154,10 +154,12 @@ class SqliteCatalog(Catalog):
 
     Crash windows: dying before (2) completes leaves the pointer
     unchanged and at most a ``.tmp-*`` turd (never a visible version);
-    dying between (2) and (3) leaves a metadata file whose version the
-    pointer does not own yet — the next committer wins the CAS for that
-    same version and atomically replaces the file, so readers only ever
-    see complete snapshots. Partial state is impossible in every window.
+    dying between (2) and (3) leaves durable, complete metadata one ahead
+    of the pointer — the CAS check bases itself on max(pointer, disk), so
+    the next committer ADOPTS the dead writer's published version (it is
+    fsynced and all-or-nothing, hence as committed as any other) and
+    continues the chain. Partial state is impossible in every window, and
+    a stale pointer can never wedge the table.
 
     ``db_path=None`` (default) keeps one database per table inside its
     metadata dir (``<meta_dir>/catalog.db`` — the ``v*.json`` listing
@@ -192,7 +194,18 @@ class SqliteCatalog(Catalog):
             row = con.execute(
                 "SELECT version FROM table_pointer WHERE key = ?", (key,)
             ).fetchone()
-            cur = row[0] if row is not None else self._disk_version(meta_dir)
+            # the CAS base is max(pointer, disk): a writer that died between
+            # the metadata rename and the pointer advance leaves the pointer
+            # ONE BEHIND durable on-disk metadata — readers (and the next
+            # committer's expected_version) resolve from disk, so trusting
+            # the stale pointer alone would refuse every future commit
+            # forever. The dead writer's vN.json is complete and fsynced
+            # (all-or-nothing), so adopting it is correct, same as the
+            # mid-life adoption case.
+            cur = max(
+                row[0] if row is not None else -1,
+                self._disk_version(meta_dir),
+            )
             if version != cur + 1:
                 raise CommitConflict(
                     f"CAS failed: expected current v{version - 1}, found v{cur}"

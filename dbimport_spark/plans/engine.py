@@ -1010,11 +1010,36 @@ class CDCEngine:
         # event with lsn ≤ the row's dl_lsn is strictly obsolete — gating
         # before dedup also keeps a 'D' winner's *_lv pre-image from
         # regressing to a live event the row version already absorbed.
-        # right_outer with the small late side broadcast: the pruned target
-        # streams, no shuffle on either side.
+        # Two BroadcastHashJoins, zero target-side shuffles (verified on
+        # the physical plan): the pruned target is first semi-filtered by
+        # the (small, broadcast) late key set — build-right is legal for
+        # left_semi, so the target STREAMS — leaving at most one row per
+        # late key, which is then itself broadcast under the events' left
+        # join. The only exchange in the plan is the late-key distinct,
+        # which shuffles the SMALL side. (A right_outer with the right
+        # side broadcast would be an impossible hint — Spark would ignore
+        # it and shuffle both sides.)
         row_versions = target.select(*self.keys, F.col(AUDIT_LSN).alias("_row_lsn"))
+        late_keys = aligned.select(*self.keys).distinct()
+        # null merge keys raise BEFORE any dedup/join, exactly as
+        # repair_keys does: a late segment carrying the key under an
+        # UNDECLARED former name aligns to null, and the maxjoin dedup's
+        # semi-join would silently DROP those rows — the events would
+        # vanish while apply_late reports success. The check must therefore
+        # run on the raw late key set, not any post-join frame.
+        null_pred = F.lit(False)
+        for k in self.keys:
+            null_pred = null_pred | F.col(k).isNull()
+        if late_keys.filter(null_pred).limit(1).count() > 0:
+            raise ValueError(
+                "apply_late scope contains null merge key(s) — the late "
+                "segment likely carries the key under an undeclared former "
+                "name; declare the rename (CDCEngine(renames={...})) and "
+                "retry"
+            )
+        rv_small = row_versions.join(F.broadcast(late_keys), list(self.keys), "left_semi")
         gated_events = (
-            row_versions.join(F.broadcast(aligned), list(self.keys), "right_outer")
+            aligned.join(F.broadcast(rv_small), list(self.keys), "left")
             .filter(F.col("lsn") > F.coalesce(F.col("_row_lsn"), F.lit(-1)))
             .drop("_row_lsn")
         )

@@ -133,6 +133,11 @@ def replay_all(
 
     entries = registry.load()
     results: dict[str, dict] = {}
+    # a typo'd --only name must surface as a failure, not an empty green
+    # sweep (replaying nothing while reporting success)
+    for name in only or []:
+        if name not in entries:
+            results[name] = {"ok": False, "error": "not registered"}
     for name, e in entries.items():
         if only is not None and name not in only:
             continue

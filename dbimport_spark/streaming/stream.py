@@ -160,10 +160,6 @@ def run_stream(
             return
         n_fresh = sum(r["fresh_rows"] for r in per_file)
         hi = max(r["max_lsn"] for r in per_file)
-        lo = min(
-            (r["fresh_lo"] for r in per_file if r["fresh_lo"] is not None),
-            default=None,
-        )
 
         # Classify unledgered below-watermark files. Benign re-delivery of
         # the watermark-setting window (crash between table commit and

@@ -254,3 +254,35 @@ def test_sqlite_catalog_two_process_race_and_loser_gc(tmp_path):
     assert removed == 1
     assert os.path.isfile(os.path.join(root, f"data/race{winner}/f.parquet"))
     assert not os.path.exists(os.path.join(root, f"data/race{loser}"))
+
+
+def test_sqlite_catalog_recovers_from_stale_pointer(tmp_path):
+    """code-review r4: a writer dying between the metadata rename and the
+    sqlite pointer advance leaves durable vN.json one ahead of the
+    pointer. The CAS must base itself on max(pointer, disk) and adopt the
+    published version — a stale pointer must never wedge the table."""
+    import sqlite3
+
+    root = str(tmp_path / "t7")
+    t = LakeTable.create(root, SCHEMA, num_buckets=4, catalog=SqliteCatalog())
+    t.commit([], set(), properties={"n": "1"})  # v1, pointer = 1
+
+    # simulate the crash window: v1.json durable, pointer rolled back to 0
+    db = os.path.join(root, "metadata", "catalog.db")
+    con = sqlite3.connect(db)
+    con.execute("UPDATE table_pointer SET version = 0")
+    con.commit()
+    con.close()
+
+    # a new committer resolves current()=v1 from disk and commits v2 —
+    # the catalog must adopt the on-disk v1, not refuse forever
+    fresh = LakeTable.load(root, catalog=SqliteCatalog())
+    fresh.commit([], set(), properties={"n": "2"})
+    assert fresh.current().version == 2
+    row = sqlite3.connect(db).execute(
+        "SELECT version FROM table_pointer"
+    ).fetchone()
+    assert row == (2,)
+    # and a genuinely stale commit still conflicts
+    with pytest.raises(CommitConflict):
+        fresh.catalog.commit_version(os.path.join(root, "metadata"), 2, {})

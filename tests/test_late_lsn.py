@@ -184,3 +184,29 @@ def test_stream_recover_bounded_on_track_lsn_table(spark, tmp_path):
     expected = lww_fold([r.asDict() for r in changes.collect()])
     assert got == as_tuple_set(list(expected.values()), PAYLOAD_COLUMNS)
     assert table.last_lsn() == 1000
+
+
+def test_apply_late_refuses_null_merge_keys(spark, tmp_path):
+    """code-review r4: a late segment carrying the key under an UNDECLARED
+    former name aligns to null keys — apply_late must raise (as
+    repair_keys does), never insert unreachable null-key tombstones while
+    silently dropping the real events."""
+    table = CDCEngine.create_table(
+        str(tmp_path / "t"), num_buckets=4, soft_delete=True, track_lsn=True
+    )
+    eng = CDCEngine(spark, table)
+    eng.apply_batch(
+        spark.createDataFrame(
+            [_row(10, "I", "k1", [1], "web", dt.datetime(2024, 1, 1))],
+            CHANGE_SCHEMA,
+        ),
+        0,
+        10,
+    )
+    late = spark.createDataFrame(
+        [_row(5, "I", "k2", [2], "web", dt.datetime(2024, 1, 1))], CHANGE_SCHEMA
+    ).withColumnRenamed("doc_id", "legacy_id")
+    with pytest.raises(ValueError, match="undeclared former name"):
+        eng.apply_late(late)
+    # nothing committed, no null-key junk
+    assert table.read(spark).filter("doc_id IS NULL").count() == 0
