@@ -192,6 +192,8 @@ def main(argv: list[str] | None = None) -> int:
         if bad:
             p.error(f"--rename expects OLD=NEW, got: {', '.join(bad)}")
     if args.cmd == "init" and args.track_lsn and not args.soft_delete:
+        # deliberate duplicate of the CDCEngine.create_table guard: fails
+        # as a usage error BEFORE the Spark session spins up; keep in sync
         p.error("--track-lsn requires --soft-delete (a hard delete erases "
                 "the row's dl_lsn, making late-vs-deleted undecidable)")
 

@@ -107,9 +107,13 @@ class CASCatalog(Catalog):
     def commit_version(self, meta_dir: str, version: int, payload: dict) -> None:
         key = os.path.abspath(meta_dir)
         with self._lock:
-            cur = self._versions.get(key)
-            if cur is None:
-                cur = self._disk_version(meta_dir)
+            # max(pointer, disk), same as SqliteCatalog: an exception after
+            # the metadata rename but before the pointer advance (e.g. dir
+            # fsync ENOSPC) leaves durable disk state one ahead — trusting
+            # the stale pointer alone would wedge every later commit in
+            # this process. A production client copied from this shape
+            # needs the same reconciliation.
+            cur = max(self._versions.get(key, -1), self._disk_version(meta_dir))
             if version != cur + 1:
                 raise CommitConflict(
                     f"CAS failed: expected current v{version - 1}, found v{cur}"

@@ -985,12 +985,37 @@ class CDCEngine:
         bexpr = self.table.bucket_expr(
             key_col=self.keys, num_buckets=snap.num_buckets
         )
+        # ONE scan of the late input builds the checkpointed key set; the
+        # null guard, touched-bucket collect, and the gate's broadcast all
+        # reuse it (an uncached distinct would re-scan per consumer).
+        late_keys = (
+            aligned.select(*self.keys).distinct().localCheckpoint(eager=True)
+        )
+        # null merge keys raise BEFORE any dedup/join, exactly as
+        # repair_keys does: a late segment carrying the key under an
+        # UNDECLARED former name aligns to null, and the maxjoin dedup's
+        # semi-join would silently DROP those rows — the events would
+        # vanish while apply_late reports success.
+        null_pred = F.lit(False)
+        for k in self.keys:
+            null_pred = null_pred | F.col(k).isNull()
+        counts = late_keys.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(null_pred, F.lit(1))).alias("nulls"),
+        ).first()
+        if counts["nulls"] > 0:
+            raise ValueError(
+                "apply_late scope contains null merge key(s) — the late "
+                "segment likely carries the key under an undeclared former "
+                "name; declare the rename (CDCEngine(renames={...})) and "
+                "retry"
+            )
+        if counts["n"] == 0:
+            return BatchStats(lo=-1, hi=self.table.last_lsn(), skipped=True)
         touched = sorted(
             r["bucket"]
-            for r in aligned.select(bexpr.alias("bucket")).distinct().collect()
+            for r in late_keys.select(bexpr.alias("bucket")).distinct().collect()
         )
-        if not touched:
-            return BatchStats(lo=-1, hi=self.table.last_lsn(), skipped=True)
 
         # bucket-pruned target read, aligned to the table schema
         target = self.table.read(self.spark, buckets=touched)
@@ -1020,23 +1045,6 @@ class CDCEngine:
         # side broadcast would be an impossible hint — Spark would ignore
         # it and shuffle both sides.)
         row_versions = target.select(*self.keys, F.col(AUDIT_LSN).alias("_row_lsn"))
-        late_keys = aligned.select(*self.keys).distinct()
-        # null merge keys raise BEFORE any dedup/join, exactly as
-        # repair_keys does: a late segment carrying the key under an
-        # UNDECLARED former name aligns to null, and the maxjoin dedup's
-        # semi-join would silently DROP those rows — the events would
-        # vanish while apply_late reports success. The check must therefore
-        # run on the raw late key set, not any post-join frame.
-        null_pred = F.lit(False)
-        for k in self.keys:
-            null_pred = null_pred | F.col(k).isNull()
-        if late_keys.filter(null_pred).limit(1).count() > 0:
-            raise ValueError(
-                "apply_late scope contains null merge key(s) — the late "
-                "segment likely carries the key under an undeclared former "
-                "name; declare the rename (CDCEngine(renames={...})) and "
-                "retry"
-            )
         rv_small = row_versions.join(F.broadcast(late_keys), list(self.keys), "left_semi")
         gated_events = (
             aligned.join(F.broadcast(rv_small), list(self.keys), "left")

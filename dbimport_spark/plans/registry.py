@@ -142,7 +142,13 @@ def replay_all(
         if only is not None and name not in only:
             continue
         if not e.enabled:
-            results[name] = {"ok": True, "skipped": "disabled"}
+            # a disabled table reached by the normal sweep is a benign
+            # skip; one EXPLICITLY requested via --only was not replayed
+            # as asked — surface that as a failure, not a green no-op
+            if only is not None and name in only:
+                results[name] = {"ok": False, "error": "disabled"}
+            else:
+                results[name] = {"ok": True, "skipped": "disabled"}
             continue
         try:
             table = LakeTable.load(e.table_root)

@@ -143,3 +143,29 @@ def test_discover_tables_is_additive(spark, tmp_path):
     assert entries["events"].batches == 2
     # second discovery adds nothing
     assert discover_tables(reg, str(base), str(logs)) == []
+
+
+def test_replay_all_only_surfaces_unknown_and_disabled(spark, tmp_path):
+    """code-review r4: --only naming an unregistered OR disabled table must
+    surface as a failure — an explicitly requested table that replays
+    nothing can never be a green sweep."""
+    CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    log = generate_changes(spark, 100, n_keys=10, seed=1)
+    write_changes(log, str(tmp_path / "log"), 2)
+    reg = TableRegistry(str(tmp_path / "reg.json"))
+    reg.add(
+        TableEntry(
+            name="a", table_root=str(tmp_path / "t"),
+            log_path=str(tmp_path / "log"),
+        )
+    )
+    entries = reg.load()
+    entries["a"].enabled = False
+    reg.save(entries)
+
+    res = replay_all(spark, reg, only=["a", "typo"])
+    assert res["typo"] == {"ok": False, "error": "not registered"}
+    assert res["a"] == {"ok": False, "error": "disabled"}
+    # the plain sweep still treats disabled as a benign skip
+    res2 = replay_all(spark, reg)
+    assert res2["a"] == {"ok": True, "skipped": "disabled"}
