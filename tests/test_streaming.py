@@ -500,3 +500,100 @@ def test_stream_crash_between_commit_and_ledger_append(spark, tmp_path):
     )
     expected = lww_fold([r.asDict() for r in spark.read.parquet(log_dir).collect()])
     assert got == as_tuple_set(list(expected.values()), PAYLOAD_COLUMNS)
+
+
+def test_windowed_event_counts_stream_matches_batch(spark, tmp_path):
+    """Event-time tumbling windows with a watermark: the streamed result
+    (update mode, latest revision per window) equals the batch groupBy
+    over the same log — including a late-but-within-horizon row that
+    revises its window."""
+    from dbimport_spark.streaming.windowed import (
+        run_windowed_counts,
+        windowed_event_counts,
+    )
+
+    log_dir = str(tmp_path / "wlog")
+    changes = generate_changes(spark, 2000, n_keys=100, seed=71)
+    # loggen stamps commit_ts = EPOCH0 + lsn seconds -> ~33 one-minute windows
+    write_changes_segments(changes, log_dir, n_segments=4)
+
+    q = run_windowed_counts(
+        stream_changes(spark, log_dir, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "wck"),
+        query_name="win_counts",
+        window="1 minute",
+        watermark="2 minutes",
+    )
+    q.awaitTermination(300)
+
+    # update mode re-emits revisions; keep the LAST row per (window, op)
+    got = {}
+    for r in spark.table("win_counts").collect():
+        got[(r["window_start"], r["op"])] = (
+            r["n_events"], r["approx_keys"], r["max_lsn"]
+        )
+    expected = {
+        (r["window_start"], r["op"]): (r["n_events"], r["approx_keys"], r["max_lsn"])
+        for r in windowed_event_counts(
+            spark.read.parquet(log_dir), window="1 minute"
+        ).collect()
+    }
+    assert got == expected
+    assert len({k[0] for k in got}) > 5  # genuinely multiple windows
+
+
+def test_windowed_append_mode_drops_beyond_horizon(spark, tmp_path):
+    """Append mode + watermark: windows are emitted once closed, and a row
+    arriving LATER than the watermark horizon is dropped from the
+    aggregation (the bounded-state contract)."""
+    import os
+
+    from dbimport_spark.streaming.windowed import windowed_event_counts
+
+    log_dir = str(tmp_path / "alog")
+    os.makedirs(log_dir)
+    changes = generate_changes(spark, 2000, n_keys=100, seed=73)
+    # deliver in two segments: everything except one early window, then the
+    # early straggler AFTER event time has advanced far past the horizon
+    main = changes.filter("lsn > 60")
+    straggler = changes.filter("lsn <= 60")  # first minute of event time
+    write_changes_segments(main, log_dir, n_segments=1)
+
+    ckpt = str(tmp_path / "ack")
+    emitted: list = []
+
+    def run_once():
+        # memory sink cannot recover a checkpoint; foreachBatch can
+        q = (
+            windowed_event_counts(
+                stream_changes(spark, log_dir, max_files_per_trigger=1),
+                window="1 minute",
+                watermark="2 minutes",
+            )
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, _bid: emitted.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    stage = str(tmp_path / "astage")
+    f = write_changes_segments(straggler, stage, n_segments=1)[0]
+    os.replace(f, os.path.join(log_dir, "seg-straggler.parquet"))
+    run_once()
+
+    # each closed window was emitted exactly once
+    keys = [(r["window_start"], r["op"]) for r in emitted]
+    assert len(keys) == len(set(keys))
+    # the straggler's window closed long before it arrived: its rows are
+    # dropped, so no emitted window covers the straggler's minute and the
+    # total emitted events never exceed the main delivery
+    first_minute = {r["window_start"] for r in emitted}
+    straggler_start = min(
+        r["commit_ts"] for r in straggler.select("commit_ts").collect()
+    ).replace(second=0, microsecond=0)
+    assert straggler_start not in first_minute
+    assert sum(r["n_events"] for r in emitted) <= main.count()
+    assert len(emitted) > 5
