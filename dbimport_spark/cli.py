@@ -142,6 +142,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("new")
 
     sp = sub.add_parser(
+        "fsck",
+        help="metadata-only consistency audit: snapshot chain, watermark "
+        "monotonicity, file existence/sizes, rename epochs, catalog "
+        "pointer, orphans — exit 1 on errors",
+    )
+    sp.add_argument("table_root")
+
+    sp = sub.add_parser(
         "tables",
         help="multi-table registry: add/list/remove managed tables "
         "(reference import_tables config rows)",
@@ -222,6 +230,13 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         return 0
+    if args.cmd == "fsck":
+        # metadata-only: no Spark session needed
+        from dbimport_spark.lake.fsck import check_table
+
+        findings = check_table(LakeTable.load(args.table_root))
+        print(json.dumps({"findings": findings, "clean": not findings}))
+        return 1 if any(f["level"] == "error" for f in findings) else 0
     if args.cmd == "tables":
         # registry is plain config: no Spark session needed
         from dataclasses import asdict

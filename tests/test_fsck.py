@@ -1,0 +1,101 @@
+"""Metadata-only consistency audit (lake/fsck.py): a healthy replayed
+table is clean; every corrupted invariant is reported at the right
+severity without scanning data."""
+
+import json
+import os
+import subprocess
+import sys
+
+from dbimport_spark.lake.catalog import SqliteCatalog
+from dbimport_spark.lake.fsck import check_table
+from dbimport_spark.lake.table import LakeTable
+from dbimport_spark.plans.engine import CDCEngine
+from dbimport_spark.sources.loggen import generate_changes
+
+
+def _mk_table(spark, tmp_path, **kw):
+    root = str(tmp_path / "t")
+    CDCEngine.create_table(root, num_buckets=4)
+    table = LakeTable.load(root, **kw)
+    eng = CDCEngine(spark, table)
+    eng.replay(generate_changes(spark, 1000, n_keys=60, seed=17), num_batches=2)
+    return table
+
+
+def test_fsck_clean_on_healthy_table(spark, tmp_path):
+    table = _mk_table(spark, tmp_path)
+    assert check_table(table) == []
+
+
+def test_fsck_detects_missing_and_resized_files(spark, tmp_path):
+    table = _mk_table(spark, tmp_path)
+    files = table.current().files
+    os.unlink(os.path.join(table.root, files[0].path))
+    with open(os.path.join(table.root, files[1].path), "ab") as fh:
+        fh.write(b"garbage")
+    findings = check_table(table)
+    errs = [f for f in findings if f["level"] == "error"]
+    assert any("missing file" in f["detail"] for f in errs)
+    assert any("on disk" in f["detail"] for f in errs)
+
+
+def test_fsck_detects_orphans_and_stale_hint(spark, tmp_path):
+    table = _mk_table(spark, tmp_path)
+    # orphan: an unreferenced parquet in the data dir
+    d = os.path.join(table.root, "data", "orphaned")
+    os.makedirs(d)
+    with open(os.path.join(d, "junk.parquet"), "wb") as fh:
+        fh.write(b"x" * 64)
+    # stale hint (behind): warn only
+    with open(os.path.join(table.root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("0")
+    findings = check_table(table)
+    assert all(f["level"] == "warn" for f in findings), findings
+    checks = {f["check"] for f in findings}
+    assert checks == {"orphans", "hint"}
+
+
+def test_fsck_detects_watermark_regression_and_catalog_drift(spark, tmp_path):
+    table = _mk_table(spark, tmp_path, catalog=SqliteCatalog())
+    # new commit through the sqlite catalog so the pointer exists
+    table.commit([], set(), properties={"noop": "1"})
+    assert check_table(table) == []
+
+    # tamper: rewrite the NEWEST snapshot with a regressed watermark
+    snaps = table.snapshots()
+    meta = os.path.join(table.root, "metadata", f"v{snaps[-1]}.json")
+    doc = json.load(open(meta))
+    doc["properties"]["last_lsn"] = "5"
+    json.dump(doc, open(meta, "w"))
+    findings = check_table(LakeTable.load(table.root))
+    assert any(
+        f["level"] == "error" and f["check"] == "watermark" for f in findings
+    )
+
+    # pointer AHEAD of disk = lost metadata: error (hint updated too, or
+    # the table would not even load — fsck audits loadable tables)
+    os.unlink(meta)
+    with open(os.path.join(table.root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write(str(snaps[-1] - 1))
+    findings = check_table(LakeTable.load(table.root))
+    assert any(
+        f["level"] == "error" and f["check"] == "catalog" for f in findings
+    ), findings
+
+
+def test_fsck_cli_exit_codes(spark, tmp_path):
+    table = _mk_table(spark, tmp_path)
+    out = subprocess.run(
+        [sys.executable, "-m", "dbimport_spark.cli", "fsck", table.root],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    assert json.loads(out.stdout.strip().splitlines()[-1])["clean"]
+
+    os.unlink(os.path.join(table.root, table.current().files[0].path))
+    out = subprocess.run(
+        [sys.executable, "-m", "dbimport_spark.cli", "fsck", table.root],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert out.returncode == 1
