@@ -231,10 +231,12 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
     if args.cmd == "fsck":
-        # metadata-only: no Spark session needed
+        # metadata-only: no Spark session needed. Plain constructor, NOT
+        # load(): load() resolves current(), which raises on exactly the
+        # lost-newest-metadata corruption fsck exists to report.
         from dbimport_spark.lake.fsck import check_table
 
-        findings = check_table(LakeTable.load(args.table_root))
+        findings = check_table(LakeTable(args.table_root))
         print(json.dumps({"findings": findings, "clean": not findings}))
         return 1 if any(f["level"] == "error" for f in findings) else 0
     if args.cmd == "tables":

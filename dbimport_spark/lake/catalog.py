@@ -107,13 +107,19 @@ class CASCatalog(Catalog):
     def commit_version(self, meta_dir: str, version: int, payload: dict) -> None:
         key = os.path.abspath(meta_dir)
         with self._lock:
-            # max(pointer, disk), same as SqliteCatalog: an exception after
-            # the metadata rename but before the pointer advance (e.g. dir
-            # fsync ENOSPC) leaves durable disk state one ahead — trusting
-            # the stale pointer alone would wedge every later commit in
-            # this process. A production client copied from this shape
-            # needs the same reconciliation.
-            cur = max(self._versions.get(key, -1), self._disk_version(meta_dir))
+            # Pointer first; reconcile against disk ONLY when the CAS
+            # would fail: an exception after the metadata rename but
+            # before the pointer advance (e.g. dir fsync ENOSPC) leaves
+            # durable disk state one ahead, and trusting the stale pointer
+            # alone would wedge every later commit in this process. The
+            # happy path stays O(1) — no per-commit LIST (which the
+            # object-store deployment this class models pays for).
+            cur = self._versions.get(key)
+            if cur is None or version != cur + 1:
+                cur = max(
+                    cur if cur is not None else -1,
+                    self._disk_version(meta_dir),
+                )
             if version != cur + 1:
                 raise CommitConflict(
                     f"CAS failed: expected current v{version - 1}, found v{cur}"

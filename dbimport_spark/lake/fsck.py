@@ -4,30 +4,39 @@ Operational parity with the reference's manage/validation tooling (its
 per-table validation machinery and manual repair commands): verify every
 structural invariant the format relies on WITHOUT scanning data — pure
 metadata + filesystem stats, so it is safe to run against a live table
-and O(#files) cheap at any scale.
+and O(#files) cheap at any scale. The checker itself must survive the
+corruption it audits: malformed metadata becomes an error FINDING, never
+an unhandled exception.
 
 Checks (error = the table lies about something; warn = drift worth GC or
 investigation, nothing is lost):
 
+- metadata files parse (error);
 - referenced-file existence + recorded byte sizes match the filesystem
   (error: a reader will fail or silently read wrong data);
 - snapshot chain: parent_snapshot_id links resolve, versions contiguous
   over retained snapshots (error);
 - watermark monotonicity: ``last_lsn`` never decreases across retained
-  snapshots (error — replay exactly-once depends on it);
-- merge_ts monotonicity: ``last_merge_ts`` strictly increases where
-  present (error — the incremental export watermark depends on it);
-- rename chain: no two current columns share a physical name within any
-  epoch window, schema fields unique (error);
+  snapshots (error — replay exactly-once depends on it), EXCEPT across a
+  declared full reload (``reload`` marker, or the zero-files/no-renames/
+  reset-watermark signature of pre-marker reload snapshots), which
+  resets the baseline;
+- merge_ts monotonicity: ``last_merge_ts`` never decreases where present
+  (equal = inherited by a non-merge commit) (error — the incremental
+  export watermark depends on it);
+- schema name uniqueness at EVERY rename epoch (the backdated schema
+  historical reads use — the same invariant commit() enforces at write
+  time, table.py epoch-collision guard) (error);
 - file epochs within the current rename-epoch range (error);
 - bucket ids within [0, num_buckets) (error);
-- version hint vs newest metadata (warn: stale hint — current() probes
-  forward, but the hint should be refreshed);
+- version hint vs newest metadata (warn behind, error ahead: readers
+  would chase a version the store lacks);
 - sqlite catalog pointer (when catalog.db exists) vs newest metadata
   (warn: one behind = the documented crash window, self-heals on the
   next commit; error: pointer AHEAD of disk — metadata was lost);
-- orphan data files not referenced by any retained snapshot (warn, with
-  total bytes — ``remove_orphan_files`` reclaims them).
+- orphan data files (shared definition with
+  ``maintenance.find_orphan_files`` so audit and GC can never disagree)
+  (warn, with total bytes).
 """
 
 from __future__ import annotations
@@ -38,10 +47,21 @@ from datetime import datetime
 from dbimport_spark.lake.table import LakeTable
 
 
+def _is_reload_boundary(snap) -> bool:
+    if snap.properties.get("reload") == "true":
+        return True
+    # pre-marker reload snapshots: the reset_for_reload signature
+    return (
+        not snap.files
+        and not snap.renames
+        and snap.properties.get("last_lsn") == "-1"
+    )
+
+
 def check_table(table: LakeTable) -> list[dict]:
     """Run every invariant check; returns findings as
     ``{"level": "error"|"warn", "check": ..., "detail": ...}`` (empty =
-    clean)."""
+    clean). Never raises on corrupt metadata — that IS a finding."""
     findings: list[dict] = []
 
     def err(check: str, detail: str) -> None:
@@ -54,7 +74,14 @@ def check_table(table: LakeTable) -> list[dict]:
     if not versions:
         err("snapshots", "no snapshot metadata found")
         return findings
-    snaps = [table.snapshot(v) for v in versions]
+    snaps = []
+    for v in versions:
+        try:
+            snaps.append(table.snapshot(v))
+        except Exception as e:
+            err("metadata", f"v{v}.json unreadable: {type(e).__name__}: {e}")
+    if not snaps:
+        return findings
     cur = snaps[-1]
 
     # -- snapshot chain -------------------------------------------------------
@@ -74,7 +101,14 @@ def check_table(table: LakeTable) -> list[dict]:
     # -- watermark + merge_ts monotonicity -----------------------------------
     prev_lsn, prev_ts = None, None
     for s in snaps:
-        lsn = int(s.properties.get("last_lsn", "-1"))
+        if _is_reload_boundary(s):
+            # declared full reload: watermark and merge_ts restart
+            prev_lsn, prev_ts = None, None
+        try:
+            lsn = int(s.properties.get("last_lsn", "-1"))
+        except ValueError:
+            err("metadata", f"v{s.version}: last_lsn is not an integer")
+            continue
         if prev_lsn is not None and lsn < prev_lsn:
             err(
                 "watermark",
@@ -83,7 +117,11 @@ def check_table(table: LakeTable) -> list[dict]:
         prev_lsn = max(lsn, prev_lsn if prev_lsn is not None else lsn)
         ts = s.properties.get("last_merge_ts")
         if ts is not None:
-            tsv = datetime.fromisoformat(ts)
+            try:
+                tsv = datetime.fromisoformat(ts)
+            except ValueError:
+                err("metadata", f"v{s.version}: last_merge_ts unparseable")
+                continue
             # equal = inherited by a non-merge commit (compaction, rename,
             # repair of other buckets) — only a DECREASE is a violation
             if prev_ts is not None and tsv < prev_ts:
@@ -93,10 +131,24 @@ def check_table(table: LakeTable) -> list[dict]:
                 )
             prev_ts = tsv
 
+    # -- schema uniqueness at every rename epoch ------------------------------
+    # the same invariant commit() enforces for NEW columns (table.py
+    # epoch-collision guard): the backdated schema any epoch's files are
+    # read through must not contain duplicate field names
+    for epoch in range(len(cur.renames) + 1):
+        names = cur.schema.fieldNames()
+        for r in reversed(cur.renames[epoch:]):
+            names = [r["from"] if n == r["to"] else n for n in names]
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        if dupes:
+            err(
+                "schema",
+                f"duplicate column name(s) {dupes} in the backdated schema "
+                f"of rename epoch {epoch} — historical reads of that "
+                "epoch's files break",
+            )
+
     # -- current snapshot structure ------------------------------------------
-    names = cur.schema.fieldNames()
-    if len(names) != len(set(names)):
-        err("schema", "duplicate column names in current schema")
     epoch = len(cur.renames)
     for f in cur.files:
         if not (0 <= f.bucket < cur.num_buckets):
@@ -125,7 +177,11 @@ def check_table(table: LakeTable) -> list[dict]:
         if hint < cur.version:
             warn("hint", f"version hint {hint} behind newest v{cur.version}")
         elif hint > cur.version:
-            err("hint", f"version hint {hint} ahead of newest v{cur.version}")
+            err(
+                "hint",
+                f"version hint {hint} ahead of newest metadata "
+                f"v{cur.version} — committed metadata was lost",
+            )
     except (FileNotFoundError, ValueError):
         warn("hint", "version hint missing/unreadable (current() recovers)")
 
@@ -133,14 +189,16 @@ def check_table(table: LakeTable) -> list[dict]:
     db = os.path.join(table.root, "metadata", "catalog.db")
     if os.path.isfile(db):
         import sqlite3
+        from contextlib import closing
 
+        row = None
         try:
-            row = sqlite3.connect(db).execute(
-                "SELECT version FROM table_pointer WHERE key = ?",
-                (os.path.abspath(os.path.join(table.root, "metadata")),),
-            ).fetchone()
+            with closing(sqlite3.connect(db)) as con:
+                row = con.execute(
+                    "SELECT version FROM table_pointer WHERE key = ?",
+                    (os.path.abspath(os.path.join(table.root, "metadata")),),
+                ).fetchone()
         except sqlite3.Error as e:
-            row = None
             warn("catalog", f"catalog.db unreadable: {e}")
         if row is not None:
             if row[0] > cur.version:
@@ -157,23 +215,19 @@ def check_table(table: LakeTable) -> list[dict]:
                 )
 
     # -- orphan data files ----------------------------------------------------
-    live = {f.path for s in snaps for f in s.files}
-    orphans, orphan_bytes = 0, 0
-    data_dir = os.path.join(table.root, "data")
-    if os.path.isdir(data_dir):
-        for dirpath, _dirs, fs in os.walk(data_dir):
-            for name in fs:
-                if not name.endswith(".parquet"):
-                    continue
-                rel = os.path.relpath(os.path.join(dirpath, name), table.root)
-                if rel not in live:
-                    orphans += 1
-                    orphan_bytes += os.path.getsize(os.path.join(dirpath, name))
+    from dbimport_spark.lake.maintenance import find_orphan_files
+
+    try:
+        orphans = find_orphan_files(table)
+    except Exception as e:
+        orphans = []
+        warn("orphans", f"orphan scan failed: {type(e).__name__}: {e}")
     if orphans:
         warn(
             "orphans",
-            f"{orphans} unreferenced data file(s), {orphan_bytes} bytes — "
-            "remove_orphan_files reclaims them",
+            f"{len(orphans)} unreferenced data file(s), "
+            f"{sum(b for _, b in orphans)} bytes — remove_orphan_files "
+            "reclaims them",
         )
 
     return findings

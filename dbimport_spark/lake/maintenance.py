@@ -24,6 +24,28 @@ from pyspark.sql import functions as F
 from dbimport_spark.lake.table import LakeTable
 
 
+def find_orphan_files(table: LakeTable) -> list[tuple[str, int]]:
+    """Data files referenced by NO retained snapshot, as (absolute path,
+    bytes) — the single definition of "orphan" shared by the GC
+    (``remove_orphan_files``) and the audit (``lake.fsck``), so the two
+    can never disagree about what is referenced."""
+    live: set[str] = set()
+    for v in table.snapshots():
+        live.update(f.path for f in table.snapshot(v).files)
+    out: list[tuple[str, int]] = []
+    data_dir = os.path.join(table.root, "data")
+    if not os.path.isdir(data_dir):
+        return out
+    for dirpath, _dirs, files in os.walk(data_dir):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            p = os.path.join(dirpath, name)
+            if os.path.relpath(p, table.root) not in live:
+                out.append((p, os.path.getsize(p)))
+    return out
+
+
 def remove_orphan_files(table: LakeTable, older_than_seconds: float = 24 * 3600) -> int:
     """Delete data files referenced by NO retained snapshot — the leftovers
     of a writer that crashed between write_data_files and commit (Iceberg
@@ -33,21 +55,13 @@ def remove_orphan_files(table: LakeTable, older_than_seconds: float = 24 * 3600)
     in-flight commit's freshly written files are never swept.
     Returns the number of files removed.
     """
-    live: set[str] = set()
-    for v in table.snapshots():
-        live.update(f.path for f in table.snapshot(v).files)
     cutoff = time.time() - older_than_seconds
     removed = 0
     data_dir = os.path.join(table.root, "data")
-    for dirpath, _dirs, files in os.walk(data_dir):
-        for name in files:
-            p = os.path.join(dirpath, name)
-            rel = os.path.relpath(p, table.root)
-            if rel in live or not name.endswith(".parquet"):
-                continue
-            if os.path.getmtime(p) <= cutoff:
-                os.unlink(p)
-                removed += 1
+    for p, _bytes in find_orphan_files(table):
+        if os.path.getmtime(p) <= cutoff:
+            os.unlink(p)
+            removed += 1
     # sweep commit dirs with no data files left (markers like _SUCCESS
     # don't count as content)
     for sub in os.listdir(data_dir):

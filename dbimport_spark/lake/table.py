@@ -458,6 +458,9 @@ class LakeTable:
         props = dict(cur.properties)
         props.pop("last_merge_ts", None)
         props["last_lsn"] = "-1"
+        # explicit boundary marker: auditors (fsck) must not flag the
+        # watermark/merge_ts reset across a declared reload as corruption
+        props["reload"] = "true"
         props.update(properties or {})
         snap = Snapshot(
             version=cur.version + 1,

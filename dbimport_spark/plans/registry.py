@@ -145,7 +145,7 @@ def replay_all(
             # a disabled table reached by the normal sweep is a benign
             # skip; one EXPLICITLY requested via --only was not replayed
             # as asked — surface that as a failure, not a green no-op
-            if only is not None and name in only:
+            if only is not None:  # the loop filter guarantees name in only
                 results[name] = {"ok": False, "error": "disabled"}
             else:
                 results[name] = {"ok": True, "skipped": "disabled"}

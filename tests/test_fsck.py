@@ -99,3 +99,50 @@ def test_fsck_cli_exit_codes(spark, tmp_path):
         capture_output=True, text=True, cwd="/root/repo", timeout=120,
     )
     assert out.returncode == 1
+
+
+def test_fsck_clean_after_full_reload(spark, tmp_path):
+    """A declared full reload resets the watermark to -1 mid-chain — fsck
+    must treat the reload boundary as a baseline reset, not corruption."""
+    root = str(tmp_path / "t")
+    CDCEngine.create_table(root, num_buckets=4)
+    table = LakeTable.load(root)
+    eng = CDCEngine(spark, table)
+    log = generate_changes(spark, 600, n_keys=40, seed=23)
+    eng.replay(log, num_batches=1)
+    eng.full_reload(log, num_batches=2)
+    assert check_table(table) == []
+
+
+def test_fsck_lost_newest_metadata_reported_not_crash(spark, tmp_path):
+    """The REAL lost-metadata scenario (newest v*.json gone, hint and
+    catalog pointer still ahead) must come back as error findings through
+    the CLI — not a traceback (load()'s current() would raise; fsck uses
+    the plain constructor)."""
+    table = _mk_table(spark, tmp_path, catalog=SqliteCatalog())
+    table.commit([], set(), properties={"noop": "1"})
+    newest = table.snapshots()[-1]
+    os.unlink(os.path.join(table.root, "metadata", f"v{newest}.json"))
+
+    out = subprocess.run(
+        [sys.executable, "-m", "dbimport_spark.cli", "fsck", table.root],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert out.returncode == 1, (out.stdout, out.stderr)
+    doc = json.loads(out.stdout.strip().splitlines()[-1])
+    checks = {(f["check"], f["level"]) for f in doc["findings"]}
+    assert ("hint", "error") in checks  # hint ahead of surviving metadata
+    assert ("catalog", "error") in checks  # pointer ahead too
+
+
+def test_fsck_malformed_metadata_is_finding(spark, tmp_path):
+    """Corrupt snapshot JSON becomes an error finding, never an unhandled
+    exception — the checker survives what it audits."""
+    table = _mk_table(spark, tmp_path)
+    v = table.snapshots()[0]
+    with open(os.path.join(table.root, "metadata", f"v{v}.json"), "w") as fh:
+        fh.write("{ not json")
+    findings = check_table(LakeTable(table.root))
+    assert any(
+        f["check"] == "metadata" and f["level"] == "error" for f in findings
+    ), findings
