@@ -120,6 +120,18 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--expire-keep-last", type=int, default=None)
 
     sp = sub.add_parser(
+        "purge-tombstones",
+        help="drop soft-delete tombstones dead since before the cutoff "
+        "(retention valve; the cutoff must exceed the source's late-"
+        "arrival horizon — a purged key resurrects on older late events)",
+    )
+    sp.add_argument("table_root")
+    sp.add_argument(
+        "--older-than", required=True,
+        help="ISO timestamp cutoff, e.g. 2024-01-01T00:00:00",
+    )
+
+    sp = sub.add_parser(
         "repair",
         help="authoritative key-scoped re-fold: recompute final state for "
         "the keys touched in a lost LSN window from the FULL log (the "
@@ -457,6 +469,12 @@ def main(argv: list[str] | None = None) -> int:
             max_files_per_bucket=args.max_files_per_bucket,
             expire_keep_last=args.expire_keep_last,
         )
+        print(json.dumps(out))
+    elif args.cmd == "purge-tombstones":
+        from dbimport_spark.lake.maintenance import purge_tombstones
+
+        table = LakeTable.load(args.table_root)
+        out = purge_tombstones(spark, table, args.older_than)
         print(json.dumps(out))
     return 0
 

@@ -111,3 +111,81 @@ def compact(
         "files_before": len(snap.files),
         "files_after": len(table.current().files),
     }
+
+
+def purge_tombstones(
+    spark: SparkSession,
+    table: LakeTable,
+    older_than: "str | object",
+) -> dict:
+    """Rewrite buckets dropping soft-delete tombstones dead since before
+    ``older_than`` (ISO string or datetime) — the retention valve a
+    soft-delete table needs at scale: every deleted key otherwise keeps a
+    row forever, so tombstones grow monotonically with churn even when
+    the live set is stable.
+
+    Semantics contract (document to operators):
+
+    - Only rows with ``dl_iud='D'`` AND ``dl_delete_ts <= older_than`` are
+      dropped; live rows and younger tombstones are untouched byte-for-byte.
+    - The purge horizon must exceed the source's maximum late-arrival /
+      re-delivery horizon: a purged key is indistinguishable from a
+      never-seen key afterwards, so a LATE event older than the purge
+      horizon would resurrect it (exactly the absent-row ambiguity
+      ``track_lsn`` tombstones exist to prevent — purging re-opens it for
+      keys dead longer than the horizon, which is the deliberate
+      trade-off; the reference's delete handling has no retention at all).
+    - Incremental exports are unaffected: a tombstone old enough to purge
+      was exported long ago (its dl_update_ts is its dl_delete_ts).
+
+    Bucket-pruned one-pass rewrite, same shape as ``compact``: only
+    buckets that actually hold purgeable tombstones are read and
+    rewritten; commits one atomic snapshot. Returns counts.
+    """
+    from datetime import datetime
+
+    from dbimport_spark.schema import AUDIT_DELETE, AUDIT_IUD
+
+    cutoff = (
+        datetime.fromisoformat(older_than)
+        if isinstance(older_than, str)
+        else older_than
+    )
+    snap = table.current()
+    if AUDIT_DELETE not in snap.schema.fieldNames():
+        raise ValueError(
+            "purge_tombstones requires a soft-delete table (dl_delete_ts)"
+        )
+    purgeable = (F.col(AUDIT_IUD) == "D") & (
+        F.col(AUDIT_DELETE) <= F.lit(cutoff)
+    )
+    # bucket census: one metadata-sized agg finds the buckets to rewrite
+    bexpr = table.bucket_expr(
+        key_col=snap.bucket_column, num_buckets=snap.num_buckets
+    )
+    df = table.read(spark)
+    todo = sorted(
+        r["b"]
+        for r in df.filter(purgeable).select(bexpr.alias("b")).distinct().collect()
+    )
+    if not todo:
+        return {"purged_buckets": 0, "purged_rows": 0}
+
+    sub = table.read(spark, buckets=todo)
+    before = sub.count()
+    out = (
+        sub.filter(~purgeable)
+        .withColumn("_bucket", bexpr)
+        .repartition(len(todo), "_bucket")
+    )
+    version_dir = f"purge-{snap.version + 1}-{uuid.uuid4().hex[:8]}"
+    new_files = table.write_data_files(spark, out, version_dir)
+    kept = sum(f.rows for f in new_files)
+    table.commit(
+        new_files,
+        replaced_buckets=set(todo),
+        properties={"last_tombstone_purge": cutoff.isoformat()},
+        lineage=[{"purge": True, "buckets": todo, "rows_purged": before - kept}],
+        expected_version=snap.version,
+    )
+    return {"purged_buckets": len(todo), "purged_rows": before - kept}

@@ -219,3 +219,61 @@ def test_cli_repair_bad_rename_is_usage_error(tmp_path, capsys):
         )
     assert ei.value.code == 2
     assert "OLD=NEW" in capsys.readouterr().err
+
+
+def test_purge_tombstones_retention(spark, tmp_path):
+    """Soft-delete retention valve: tombstones dead since before the
+    cutoff are dropped; live rows and younger tombstones survive
+    byte-for-byte; replay semantics on surviving keys intact."""
+    import datetime as dt
+
+    from dbimport_spark.lake.maintenance import purge_tombstones
+    from dbimport_spark.schema import AUDIT_DELETE, AUDIT_IUD, CHANGE_SCHEMA
+
+    root = str(tmp_path / "pt")
+    table = CDCEngine.create_table(root, num_buckets=4, soft_delete=True)
+    eng = CDCEngine(spark, table)
+
+    def _row(lsn, op, key, toks, src, ts):
+        return (lsn, op, key, toks, len(toks) if toks else None, src, ts)
+
+    # two deletes with DIFFERENT commit_ts (merge_ts = max batch commit_ts,
+    # so apply in separate batches to give each tombstone its own age)
+    eng.apply_batch(
+        spark.createDataFrame(
+            [
+                _row(1, "I", "old-dead", [1], "web", dt.datetime(2024, 1, 1)),
+                _row(2, "I", "alive", [2], "web", dt.datetime(2024, 1, 1)),
+                _row(3, "I", "new-dead", [3], "web", dt.datetime(2024, 1, 1)),
+                _row(4, "D", "old-dead", None, None, dt.datetime(2024, 1, 2)),
+            ],
+            CHANGE_SCHEMA,
+        ),
+        0,
+        4,
+    )
+    eng.apply_batch(
+        spark.createDataFrame(
+            [_row(5, "D", "new-dead", None, None, dt.datetime(2024, 6, 1))],
+            CHANGE_SCHEMA,
+        ),
+        4,
+        5,
+    )
+    rows = {r["doc_id"]: r for r in table.read(spark).collect()}
+    assert rows["old-dead"][AUDIT_IUD] == "D"
+    assert rows["new-dead"][AUDIT_IUD] == "D"
+
+    out = purge_tombstones(spark, table, "2024-03-01T00:00:00")
+    assert out["purged_rows"] == 1
+    rows = {r["doc_id"]: r for r in table.read(spark).collect()}
+    assert "old-dead" not in rows
+    assert rows["new-dead"][AUDIT_IUD] == "D"  # younger tombstone kept
+    assert rows["alive"]["tokens"] == [2] and rows["alive"][AUDIT_DELETE] is None
+    # idempotent: nothing left to purge at the same cutoff
+    again = purge_tombstones(spark, table, "2024-03-01T00:00:00")
+    assert again == {"purged_buckets": 0, "purged_rows": 0}
+    # hard tables refuse
+    hard = CDCEngine.create_table(str(tmp_path / "h"), num_buckets=2)
+    with pytest.raises(ValueError, match="soft-delete"):
+        purge_tombstones(spark, hard, "2024-01-01T00:00:00")
