@@ -107,15 +107,21 @@ class CASCatalog(Catalog):
     def commit_version(self, meta_dir: str, version: int, payload: dict) -> None:
         key = os.path.abspath(meta_dir)
         with self._lock:
-            # Pointer first; reconcile against disk ONLY when the CAS
-            # would fail: an exception after the metadata rename but
-            # before the pointer advance (e.g. dir fsync ENOSPC) leaves
-            # durable disk state one ahead, and trusting the stale pointer
-            # alone would wedge every later commit in this process. The
-            # happy path stays O(1) — no per-commit LIST (which the
-            # object-store deployment this class models pays for).
+            # Pointer first; reconcile against disk when (a) the catalog
+            # has never seen this table, (b) the CAS would fail, or (c)
+            # the CAS would SUCCEED but the target version already exists
+            # durably — the stale-pointer crash window (exception after
+            # the metadata rename, before the pointer advance): without
+            # (c) a second writer would satisfy the CAS and CLOBBER the
+            # dead writer's published, possibly already-read snapshot.
+            # Happy path cost: one existence stat (HEAD on an object
+            # store), never a per-commit LIST.
             cur = self._versions.get(key)
-            if cur is None or version != cur + 1:
+            if (
+                cur is None
+                or version != cur + 1
+                or os.path.exists(self._meta_path(meta_dir, version))
+            ):
                 cur = max(
                     cur if cur is not None else -1,
                     self._disk_version(meta_dir),

@@ -70,7 +70,21 @@ def check_table(table: LakeTable) -> list[dict]:
     def warn(check: str, detail: str) -> None:
         findings.append({"level": "warn", "check": check, "detail": detail})
 
-    versions = table.snapshots()
+    # tolerant enumeration (table.snapshots() assumes well-formed names):
+    # a stray v-prefixed junk file is a finding, never an abort
+    meta_dir = os.path.join(table.root, "metadata")
+    versions: list[int] = []
+    try:
+        for name in os.listdir(meta_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    versions.append(int(name[1:-5]))
+                except ValueError:
+                    err("metadata", f"stray metadata file {name}")
+    except FileNotFoundError:
+        err("metadata", f"metadata directory missing: {meta_dir}")
+        return findings
+    versions.sort()
     if not versions:
         err("snapshots", "no snapshot metadata found")
         return findings
@@ -134,11 +148,11 @@ def check_table(table: LakeTable) -> list[dict]:
     # -- schema uniqueness at every rename epoch ------------------------------
     # the same invariant commit() enforces for NEW columns (table.py
     # epoch-collision guard): the backdated schema any epoch's files are
-    # read through must not contain duplicate field names
+    # read through must not contain duplicate field names. Uses THE
+    # name-mapping implementation reads use (LakeTable._backdated_schema)
+    # so the audit can never drift from actual read behavior.
     for epoch in range(len(cur.renames) + 1):
-        names = cur.schema.fieldNames()
-        for r in reversed(cur.renames[epoch:]):
-            names = [r["from"] if n == r["to"] else n for n in names]
+        names = LakeTable._backdated_schema(cur, epoch).fieldNames()
         dupes = sorted({n for n in names if names.count(n) > 1})
         if dupes:
             err(

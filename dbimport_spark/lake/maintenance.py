@@ -171,10 +171,15 @@ def purge_tombstones(
     if not todo:
         return {"purged_buckets": 0, "purged_rows": 0}
 
+    # rewritten-row census from snapshot metadata (footer-derived rows per
+    # file) — no extra data pass
+    before = sum(f.rows for f in snap.files if f.bucket in set(todo))
     sub = table.read(spark, buckets=todo)
-    before = sub.count()
+    # three-valued logic guard: a row where the predicate is NULL (e.g. a
+    # defensive dl_iud='D' with NULL dl_delete_ts) must be KEPT, not
+    # silently dropped by filter(~NULL)
     out = (
-        sub.filter(~purgeable)
+        sub.filter(~F.coalesce(purgeable, F.lit(False)))
         .withColumn("_bucket", bexpr)
         .repartition(len(todo), "_bucket")
     )

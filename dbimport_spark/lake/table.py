@@ -414,6 +414,11 @@ class LakeTable:
                     )
         kept = [f for f in cur.files if f.bucket not in replaced_buckets]
         props = dict(cur.properties)
+        # the reload marker is a BOUNDARY property, not table state: only
+        # the reset_for_reload snapshot itself carries it — inheriting it
+        # would make every later snapshot look like a reload boundary to
+        # auditors, silently disabling watermark monotonicity checks
+        props.pop("reload", None)
         props.update(properties or {})
         snap = Snapshot(
             version=cur.version + 1,
@@ -509,7 +514,9 @@ class LakeTable:
                 )
             ),
             files=cur.files,
-            properties=dict(cur.properties),
+            properties={
+                k: v for k, v in cur.properties.items() if k != "reload"
+            },
             lineage=[],
             renames=cur.renames + [{"from": old, "to": new}],
         )

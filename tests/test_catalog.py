@@ -286,3 +286,29 @@ def test_sqlite_catalog_recovers_from_stale_pointer(tmp_path):
     # and a genuinely stale commit still conflicts
     with pytest.raises(CommitConflict):
         fresh.catalog.commit_version(os.path.join(root, "metadata"), 2, {})
+
+
+def test_cas_catalog_stale_pointer_cannot_clobber_published_version(tmp_path):
+    """code-review r4: after a failed pointer advance leaves durable
+    metadata one ahead of the in-process pointer, a second writer whose
+    CAS the stale pointer would satisfy must NOT overwrite the published
+    snapshot — it conflicts and adopts."""
+    root = str(tmp_path / "t8")
+    cat = CASCatalog()
+    t = LakeTable.create(root, SCHEMA, num_buckets=4, catalog=cat)
+    t.commit([], set(), properties={"writer": "A"})  # v1, pointer = 1
+
+    # simulate the crash window: v2.json durably published, pointer stuck
+    meta = os.path.join(root, "metadata")
+    cat.commit_version(meta, 2, {"writer": "dead", "version": 2,
+                                 "snapshot_id": "x", "schema": {"type": "struct", "fields": []},
+                                 "num_buckets": 4, "bucket_column": "doc_id",
+                                 "files": [], "properties": {}, "lineage": []})
+    cat._versions[os.path.abspath(meta)] = 1  # pointer rollback
+
+    with pytest.raises(CommitConflict):
+        cat.commit_version(meta, 2, {"writer": "B"})
+    with open(os.path.join(meta, "v2.json")) as fh:
+        assert json.load(fh)["writer"] == "dead"  # published snapshot intact
+    # the chain continues by adoption
+    cat.commit_version(meta, 3, {"writer": "B"})

@@ -146,3 +146,53 @@ def test_fsck_malformed_metadata_is_finding(spark, tmp_path):
     assert any(
         f["check"] == "metadata" and f["level"] == "error" for f in findings
     ), findings
+
+
+def test_fsck_watermark_check_survives_reload_marker_inheritance(spark, tmp_path):
+    """code-review r4: the reload marker must NOT be inherited by later
+    commits — otherwise every post-reload snapshot looks like a reload
+    boundary and a genuine watermark regression would audit clean."""
+    root = str(tmp_path / "t")
+    CDCEngine.create_table(root, num_buckets=4)
+    table = LakeTable.load(root)
+    eng = CDCEngine(spark, table)
+    log = generate_changes(spark, 600, n_keys=40, seed=27)
+    eng.replay(log, num_batches=1)
+    eng.full_reload(log, num_batches=1)
+    eng.replay(
+        generate_changes(spark, 200, n_keys=40, seed=28, first_lsn=601),
+        num_batches=1,
+    )
+    assert check_table(table) == []
+    # only the reload snapshot itself carries the marker
+    marked = [
+        v
+        for v in table.snapshots()
+        if table.snapshot(v).properties.get("reload") == "true"
+    ]
+    assert len(marked) == 1
+
+    # a POST-reload watermark regression must still be caught
+    newest = table.snapshots()[-1]
+    meta = os.path.join(root, "metadata", f"v{newest}.json")
+    doc = json.load(open(meta))
+    doc["properties"]["last_lsn"] = "3"
+    json.dump(doc, open(meta, "w"))
+    findings = check_table(LakeTable(root))
+    assert any(
+        f["check"] == "watermark" and f["level"] == "error" for f in findings
+    ), findings
+
+
+def test_fsck_tolerates_missing_root_and_stray_files(tmp_path):
+    """code-review r4: a missing table root or a stray v-junk metadata
+    file yields findings, never a traceback."""
+    findings = check_table(LakeTable(str(tmp_path / "nope")))
+    assert findings and findings[0]["check"] == "metadata"
+
+    root = str(tmp_path / "t")
+    CDCEngine.create_table(root, num_buckets=2)
+    with open(os.path.join(root, "metadata", "vJUNK.json"), "w") as fh:
+        fh.write("{}")
+    findings = check_table(LakeTable(root))
+    assert any("stray" in f["detail"] for f in findings)
