@@ -277,3 +277,59 @@ def test_purge_tombstones_retention(spark, tmp_path):
     hard = CDCEngine.create_table(str(tmp_path / "h"), num_buckets=2)
     with pytest.raises(ValueError, match="soft-delete"):
         purge_tombstones(spark, hard, "2024-01-01T00:00:00")
+
+
+def test_cli_schema_diff_dry_run(spark, tmp_path):
+    """schema-diff plans evolution without applying: reports adds on an
+    evolved log (exit 0), refuses a suspected rename (exit 1), and the
+    table is never touched."""
+    log = generate_changes(spark, 300, n_keys=30, seed=15)
+    log_path = str(tmp_path / "sdlog")
+    log.write.parquet(log_path)
+    root = str(tmp_path / "sdt")
+    table = CDCEngine.create_table(root, num_buckets=4)
+    eng = CDCEngine(spark, table)
+    eng.replay(log, num_batches=1)
+    v = table.current().version
+
+    # an evolved log: adds quality_score
+    evolved = generate_changes(
+        spark, 100, n_keys=30, seed=16, first_lsn=301, evolve_at_lsn=300
+    )
+    ev_path = str(tmp_path / "sdlog2")
+    evolved.write.parquet(ev_path)
+    out = subprocess.run(
+        [sys.executable, "-m", "dbimport_spark.cli", "schema-diff", root, ev_path],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    doc = json.loads(out.stdout.strip().splitlines()[-1])
+    assert doc["would_apply"] is True
+    assert doc["adds"] == [{"column": "quality_score", "type": "float"}]
+    assert table.current().version == v  # dry run: nothing applied
+
+    # a renamed column without declaration: refusal, exit 1
+    renamed = spark.read.parquet(log_path).withColumnRenamed("source", "origin")
+    rn_path = str(tmp_path / "sdlog3")
+    renamed.write.parquet(rn_path)
+    out = subprocess.run(
+        [sys.executable, "-m", "dbimport_spark.cli", "schema-diff", root, rn_path],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 1
+    doc = json.loads(out.stdout.strip().splitlines()[-1])
+    assert doc["would_apply"] is False
+    assert "RenameSuspected" in doc["refusal"]
+    # with the rename declared: clean plan — the rename is simulated, NOT
+    # reported as an add, and still nothing is applied
+    out = subprocess.run(
+        [sys.executable, "-m", "dbimport_spark.cli", "schema-diff", root, rn_path,
+         "--rename", "source=origin"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stdout
+    doc = json.loads(out.stdout.strip().splitlines()[-1])
+    assert doc["would_apply"] is True
+    assert doc["declared_renames"] == [{"from": "source", "to": "origin"}]
+    assert doc["adds"] == []
+    assert table.current().version == v
