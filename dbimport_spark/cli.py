@@ -349,7 +349,11 @@ def main(argv: list[str] | None = None) -> int:
             renames=renames,
             rename_check=not args.no_rename_check,
         )
-        changes = spark.read.parquet(args.log_path)
+        # mergeSchema: an evolved multi-segment log's older footers lack
+        # the new columns (and pre-rename segments carry old names) — the
+        # union schema is what the engine's alignment and the schema-diff
+        # planner both reason over, so replay must read the same way
+        changes = spark.read.option("mergeSchema", "true").parquet(args.log_path)
         if args.full_reload:
             stats = eng.full_reload(changes, num_batches=args.batches)
         else:
@@ -485,89 +489,15 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps(out))
     elif args.cmd == "schema-diff":
-        from dbimport_spark.lake.evolve import (
-            RenameSuspected,
-            SchemaEvolutionError,
-            diff_payload_schema,
-        )
-        from dbimport_spark.plans.engine import LOG_BOOKKEEPING
-        from dbimport_spark.schema import AUDIT_SOURCE
-
+        # the planner IS the engine's own dry-run (CDCEngine.plan_evolution
+        # reuses apply_batch's guards in order) — the CLI only reads the
+        # log the same way replay does and prints the report
         table = LakeTable.load(args.table_root)
         eng = CDCEngine(
             spark, table, renames=dict(r.split("=", 1) for r in args.rename)
         )
         batch = spark.read.option("mergeSchema", "true").parquet(args.log_path)
-        snap = table.current()
-        # simulate the declared renames apply_batch would perform first
-        # (names only — this is a dry run, nothing committed)
-        from pyspark.sql import types as T
-
-        schema = snap.schema
-        applied_renames = []
-        for old, new in eng.renames.items():
-            names = schema.fieldNames()
-            if old in names and new not in names and new in batch.columns:
-                schema = T.StructType(
-                    [
-                        T.StructField(
-                            new if f.name == old else f.name,
-                            f.dataType, f.nullable, f.metadata,
-                        )
-                        for f in schema.fields
-                    ]
-                )
-                applied_renames.append({"from": old, "to": new})
-        former = {
-            n for f in schema.fields for n in eng._former_names(f.name)
-        } | {r["from"] for r in applied_renames}
-        report: dict = {
-            "table_version": snap.version,
-            "declared_renames": applied_renames,
-        }
-        try:
-            delta = diff_payload_schema(
-                schema,
-                batch.schema,
-                ignore=LOG_BOOKKEEPING | former,
-                engine_cols=(
-                    {AUDIT_SOURCE}
-                    if snap.properties.get("source_label")
-                    else None
-                ),
-            )
-            key_widened = sorted(
-                f.name for f in delta.widened if f.name in eng.keys
-            )
-            report.update(
-                {
-                    "adds": [
-                        {"column": f.name, "type": f.dataType.simpleString()}
-                        for f in delta.added
-                    ],
-                    "widenings": [
-                        {"column": f.name, "to": f.dataType.simpleString()}
-                        for f in delta.widened
-                    ],
-                    "comment_changes": [c for c, _ in delta.commented],
-                    "coalesced_former_names": sorted(
-                        n for n in former if n in batch.columns
-                    ),
-                    "refusal": (
-                        "key type widening — requires full reload"
-                        if key_widened
-                        else None
-                    ),
-                    "would_apply": not key_widened,
-                }
-            )
-        except (RenameSuspected, SchemaEvolutionError) as e:
-            report.update(
-                {
-                    "refusal": f"{type(e).__name__}: {e}",
-                    "would_apply": False,
-                }
-            )
+        report = eng.plan_evolution(batch.schema)
         print(json.dumps(report))
         return 0 if report.get("would_apply") else 1
     elif args.cmd == "purge-tombstones":

@@ -64,7 +64,10 @@ class Catalog:
         if os.path.isdir(meta_dir):
             for name in os.listdir(meta_dir):
                 if name.startswith("v") and name.endswith(".json"):
-                    latest = max(latest, int(name[1:-5]))
+                    try:
+                        latest = max(latest, int(name[1:-5]))
+                    except ValueError:
+                        continue  # stray file; fsck reports it
         return latest
 
 

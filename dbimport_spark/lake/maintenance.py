@@ -173,7 +173,8 @@ def purge_tombstones(
 
     # rewritten-row census from snapshot metadata (footer-derived rows per
     # file) — no extra data pass
-    before = sum(f.rows for f in snap.files if f.bucket in set(todo))
+    todo_set = set(todo)
+    before = sum(f.rows for f in snap.files if f.bucket in todo_set)
     sub = table.read(spark, buckets=todo)
     # three-valued logic guard: a row where the predicate is NULL (e.g. a
     # defensive dl_iud='D' with NULL dl_delete_ts) must be KEPT, not

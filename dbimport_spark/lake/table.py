@@ -207,7 +207,10 @@ class LakeTable:
         out = []
         for name in os.listdir(self._meta_dir):
             if name.startswith("v") and name.endswith(".json"):
-                out.append(int(name[1:-5]))
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    continue  # stray file; fsck reports it, readers skip it
         return sorted(out)
 
     @property
@@ -277,6 +280,30 @@ class LakeTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    @staticmethod
+    def check_epoch_collisions(cur: "Snapshot", new_schema: T.StructType) -> None:
+        """A new column name must not collide with any existing column's
+        PHYSICAL name at any historical rename epoch: the backdated
+        schema for that epoch's files would then contain duplicate field
+        names and every historical read would break. Walking the full
+        chain per epoch handles transitive renames (a->b then b->c:
+        adding 'a' collides with c's epoch-0 physical name even though no
+        single rename pair is (a, c)). Shared by ``commit()`` (the
+        enforcing call) and the dry-run evolution planner, so the plan
+        can never green-light a commit this guard would refuse."""
+        for epoch in range(len(cur.renames)):
+            names = new_schema.fieldNames()
+            for r in reversed(cur.renames[epoch:]):
+                names = [r["from"] if n == r["to"] else n for n in names]
+            dupes = sorted({n for n in names if names.count(n) > 1})
+            if dupes:
+                raise ValueError(
+                    f"cannot add column(s) {dupes}: each is the physical "
+                    f"name of an existing column in epoch-{epoch} data "
+                    "files (renamed away since) — historical reads would "
+                    "see duplicate fields. Pick a different name."
+                )
 
     @staticmethod
     def _backdated_schema(snap: Snapshot, epoch: int) -> T.StructType:
@@ -393,25 +420,7 @@ class LakeTable:
         if expected_version is not None and cur.version != expected_version:
             raise CommitConflict(f"expected v{expected_version}, found v{cur.version}")
         if new_schema is not None and cur.renames:
-            # a new column name must not collide with any existing column's
-            # PHYSICAL name at any historical rename epoch: the backdated
-            # schema for that epoch's files would then contain duplicate
-            # field names and every historical read would break. Walking the
-            # full chain per epoch handles transitive renames (a->b then
-            # b->c: adding 'a' collides with c's epoch-0 physical name even
-            # though no single rename pair is (a, c)).
-            for epoch in range(len(cur.renames)):
-                names = new_schema.fieldNames()
-                for r in reversed(cur.renames[epoch:]):
-                    names = [r["from"] if n == r["to"] else n for n in names]
-                dupes = sorted({n for n in names if names.count(n) > 1})
-                if dupes:
-                    raise ValueError(
-                        f"cannot add column(s) {dupes}: each is the physical "
-                        f"name of an existing column in epoch-{epoch} data "
-                        "files (renamed away since) — historical reads would "
-                        "see duplicate fields. Pick a different name."
-                    )
+            self.check_epoch_collisions(cur, new_schema)
         kept = [f for f in cur.files if f.bucket not in replaced_buckets]
         props = dict(cur.properties)
         # the reload marker is a BOUNDARY property, not table state: only

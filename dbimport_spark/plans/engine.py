@@ -338,6 +338,147 @@ class CDCEngine:
                 out.append(src)
         return out
 
+    # -- dry-run evolution planner -------------------------------------------
+
+    def plan_evolution(self, batch_schema: "T.StructType") -> dict:
+        """DRY RUN of every schema decision ``apply_batch`` would make for
+        a batch of this schema — declared-rename simulation, former-name
+        type safety, the evolution diff (adds/widenings/comments), the
+        merge-key widening refusal, and the commit-time epoch-collision
+        guard — in the SAME order, using the same primitives, committing
+        nothing. The reference logs its planned ALTERs the same way before
+        running them.
+
+        Returns a report dict; ``report["would_apply"]`` is False whenever
+        the real replay would refuse, with the refusal message in
+        ``report["refusal"]``.
+        """
+        from dbimport_spark.lake.evolve import (
+            RenameSuspected,
+            compare_types,
+            evolve_schema,
+        )
+        from dbimport_spark.schema import AUDIT_SOURCE as _AUD_SRC
+
+        snap = self.table.current()
+        batch_names = set(batch_schema.fieldNames())
+        bschema = {f.name: f for f in batch_schema.fields}
+
+        # 1. declared renames, simulated name-only (apply_batch commits
+        # them as metadata renames before anything else)
+        schema = snap.schema
+        applied_renames = []
+        cur_names = set(schema.fieldNames())
+        for old, new in self.renames.items():
+            if old in cur_names and new not in cur_names and new in batch_names:
+                schema = T.StructType(
+                    [
+                        T.StructField(
+                            new if f.name == old else f.name,
+                            f.dataType, f.nullable, f.metadata,
+                        )
+                        for f in schema.fields
+                    ]
+                )
+                cur_names.discard(old)
+                cur_names.add(new)
+                applied_renames.append({"from": old, "to": new})
+        # the simulated renames extend the historical chain the collision
+        # guard walks
+        sim_snap_renames = snap.renames + applied_renames
+
+        report: dict = {
+            "table_version": snap.version,
+            "declared_renames": applied_renames,
+            "would_apply": True,
+            "refusal": None,
+        }
+
+        def refuse(msg: str) -> dict:
+            report["would_apply"] = False
+            report["refusal"] = msg
+            return report
+
+        # 2. former-name type safety — the alignment-time check
+        # (_source_expr raises for wider/incompatible former columns)
+        former_cols: set[str] = set()
+        for f in schema.fields:
+            # walk the DECLARED map against the simulated current names,
+            # matching _former_names' transitive frontier
+            frontier, formers = [f.name], []
+            while frontier:
+                c = frontier.pop()
+                for old, new in self.renames.items():
+                    if new == c and old not in formers:
+                        formers.append(old)
+                        frontier.append(old)
+            for c in formers:
+                former_cols.add(c)
+                if c in bschema and compare_types(
+                    f.dataType, bschema[c].dataType
+                ) in ("incompatible", "widen"):
+                    return refuse(
+                        f"SchemaEvolutionError: former-name column {c!r} "
+                        f"(rename source of {f.name!r}) has incompatible "
+                        f"or wider type "
+                        f"{bschema[c].dataType.simpleString()} vs "
+                        f"{f.dataType.simpleString()} — declare a full "
+                        "reload"
+                    )
+
+        # 3. the evolution diff (raises on suspected renames and
+        # incompatible type changes, exactly as apply_batch's does)
+        try:
+            delta = diff_payload_schema(
+                schema,
+                batch_schema,
+                ignore=LOG_BOOKKEEPING | former_cols,
+                check_renames=self.rename_check,
+                engine_cols=(
+                    {_AUD_SRC} if snap.properties.get("source_label") else None
+                ),
+            )
+        except (RenameSuspected, SchemaEvolutionError) as e:
+            return refuse(f"{type(e).__name__}: {e}")
+
+        report.update(
+            {
+                "adds": [
+                    {"column": f.name, "type": f.dataType.simpleString()}
+                    for f in delta.added
+                ],
+                "widenings": [
+                    {"column": f.name, "to": f.dataType.simpleString()}
+                    for f in delta.widened
+                ],
+                "comment_changes": [c for c, _ in delta.commented],
+                "coalesced_former_names": sorted(
+                    n for n in former_cols if n in batch_names
+                ),
+            }
+        )
+
+        # 4. merge-key widening refusal
+        key_widened = sorted(f.name for f in delta.widened if f.name in self.keys)
+        if key_widened:
+            return refuse(
+                f"SchemaEvolutionError: type widening on merge/bucket key "
+                f"column(s) {key_widened} — requires full_reload"
+            )
+
+        # 5. commit-time epoch-collision guard on the evolved schema
+        if delta.added and sim_snap_renames:
+            from dataclasses import replace as _dc_replace
+
+            try:
+                self.table.check_epoch_collisions(
+                    _dc_replace(snap, renames=sim_snap_renames),
+                    evolve_schema(schema, delta),
+                )
+            except ValueError as e:
+                return refuse(f"ValueError: {e}")
+        return report
+
     # -- single batch --------------------------------------------------------
 
     def apply_batch(self, batch: DataFrame, lo: int, hi: int) -> BatchStats:

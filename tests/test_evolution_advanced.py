@@ -683,3 +683,53 @@ def test_former_name_wider_type_refused(spark, tmp_path):
     ).withColumn("n_tok", F.col("n_tok").cast("bigint"))
     with pytest.raises(SchemaEvolutionError, match="wider"):
         eng.apply_batch(b3, 2, 3)
+
+
+def test_plan_evolution_matches_apply_refusals(spark, tmp_path):
+    """code-review r4: the dry-run planner must refuse EVERYTHING the real
+    replay refuses — former-name wider types and epoch-collision adds
+    included — and green-light what replay accepts."""
+    table = CDCEngine.create_table(str(tmp_path / "pe"), num_buckets=4)
+    eng = CDCEngine(spark, table, renames={"n_tok": "tok_n"})
+    b1 = spark.createDataFrame(
+        [_row(1, "I", "k1", [1], "web", dt.datetime(2024, 1, 1))], CHANGE_SCHEMA
+    )
+    assert eng.plan_evolution(b1.schema)["would_apply"] is True
+    eng.apply_batch(b1, 0, 1)
+
+    # declared rename: simulated, not an add
+    b2 = spark.createDataFrame(
+        [_row(2, "I", "k2", [2], "web", dt.datetime(2024, 1, 2))], CHANGE_SCHEMA
+    ).withColumnRenamed("n_tok", "tok_n")
+    rep = eng.plan_evolution(b2.schema)
+    assert rep["would_apply"] is True
+    assert rep["declared_renames"] == [{"from": "n_tok", "to": "tok_n"}]
+    assert rep["adds"] == []
+    eng.apply_batch(b2, 1, 2)
+
+    # former name back WIDER: planner refuses exactly like alignment does
+    b3 = spark.createDataFrame(
+        [_row(3, "I", "k3", [3], "web", dt.datetime(2024, 1, 3))], CHANGE_SCHEMA
+    ).withColumn("n_tok", F.col("n_tok").cast("bigint"))
+    rep = eng.plan_evolution(b3.schema)
+    assert rep["would_apply"] is False and "wider" in rep["refusal"]
+
+    # add colliding with a historical physical name: planner refuses with
+    # the commit guard's message (batch carries BOTH tok_n and a re-added
+    # n_tok of a DIFFERENT type so the rename heuristic cannot fire)
+    b4 = spark.createDataFrame(
+        [(4, "I", "k4", [4], 1, "s", "web", dt.datetime(2024, 1, 4))],
+        "lsn long, op string, doc_id string, tokens array<int>, "
+        "tok_n int, n_tok string, source string, commit_ts timestamp",
+    )
+    rep = CDCEngine(spark, table).plan_evolution(b4.schema)
+    assert rep["would_apply"] is False
+    assert "physical name" in rep["refusal"]
+
+    # incompatible key type: refused
+    b5_schema = (
+        "lsn long, op string, doc_id int, tokens array<int>, tok_n int, "
+        "source string, commit_ts timestamp"
+    )
+    rep = eng.plan_evolution(spark.createDataFrame([], b5_schema).schema)
+    assert rep["would_apply"] is False
