@@ -6,13 +6,15 @@ Beyond-the-reference operators a large-scale LLM training pipeline needs
 - ``pack_sequences`` — concat-and-chunk sequence packing: documents are
   concatenated per stratum in a deterministic total order and chunked into
   fixed context-length windows (the standard LLM pretraining packing).
-  Implemented as a DISTRIBUTED exact prefix sum: a per-partition window
+  Implemented as a DISTRIBUTED exact prefix sum: a per-stratum window
   would bottleneck on one task per stratum, so the cumsum is two-phase —
-  range-partition by (stratum, id), per-(partition, stratum) totals
-  (metadata-sized collect), running offsets broadcast back, and a
-  bounded-size window per partition. The result depends only on the global
-  order, not on where partition boundaries land, so the output is
-  deterministic and SQL-replicable (one window cumsum in the oracle).
+  explicit (stratum, id) range boundaries computed once on the driver and
+  inlined as literals (so every job derives the same bucket id with zero
+  materialized state), per-(bucket, stratum) totals (metadata-sized
+  collect), running offsets broadcast back, and a bounded-size window per
+  bucket. The result depends only on the global order, not on where
+  boundaries land, so the output is deterministic and SQL-replicable (one
+  window cumsum in the oracle).
 
 - ``stratified_sample`` — deterministic per-stratum sampling by hash
   threshold: keep a row iff ``md5(id|seed)`` maps under the stratum's
@@ -56,18 +58,49 @@ def pack_sequences(
     """
     spark = df.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
-    d = (
-        df.select(part_col, id_col, len_col)
-        .repartitionByRange(nparts, F.col(part_col), F.col(id_col))
-        .withColumn("_pid", F.spark_partition_id())
-        # MATERIALIZE before fanning out to two jobs: range-partition
-        # boundaries come from sampling and are not guaranteed identical
-        # across executions — without this, a boundary row could land in
-        # partition 7 for the totals job but partition 8 for the join job,
-        # mis-aligning offsets. localCheckpoint pins one concrete
-        # partitioning both phases read.
-        .localCheckpoint(eager=True)
-    )
+    base = df.select(part_col, id_col, len_col)
+    # EXPLICIT range boundaries, computed once on the driver and inlined as
+    # literals: both downstream jobs (the totals aggregate and the final
+    # join+window) derive _pid from the same frozen boundary set, so they
+    # agree by construction. This replaces the earlier
+    # repartitionByRange + spark_partition_id + localCheckpoint pin: range
+    # boundaries from Spark's sampler are not guaranteed identical across
+    # job executions, and materializing the frame to freeze them costs a
+    # full executor-memory copy of the (3-column) input. Two pruned scans
+    # plus a metadata-sized boundary list is the cheaper trade at scale —
+    # and the result is identical either way, because the packing depends
+    # only on the global (stratum, id) order, not on where boundaries land.
+    n = base.count()
+    bounds: list = []
+    if n > nparts:
+        want = max(nparts * 20, 200)
+        frac = min(1.0, want / n * 1.2)
+        keys = sorted(
+            (r[0], r[1])
+            for r in base.select(part_col, id_col)
+            .where(F.col(id_col).isNotNull() & F.col(part_col).isNotNull())
+            .sample(False, frac, seed=42)
+            .collect()
+        )
+        if keys:
+            step = max(1, len(keys) // nparts)
+            bounds = sorted(set(keys[i] for i in range(step, len(keys), step)))[
+                : nparts - 1
+            ]
+    key = F.struct(F.col(part_col).alias("s"), F.col(id_col).alias("i"))
+    if bounds:
+        barr = F.array(
+            *[
+                F.struct(F.lit(s).alias("s"), F.lit(i).alias("i"))
+                for s, i in bounds
+            ]
+        )
+        # rank of the row's key among the boundary literals: O(|bounds|)
+        # struct comparisons inside codegen, no shuffle, no state
+        pid = F.size(F.filter(barr, lambda b: key >= b)).cast("int")
+    else:
+        pid = F.lit(0)
+    d = base.withColumn("_pid", pid)
     # phase 1: per-(partition, stratum) token totals — ≤ nparts × strata
     # rows, metadata-sized by construction
     totals = d.groupBy("_pid", part_col).agg(F.sum(len_col).alias("_t")).collect()
@@ -136,9 +169,18 @@ def stratified_sample(
     bucket falls under its stratum's permille rate. Re-runs, re-orderings
     and re-partitionings select the SAME rows (no RNG state), and adding a
     stratum later never changes previous strata's selections."""
-    rate = F.lit(default_permille)
-    for stratum, permille in sorted(rates_permille.items()):
-        rate = F.when(F.col(part_col) == stratum, F.lit(permille)).otherwise(rate)
+    if rates_permille:
+        # one map-literal lookup per row (O(1) regardless of stratum count)
+        # instead of a chained CASE WHEN — thousands of strata stay cheap
+        pairs: list = []
+        for stratum, permille in sorted(rates_permille.items()):
+            pairs += [F.lit(stratum), F.lit(int(permille))]
+        rate = F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col(part_col).cast("string")),
+            F.lit(default_permille),
+        )
+    else:
+        rate = F.lit(default_permille)
     return df.filter(hash_bucket(F.col(id_col), seed) < rate)
 
 
