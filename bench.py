@@ -90,10 +90,16 @@ def main() -> None:
         "loggen_write",
         lambda: write_changes(
             generate_changes(
-                spark, n_events, n_keys=n_keys, seed=42, tokens_min=32, tokens_max=128
+                spark,
+                n_events,
+                n_keys=n_keys,
+                seed=42,
+                tokens_min=32,
+                tokens_max=128,
+                num_partitions=max(cpus * 2, 16),
             ),
             log_path,
-            n_files=max(cpus * 2, 16),
+            presorted=True,  # spark.range partitions are contiguous lsn ranges
         ),
     )
     changes = spark.read.parquet(log_path)

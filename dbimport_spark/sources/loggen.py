@@ -38,6 +38,7 @@ def generate_changes(
     hot_event_fraction: float = 0.10,
     evolve_at_lsn: int | None = None,
     first_lsn: int = 1,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Build the change log [first_lsn, first_lsn + n_events) as a DataFrame.
 
@@ -48,7 +49,12 @@ def generate_changes(
     null payload. A fraction of events lands on a small hot key set to
     exercise skew handling (salting / AQE).
     """
-    df = spark.range(first_lsn, first_lsn + n_events).withColumnRenamed("id", "lsn")
+    # spark.range partitions are CONTIGUOUS ascending id ranges — with
+    # num_partitions set, the output is already range-partitioned and
+    # lsn-sorted, so write_changes(presorted=True) can skip the shuffle
+    df = spark.range(
+        first_lsn, first_lsn + n_events, 1, num_partitions
+    ).withColumnRenamed("id", "lsn")
     lsn = F.col("lsn")
 
     n_hot = max(1, int(n_keys * hot_key_fraction))
@@ -103,14 +109,26 @@ def generate_changes(
     return out
 
 
-def write_changes(df: DataFrame, path: str, n_files: int = 32) -> None:
+def write_changes(
+    df: DataFrame, path: str, n_files: int = 32, presorted: bool = False
+) -> None:
     """Persist a change log as parquet, range-partitioned and sorted by lsn.
 
     Range partitioning + in-file ordering gives parquet row-group min/max
     stats on lsn, so watermark scans (lsn > lo AND lsn <= hi) prune files —
     the engine-side analogue of the reference pushing its watermark WHERE
     into the source query (reference import_operations.py:1316-1321).
+
+    ``presorted=True`` asserts the frame is ALREADY range-partitioned and
+    ascending in lsn (true for ``generate_changes(num_partitions=...)``,
+    whose spark.range partitions are contiguous id ranges) and writes it
+    as-is: the default path shuffles the full token payload through a
+    range exchange plus a sort, which at log scale moves every byte of
+    the log twice for an ordering the generator can provide for free.
     """
+    if presorted:
+        df.write.mode("overwrite").parquet(path)
+        return
     (
         df.repartitionByRange(n_files, "lsn")
         .sortWithinPartitions("lsn")

@@ -53,3 +53,36 @@ def test_hot_key_skew(spark):
     )
     # hot set = 10 keys absorbing ~50% of events
     assert sum(r["count"] for r in top) > 0.4 * 20000
+
+
+def test_presorted_write_equals_shuffled_write(spark, tmp_path):
+    """The no-shuffle write path (generator partitions are contiguous lsn
+    ranges) must produce the same log content as the default
+    repartitionByRange+sort path, with per-file lsn ranges disjoint and
+    ascending within each file (parquet min/max stats stay prunable)."""
+    import os
+
+    from dbimport_spark.sources.loggen import write_changes
+
+    a_path, b_path = str(tmp_path / "a"), str(tmp_path / "b")
+    write_changes(
+        generate_changes(spark, 3000, n_keys=100, seed=9), a_path, n_files=4
+    )
+    write_changes(
+        generate_changes(spark, 3000, n_keys=100, seed=9, num_partitions=4),
+        b_path,
+        presorted=True,
+    )
+    a = sorted(spark.read.parquet(a_path).collect(), key=lambda r: r["lsn"])
+    b = sorted(spark.read.parquet(b_path).collect(), key=lambda r: r["lsn"])
+    assert a == b
+    ranges = []
+    for f in sorted(os.listdir(b_path)):
+        if not f.endswith(".parquet"):
+            continue
+        lsns = [r["lsn"] for r in spark.read.parquet(os.path.join(b_path, f)).collect()]
+        assert lsns == sorted(lsns)  # ascending within the file
+        ranges.append((min(lsns), max(lsns)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint ranges across files
