@@ -168,6 +168,25 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("new")
 
     sp = sub.add_parser(
+        "changes",
+        help="change data feed: emit the row-level changes committed "
+        "between two table versions (the engine as a CDC source; reads "
+        "only files not shared between the snapshots)",
+    )
+    sp.add_argument("table_root")
+    sp.add_argument("--from-version", type=int, required=True)
+    sp.add_argument("--to-version", type=int, default=None)
+    sp.add_argument(
+        "--per-commit", action="store_true",
+        help="one diff per committed version instead of the net window diff",
+    )
+    sp.add_argument(
+        "--preimage", action="store_true",
+        help="carry _pre_<col> pre-image columns on update rows (net mode)",
+    )
+    sp.add_argument("--out", default=None, help="write parquet here instead of counting")
+
+    sp = sub.add_parser(
         "fsck",
         help="metadata-only consistency audit: snapshot chain, watermark "
         "monotonicity, file existence/sizes, rename epochs, catalog "
@@ -500,6 +519,38 @@ def main(argv: list[str] | None = None) -> int:
         report = eng.plan_evolution(batch.schema)
         print(json.dumps(report))
         return 0 if report.get("would_apply") else 1
+    elif args.cmd == "changes":
+        from dbimport_spark.lake.cdf import table_changes, table_changes_per_commit
+
+        table = LakeTable.load(args.table_root)
+        if args.per_commit:
+            df = table_changes_per_commit(
+                spark, table, args.from_version, args.to_version
+            )
+        else:
+            df = table_changes(
+                spark, table, args.from_version, args.to_version,
+                include_preimage=args.preimage,
+            )
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            df = spark.read.parquet(args.out)  # counts from the written feed
+        counts = {
+            r["_change_type"]: r["count"]
+            for r in df.groupBy("_change_type").count().collect()
+        }
+        print(
+            json.dumps(
+                {
+                    "from_version": args.from_version,
+                    "to_version": args.to_version
+                    if args.to_version is not None
+                    else table.current().version,
+                    "changes": counts,
+                    "out": args.out,
+                }
+            )
+        )
     elif args.cmd == "purge-tombstones":
         from dbimport_spark.lake.maintenance import purge_tombstones
 

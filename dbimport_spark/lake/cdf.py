@@ -1,0 +1,211 @@
+"""Change data feed: emit a changelog by diffing two table snapshots.
+
+The engine is a CDC *sink* (log -> table); this module makes it a CDC
+*source* too — downstream consumers read the net row-level changes
+between two committed versions as (op, key, payload) rows, the
+Iceberg-incremental-read / Delta-CDF analogue of the reference exposing
+its import tables to downstream exports (reference
+copy_operations.py — the "copy to other cluster" stage ships exactly
+the rows a version window changed).
+
+Scale design (the part that matters at 100 TB):
+
+- **File-level pruning from metadata alone.** A data file shared by both
+  snapshots (same immutable path) contributes identical rows to both
+  sides, so it can never produce a diff row — only files unique to one
+  snapshot are read (``snapshot_diff_files``). The engine rewrites
+  whole buckets on merge, so between two adjacent versions this reads
+  ~2x the touched buckets' bytes and ZERO bytes for untouched buckets;
+  no full-table scan, ever. Pinned by ``tests/test_cdf.py`` against
+  ``df.inputFiles()``.
+- **One key-hash shuffle.** The two pruned sides full-outer join on the
+  merge key; everything else (liveness classification, null-safe
+  payload comparison) is a Catalyst projection on the joined row. AQE
+  broadcasts the small side when one version barely changed.
+- **Audit columns are excluded from the comparison** (they change on
+  every merge even when content doesn't) — except ``dl_delete_ts``,
+  whose null/non-null transition IS the soft-delete signal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbimport_spark.schema import AUDIT_COLUMNS, AUDIT_DELETE
+from dbimport_spark.lake.table import DataFile, LakeTable, Snapshot
+
+CHANGE_TYPE_COL = "_change_type"
+COMMIT_VERSION_COL = "_commit_version"
+
+
+def snapshot_diff_files(
+    snap_a: Snapshot, snap_b: Snapshot
+) -> tuple[list[DataFile], list[DataFile]]:
+    """Files unique to each snapshot (shared paths pruned, metadata-only).
+
+    Data files are immutable and never renamed (``write_data_files``), so
+    path identity is content identity: a path in both snapshots holds the
+    same rows on both sides and cannot contribute to the diff.
+    """
+    paths_a = {f.path for f in snap_a.files}
+    paths_b = {f.path for f in snap_b.files}
+    only_a = [f for f in snap_a.files if f.path not in paths_b]
+    only_b = [f for f in snap_b.files if f.path not in paths_a]
+    return only_a, only_b
+
+
+def _align_to(
+    df: DataFrame, from_snap: Snapshot, to_snap: Snapshot
+) -> DataFrame:
+    """Project an older snapshot's rows to the newer snapshot's schema:
+    renames applied in the window are mapped old-name -> new-name,
+    columns added in the window come through as nulls, widened columns
+    are cast up. Mirrors how ``LakeTable.read`` maps old files to the
+    current names, but across VERSIONS instead of file epochs."""
+    mapping: dict[str, str] = {}
+    for r in to_snap.renames[len(from_snap.renames):]:
+        # chain transitive renames within the window (a->b then b->c)
+        src = next((k for k, v in mapping.items() if v == r["from"]), r["from"])
+        mapping[src] = r["to"]
+    have = {mapping.get(c, c): c for c in df.columns}
+    return df.select(
+        *[
+            (
+                F.col(have[f.name]).cast(f.dataType).alias(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+            )
+            for f in to_snap.schema.fields
+        ]
+    )
+
+
+def table_changes(
+    spark: SparkSession,
+    table: LakeTable,
+    from_version: int,
+    to_version: int | None = None,
+    include_preimage: bool = False,
+) -> DataFrame:
+    """Net row-level changes committed after ``from_version`` up to and
+    including ``to_version`` (default: current).
+
+    Returns the payload columns (at ``to_version``'s names/types) plus
+    ``_change_type`` ('insert' | 'update' | 'delete') and
+    ``_commit_version`` (= ``to_version``). Delete rows carry the last
+    known payload from the FROM side. With ``include_preimage``, update
+    rows additionally carry every payload column's pre-image as
+    ``_pre_<col>``.
+
+    Soft-deleted rows (``dl_delete_ts`` set) count as absent: a
+    live->dead transition emits 'delete', dead->live emits 'insert'
+    (revival), dead->dead emits nothing even if the tombstone payload
+    moved.
+    """
+    snap_a = table.snapshot(from_version)
+    snap_b = (
+        table.current() if to_version is None else table.snapshot(to_version)
+    )
+    if snap_b.version < snap_a.version:
+        raise ValueError(
+            f"to_version {snap_b.version} precedes from_version {snap_a.version}"
+        )
+
+    keys = (
+        list(snap_b.bucket_column)
+        if isinstance(snap_b.bucket_column, list)
+        else [snap_b.bucket_column]
+    )
+    payload_cols = [
+        f.name for f in snap_b.schema.fields if f.name not in AUDIT_COLUMNS
+    ]
+    value_cols = [c for c in payload_cols if c not in keys]
+    soft = AUDIT_DELETE in snap_b.schema.fieldNames()
+
+    only_a, only_b = snapshot_diff_files(snap_a, snap_b)
+    keep = payload_cols + ([AUDIT_DELETE] if soft else [])
+    side_a = _align_to(
+        table.read_files(spark, snap_a, only_a), snap_a, snap_b
+    ).select(*keep)
+    side_b = table.read_files(spark, snap_b, only_b).select(*keep)
+
+    a = side_a.alias("a")
+    b = side_b.alias("b")
+    joined = a.join(
+        b, on=[F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}")) for k in keys],
+        how="full_outer",
+    )
+
+    # presence := row exists on that side AND (hard-delete tables: always
+    # live) AND (soft tables: tombstone not set). Key columns are non-null
+    # by engine invariant, so key-null marks side absence after the join.
+    def live(side: str):
+        present = F.col(f"{side}.{keys[0]}").isNotNull()
+        if soft:
+            present = present & F.col(f"{side}.{AUDIT_DELETE}").isNull()
+        return present
+
+    changed = F.lit(False)
+    for c in value_cols:
+        changed = changed | ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+
+    change_type = (
+        F.when(live("b") & ~live("a"), F.lit("insert"))
+        .when(live("a") & ~live("b"), F.lit("delete"))
+        .when(live("a") & live("b") & changed, F.lit("update"))
+    )
+
+    # payload: B side for insert/update, A side (last known) for delete
+    out_cols = [
+        F.when(change_type == "delete", F.col(f"a.{c}"))
+        .otherwise(F.col(f"b.{c}"))
+        .alias(c)
+        for c in payload_cols
+    ]
+    if include_preimage:
+        out_cols += [
+            F.when(change_type == "update", F.col(f"a.{c}"))
+            .alias(f"_pre_{c}")
+            for c in payload_cols
+        ]
+    out_cols += [
+        change_type.alias(CHANGE_TYPE_COL),
+        F.lit(snap_b.version).alias(COMMIT_VERSION_COL),
+    ]
+    return joined.select(*out_cols).filter(F.col(CHANGE_TYPE_COL).isNotNull())
+
+
+def table_changes_per_commit(
+    spark: SparkSession,
+    table: LakeTable,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Per-commit changelog: one ``table_changes`` diff per consecutive
+    version pair in (from_version, to_version], unioned, each stamped
+    with its own ``_commit_version``. The driver loop is over COMMITTED
+    VERSIONS (metadata-sized, bounded by snapshot retention), never over
+    data; each pair's diff keeps the file-level pruning, so total bytes
+    read ~= bytes written in the window."""
+    hi = table.current().version if to_version is None else to_version
+    versions = [v for v in table.snapshots() if from_version <= v <= hi]
+    if from_version not in versions:
+        raise ValueError(
+            f"from_version {from_version} expired or never existed "
+            f"(retained: {table.snapshots()})"
+        )
+    out: DataFrame | None = None
+    for lo, hi_v in zip(versions, versions[1:]):
+        part = table_changes(spark, table, lo, hi_v)
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        snap = table.snapshot(hi)
+        keep = [
+            f.name for f in snap.schema.fields if f.name not in AUDIT_COLUMNS
+        ]
+        empty = table.read_files(spark, snap, []).select(*keep)
+        return empty.withColumn(CHANGE_TYPE_COL, F.lit("insert")).withColumn(
+            COMMIT_VERSION_COL, F.lit(hi)
+        ).limit(0)
+    return out

@@ -256,6 +256,16 @@ class LakeTable:
         if buckets is not None:
             wanted = set(buckets)
             files = [f for f in files if f.bucket in wanted]
+        return self.read_files(spark, snap, files)
+
+    def read_files(
+        self, spark: SparkSession, snap: Snapshot, files: list[DataFile]
+    ) -> DataFrame:
+        """Read an explicit subset of a snapshot's data files through that
+        snapshot's schema (rename-epoch name mapping applied). Callers that
+        prune at FILE granularity — the snapshot-diff changelog reader
+        (``lake.cdf``) reads only files not shared between two snapshots —
+        use this directly; ``read`` delegates here after bucket pruning."""
         if not files:
             return spark.createDataFrame([], snap.schema)
 
