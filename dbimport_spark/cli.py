@@ -53,6 +53,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("--history", default=None, help="history-audit table path")
     sp.add_argument(
+        "--quarantine-dir", default=None,
+        help="divert malformed events (null key / unknown op / null lsn) "
+        "to parquet here and continue; default: refuse the batch loudly",
+    )
+    sp.add_argument(
         "--rename", action="append", default=[], metavar="OLD=NEW",
         help="declare a source column rename (repeatable; metadata-only)",
     )
@@ -367,6 +372,7 @@ def main(argv: list[str] | None = None) -> int:
             history_table=LakeTable.load(args.history) if args.history else None,
             renames=renames,
             rename_check=not args.no_rename_check,
+            quarantine_dir=args.quarantine_dir,
         )
         # mergeSchema: an evolved multi-segment log's older footers lack
         # the new columns (and pre-rename segments carry old names) — the
@@ -385,6 +391,7 @@ def main(argv: list[str] | None = None) -> int:
                     "applied": stats.batches_applied,
                     "skipped": stats.batches_skipped,
                     "events": stats.events_applied,
+                    "quarantined": getattr(stats, "events_quarantined", 0),
                     "last_lsn": table.last_lsn(),
                 }
             )

@@ -105,6 +105,7 @@ class BatchStats:
     out_rows: int = 0
     out_bytes: int = 0
     skipped: bool = False
+    quarantined: int = 0
 
 
 @dataclass
@@ -112,6 +113,7 @@ class ReplayStats:
     batches_applied: int = 0
     batches_skipped: int = 0
     events_applied: int = 0
+    events_quarantined: int = 0
     batch_stats: list[BatchStats] = field(default_factory=list)
 
 
@@ -131,6 +133,7 @@ class CDCEngine:
         renames: dict[str, str] | None = None,
         rename_check: bool = True,
         state_store=None,
+        quarantine_dir: str | None = None,
     ):
         self.spark = spark
         self.table = table
@@ -141,6 +144,16 @@ class CDCEngine:
         from dbimport_spark.lake.statestore import DEFAULT_STORE
 
         self.state_store = state_store or DEFAULT_STORE
+        # dead-letter seam: malformed change events (null merge key,
+        # unknown op, null lsn) silently corrupt a merge (null keys never
+        # join-match, so every such event inserts a fresh row). With a
+        # quarantine_dir they are diverted to parquet under
+        # quarantine_dir/batch-<lo>-<hi>/ (overwrite = idempotent on
+        # resume) and the batch proceeds without them; without one the
+        # batch refuses loudly. One bad row must not kill a 10^10-event
+        # replay — the reference parks rows failing validation the same
+        # way (import_operations.py validation CUSTOM QUERY error path).
+        self.quarantine_dir = quarantine_dir
         self.dedup_strategy = dedup_strategy
         self.n_salts = n_salts
         self.broadcast_threshold_rows = broadcast_threshold_rows
@@ -339,6 +352,25 @@ class CDCEngine:
         return out
 
     # -- dry-run evolution planner -------------------------------------------
+
+    def _bad_event_reason(self):
+        """Nullable reason column: non-null iff the event is malformed
+        (null merge key / unknown op / null lsn). Evaluated inside the
+        stats agg's bucket expression so the clean path pays one per-row
+        null check, no extra scan."""
+        key_null = F.lit(False)
+        for k in self.keys:
+            key_null = key_null | F.col(k).isNull()
+        op_bad = ~F.coalesce(F.col("op").isin("I", "U", "D"), F.lit(False))
+        lsn_null = F.col("lsn").isNull()
+        reasons = F.concat_ws(
+            ",",
+            F.when(key_null, F.lit("null_merge_key")),
+            F.when(op_bad, F.lit("unknown_op")),
+            F.when(lsn_null, F.lit("null_lsn")),
+        )
+        # concat_ws yields '' (not null) when every part is null — gate it
+        return F.when(key_null | op_bad | lsn_null, reasons)
 
     def plan_evolution(self, batch_schema: "T.StructType") -> dict:
         """DRY RUN of every schema decision ``apply_batch`` would make for
@@ -565,7 +597,12 @@ class CDCEngine:
         batch = batch.select(*aligned_cols)
 
         # -- one metadata-sized agg: touched buckets + per-bucket lineage ---
+        # malformed events are routed to pseudo-bucket -1 INSIDE the same
+        # single-pass agg, so detection costs nothing on the clean path;
+        # only a batch that actually carries bad rows pays a second pass
+        # (the quarantine write + filter).
         bexpr = self.table.bucket_expr(key_col=self.keys, num_buckets=snap.num_buckets)
+        bad_reason = self._bad_event_reason()
         agg_cols = [
             F.count(F.lit(1)).alias("events"),
             F.min("lsn").alias("first_lsn"),
@@ -574,14 +611,51 @@ class CDCEngine:
         if has_commit_ts:
             agg_cols.append(F.max("commit_ts").alias("max_ts"))
         with _phase_timer("stats_agg"):
-            per_bucket = batch.groupBy(bexpr.alias("bucket")).agg(*agg_cols).collect()
+            per_bucket = (
+                batch.groupBy(
+                    F.when(bad_reason.isNotNull(), F.lit(-1))
+                    .otherwise(bexpr)
+                    .alias("bucket")
+                )
+                .agg(*agg_cols)
+                .collect()
+            )
+
+        n_bad = sum(r["events"] for r in per_bucket if r["bucket"] == -1)
+        per_bucket = [r for r in per_bucket if r["bucket"] != -1]
+        if n_bad:
+            if self.quarantine_dir is None:
+                raise ValueError(
+                    f"batch ({lo}, {hi}] carries {n_bad} malformed event(s) "
+                    "(null merge key, unknown op, or null lsn) — these "
+                    "would silently corrupt the merge. Pass "
+                    "CDCEngine(quarantine_dir=...) to divert them and "
+                    "continue, or fix the source."
+                )
+            (
+                batch.filter(bad_reason.isNotNull())
+                .withColumn("dl_reason", bad_reason)
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.quarantine_dir, f"batch-{lo}-{hi}"))
+            )
+            batch = batch.filter(bad_reason.isNull())
 
         if not per_bucket:
             # empty window: still advance the watermark (atomic, no files)
             self.table.commit(
-                [], set(), properties={"last_lsn": str(hi)}, expected_version=snap.version
+                [],
+                set(),
+                properties={"last_lsn": str(hi)},
+                lineage=(
+                    [{"quarantined": n_bad, "first_lsn": lo, "last_lsn": hi}]
+                    if n_bad
+                    else None
+                ),
+                expected_version=snap.version,
             )
-            return BatchStats(lo=lo, hi=hi, events=0, mode="empty")
+            return BatchStats(
+                lo=lo, hi=hi, events=0, mode="empty", quarantined=n_bad
+            )
 
         touched = sorted(r["bucket"] for r in per_bucket)
         n_events = sum(r["events"] for r in per_bucket)
@@ -768,6 +842,10 @@ class CDCEngine:
             }
             for r in per_bucket
         ]
+        if n_bad:
+            lineage.append(
+                {"quarantined": n_bad, "first_lsn": lo, "last_lsn": hi}
+            )
         try:
             self.table.commit(
                 new_files,
@@ -806,6 +884,7 @@ class CDCEngine:
             mode=mode,
             out_rows=sum(v[0] for v in out_by_bucket.values()),
             out_bytes=sum(v[1] for v in out_by_bucket.values()),
+            quarantined=n_bad,
         )
 
     def _append_history(
@@ -1428,6 +1507,7 @@ class CDCEngine:
             else:
                 stats.batches_applied += 1
                 stats.events_applied += bs.events
+                stats.events_quarantined += bs.quarantined
             plan.completed = i + 1
             if ckpt_path:
                 save_plan(ckpt_path, plan, self.state_store)
