@@ -114,6 +114,15 @@ def main() -> None:
         eng = CDCEngine(spark, table, checkpoint_dir=cdir)
         sample("cdc_replay_full", lambda: eng.replay(head, num_batches=2))
         sample("cdc_apply_incr", lambda: eng.apply_batch(tail, full, n_events))
+        # change data feed over the incremental window just applied:
+        # snapshot-diff changelog, shared files pruned from the scan
+        from dbimport_spark.lake.cdf import table_changes
+
+        v_incr = table.current().version
+        sample(
+            "cdf_net",
+            lambda: table_changes(spark, table, v_incr - 1, v_incr).count(),
+        )
         shutil.rmtree(tdir, ignore_errors=True)
         shutil.rmtree(cdir, ignore_errors=True)
 

@@ -192,6 +192,20 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--out", default=None, help="write parquet here instead of counting")
 
     sp = sub.add_parser(
+        "mirror",
+        help="lake-to-lake mirror: apply the source table's change feed "
+        "to a second table (deletes propagate; watermark = source "
+        "version; reference copy-to-other-cluster stage analogue)",
+    )
+    sp.add_argument("source_root")
+    sp.add_argument("mirror_root")
+    sp.add_argument(
+        "--on-gap", choices=["error", "full"], default="error",
+        help="when the delta base snapshot was expired on the source: "
+        "refuse (error) or full-reconcile (full)",
+    )
+
+    sp = sub.add_parser(
         "fsck",
         help="metadata-only consistency audit: snapshot chain, watermark "
         "monotonicity, file existence/sizes, rename epochs, catalog "
@@ -555,6 +569,23 @@ def main(argv: list[str] | None = None) -> int:
                     else table.current().version,
                     "changes": counts,
                     "out": args.out,
+                }
+            )
+        )
+    elif args.cmd == "mirror":
+        from dbimport_spark.plans.mirror import sync_mirror
+
+        source = LakeTable.load(args.source_root)
+        mirror = LakeTable.load(args.mirror_root)
+        eng = CDCEngine(spark, mirror)
+        bs = sync_mirror(spark, source, eng, on_gap=args.on_gap)
+        print(
+            json.dumps(
+                {
+                    "skipped": bs.skipped,
+                    "events": bs.events,
+                    "quarantined": bs.quarantined,
+                    "mirrored_source_version": mirror.last_lsn(),
                 }
             )
         )

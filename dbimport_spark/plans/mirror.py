@@ -1,0 +1,131 @@
+"""Lake-to-lake mirror driven by the change data feed.
+
+The Spark-native analogue of the reference's copy-to-other-cluster stage
+(reference copy_operations.py — DBImport ships each import's delta to
+remote clusters): the source table's snapshot-diff changelog
+(``lake/cdf.py``) is re-applied through a second ``CDCEngine``, so the
+mirror converges to the source byte-for-byte, deletes included — the one
+change class the watermarked row-export can never propagate (a
+hard-deleted row simply vanishes from the table it scans).
+
+Watermark design: the mirror's LSN domain IS the source version number.
+``sync`` maps the net feed of window (from_v, to_v] to change events with
+``lsn = to_v`` (the net diff has exactly one event per key, so per-key
+LWW needs no finer ordering) and applies them as batch (from_v, to_v].
+The mirror's committed ``last_lsn`` is therefore "last mirrored source
+version": resume, idempotent re-sync, and crash recovery all ride the
+engine's existing exactly-once machinery with zero new state.
+
+Scale: each sync reads only the source files the window changed (CDF
+file pruning), shuffles once on the merge key, and applies through the
+mirror's bucket-pruned merge. Bootstrap is the same code path — version
+0 is the empty creation snapshot, so the first sync's feed is the full
+table as inserts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbimport_spark.lake.cdf import (
+    CHANGE_TYPE_COL,
+    COMMIT_VERSION_COL,
+    table_changes,
+)
+from dbimport_spark.lake.table import LakeTable
+from dbimport_spark.plans.engine import BatchStats, CDCEngine
+from dbimport_spark.schema import AUDIT_COLUMNS
+
+
+def feed_to_change_events(feed: DataFrame, lsn: int) -> DataFrame:
+    """Map a CDF frame to the engine's change-event shape.
+
+    All events share one LSN (the window's target version): a net feed
+    carries at most one row per key, so last-writer-wins dedup never has
+    to break a tie inside the batch.
+    """
+    payload = [
+        c
+        for c in feed.columns
+        if c not in (CHANGE_TYPE_COL, COMMIT_VERSION_COL)
+        and not c.startswith("_pre_")
+    ]
+    op = (
+        F.when(F.col(CHANGE_TYPE_COL) == "delete", F.lit("D"))
+        .when(F.col(CHANGE_TYPE_COL) == "insert", F.lit("I"))
+        .otherwise(F.lit("U"))
+    )
+    return feed.select(
+        F.lit(lsn).cast("long").alias("lsn"), op.alias("op"), *payload
+    )
+
+
+def sync_mirror(
+    spark: SparkSession,
+    source: LakeTable,
+    mirror_engine: CDCEngine,
+    on_gap: str = "error",
+) -> BatchStats:
+    """Advance the mirror to the source's current version. Idempotent.
+
+    ``on_gap`` controls what happens when the last mirrored source
+    version's snapshot has been expired on the source (so the diff base
+    is gone): 'error' raises; 'full' falls back to a full reconcile —
+    the source's current live rows as upserts plus anti-join deletes for
+    mirror keys the source no longer has. The fallback scans both tables
+    once (unavoidable: the metadata that scoped the delta is deleted)
+    but still applies through the same exactly-once merge.
+    """
+    from_v = source_version_mirrored(mirror_engine)
+    to_v = source.current().version
+    if to_v <= from_v:
+        return BatchStats(lo=from_v, hi=to_v, skipped=True)
+
+    if from_v in source.snapshots():
+        feed = table_changes(spark, source, from_v, to_v)
+        events = feed_to_change_events(feed, to_v)
+        return mirror_engine.apply_batch(events, from_v, to_v)
+
+    if on_gap != "full":
+        raise ValueError(
+            f"source snapshot {from_v} has been expired (retained: "
+            f"{source.snapshots()}) — the delta base is gone. Re-run with "
+            "on_gap='full' for a full reconcile sync."
+        )
+    keys = mirror_engine.keys
+    src = source.read(spark)
+    payload = [c for c in src.columns if c not in AUDIT_COLUMNS]
+    from dbimport_spark.schema import AUDIT_DELETE
+
+    if AUDIT_DELETE in src.columns:  # soft source: tombstones are deletes
+        live = src.filter(F.col(AUDIT_DELETE).isNull())
+    else:
+        live = src
+    upserts = live.select(
+        F.lit(to_v).cast("long").alias("lsn"), F.lit("U").alias("op"), *payload
+    )
+    gone = (
+        mirror_engine.table.read(spark)
+        .select(*keys)
+        .join(live.select(*keys), on=keys, how="left_anti")
+    )
+    ptypes = {f.name: f.dataType for f in live.select(*payload).schema.fields}
+    deletes = gone.select(
+        F.lit(to_v).cast("long").alias("lsn"),
+        F.lit("D").alias("op"),
+        *[
+            F.col(c) if c in keys else F.lit(None).cast(ptypes[c]).alias(c)
+            for c in payload
+        ],
+    )
+    return mirror_engine.apply_batch(
+        upserts.unionByName(deletes), from_v, to_v
+    )
+
+
+def source_version_mirrored(mirror_engine: CDCEngine) -> int:
+    """The mirror's LSN watermark, i.e. the last source version applied.
+    A never-synced mirror reports 0 — the source's empty creation
+    snapshot — so the bootstrap sync is an ordinary delta from v0."""
+    return max(mirror_engine.table.last_lsn(), 0)

@@ -1,0 +1,130 @@
+"""Lake-to-lake mirror over the change data feed (plans/mirror.py):
+the reference's copy-to-other-cluster stage, Spark-native. The mirror's
+LSN watermark is the source version, so sync is exactly-once and
+resumable through the engine's existing machinery."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbimport_spark.plans.engine import CDCEngine
+from dbimport_spark.plans.mirror import source_version_mirrored, sync_mirror
+from dbimport_spark.schema import CHANGE_SCHEMA, PAYLOAD_COLUMNS
+from dbimport_spark.sources.loggen import generate_changes
+
+TS = dt.datetime(2024, 1, 1)
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(rows, CHANGE_SCHEMA)
+
+
+def _payload_state(spark, table):
+    rows = table.read(spark).select(*PAYLOAD_COLUMNS).collect()
+    return {
+        r["doc_id"]: (tuple(r["tokens"] or ()), r["n_tok"], r["source"])
+        for r in rows
+    }
+
+
+def _pair(spark, tmp_path, **mirror_kw):
+    src_t = CDCEngine.create_table(str(tmp_path / "src"), num_buckets=8)
+    src = CDCEngine(spark, src_t, checkpoint_dir=str(tmp_path / "src_ckpt"))
+    mir_t = CDCEngine.create_table(
+        str(tmp_path / "mir"), num_buckets=4, **mirror_kw
+    )
+    mir = CDCEngine(spark, mir_t)
+    return src, mir
+
+
+def test_mirror_converges_across_windows(spark, tmp_path):
+    src, mir = _pair(spark, tmp_path)
+    log = generate_changes(spark, 3000, n_keys=200, seed=21)
+
+    # window 1: bootstrap (source v0 is the empty snapshot -> full copy)
+    src.replay(log.filter(F.col("lsn") <= 1500), num_batches=2)
+    bs = sync_mirror(spark, src.table, mir)
+    assert not bs.skipped
+    assert _payload_state(spark, mir.table) == _payload_state(spark, src.table)
+
+    # window 2: incremental (updates + hard deletes propagate)
+    src.replay(log, num_batches=2)
+    bs = sync_mirror(spark, src.table, mir)
+    assert not bs.skipped
+    assert _payload_state(spark, mir.table) == _payload_state(spark, src.table)
+    assert source_version_mirrored(mir) == src.table.current().version
+
+    # idempotent: nothing new -> skipped, state unchanged
+    bs = sync_mirror(spark, src.table, mir)
+    assert bs.skipped
+
+
+def test_mirror_propagates_hard_deletes(spark, tmp_path):
+    src, mir = _pair(spark, tmp_path)
+    src.apply_batch(
+        _log(spark, [(1, "I", "k1", [1], 1, "a", TS),
+                     (2, "I", "k2", [2], 1, "a", TS)]), 0, 2,
+    )
+    sync_mirror(spark, src.table, mir)
+    src.apply_batch(_log(spark, [(3, "D", "k1", None, None, None, TS)]), 2, 3)
+    sync_mirror(spark, src.table, mir)
+    assert set(_payload_state(spark, mir.table)) == {"k2"}
+
+
+def test_soft_source_hard_mirror(spark, tmp_path):
+    """Tombstones on a soft-delete source arrive at a hard mirror as real
+    deletes; revival re-inserts."""
+    src_t = CDCEngine.create_table(
+        str(tmp_path / "src"), num_buckets=4, soft_delete=True
+    )
+    src = CDCEngine(spark, src_t, delete_mode="soft")
+    mir_t = CDCEngine.create_table(str(tmp_path / "mir"), num_buckets=4)
+    mir = CDCEngine(spark, mir_t)
+
+    src.apply_batch(_log(spark, [(1, "I", "k1", [1], 1, "a", TS)]), 0, 1)
+    sync_mirror(spark, src_t, mir)
+    src.apply_batch(_log(spark, [(2, "D", "k1", None, None, None, TS)]), 1, 2)
+    sync_mirror(spark, src_t, mir)
+    assert _payload_state(spark, mir.table) == {}
+    src.apply_batch(_log(spark, [(3, "I", "k1", [9], 1, "a", TS)]), 2, 3)
+    sync_mirror(spark, src_t, mir)
+    assert set(_payload_state(spark, mir.table)) == {"k1"}
+
+
+def test_gap_fallback_full_reconcile(spark, tmp_path):
+    src, mir = _pair(spark, tmp_path)
+    src.apply_batch(
+        _log(spark, [(1, "I", "k1", [1], 1, "a", TS),
+                     (2, "I", "k2", [2], 1, "a", TS)]), 0, 2,
+    )
+    sync_mirror(spark, src.table, mir)
+    # source moves on twice, then expires the mirror's base snapshot
+    src.apply_batch(_log(spark, [(3, "D", "k1", None, None, None, TS)]), 2, 3)
+    src.apply_batch(_log(spark, [(4, "U", "k2", [7, 7], 2, "b", TS)]), 3, 4)
+    src.table.expire_snapshots(keep_last=1)
+    assert source_version_mirrored(mir) not in src.table.snapshots()
+
+    with pytest.raises(ValueError, match="expired"):
+        sync_mirror(spark, src.table, mir)
+    bs = sync_mirror(spark, src.table, mir, on_gap="full")
+    assert not bs.skipped
+    assert _payload_state(spark, mir.table) == _payload_state(spark, src.table)
+    # and the watermark caught up, so the next delta sync is incremental
+    assert source_version_mirrored(mir) == src.table.current().version
+
+
+def test_mirror_carries_evolved_columns(spark, tmp_path):
+    src, mir = _pair(spark, tmp_path)
+    src.apply_batch(_log(spark, [(1, "I", "k1", [1], 1, "a", TS)]), 0, 1)
+    sync_mirror(spark, src.table, mir)
+    evolved = spark.createDataFrame(
+        [(2, "U", "k1", [1, 2], 2, "a", TS, 0.9)],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, "
+        "source string, commit_ts timestamp, quality float",
+    )
+    src.apply_batch(evolved, 1, 2)
+    sync_mirror(spark, src.table, mir)
+    assert "quality" in mir.table.current().schema.fieldNames()
+    row = mir.table.read(spark).collect()[0]
+    assert abs(row["quality"] - 0.9) < 1e-6
