@@ -233,6 +233,52 @@ def test_per_commit_changelog(spark, tmp_path):
     assert [(r["doc_id"], r["_change_type"]) for r in net] == [("k1", "delete")]
 
 
+def test_cdf_plan_is_hash_join_shaped(spark, tmp_path):
+    """The snapshot-diff join must never plan as a nested loop — at 100 TB
+    the two sides are the window's touched buckets, joined once by key."""
+    import io
+    from contextlib import redirect_stdout
+
+    log = generate_changes(spark, 2000, n_keys=150, seed=5)
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    eng = CDCEngine(spark, table, checkpoint_dir=str(tmp_path / "ckpt"))
+    eng.replay(log, num_batches=2, stop_after=1)
+    v_a = table.current().version
+    eng.replay(log, num_batches=2)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        table_changes(spark, table, v_a).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_compaction_window_diffs_empty(spark, tmp_path):
+    """Compaction rewrites bucket files without changing content: the CDF
+    across a compaction-only window must emit zero rows (rows moved
+    between files are not changes)."""
+    from dbimport_spark.lake.maintenance import compact
+
+    log = generate_changes(spark, 2000, n_keys=150, seed=8)
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=2)
+    # no output repartition -> buckets fragment across commits
+    eng = CDCEngine(
+        spark,
+        table,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        broadcast_threshold_rows=10**9,
+        repartition_output_bytes=0,
+    )
+    eng.replay(log, num_batches=4)
+    v_a = table.current().version
+    out = compact(spark, table, max_files_per_bucket=1, expire_keep_last=10)
+    assert out["compacted_buckets"] > 0
+    v_b = table.current().version
+    assert v_b > v_a
+    assert table_changes(spark, table, v_a, v_b).count() == 0
+
+
 def test_empty_window_and_bad_bounds(spark, tmp_path):
     import pytest
 
