@@ -204,6 +204,11 @@ def main(argv: list[str] | None = None) -> int:
         help="when the delta base snapshot was expired on the source: "
         "refuse (error) or full-reconcile (full)",
     )
+    sp.add_argument(
+        "--verify", action="store_true",
+        help="after syncing, reconcile mirror vs source (count + content "
+        "checksum) and include the result",
+    )
 
     sp = sub.add_parser(
         "fsck",
@@ -579,16 +584,19 @@ def main(argv: list[str] | None = None) -> int:
         mirror = LakeTable.load(args.mirror_root)
         eng = CDCEngine(spark, mirror)
         bs = sync_mirror(spark, source, eng, on_gap=args.on_gap)
-        print(
-            json.dumps(
-                {
-                    "skipped": bs.skipped,
-                    "events": bs.events,
-                    "quarantined": bs.quarantined,
-                    "mirrored_source_version": mirror.last_lsn(),
-                }
-            )
-        )
+        out = {
+            "skipped": bs.skipped,
+            "events": bs.events,
+            "quarantined": bs.quarantined,
+            "mirrored_source_version": mirror.last_lsn(),
+        }
+        if args.verify:
+            from dbimport_spark.plans.mirror import verify_mirror
+
+            out["verify"] = verify_mirror(spark, source, mirror)
+        print(json.dumps(out))
+        if args.verify and not out["verify"]["converged"]:
+            return 1
     elif args.cmd == "purge-tombstones":
         from dbimport_spark.lake.maintenance import purge_tombstones
 

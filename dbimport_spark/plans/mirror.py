@@ -124,6 +124,31 @@ def sync_mirror(
     )
 
 
+def verify_mirror(
+    spark: SparkSession, source: LakeTable, mirror: LakeTable
+) -> dict:
+    """Row-count + content-checksum reconciliation of mirror vs source
+    (the reference validates its cluster copies the same way its imports
+    are validated — count and content, copy_operations.py validation
+    step). Soft-delete tombstones count as absent on either side; only
+    payload columns shared by both tables are compared (an unsynced
+    additive column would otherwise flag a false mismatch)."""
+    from dbimport_spark.plans.validate import reconcile
+    from dbimport_spark.schema import AUDIT_DELETE
+
+    def live_rows(t: LakeTable) -> DataFrame:
+        df = t.read(spark)
+        if AUDIT_DELETE in df.columns:
+            df = df.filter(F.col(AUDIT_DELETE).isNull())
+        return df.select(
+            *[c for c in df.columns if c not in AUDIT_COLUMNS]
+        )
+
+    src, mir = live_rows(source), live_rows(mirror)
+    cols = [c for c in src.columns if c in set(mir.columns)]
+    return reconcile(mir.select(*cols), src.select(*cols), cols)
+
+
 def source_version_mirrored(mirror_engine: CDCEngine) -> int:
     """The mirror's LSN watermark, i.e. the last source version applied.
     A never-synced mirror reports 0 — the source's empty creation

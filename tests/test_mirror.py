@@ -114,6 +114,25 @@ def test_gap_fallback_full_reconcile(spark, tmp_path):
     assert source_version_mirrored(mir) == src.table.current().version
 
 
+def test_verify_mirror_reconciles(spark, tmp_path):
+    from dbimport_spark.plans.mirror import verify_mirror
+
+    src, mir = _pair(spark, tmp_path)
+    log = generate_changes(spark, 1500, n_keys=120, seed=33)
+    src.replay(log, num_batches=2)
+    sync_mirror(spark, src.table, mir)
+    rep = verify_mirror(spark, src.table, mir.table)
+    assert rep["converged"] and rep["rowcount_ok"] and rep["checksum_ok"]
+
+    # drift (source advances, mirror not yet synced) must be detected
+    src.apply_batch(
+        _log(spark, [(1501, "U", "doc-00000003", [1], 1, "x", TS)]),
+        1500, 1501,
+    )
+    rep = verify_mirror(spark, src.table, mir.table)
+    assert not rep["converged"]
+
+
 def test_mirror_carries_evolved_columns(spark, tmp_path):
     src, mir = _pair(spark, tmp_path)
     src.apply_batch(_log(spark, [(1, "I", "k1", [1], 1, "a", TS)]), 0, 1)

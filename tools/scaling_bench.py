@@ -72,6 +72,51 @@ print("RESULT " + json.dumps({{"cpus": {cpus}, "sec": round(dt, 3),
       "eps": round({n_events} / dt, 1)}}))
 """
 
+# cdf stage: snapshot-diff changelog emission between the two replay
+# windows of a shared read-only table (built once in the gen phase).
+# Times the pruned two-side scan + single key-hash full-outer join —
+# the whole cost of the change-data-feed read path.
+CDF_GEN_SNIPPET = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from dbimport_spark.session import get_spark
+from dbimport_spark.plans.engine import CDCEngine
+spark = get_spark(master="local[32]", shuffle_partitions=32,
+                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+spark.sparkContext.setLogLevel("ERROR")
+changes = spark.read.parquet({log!r})
+table = CDCEngine.create_table({table!r}, num_buckets=64)
+eng = CDCEngine(spark, table, checkpoint_dir={ckpt!r})
+eng.replay(changes, num_batches=2, stop_after=1)
+va = table.current().version
+eng.replay(changes, num_batches=2)
+vb = table.current().version
+print("VERSIONS " + str(va) + " " + str(vb))
+"""
+
+CDF_SNIPPET = """
+import sys, json, time, os
+sys.path.insert(0, {repo!r})
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+from dbimport_spark.session import get_spark
+from dbimport_spark.lake.table import LakeTable
+from dbimport_spark.lake.cdf import table_changes
+spark = get_spark(master="local[{cpus}]", shuffle_partitions={cpus},
+                  extra_conf={{"spark.ui.showConsoleProgress": "false",
+                              "spark.io.compression.codec": "zstd",
+                              "spark.local.dir": {local_dir!r}}})
+spark.sparkContext.setLogLevel("ERROR")
+table = LakeTable.load({table!r})
+table_changes(spark, table, {va}, {vb}).count()  # untimed warmup (JIT)
+t0 = time.time()
+n = table_changes(spark, table, {va}, {vb}).count()
+dt = time.time() - t0
+print("RESULT " + json.dumps({{"cpus": {cpus}, "sec": round(dt, 3),
+      "events": {n_events}, "rows_out": n,
+      "eps": round({n_events} / dt, 1)}}))
+"""
+
 RUN_SNIPPET = """
 import sys, json, time, os, shutil
 sys.path.insert(0, {repo!r})
@@ -106,13 +151,20 @@ print("RESULT " + json.dumps({{"cpus": {cpus}, "sec": round(dt, 3),
 
 
 def run_level(cpus: int, log: str, work: str, tag: str = "", stage: str = "replay",
-              n_events: int = 0) -> dict:
+              n_events: int = 0, cdf_versions: tuple[int, int] | None = None) -> dict:
     table = os.path.join(work, f"table-{cpus}{tag}")
     ckpt = os.path.join(work, f"ckpt-{cpus}{tag}")
     local_dir = os.path.join(work, f"sl-{cpus}{tag}")
     for p in (table, ckpt, local_dir):
         shutil.rmtree(p, ignore_errors=True)
-    if stage == "dedup":
+    if stage == "cdf":
+        # shared read-only table built in the gen phase; nothing per-level
+        code = CDF_SNIPPET.format(
+            repo=REPO, cpus=cpus, table=os.path.join(work, "cdf-table"),
+            local_dir=local_dir, va=cdf_versions[0], vb=cdf_versions[1],
+            n_events=n_events,
+        )
+    elif stage == "dedup":
         code = DEDUP_SNIPPET.format(
             repo=REPO, cpus=cpus, log=log, local_dir=local_dir, n_events=n_events
         )
@@ -158,9 +210,25 @@ def main() -> None:
         )
         if "GENERATED" not in gen.stdout:
             raise RuntimeError(f"loggen failed: {gen.stdout[-1000:]}\n{gen.stderr[-1000:]}")
+        cdf_versions = None
+        if stage == "cdf":
+            prep = subprocess.run(
+                [sys.executable, "-c", CDF_GEN_SNIPPET.format(
+                    repo=REPO, log=log,
+                    table=os.path.join(work, "cdf-table"),
+                    ckpt=os.path.join(work, "cdf-ckpt"))],
+                capture_output=True, text=True, timeout=1800,
+            )
+            vline = [l for l in prep.stdout.splitlines() if l.startswith("VERSIONS ")]
+            if not vline:
+                raise RuntimeError(
+                    f"cdf table build failed: {prep.stdout[-1000:]}\n{prep.stderr[-1000:]}"
+                )
+            cdf_versions = tuple(int(x) for x in vline[0].split()[1:3])
         for i in range(repeats):
             for cpus in (low, high):
-                r = run_level(cpus, log, work, tag=f"-r{i}", stage=stage, n_events=n)
+                r = run_level(cpus, log, work, tag=f"-r{i}", stage=stage,
+                              n_events=n, cdf_versions=cdf_versions)
                 runs[cpus].append(r)
                 print(f"run {i} local[{cpus}]: {r['sec']}s  {r['eps']:,} eps", flush=True)
     finally:
