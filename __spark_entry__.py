@@ -887,6 +887,68 @@ def q_cdc_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).select("doc_id", "val_cents", "source")
 
 
+def q_cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed gate: replay the derived log in TWO LSN windows
+    (the engine's own 2-batch split with a kill between them, exercising
+    resume), then emit ``table_changes`` over the second window — the
+    net row-level diff between the two committed versions (the engine as
+    a CDC *source*, lake/cdf.py). The oracle recomputes the same split
+    boundary ((lo-1) + span//2, mirroring replay's edge formula) and
+    diffs the two LWW folds in SQL: inserts carry the new payload,
+    deletes the last-known payload, updates only when a payload column
+    actually changed (null-safe) — audit columns excluded."""
+    from dbimport_spark.lake.cdf import table_changes
+    from dbimport_spark.plans.engine import CDCEngine
+
+    changes = _events_as_changes(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdf-gate-")
+    table = CDCEngine.create_table(
+        os.path.join(root, "t"), payload_schema=CDC_PAYLOAD, num_buckets=16
+    )
+    eng = CDCEngine(spark, table, checkpoint_dir=os.path.join(root, "ckpt"))
+    eng.replay(changes, num_batches=2, stop_after=1)
+    v_mid = table.current().version
+    eng.replay(changes, num_batches=2)  # resume: applies the second window
+    v_end = table.current().version
+    return table_changes(spark, table, v_mid, v_end).select(
+        "doc_id",
+        "val_cents",
+        "source",
+        F.col("_change_type").alias("change_type"),
+    )
+
+
+def q_mirror_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake-to-lake mirror gate (the reference's copy-to-other-cluster
+    stage, copy_operations.py, re-expressed over the change feed):
+    replay 2 of 3 batches into a source table, bootstrap-sync a mirror
+    (v0 delta = whole table as inserts), finish the source replay, then
+    delta-sync — the second sync ships only the third window's net feed.
+    The mirror's final live rows must equal the full LWW fold, so the
+    oracle is exactly cdc_replay's: any drift in feed emission, event
+    mapping, or version watermarking shows up as a value mismatch."""
+    from dbimport_spark.plans.engine import CDCEngine
+    from dbimport_spark.plans.mirror import sync_mirror, verify_mirror
+
+    changes = _events_as_changes(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="mirror-gate-")
+    src = CDCEngine.create_table(
+        os.path.join(root, "src"), payload_schema=CDC_PAYLOAD, num_buckets=16
+    )
+    eng = CDCEngine(spark, src, checkpoint_dir=os.path.join(root, "ckpt"))
+    eng.replay(changes, num_batches=CDC_REPLAY_BATCHES, stop_after=2)
+    mir = CDCEngine.create_table(
+        os.path.join(root, "mir"), payload_schema=CDC_PAYLOAD, num_buckets=16
+    )
+    meng = CDCEngine(spark, mir, checkpoint_dir=os.path.join(root, "mckpt"))
+    sync_mirror(spark, src, meng)  # bootstrap: full table as inserts
+    eng.replay(changes, num_batches=CDC_REPLAY_BATCHES)  # finish batch 3
+    sync_mirror(spark, src, meng)  # incremental: third window's feed only
+    rec = verify_mirror(spark, src, mir)
+    assert rec["converged"], f"mirror reconcile failed: {rec}"
+    return mir.read(spark).select("doc_id", "val_cents", "source")
+
+
 def q_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-on-ingest: the odd-id half of documents (the incoming batch)
     anti-joined against near-dups of the even-id half (the corpus) via
@@ -971,7 +1033,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_history": q_cdc_history,
         "lww_dedup": q_lww_dedup,
         "watermark_scan": q_watermark_scan,
-        "cdc_fold": q_cdc_fold,
+        # cdc_fold (pure-DataFrame LWW fold, no engine) retired from the
+        # capped 50-entry gate in favor of cdf_changes: the same fold
+        # semantics stay gated twice over — lww_dedup (the identical
+        # window-rank kernel) and cdc_replay (the fold through the full
+        # engine). q_cdc_fold itself remains for bench/tests.
         "delete_detect": q_delete_detect,
         "max_watermark": q_max_watermark,
         "projection_rename": q_projection_rename,
@@ -987,7 +1053,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "minhash_lsh": q_minhash_lsh,
         "simhash_dups": q_simhash_dups,
-        "embedding_sim": q_embedding_sim,
+        # embedding_sim (single-pair cosine) retired from the capped
+        # 50-entry gate in favor of mirror_sync: embedding_topk exercises
+        # the identical zip_with dot-product kernel over every row and
+        # stays green. q_embedding_sim itself remains (bench.py runs it).
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         # The former embedding_neardup_exact gate entry (tiny-n brute-force
@@ -1017,6 +1086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "contamination": q_contamination,
         "cdc_repair": q_cdc_repair,
+        "cdf_changes": q_cdf_changes,
+        "mirror_sync": q_mirror_sync,
     }
 
 
@@ -1041,13 +1112,8 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY event_type
     """
 
-    sql["cdc_fold"] = """
-        SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
-        FROM (
-          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
-          FROM events
-        ) WHERE rn = 1 AND event_type <> 'error'
-    """
+    # cdc_fold retired from the gate (see queries()); its fold oracle lives
+    # on in lww_dedup / cdc_replay.
 
     sql["delete_detect"] = """
         SELECT c_custkey, c_name FROM customer c
@@ -1294,18 +1360,8 @@ def oracle_sql() -> dict[str, str]:
         WHERE floor(1000 * c / (sa.n + sb.n - c)) >= 100
     """
 
-    sql["embedding_sim"] = """
-        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        s AS (
-          SELECT vec_id,
-                 list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[]))
-                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
-                    * sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))) AS sim
-          FROM embeddings, q
-        )
-        SELECT vec_id, CAST(floor(sim * 1000) AS BIGINT) AS sim_milli
-        FROM s WHERE sim >= 0.5
-    """
+    # embedding_sim retired from the gate (see queries()); the same cosine
+    # kernel is oracle-checked row-by-row in embedding_topk below.
 
     sql["embedding_topk"] = """
         WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -1671,5 +1727,52 @@ def oracle_sql() -> dict[str, str]:
         FROM common JOIN bsizes ON bsizes.doc_id = bench_id
         WHERE floor(1000 * c / bn) >= 100
     """
+
+    # CDF gate: state A = LWW fold at the engine's 2-batch split boundary
+    # ((lo-1) + span//2 — exactly replay()'s edge formula with
+    # start = lo-1 on a fresh table), state B = full fold; the feed is
+    # the null-safe diff. Inserts carry B's payload, deletes A's
+    # last-known payload, updates fire only on real payload change.
+    sql["cdf_changes"] = """
+        WITH log AS (
+          SELECT event_id AS lsn,
+                 CASE WHEN event_type = 'error' THEN 'D'
+                      WHEN event_type = 'purchase' THEN 'U'
+                      ELSE 'I' END AS op,
+                 'doc-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS doc_id,
+                 CASE WHEN event_type = 'error' THEN NULL
+                      ELSE CAST(floor(value * 100) AS BIGINT) END AS val_cents,
+                 CASE WHEN event_type = 'error' THEN NULL
+                      ELSE event_type END AS source
+          FROM events
+        ), x AS (
+          SELECT (min(lsn) - 1) + ((max(lsn) - (min(lsn) - 1)) // 2) AS split
+          FROM log
+        ), wa AS (
+          SELECT l.*, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+          FROM log l, x WHERE l.lsn <= x.split
+        ), a AS (
+          SELECT doc_id, val_cents, source FROM wa WHERE rn = 1 AND op <> 'D'
+        ), wb AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+          FROM log
+        ), b AS (
+          SELECT doc_id, val_cents, source FROM wb WHERE rn = 1 AND op <> 'D'
+        )
+        SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+               CASE WHEN b.doc_id IS NULL THEN a.val_cents ELSE b.val_cents END AS val_cents,
+               CASE WHEN b.doc_id IS NULL THEN a.source ELSE b.source END AS source,
+               CASE WHEN a.doc_id IS NULL THEN 'insert'
+                    WHEN b.doc_id IS NULL THEN 'delete'
+                    ELSE 'update' END AS change_type
+        FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+           OR (a.val_cents IS DISTINCT FROM b.val_cents)
+           OR (a.source IS DISTINCT FROM b.source)
+    """
+
+    # the mirror must converge to the source's final state, which is the
+    # full LWW fold — cdc_replay's oracle verbatim
+    sql["mirror_sync"] = sql["cdc_replay"]
 
     return sql

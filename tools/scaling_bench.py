@@ -254,18 +254,37 @@ def main() -> None:
     # BENCH/BASELINE.md is the hand-consolidated evidence doc; fresh runs
     # land next to it without clobbering the analysis
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    if stage == "cdf":
+        job_desc = f"""the same change-feed read —
+one table built ONCE from a {n:,}-event change log (2-batch replay),
+then `table_changes(vA, vB)` over the incremental window re-executed"""
+        timed_desc = """Timed window = the CDF read only
+(metadata-only file pruning to the window's unique files → two-side
+pruned scan → one key-hash full-outer join → liveness/change-type
+classification projection); table build, JVM boot, and an untimed
+same-JVM warmup execution excluded."""
+    elif stage == "dedup":
+        job_desc = f"""the same keyed LWW fold —
+identical pre-generated {n:,}-event change log, columns pruned to
+(doc_id, lsn, op) so host memory bandwidth is out of the picture"""
+        timed_desc = """Timed window = the fold only
+(hash-aggregate max-LSN per key + semi join back); JVM boot, log read
+warm-up, and generation excluded."""
+    else:
+        job_desc = f"""the same CDC replay —
+identical pre-generated {n:,}-event change log (tokens {tmin}-{tmax}), identical
+2-batch plan (insert-only initial load + shuffle-mode incremental merge),
+fresh lake table per run"""
+        timed_desc = """Timed window = replay only (LWW
+dedup → bucket-aligned MERGE → parquet write → atomic commit); JVM boot
+and log generation excluded."""
     with open(os.path.join(REPO, "BENCH", f"scaling_last_run_{stage}.md"), "w") as fh:
         fh.write(f"""# BENCH scaling run (auto-generated; stage={stage}, tokens {tmin}-{tmax})
 
 North rule: throughput scaling efficiency >= 0.8 going from N to 4N
-executors. Sandbox substitution (no real cluster): the same CDC replay —
-identical pre-generated {n:,}-event change log (tokens 32-128), identical
-2-batch plan (insert-only initial load + shuffle-mode incremental merge),
-fresh lake table per run — executed at local[{low}] and local[{high}] in
+executors. Sandbox substitution (no real cluster): {job_desc} — executed at local[{low}] and local[{high}] in
 separate JVMs, {repeats}x interleaved, best per level (the sandbox VM has
-large external noise; all runs listed). Timed window = replay only (LWW
-dedup → bucket-aligned MERGE → parquet write → atomic commit); JVM boot
-and log generation excluded. Workdir + spark.local.dir on /dev/shm —
+large external noise; all runs listed). {timed_desc} Workdir + spark.local.dir on /dev/shm —
 single-host disk IO is not under test (a cluster's IO scales with nodes).
 
 | parallelism | runs | best wall (s) | best events/sec |
