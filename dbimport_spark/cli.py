@@ -265,7 +265,8 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     if getattr(args, "rename", None):
-        bad = [r for r in args.rename if "=" not in r]
+        bad = [r for r in args.rename
+               if "=" not in r or not r.split("=", 1)[0] or not r.split("=", 1)[1]]
         if bad:
             p.error(f"--rename expects OLD=NEW, got: {', '.join(bad)}")
     if args.cmd == "init" and args.track_lsn and not args.soft_delete:
