@@ -209,6 +209,57 @@ def main(argv: list[str] | None = None) -> int:
         help="after syncing, reconcile mirror vs source (count + content "
         "checksum) and include the result",
     )
+    sp.add_argument(
+        "--follow", action="store_true",
+        help="keep polling the source and syncing each new commit window "
+        "(continuous replication daemon)",
+    )
+    sp.add_argument(
+        "--poll", type=float, default=5.0, metavar="SECONDS",
+        help="metadata poll interval in --follow mode (default 5)",
+    )
+    sp.add_argument(
+        "--max-syncs", type=int, default=None, metavar="N",
+        help="stop --follow after N applied syncs (default: run forever)",
+    )
+    sp.add_argument(
+        "--stop-file", default=None, metavar="PATH",
+        help="stop --follow when this file appears",
+    )
+
+    sp = sub.add_parser(
+        "matview",
+        help="incrementally-maintained aggregate view: fold the source's "
+        "change feed into a count/sum GROUP BY table without rescanning "
+        "the base (delta maintenance; exactly-once via the view's own "
+        "watermark)",
+    )
+    sp.add_argument("source_root")
+    sp.add_argument("view_root")
+    sp.add_argument(
+        "--group-by", action="append", required=True, metavar="COL",
+        help="group column (repeatable; becomes the view's merge key)",
+    )
+    sp.add_argument(
+        "--sum", action="append", default=[], metavar="COL",
+        help="numeric column to maintain a sum over (repeatable)",
+    )
+    sp.add_argument(
+        "--create", action="store_true",
+        help="create the view table first (idempotent bootstrap: the "
+        "first sync folds the whole table as inserts)",
+    )
+    sp.add_argument("--buckets", type=int, default=16)
+    sp.add_argument(
+        "--on-gap", choices=["error", "full"], default="error",
+        help="when the delta base snapshot was expired on the source: "
+        "refuse (error) or rebuild once from a full groupBy (full)",
+    )
+    sp.add_argument(
+        "--verify", action="store_true",
+        help="after syncing, reconcile the view against a direct groupBy "
+        "of the source and include the result",
+    )
 
     sp = sub.add_parser(
         "fsck",
@@ -579,22 +630,60 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
     elif args.cmd == "mirror":
-        from dbimport_spark.plans.mirror import sync_mirror
+        from dbimport_spark.plans.mirror import follow_mirror, sync_mirror
 
         source = LakeTable.load(args.source_root)
         mirror = LakeTable.load(args.mirror_root)
         eng = CDCEngine(spark, mirror)
-        bs = sync_mirror(spark, source, eng, on_gap=args.on_gap)
-        out = {
-            "skipped": bs.skipped,
-            "events": bs.events,
-            "quarantined": bs.quarantined,
-            "mirrored_source_version": mirror.last_lsn(),
-        }
+        if args.follow:
+            applied = follow_mirror(
+                spark, source, eng, poll_s=args.poll,
+                max_syncs=args.max_syncs, stop_file=args.stop_file,
+                on_gap=args.on_gap,
+            )
+            out = {
+                "syncs": len(applied),
+                "events": sum(b.events for b in applied),
+                "mirrored_source_version": mirror.last_lsn(),
+            }
+        else:
+            bs = sync_mirror(spark, source, eng, on_gap=args.on_gap)
+            out = {
+                "skipped": bs.skipped,
+                "events": bs.events,
+                "quarantined": bs.quarantined,
+                "mirrored_source_version": mirror.last_lsn(),
+            }
         if args.verify:
             from dbimport_spark.plans.mirror import verify_mirror
 
             out["verify"] = verify_mirror(spark, source, mirror)
+        print(json.dumps(out))
+        if args.verify and not out["verify"]["converged"]:
+            return 1
+    elif args.cmd == "matview":
+        from dbimport_spark.plans.matview import (
+            AggSpec,
+            create_view,
+            sync_view,
+            verify_view,
+        )
+
+        source = LakeTable.load(args.source_root)
+        spec = AggSpec(group_cols=args.group_by, sum_cols=args.sum)
+        if args.create:
+            view = create_view(args.view_root, source, spec, args.buckets)
+        else:
+            view = LakeTable.load(args.view_root)
+        eng = CDCEngine(spark, view)
+        bs = sync_view(spark, source, eng, spec, on_gap=args.on_gap)
+        out = {
+            "skipped": bs.skipped,
+            "groups_touched": bs.events,
+            "view_source_version": view.last_lsn(),
+        }
+        if args.verify:
+            out["verify"] = verify_view(spark, source, view, spec)
         print(json.dumps(out))
         if args.verify and not out["verify"]["converged"]:
             return 1

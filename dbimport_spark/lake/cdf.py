@@ -176,6 +176,48 @@ def table_changes(
     return joined.select(*out_cols).filter(F.col(CHANGE_TYPE_COL).isNotNull())
 
 
+def follow_changes(
+    spark: SparkSession,
+    table: LakeTable,
+    from_version: int | None = None,
+    poll_s: float = 5.0,
+    max_windows: int | None = None,
+    stop_file: str | None = None,
+):
+    """Tail the table's commit log: yield ``(from_v, to_v, feed_df)`` for
+    each new committed window, polling metadata between commits.
+
+    The batch-incremental analogue of a Structured Streaming source over
+    the table (the reference has no streaming either — its Airflow DAGs
+    poll sources on a schedule, docs/concept.rst "General description"):
+    each poll is a metadata-only ``current()`` read (one hint file + a
+    forward probe); data is only touched when a new version exists, and
+    then only the window's unique files (``table_changes`` pruning).
+
+    Consumers drive their own watermarks with the yielded versions —
+    e.g. ``plans/mirror.follow_mirror`` commits ``to_v`` as the mirror's
+    LSN, so a killed follower resumes from its table, not this loop.
+
+    Stops after ``max_windows`` yields (None = forever) or when
+    ``stop_file`` appears.
+    """
+    import os as _os
+    import time as _time
+
+    last = table.current().version if from_version is None else from_version
+    yielded = 0
+    while max_windows is None or yielded < max_windows:
+        cur = table.current().version
+        if cur > last:
+            yield last, cur, table_changes(spark, table, last, cur)
+            last = cur
+            yielded += 1
+            continue  # re-check immediately: more commits may have landed
+        if stop_file is not None and _os.path.isfile(stop_file):
+            return
+        _time.sleep(poll_s)
+
+
 def table_changes_per_commit(
     spark: SparkSession,
     table: LakeTable,

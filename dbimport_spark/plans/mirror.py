@@ -124,6 +124,38 @@ def sync_mirror(
     )
 
 
+def follow_mirror(
+    spark: SparkSession,
+    source: LakeTable,
+    mirror_engine: CDCEngine,
+    poll_s: float = 5.0,
+    max_syncs: int | None = None,
+    stop_file: str | None = None,
+    on_gap: str = "error",
+) -> list[BatchStats]:
+    """Continuous replication: poll the source and ``sync_mirror`` each
+    time it advances (the daemonized form of the reference's scheduled
+    copy stage — Airflow re-runs the copy DAG per import cycle). Polls
+    are metadata-only; each applied sync ships one window's delta. The
+    watermark lives in the MIRROR table, so a killed follower restarted
+    with the same arguments resumes exactly where the last committed
+    sync left it. Stops after ``max_syncs`` applied syncs or when
+    ``stop_file`` appears."""
+    import os as _os
+    import time as _time
+
+    applied: list[BatchStats] = []
+    while max_syncs is None or len(applied) < max_syncs:
+        bs = sync_mirror(spark, source, mirror_engine, on_gap=on_gap)
+        if not bs.skipped:
+            applied.append(bs)
+            continue  # drained this window; re-check before sleeping
+        if stop_file is not None and _os.path.isfile(stop_file):
+            break
+        _time.sleep(poll_s)
+    return applied
+
+
 def verify_mirror(
     spark: SparkSession, source: LakeTable, mirror: LakeTable
 ) -> dict:

@@ -291,3 +291,37 @@ def test_empty_window_and_bad_bounds(spark, tmp_path):
     assert table_changes_per_commit(spark, table, v, v).count() == 0
     with pytest.raises(ValueError):
         table_changes(spark, table, v, v - 1)
+
+
+def test_follow_changes_yields_new_windows(spark, tmp_path):
+    """follow_changes tails the commit log lazily: each yielded window
+    reflects commits that landed since the previous yield."""
+    from dbimport_spark.lake.cdf import follow_changes
+
+    TS = dt.datetime(2024, 1, 1)
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    eng = CDCEngine(spark, table)
+    eng.apply_batch(
+        _log(spark, [(1, "I", "k1", [1], 1, "a", TS)]), 0, 1
+    )
+    gen = follow_changes(
+        spark, table, from_version=0, poll_s=0.01, max_windows=2
+    )
+    lo, hi, feed = next(gen)
+    assert (lo, hi) == (0, table.current().version)
+    assert [r["_change_type"] for r in feed.collect()] == ["insert"]
+
+    v1 = table.current().version
+    eng.apply_batch(
+        _log(spark, [(2, "U", "k1", [1, 2], 2, "b", TS)]), 1, 2
+    )
+    lo, hi, feed = next(gen)
+    assert (lo, hi) == (v1, table.current().version)
+    rows = feed.collect()
+    assert [r["_change_type"] for r in rows] == ["update"]
+    assert rows[0]["source"] == "b"
+    # max_windows=2 reached -> generator is exhausted
+    import pytest as _pytest
+
+    with _pytest.raises(StopIteration):
+        next(gen)

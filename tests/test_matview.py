@@ -1,0 +1,153 @@
+"""Incrementally-maintained aggregate views (plans/matview.py): the view
+folds the source's change feed into count/sum totals without rescanning
+the base table, and must equal a direct groupBy of the source's live
+rows after every sync (the reference's custom-aggregate validation
+shape, import_config.py:2257-2284 — run the aggregate both ways,
+compare)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbimport_spark.plans.engine import CDCEngine
+from dbimport_spark.plans.matview import (
+    AggSpec,
+    create_view,
+    sync_view,
+    verify_view,
+)
+from dbimport_spark.schema import CHANGE_SCHEMA
+from dbimport_spark.sources.loggen import generate_changes
+
+TS = dt.datetime(2024, 1, 1)
+SPEC = AggSpec(group_cols=["source"], sum_cols=["n_tok"])
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(rows, CHANGE_SCHEMA)
+
+
+def _pair(spark, tmp_path):
+    src_t = CDCEngine.create_table(str(tmp_path / "src"), num_buckets=8)
+    src = CDCEngine(spark, src_t, checkpoint_dir=str(tmp_path / "ckpt"))
+    view_t = create_view(str(tmp_path / "view"), src_t, SPEC, num_buckets=4)
+    view = CDCEngine(spark, view_t)
+    return src, view
+
+
+def _totals(spark, view_t):
+    return {
+        r["source"]: (r["n_rows"], r["sum_n_tok"])
+        for r in view_t.read(spark).collect()
+    }
+
+
+def test_bootstrap_equals_direct_groupby(spark, tmp_path):
+    src, view = _pair(spark, tmp_path)
+    src.replay(generate_changes(spark, 3000, n_keys=200, seed=31), num_batches=2)
+    bs = sync_view(spark, src.table, view, SPEC)
+    assert not bs.skipped
+    assert verify_view(spark, src.table, view.table, SPEC)["converged"]
+    # idempotent: nothing new -> skipped, watermark = source version
+    assert sync_view(spark, src.table, view, SPEC).skipped
+    assert view.table.last_lsn() == src.table.current().version
+
+
+def test_incremental_insert_update_delete(spark, tmp_path):
+    src, view = _pair(spark, tmp_path)
+    # n_tok is engine-normalized to size(tokens) on apply, so the token
+    # arrays carry the summed quantity
+    src.apply_batch(
+        _log(spark, [(1, "I", "k1", [1] * 10, 10, "a", TS),
+                     (2, "I", "k2", [2] * 20, 20, "a", TS),
+                     (3, "I", "k3", [3] * 5, 5, "b", TS)]), 0, 3,
+    )
+    sync_view(spark, src.table, view, SPEC)
+    assert _totals(spark, view.table) == {"a": (2, 30), "b": (1, 5)}
+
+    # update within group (sum moves), update across groups (row migrates),
+    # delete collapsing a group to zero (group row disappears)
+    src.apply_batch(
+        _log(spark, [(4, "U", "k1", [1] * 15, 15, "a", TS),  # a: 30 -> 35
+                     (5, "U", "k3", [3] * 5, 5, "a", TS),    # b -> a migration
+                     (6, "D", "k2", None, None, None, TS)]), 3, 6,
+    )
+    bs = sync_view(spark, src.table, view, SPEC)
+    assert not bs.skipped
+    assert _totals(spark, view.table) == {"a": (2, 20)}
+    assert verify_view(spark, src.table, view.table, SPEC)["converged"]
+
+
+def test_update_not_touching_aggregates_is_noop(spark, tmp_path):
+    src, view = _pair(spark, tmp_path)
+    src.apply_batch(_log(spark, [(1, "I", "k1", [1] * 10, 10, "a", TS)]), 0, 1)
+    sync_view(spark, src.table, view, SPEC)
+    v_before = view.table.current().version
+    # token VALUES change but neither the group nor n_tok (same length)
+    # does: the delta nets to zero and no group is rewritten — the sync
+    # still advances the view's watermark (empty batch commits are atomic)
+    src.apply_batch(_log(spark, [(2, "U", "k1", [9] * 10, 10, "a", TS)]), 1, 2)
+    bs = sync_view(spark, src.table, view, SPEC)
+    assert not bs.skipped and bs.events == 0
+    assert view.table.current().version == v_before + 1  # watermark-only
+    assert view.table.last_lsn() == src.table.current().version
+    assert _totals(spark, view.table) == {"a": (1, 10)}
+
+
+def test_resync_of_committed_window_is_skipped(spark, tmp_path):
+    src, view = _pair(spark, tmp_path)
+    src.apply_batch(_log(spark, [(1, "I", "k1", [1] * 10, 10, "a", TS)]), 0, 1)
+    sync_view(spark, src.table, view, SPEC)
+    before = _totals(spark, view.table)
+    # crash-redelivery shape: the same window applied again must not
+    # double-count (watermark gate, not delta arithmetic, protects it)
+    assert sync_view(spark, src.table, view, SPEC).skipped
+    assert _totals(spark, view.table) == before
+
+
+def test_gap_refuses_then_full_rebuild(spark, tmp_path):
+    src, view = _pair(spark, tmp_path)
+    src.apply_batch(_log(spark, [(1, "I", "k1", [1] * 10, 10, "a", TS)]), 0, 1)
+    sync_view(spark, src.table, view, SPEC)
+    src.apply_batch(_log(spark, [(2, "I", "k2", [2] * 7, 7, "b", TS),
+                                 (3, "D", "k1", None, None, None, TS)]), 1, 3)
+    src.table.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="expired"):
+        sync_view(spark, src.table, view, SPEC)
+    bs = sync_view(spark, src.table, view, SPEC, on_gap="full")
+    assert not bs.skipped
+    assert _totals(spark, view.table) == {"b": (1, 7)}
+    assert verify_view(spark, src.table, view.table, SPEC)["converged"]
+
+
+def test_composite_groups_and_null_sums(spark, tmp_path):
+    spec = AggSpec(group_cols=["source"], sum_cols=["n_tok"])
+    src_t = CDCEngine.create_table(str(tmp_path / "s2"), num_buckets=4)
+    src = CDCEngine(spark, src_t)
+    view_t = create_view(str(tmp_path / "v2"), src_t, spec, num_buckets=2)
+    view = CDCEngine(spark, view_t)
+    # null tokens => engine-normalized null n_tok, which contributes 0 to
+    # the sum (documented convention: the invertible COALESCE(sum, 0)
+    # form) but still counts the row
+    src.apply_batch(
+        _log(spark, [(1, "I", "k1", None, None, "a", TS),
+                     (2, "I", "k2", [2] * 4, 4, "a", TS)]), 0, 2,
+    )
+    sync_view(spark, src_t, view, spec)
+    assert _totals(spark, view_t) == {"a": (2, 4)}
+    src.apply_batch(_log(spark, [(3, "D", "k2", None, None, None, TS)]), 2, 3)
+    sync_view(spark, src_t, view, spec)
+    assert _totals(spark, view_t) == {"a": (1, 0)}
+    assert verify_view(spark, src_t, view_t, spec)["converged"]
+
+
+def test_random_log_converges_per_window(spark, tmp_path):
+    """Property-style: replay a generated log in 3 windows, sync after
+    each; the view must equal the direct groupBy at every step."""
+    src, view = _pair(spark, tmp_path)
+    log = generate_changes(spark, 4000, n_keys=150, seed=77)
+    for hi in (1300, 2600, 4000):
+        src.replay(log.filter(F.col("lsn") <= hi), num_batches=1)
+        sync_view(spark, src.table, view, SPEC)
+        assert verify_view(spark, src.table, view.table, SPEC)["converged"]

@@ -147,3 +147,44 @@ def test_mirror_carries_evolved_columns(spark, tmp_path):
     assert "quality" in mir.table.current().schema.fieldNames()
     row = mir.table.read(spark).collect()[0]
     assert abs(row["quality"] - 0.9) < 1e-6
+
+
+def test_follow_mirror_applies_windows_as_source_advances(spark, tmp_path):
+    """Continuous replication: follow_mirror polls and ships each new
+    window. The source advances from another thread mid-follow; the
+    follower must apply both windows and converge."""
+    import threading
+
+    from dbimport_spark.plans.mirror import follow_mirror
+
+    src, mir = _pair(spark, tmp_path)
+    log = generate_changes(spark, 2000, n_keys=150, seed=5)
+    src.replay(log.filter(F.col("lsn") <= 1000), num_batches=1)
+
+    t = threading.Timer(1.0, lambda: src.replay(log, num_batches=1))
+    t.start()
+    try:
+        applied = follow_mirror(
+            spark, src.table, mir, poll_s=0.1, max_syncs=2
+        )
+    finally:
+        t.join()
+    assert len(applied) == 2
+    assert _payload_state(spark, mir.table) == _payload_state(spark, src.table)
+    assert source_version_mirrored(mir) == src.table.current().version
+
+
+def test_follow_mirror_stop_file(spark, tmp_path):
+    from dbimport_spark.plans.mirror import follow_mirror
+
+    src, mir = _pair(spark, tmp_path)
+    src.apply_batch(_log(spark, [(1, "I", "k1", [1], 1, "a", TS)]), 0, 1)
+    stop = tmp_path / "stop"
+    stop.touch()
+    # first poll syncs the pending window, second finds nothing and sees
+    # the stop file -> returns instead of sleeping forever
+    applied = follow_mirror(
+        spark, src.table, mir, poll_s=30.0, stop_file=str(stop)
+    )
+    assert len(applied) == 1
+    assert _payload_state(spark, mir.table) == _payload_state(spark, src.table)
