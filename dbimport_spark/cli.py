@@ -288,6 +288,17 @@ def main(argv: list[str] | None = None) -> int:
         "--rename", action="append", default=[], metavar="OLD=NEW",
         help="declared source column renames for this table (repeatable)",
     )
+    tp.add_argument(
+        "--mirror", default=None, metavar="ROOT",
+        help="mirror table root to delta-sync after each successful "
+        "replay (reference per-table copy phase)",
+    )
+    tp.add_argument(
+        "--view", action="append", default=[], metavar="JSON",
+        help='matview to delta-sync after each replay, e.g. '
+        '\'{"root": "/lake/v", "group_by": ["source"], "sum": ["n_tok"]}\' '
+        "(repeatable)",
+    )
     tsub.add_parser("list")
     tp = tsub.add_parser("remove")
     tp.add_argument("name")
@@ -368,6 +379,15 @@ def main(argv: list[str] | None = None) -> int:
 
         reg = TableRegistry(args.registry)
         if args.tcmd == "add":
+            views = []
+            for raw in args.view:
+                try:
+                    v = json.loads(raw)
+                    if "root" not in v or "group_by" not in v:
+                        raise ValueError("needs 'root' and 'group_by'")
+                except (json.JSONDecodeError, ValueError) as exc:
+                    p.error(f"--view expects JSON with root/group_by/sum: {exc}")
+                views.append(v)
             reg.add(
                 TableEntry(
                     name=args.name,
@@ -378,6 +398,8 @@ def main(argv: list[str] | None = None) -> int:
                     renames=dict(r.split("=", 1) for r in args.rename),
                     batches=args.batches,
                     schedule=args.schedule,
+                    mirror_root=args.mirror,
+                    views=views,
                 )
             )
             print(json.dumps({"added": args.name}))

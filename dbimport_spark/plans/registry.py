@@ -44,6 +44,12 @@ class TableEntry:
     # orchestrator the deployment pairs this with; replay_all ignores it
     schedule: str | None = None
     enabled: bool = True
+    # derived targets advanced after each successful replay (the
+    # reference's per-table copy phase: import runs, then the configured
+    # cluster copies ship the delta — copy_operations.py):
+    # a mirror table root, and/or matviews [{root, group_by, sum}]
+    mirror_root: str | None = None
+    views: list[dict] = field(default_factory=list)
 
 
 class TableRegistry:
@@ -169,9 +175,65 @@ def replay_all(
                 "events_applied": stats.events_applied,
                 "last_lsn": table.last_lsn(),
             }
+            _sync_derived(spark, table, e, results[name])
         except Exception as exc:  # isolate per-table failures, keep sweeping
             results[name] = {
                 "ok": False,
                 "error": f"{type(exc).__name__}: {exc}",
             }
     return results
+
+
+def _sync_derived(
+    spark: SparkSession, table, e: TableEntry, result: dict
+) -> None:
+    """Advance the entry's derived targets (mirror, matviews) after a
+    successful replay — the reference's copy phase runs the same way,
+    per table, after its import phase (bin/import COPY PHASE,
+    copy_operations.py). Each derived target has its own watermark (its
+    table's LSN = source version), so a failed derived sync is recorded,
+    flips the entry's ``ok``, and is simply retried by the next sweep —
+    it never rolls back or blocks the table's own replay, and never
+    blocks other tables."""
+    from dbimport_spark.lake.table import LakeTable
+    from dbimport_spark.plans.engine import CDCEngine
+
+    if e.mirror_root:
+        try:
+            from dbimport_spark.plans.mirror import sync_mirror
+
+            bs = sync_mirror(
+                spark, table, CDCEngine(spark, LakeTable.load(e.mirror_root))
+            )
+            result["mirror"] = {"ok": True, "skipped": bs.skipped,
+                                "events": bs.events}
+        except Exception as exc:
+            result["mirror"] = {
+                "ok": False, "error": f"{type(exc).__name__}: {exc}"
+            }
+            result["ok"] = False
+    if e.views:
+        out = []
+        for v in e.views:
+            try:
+                from dbimport_spark.plans.matview import AggSpec, sync_view
+
+                spec = AggSpec(
+                    group_cols=list(v["group_by"]),
+                    sum_cols=list(v.get("sum", [])),
+                )
+                bs = sync_view(
+                    spark,
+                    table,
+                    CDCEngine(spark, LakeTable.load(v["root"])),
+                    spec,
+                )
+                out.append({"root": v["root"], "ok": True,
+                            "skipped": bs.skipped, "groups": bs.events})
+            except Exception as exc:
+                out.append({
+                    "root": v.get("root"), "ok": False,
+                    "error": f"{type(exc).__name__}: {exc}",
+                })
+                result["ok"] = False
+        result["views"] = out

@@ -169,3 +169,60 @@ def test_replay_all_only_surfaces_unknown_and_disabled(spark, tmp_path):
     # the plain sweep still treats disabled as a benign skip
     res2 = replay_all(spark, reg)
     assert res2["a"] == {"ok": True, "skipped": "disabled"}
+
+
+def test_replay_all_advances_derived_mirror_and_view(spark, tmp_path):
+    """Derived targets (the reference's per-table copy phase,
+    copy_operations.py): a registered mirror and matview are delta-synced
+    after each successful replay; a broken derived target flips the
+    entry's ok without blocking the table replay or other entries."""
+    from dbimport_spark.lake.table import LakeTable
+    from dbimport_spark.plans.matview import AggSpec, create_view, verify_view
+    from dbimport_spark.plans.mirror import verify_mirror
+
+    log = generate_changes(spark, 1200, n_keys=80, seed=11)
+    write_changes(log, str(tmp_path / "log"), 4)
+    src_t = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    CDCEngine.create_table(str(tmp_path / "mir"), num_buckets=4)
+    spec = AggSpec(group_cols=["source"], sum_cols=["n_tok"])
+    create_view(str(tmp_path / "view"), src_t, spec, num_buckets=2)
+
+    reg = TableRegistry(str(tmp_path / "reg.json"))
+    reg.add(
+        TableEntry(
+            name="t", table_root=str(tmp_path / "t"),
+            log_path=str(tmp_path / "log"),
+            checkpoint=str(tmp_path / "ckpt"),
+            mirror_root=str(tmp_path / "mir"),
+            views=[{"root": str(tmp_path / "view"),
+                    "group_by": ["source"], "sum": ["n_tok"]}],
+        )
+    )
+    res = replay_all(spark, reg)
+    assert res["t"]["ok"]
+    assert res["t"]["mirror"]["ok"] and not res["t"]["mirror"]["skipped"]
+    assert res["t"]["views"][0]["ok"]
+    assert verify_mirror(
+        spark, src_t, LakeTable.load(str(tmp_path / "mir"))
+    )["converged"]
+    assert verify_view(
+        spark, src_t, LakeTable.load(str(tmp_path / "view")), spec
+    )["converged"]
+
+    # derived failure isolation: break the view root; the replay itself
+    # stays applied (watermark advanced), mirror still syncs, entry ok
+    # flips, and the error names the target
+    entries = reg.load()
+    entries["t"].views = [{"root": str(tmp_path / "missing"),
+                           "group_by": ["source"], "sum": ["n_tok"]}]
+    reg.save(entries)
+    write_changes(
+        generate_changes(spark, 1800, n_keys=80, seed=11),
+        str(tmp_path / "log"), 4,
+    )
+    res = replay_all(spark, reg)
+    assert not res["t"]["ok"]
+    assert res["t"]["batches_applied"] >= 1  # the table replay succeeded
+    assert res["t"]["mirror"]["ok"]
+    assert not res["t"]["views"][0]["ok"]
+    assert "missing" in res["t"]["views"][0]["root"]
