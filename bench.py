@@ -123,6 +123,15 @@ def main() -> None:
             "cdf_net",
             lambda: table_changes(spark, table, v_incr - 1, v_incr).count(),
         )
+        # matview bootstrap: the heaviest sync (v0 feed = whole table as
+        # inserts folded into per-source count/sum totals)
+        from dbimport_spark.plans.matview import AggSpec, create_view, sync_view
+
+        spec = AggSpec(group_cols=["source"], sum_cols=["n_tok"])
+        vdir = os.path.join(work, f"view-{i}")
+        veng = CDCEngine(spark, create_view(vdir, table, spec, num_buckets=8))
+        sample("matview_sync", lambda: sync_view(spark, table, veng, spec))
+        shutil.rmtree(vdir, ignore_errors=True)
         shutil.rmtree(tdir, ignore_errors=True)
         shutil.rmtree(cdir, ignore_errors=True)
 

@@ -182,9 +182,22 @@ def sync_view(
         noop = F.col("_d_n") == 0
         for c in spec.sum_cols:
             noop = noop & (F.col(spec.sum_name(c)) == 0)
-        delta = delta.filter(~noop)
+        # group-cardinality-sized; materialized once because three
+        # consumers follow (bucket collect, join, merge) — an uncached
+        # delta would re-run the feed groupBy per consumer
+        delta = delta.filter(~noop).localCheckpoint(eager=True)
 
-        cur = view_engine.table.read(spark)
+        # current totals, bucket-pruned to the delta's touched groups:
+        # sync cost scales with the window's delta, not the view size
+        vsnap = view_engine.table.current()
+        bexpr = view_engine.table.bucket_expr(
+            key_col=list(spec.group_cols), num_buckets=vsnap.num_buckets
+        )
+        touched = sorted(
+            r["bucket"]
+            for r in delta.select(bexpr.alias("bucket")).distinct().collect()
+        )
+        cur = view_engine.table.read(spark, buckets=touched)
         if AUDIT_DELETE in cur.columns:
             cur = cur.filter(F.col(AUDIT_DELETE).isNull())
         cur = cur.select(

@@ -151,3 +151,44 @@ def test_random_log_converges_per_window(spark, tmp_path):
         src.replay(log.filter(F.col("lsn") <= hi), num_batches=1)
         sync_view(spark, src.table, view, SPEC)
         assert verify_view(spark, src.table, view.table, SPEC)["converged"]
+
+
+def test_sync_reads_only_touched_view_buckets(spark, tmp_path):
+    """Scale shape: the current-totals read is bucket-pruned to the
+    delta's groups — a sync touching one group must not read view files
+    from untouched buckets (sync cost ∝ delta, not view size)."""
+    spec = AggSpec(group_cols=["source"], sum_cols=["n_tok"])
+    src_t = CDCEngine.create_table(str(tmp_path / "s3"), num_buckets=4)
+    src = CDCEngine(spark, src_t)
+    view_t = create_view(str(tmp_path / "v3"), src_t, spec, num_buckets=8)
+    view = CDCEngine(spark, view_t)
+    # bootstrap: many groups spread across view buckets
+    src.apply_batch(
+        _log(spark, [(i, "I", f"k{i}", [1] * i, i, f"g{i % 6}", TS)
+                     for i in range(1, 13)]), 0, 12,
+    )
+    sync_view(spark, src_t, view, spec)
+    all_files = {f.path for f in view_t.current().files}
+    assert len(all_files) > 1  # groups actually spread over buckets
+
+    # one group changes; capture which view files the sync reads
+    src.apply_batch(_log(spark, [(13, "U", "k1", [1] * 99, 99, "g1", TS)]),
+                    12, 13)
+    read_files = set()
+    orig_read = type(view_t).read
+
+    def spy(self, spark_, buckets=None, version=None):
+        df = orig_read(self, spark_, buckets=buckets, version=version)
+        if self is view_t and buckets is not None:
+            read_files.update(df.inputFiles())
+        return df
+
+    import unittest.mock as mock
+
+    with mock.patch.object(type(view_t), "read", spy):
+        sync_view(spark, src_t, view, spec)
+    # DataFile paths are table-root-relative; inputFiles are absolute URIs
+    read_paths = {p.removeprefix("file://") for p in read_files}
+    all_abs = {str(tmp_path / "v3" / p) for p in all_files}
+    assert read_paths and read_paths < all_abs  # strict subset: pruned
+    assert verify_view(spark, src_t, view_t, spec)["converged"]
