@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -190,6 +191,23 @@ def main(argv: list[str] | None = None) -> int:
         help="carry _pre_<col> pre-image columns on update rows (net mode)",
     )
     sp.add_argument("--out", default=None, help="write parquet here instead of counting")
+    sp.add_argument(
+        "--follow", action="store_true",
+        help="tail the commit log: emit each new commit window as it "
+        "lands (requires --out; windows written to <out>/w<from>-<to>)",
+    )
+    sp.add_argument(
+        "--poll", type=float, default=5.0, metavar="SECONDS",
+        help="metadata poll interval in --follow mode (default 5)",
+    )
+    sp.add_argument(
+        "--max-windows", type=int, default=None, metavar="N",
+        help="stop --follow after N emitted windows (default: run forever)",
+    )
+    sp.add_argument(
+        "--stop-file", default=None, metavar="PATH",
+        help="stop --follow when this file appears (after draining)",
+    )
 
     sp = sub.add_parser(
         "mirror",
@@ -331,6 +349,9 @@ def main(argv: list[str] | None = None) -> int:
                if "=" not in r or not r.split("=", 1)[0] or not r.split("=", 1)[1]]
         if bad:
             p.error(f"--rename expects OLD=NEW, got: {', '.join(bad)}")
+    if args.cmd == "changes" and args.follow and not args.out:
+        p.error("--follow requires --out (each window is written to "
+                "<out>/w<from>-<to>)")
     if args.cmd == "init" and args.track_lsn and not args.soft_delete:
         # deliberate duplicate of the CDCEngine.create_table guard: fails
         # as a usage error BEFORE the Spark session spins up; keep in sync
@@ -623,6 +644,22 @@ def main(argv: list[str] | None = None) -> int:
         from dbimport_spark.lake.cdf import table_changes, table_changes_per_commit
 
         table = LakeTable.load(args.table_root)
+        if args.follow:
+            from dbimport_spark.lake.cdf import follow_changes
+
+            emitted = []
+            for lo, hi, feed in follow_changes(
+                spark, table, from_version=args.from_version,
+                poll_s=args.poll, max_windows=args.max_windows,
+                stop_file=args.stop_file,
+            ):
+                wdir = os.path.join(args.out, f"w{lo}-{hi}")
+                feed.write.mode("overwrite").parquet(wdir)
+                rec = {"from_version": lo, "to_version": hi, "out": wdir}
+                emitted.append(rec)
+                print(json.dumps(rec), flush=True)
+            print(json.dumps({"windows": len(emitted)}))
+            return 0
         if args.per_commit:
             df = table_changes_per_commit(
                 spark, table, args.from_version, args.to_version

@@ -158,6 +158,12 @@ def sync_view(
     one-time full groupBy of the source plus anti-join deletes for
     groups that vanished, applied through the same exactly-once merge.
     """
+    if list(view_engine.keys) != list(spec.group_cols):
+        raise ValueError(
+            f"spec.group_cols {spec.group_cols} != view table merge key "
+            f"{list(view_engine.keys)} — the view is keyed by its group "
+            "columns; syncing with a different spec would corrupt totals"
+        )
     from_v = max(view_engine.table.last_lsn(), 0)
     to_v = source.current().version
     if to_v <= from_v:

@@ -139,8 +139,9 @@ def follow_mirror(
     are metadata-only; each applied sync ships one window's delta. The
     watermark lives in the MIRROR table, so a killed follower restarted
     with the same arguments resumes exactly where the last committed
-    sync left it. Stops after ``max_syncs`` applied syncs or when
-    ``stop_file`` appears."""
+    sync left it. Stops after ``max_syncs`` applied syncs, or — drain
+    first, then stop — when ``stop_file`` exists and the source has no
+    pending window (pending work is never abandoned mid-shutdown)."""
     import os as _os
     import time as _time
 

@@ -161,14 +161,22 @@ def test_follow_mirror_applies_windows_as_source_advances(spark, tmp_path):
     log = generate_changes(spark, 2000, n_keys=150, seed=5)
     src.replay(log.filter(F.col("lsn") <= 1000), num_batches=1)
 
+    # backstop: if a pathological scheduling race ever collapses both
+    # windows into one sync, the stop file ends the loop and the count
+    # assertion fails visibly instead of the test hanging on max_syncs
+    stop = tmp_path / "backstop"
+    backstop = threading.Timer(120.0, stop.touch)
+    backstop.start()
     t = threading.Timer(1.0, lambda: src.replay(log, num_batches=1))
     t.start()
     try:
         applied = follow_mirror(
-            spark, src.table, mir, poll_s=0.1, max_syncs=2
+            spark, src.table, mir, poll_s=0.1, max_syncs=2,
+            stop_file=str(stop),
         )
     finally:
         t.join()
+        backstop.cancel()
     assert len(applied) == 2
     assert _payload_state(spark, mir.table) == _payload_state(spark, src.table)
     assert source_version_mirrored(mir) == src.table.current().version
