@@ -279,11 +279,21 @@ def sync_view(
 
 
 def _view_sum_type(view_engine: CDCEngine, spec: AggSpec, c: str) -> T.DataType:
-    return next(
-        f.dataType
-        for f in view_engine.table.current().schema.fields
-        if f.name == spec.sum_name(c)
+    dt = next(
+        (
+            f.dataType
+            for f in view_engine.table.current().schema.fields
+            if f.name == spec.sum_name(c)
+        ),
+        None,
     )
+    if dt is None:
+        raise ValueError(
+            f"view table has no column {spec.sum_name(c)!r} — the spec's "
+            f"sum_cols do not match the view (created with a different "
+            "AggSpec?)"
+        )
+    return dt
 
 
 def verify_view(

@@ -72,6 +72,40 @@ print("RESULT " + json.dumps({{"cpus": {cpus}, "sec": round(dt, 3),
       "eps": round({n_events} / dt, 1)}}))
 """
 
+# matview stage: bootstrap sync of a per-source count/sum aggregate view
+# from the shared table's v0 change feed — the heaviest view sync (full
+# table as inserts through the signed-contribution fold). Steady-state
+# syncs are delta-sized; this times the worst case. Map-side combine
+# makes the groupBy's exchange group-cardinality-sized.
+MATVIEW_SNIPPET = """
+import sys, json, time, os, shutil
+sys.path.insert(0, {repo!r})
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+from dbimport_spark.session import get_spark
+from dbimport_spark.lake.table import LakeTable
+from dbimport_spark.plans.engine import CDCEngine
+from dbimport_spark.plans.matview import AggSpec, create_view, sync_view
+spark = get_spark(master="local[{cpus}]", shuffle_partitions={cpus},
+                  extra_conf={{"spark.ui.showConsoleProgress": "false",
+                              "spark.io.compression.codec": "zstd",
+                              "spark.local.dir": {local_dir!r}}})
+spark.sparkContext.setLogLevel("ERROR")
+table = LakeTable.load({table!r})
+spec = AggSpec(group_cols=["source"], sum_cols=["n_tok"])
+# untimed warmup sync into a scratch view (JIT/codegen), then the timed one
+for tag in ("warm", "timed"):
+    vdir = {vdir!r} + "-" + tag
+    shutil.rmtree(vdir, ignore_errors=True)
+    veng = CDCEngine(spark, create_view(vdir, table, spec, num_buckets=8))
+    t0 = time.time()
+    sync_view(spark, table, veng, spec)
+    dt = time.time() - t0
+    shutil.rmtree(vdir, ignore_errors=True)
+print("RESULT " + json.dumps({{"cpus": {cpus}, "sec": round(dt, 3),
+      "events": {n_events},
+      "eps": round({n_events} / dt, 1)}}))
+"""
+
 # cdf stage: snapshot-diff changelog emission between the two replay
 # windows of a shared read-only table (built once in the gen phase).
 # Times the pruned two-side scan + single key-hash full-outer join —
@@ -164,6 +198,13 @@ def run_level(cpus: int, log: str, work: str, tag: str = "", stage: str = "repla
             local_dir=local_dir, va=cdf_versions[0], vb=cdf_versions[1],
             n_events=n_events,
         )
+    elif stage == "matview":
+        # same shared table; each level bootstraps its own scratch views
+        code = MATVIEW_SNIPPET.format(
+            repo=REPO, cpus=cpus, table=os.path.join(work, "cdf-table"),
+            vdir=os.path.join(work, f"view-{cpus}{tag}"),
+            local_dir=local_dir, n_events=n_events,
+        )
     elif stage == "dedup":
         code = DEDUP_SNIPPET.format(
             repo=REPO, cpus=cpus, log=log, local_dir=local_dir, n_events=n_events
@@ -211,7 +252,7 @@ def main() -> None:
         if "GENERATED" not in gen.stdout:
             raise RuntimeError(f"loggen failed: {gen.stdout[-1000:]}\n{gen.stderr[-1000:]}")
         cdf_versions = None
-        if stage == "cdf":
+        if stage in ("cdf", "matview"):
             prep = subprocess.run(
                 [sys.executable, "-c", CDF_GEN_SNIPPET.format(
                     repo=REPO, log=log,
@@ -263,6 +304,16 @@ then `table_changes(vA, vB)` over the incremental window re-executed"""
 pruned scan → one key-hash full-outer join → liveness/change-type
 classification projection); table build, JVM boot, and an untimed
 same-JVM warmup execution excluded."""
+    elif stage == "matview":
+        job_desc = f"""the same materialized-view bootstrap —
+one table built ONCE from a {n:,}-event change log, then a per-source
+count/sum view bootstrapped from its v0 change feed (full table as
+inserts through the signed-contribution fold — the heaviest sync;
+steady-state syncs are delta-sized)"""
+        timed_desc = """Timed window = the sync only
+(feed read → signed contributions → map-side-combined groupBy →
+totals join → bucket-pruned merge write); table build, JVM boot, and
+an untimed same-JVM warmup sync excluded."""
     elif stage == "dedup":
         job_desc = f"""the same keyed LWW fold —
 identical pre-generated {n:,}-event change log, columns pruned to
