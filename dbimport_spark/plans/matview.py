@@ -29,6 +29,12 @@ plans/mirror.py) — totals and watermark commit atomically, a re-sync of
 a committed window is skipped, and a crash between feed read and commit
 leaves no partial state.
 
+Null group values are unsupported: the group columns are the view's
+merge key, and the engine's merge-key invariant (null keys are refused
+loudly / quarantined, never silently grouped) applies — unlike SQL's
+``GROUP BY``, which would invent a NULL group. Filter or coalesce null
+group values in the source before aggregating on them.
+
 Scale shape per refresh: one groupBy shuffle of the delta (feed-sized),
 one left join of the delta against current totals (delta side drives;
 AQE broadcasts it when small), and the engine's bucket-pruned merge of
