@@ -81,8 +81,17 @@ def run_stream(
     available_now: bool = True,
     on_out_of_order: str = "auto",
     state_store=None,
+    on_batch_applied=None,
 ):
     """Drive the CDC apply from a stream; returns the StreamingQuery.
+
+    ``on_batch_applied(stats)`` — optional callback invoked after each
+    micro-batch whose fresh window was applied (not for skip/empty
+    batches), with the apply's ``BatchStats``. The derived-maintenance
+    hook: sync a mirror or matview here and downstream tables advance in
+    lock-step with the stream (each keeps its own watermark, so a
+    callback failure fails the micro-batch and Spark retries it — the
+    re-apply is idempotent end to end).
 
     ``available_now=True`` processes everything present then stops (the
     batch-replay analogue); False runs continuously on new files.
@@ -302,7 +311,9 @@ def run_stream(
             fresh = batch.filter(F.col("lsn") > F.lit(last))
             if skipped_late:
                 fresh = fresh.filter(~F.input_file_name().isin(skipped_late))
-            engine.apply_batch(fresh, int(lo_a) - 1, int(hi_a))
+            bs = engine.apply_batch(fresh, int(lo_a) - 1, int(hi_a))
+            if on_batch_applied is not None and not bs.skipped:
+                on_batch_applied(bs)
         # record this batch's segments only after they are fully absorbed:
         # a crash before this point re-delivers them, and re-delivery of
         # ledgered segments is benign by construction

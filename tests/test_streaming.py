@@ -597,3 +597,47 @@ def test_windowed_append_mode_drops_beyond_horizon(spark, tmp_path):
     assert straggler_start not in first_minute
     assert sum(r["n_events"] for r in emitted) <= main.count()
     assert len(emitted) > 5
+
+
+def test_stream_on_batch_applied_syncs_derived_targets(spark, tmp_path):
+    """Derived maintenance in lock-step with the stream: the
+    on_batch_applied hook syncs a matview after every applied
+    micro-batch; when the stream drains, the view equals a direct
+    groupBy of the table — and the per-batch sync count shows it
+    advanced DURING the stream, not in one final pass."""
+    from dbimport_spark.plans.matview import (
+        AggSpec,
+        create_view,
+        sync_view,
+        verify_view,
+    )
+
+    from dbimport_spark.sources.loggen import write_changes_segments
+
+    log_dir = str(tmp_path / "log-mv")
+    write_changes_segments(
+        generate_changes(spark, 1200, n_keys=80, seed=43), log_dir,
+        n_segments=6,
+    )
+    table = CDCEngine.create_table(str(tmp_path / "t-mv"), num_buckets=4)
+    eng = CDCEngine(spark, table)
+    spec = AggSpec(group_cols=["source"], sum_cols=["n_tok"])
+    view_t = create_view(str(tmp_path / "v-mv"), table, spec, num_buckets=2)
+    veng = CDCEngine(spark, view_t)
+
+    synced = []
+
+    def hook(stats):
+        synced.append(sync_view(spark, table, veng, spec))
+
+    q = run_stream(
+        eng,
+        stream_changes(spark, log_dir, max_files_per_trigger=2),
+        checkpoint_dir=str(tmp_path / "c-mv"),
+        on_batch_applied=hook,
+    )
+    q.awaitTermination(300)
+    assert len(synced) >= 2  # advanced per micro-batch, not once at the end
+    assert all(not b.skipped for b in synced)
+    assert verify_view(spark, table, view_t, spec)["converged"]
+    assert view_t.last_lsn() == table.current().version
