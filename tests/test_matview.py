@@ -192,3 +192,28 @@ def test_sync_reads_only_touched_view_buckets(spark, tmp_path):
     all_abs = {str(tmp_path / "v3" / p) for p in all_files}
     assert read_paths and read_paths < all_abs  # strict subset: pruned
     assert verify_view(spark, src_t, view_t, spec)["converged"]
+
+
+def test_soft_delete_source(spark, tmp_path):
+    """Soft sources: a tombstoned row leaves the aggregate (the feed
+    emits 'delete' on the live->dead transition), and a revival
+    re-enters it — totals always equal the groupBy of LIVE rows."""
+    src_t = CDCEngine.create_table(
+        str(tmp_path / "soft"), num_buckets=4, soft_delete=True
+    )
+    src = CDCEngine(spark, src_t)
+    view_t = create_view(str(tmp_path / "vsoft"), src_t, SPEC, num_buckets=2)
+    view = CDCEngine(spark, view_t)
+    src.apply_batch(
+        _log(spark, [(1, "I", "k1", [1] * 10, 10, "a", TS),
+                     (2, "I", "k2", [2] * 5, 5, "a", TS)]), 0, 2,
+    )
+    sync_view(spark, src_t, view, SPEC)
+    assert _totals(spark, view_t) == {"a": (2, 15)}
+    src.apply_batch(_log(spark, [(3, "D", "k1", None, None, None, TS)]), 2, 3)
+    sync_view(spark, src_t, view, SPEC)
+    assert _totals(spark, view_t) == {"a": (1, 5)}  # tombstone left the agg
+    src.apply_batch(_log(spark, [(4, "I", "k1", [7] * 7, 7, "a", TS)]), 3, 4)
+    sync_view(spark, src_t, view, SPEC)
+    assert _totals(spark, view_t) == {"a": (2, 12)}  # revival re-entered
+    assert verify_view(spark, src_t, view_t, SPEC)["converged"]
