@@ -83,6 +83,19 @@ def main() -> None:
         runs.setdefault(name, []).append(round(time.time() - t0, 3))
         return out
 
+    # untimed JVM warmup: loggen is sampled ONCE, and as the process's
+    # first job it would otherwise absorb all codegen/classload/first-
+    # shuffle cost — observed 9s vs 60s bimodality for identical work.
+    # A small generate+write exercises the same code paths first.
+    warm_path = os.path.join(work, "warmup")
+    write_changes(
+        generate_changes(spark, 50_000, n_keys=5_000, seed=1,
+                         tokens_min=32, tokens_max=128, num_partitions=8),
+        warm_path, presorted=True,
+    )
+    spark.read.parquet(warm_path).count()
+    shutil.rmtree(warm_path, ignore_errors=True)
+
     # -- materialize the change log (setup; timed once, not repeated) --------
     full = int(n_events * 0.9)
     log_path = os.path.join(work, "log")
