@@ -196,3 +196,47 @@ def test_follow_mirror_stop_file(spark, tmp_path):
     )
     assert len(applied) == 1
     assert _payload_state(spark, mir.table) == _payload_state(spark, src.table)
+
+
+def test_mirror_and_view_converge_after_source_repair(spark, tmp_path):
+    """Out-of-band repair interplay: repair_keys rewrites source buckets
+    in a NEW commit, so a later delta sync ships the corrections through
+    the change feed — mirror and matview both converge without special
+    handling (the repair is just another window to them)."""
+    from dbimport_spark.plans.matview import (
+        AggSpec,
+        create_view,
+        sync_view,
+        verify_view,
+    )
+    from dbimport_spark.plans.mirror import verify_mirror
+
+    src, mir = _pair(spark, tmp_path)
+    spec = AggSpec(group_cols=["source"], sum_cols=["n_tok"])
+    view_t = create_view(str(tmp_path / "view"), src.table, spec, num_buckets=2)
+    view = CDCEngine(spark, view_t)
+
+    log = generate_changes(spark, 3000, n_keys=200, seed=51)
+    # replay with a skipped middle window (late segment), sync derived
+    b = log.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).first()
+    m1 = b["lo"] + (b["hi"] - b["lo"]) // 3
+    m2 = b["lo"] + 2 * (b["hi"] - b["lo"]) // 3
+    src.replay(log.filter(F.col("lsn") <= m1), num_batches=1)
+    src.replay(log.filter(F.col("lsn") > m2), num_batches=1,
+               allow_log_gap=True)
+    sync_mirror(spark, src.table, mir)
+    sync_view(spark, src.table, view, spec)
+
+    # out-of-band repair folds the gap's keys authoritatively
+    gap_keys = (
+        log.filter((F.col("lsn") > m1) & (F.col("lsn") <= m2))
+        .select("doc_id").distinct()
+    )
+    src.repair_keys(log, gap_keys)
+
+    # plain delta syncs pick the corrections up through the feed
+    assert not sync_mirror(spark, src.table, mir).skipped
+    assert not sync_view(spark, src.table, view, spec).skipped
+    assert verify_mirror(spark, src.table, mir.table)["converged"]
+    assert verify_view(spark, src.table, view_t, spec)["converged"]
+    assert _payload_state(spark, mir.table) == _payload_state(spark, src.table)
