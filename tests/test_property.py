@@ -170,3 +170,60 @@ def test_random_late_splits_converge_via_apply_late(
     v = table.current().version
     eng.apply_late(spark.createDataFrame(late_rows, CHANGE_SCHEMA))
     assert table.current().version == v
+
+
+mv_event = st.tuples(
+    st.sampled_from(["I", "U", "D"]),
+    st.sampled_from(KEYS),
+    st.lists(st.integers(0, 5), min_size=0, max_size=3),
+    st.sampled_from(["g0", "g1"]),  # group migrations included
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(mv_event, min_size=1, max_size=12), st.integers(1, 3))
+def test_matview_random_sequences_equal_groupby(
+    spark, tmp_path_factory, ops, n_windows
+):
+    """Any op interleaving — first-event deletes, delete/re-insert,
+    cross-group migrations, no-op updates — synced in any windowing must
+    leave the view equal to a direct groupBy of the live rows."""
+    from pyspark.sql import functions as F
+
+    from dbimport_spark.plans.matview import (
+        AggSpec,
+        create_view,
+        sync_view,
+        verify_view,
+    )
+
+    rows = []
+    for i, (op, key, toks, grp) in enumerate(ops, start=1):
+        if op == "D":
+            rows.append((i, op, key, None, None, None, dt.datetime(2024, 1, 1)))
+        else:
+            rows.append(
+                (i, op, key, toks, len(toks), grp, dt.datetime(2024, 1, 1))
+            )
+    log = spark.createDataFrame(rows, CHANGE_SCHEMA)
+    root = str(tmp_path_factory.mktemp("mvprop"))
+    table = CDCEngine.create_table(root + "/t", num_buckets=2)
+    eng = CDCEngine(spark, table)
+    spec = AggSpec(group_cols=["source"], sum_cols=["n_tok"])
+    view = CDCEngine(
+        spark, create_view(root + "/v", table, spec, num_buckets=2)
+    )
+    n = len(rows)
+    edges = [(n * k) // n_windows for k in range(n_windows + 1)]
+    for lo, hi in zip(edges, edges[1:]):
+        if hi <= lo:
+            continue
+        eng.apply_batch(
+            log.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi)), lo, hi
+        )
+        sync_view(spark, table, view, spec)
+        assert verify_view(spark, table, view.table, spec)["converged"]
