@@ -278,6 +278,23 @@ def main(argv: list[str] | None = None) -> int:
         help="after syncing, reconcile the view against a direct groupBy "
         "of the source and include the result",
     )
+    sp.add_argument(
+        "--follow", action="store_true",
+        help="keep polling the source and syncing each new commit window "
+        "(continuous view-maintenance daemon)",
+    )
+    sp.add_argument(
+        "--poll", type=float, default=5.0, metavar="SECONDS",
+        help="metadata poll interval in --follow mode (default 5)",
+    )
+    sp.add_argument(
+        "--max-syncs", type=int, default=None, metavar="N",
+        help="stop --follow after N applied syncs (default: run forever)",
+    )
+    sp.add_argument(
+        "--stop-file", default=None, metavar="PATH",
+        help="stop --follow when this file appears (after draining)",
+    )
 
     sp = sub.add_parser(
         "fsck",
@@ -735,12 +752,26 @@ def main(argv: list[str] | None = None) -> int:
         else:
             view = LakeTable.load(args.view_root)
         eng = CDCEngine(spark, view)
-        bs = sync_view(spark, source, eng, spec, on_gap=args.on_gap)
-        out = {
-            "skipped": bs.skipped,
-            "groups_touched": bs.events,
-            "view_source_version": view.last_lsn(),
-        }
+        if args.follow:
+            from dbimport_spark.plans.matview import follow_view
+
+            applied = follow_view(
+                spark, source, eng, spec, poll_s=args.poll,
+                max_syncs=args.max_syncs, stop_file=args.stop_file,
+                on_gap=args.on_gap,
+            )
+            out = {
+                "syncs": len(applied),
+                "groups_touched": sum(b.events for b in applied),
+                "view_source_version": view.last_lsn(),
+            }
+        else:
+            bs = sync_view(spark, source, eng, spec, on_gap=args.on_gap)
+            out = {
+                "skipped": bs.skipped,
+                "groups_touched": bs.events,
+                "view_source_version": view.last_lsn(),
+            }
         if args.verify:
             out["verify"] = verify_view(spark, source, view, spec)
         print(json.dumps(out))

@@ -284,6 +284,37 @@ def sync_view(
     return view_engine.apply_batch(upserts.unionByName(gone), from_v, to_v)
 
 
+def follow_view(
+    spark: SparkSession,
+    source: LakeTable,
+    view_engine: CDCEngine,
+    spec: AggSpec,
+    poll_s: float = 5.0,
+    max_syncs: int | None = None,
+    stop_file: str | None = None,
+    on_gap: str = "error",
+) -> list[BatchStats]:
+    """Continuous view maintenance: poll the source and ``sync_view``
+    each time it advances (``plans/mirror.follow_mirror``'s shape — the
+    watermark lives in the VIEW table, so a killed follower resumes from
+    its last committed sync). Stops after ``max_syncs`` applied syncs,
+    or — drain first, then stop — when ``stop_file`` exists and the
+    source has no pending window."""
+    import os as _os
+    import time as _time
+
+    applied: list[BatchStats] = []
+    while max_syncs is None or len(applied) < max_syncs:
+        bs = sync_view(spark, source, view_engine, spec, on_gap=on_gap)
+        if not bs.skipped:
+            applied.append(bs)
+            continue  # drained this window; re-check before sleeping
+        if stop_file is not None and _os.path.isfile(stop_file):
+            break
+        _time.sleep(poll_s)
+    return applied
+
+
 def _view_sum_type(view_engine: CDCEngine, spec: AggSpec, c: str) -> T.DataType:
     dt = next(
         (

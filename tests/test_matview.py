@@ -217,3 +217,32 @@ def test_soft_delete_source(spark, tmp_path):
     sync_view(spark, src_t, view, SPEC)
     assert _totals(spark, view_t) == {"a": (2, 12)}  # revival re-entered
     assert verify_view(spark, src_t, view_t, SPEC)["converged"]
+
+
+def test_follow_view_applies_windows(spark, tmp_path):
+    """Continuous view maintenance: follow_view polls and delta-syncs as
+    the source advances from another thread (follow_mirror's shape)."""
+    import threading
+
+    from dbimport_spark.plans.matview import follow_view
+
+    src, view = _pair(spark, tmp_path)
+    log = generate_changes(spark, 2000, n_keys=120, seed=13)
+    src.replay(log.filter(F.col("lsn") <= 1000), num_batches=1)
+
+    stop = tmp_path / "backstop"
+    backstop = threading.Timer(120.0, stop.touch)
+    backstop.start()
+    t = threading.Timer(1.0, lambda: src.replay(log, num_batches=1))
+    t.start()
+    try:
+        applied = follow_view(
+            spark, src.table, view, SPEC, poll_s=0.1, max_syncs=2,
+            stop_file=str(stop),
+        )
+    finally:
+        t.join()
+        backstop.cancel()
+    assert len(applied) == 2
+    assert verify_view(spark, src.table, view.table, SPEC)["converged"]
+    assert view.table.last_lsn() == src.table.current().version
