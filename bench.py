@@ -42,7 +42,7 @@ KEYS_PER_SF = 2_000_000
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    repeats = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")), 1)
+    repeats = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5")), 1)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
     n_events = max(int(EVENTS_PER_SF * sf), 10_000)
@@ -86,14 +86,23 @@ def main() -> None:
     # untimed JVM warmup: loggen is sampled ONCE, and as the process's
     # first job it would otherwise absorb all codegen/classload/first-
     # shuffle cost — observed 9s vs 60s bimodality for identical work.
-    # A small generate+write exercises the same code paths first.
+    # A small generate+write exercises the same code paths first, and a
+    # small replay warms the MERGE path's codegen (stats agg, LWW dedup,
+    # bucketed join, parquet sink, commit) — round 4's first replay
+    # sample ran 2x its third (19.4s vs 9.4s) because the first big merge
+    # was also the JVM's first.
     warm_path = os.path.join(work, "warmup")
     write_changes(
         generate_changes(spark, 50_000, n_keys=5_000, seed=1,
                          tokens_min=32, tokens_max=128, num_partitions=8),
         warm_path, presorted=True,
     )
-    spark.read.parquet(warm_path).count()
+    warm_tdir = os.path.join(work, "warmup-table")
+    warm_eng = CDCEngine(
+        spark, CDCEngine.create_table(warm_tdir, num_buckets=8)
+    )
+    warm_eng.replay(spark.read.parquet(warm_path), num_batches=2)
+    shutil.rmtree(warm_tdir, ignore_errors=True)
     shutil.rmtree(warm_path, ignore_errors=True)
 
     # -- materialize the change log (setup; timed once, not repeated) --------

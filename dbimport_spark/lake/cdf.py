@@ -111,6 +111,29 @@ def table_changes(
         raise ValueError(
             f"to_version {snap_b.version} precedes from_version {snap_a.version}"
         )
+    # A declared full reload inside the window resets rename history and
+    # possibly the schema lineage — _align_to's rename-slice assumption
+    # (to extends from) no longer holds, and a by-bare-name match across
+    # the boundary could silently emit wrong deltas. Refuse; callers
+    # reconcile via the full path (mirror/matview on_gap='full').
+    for v in table.snapshots():
+        if snap_a.version < v <= snap_b.version:
+            if table.snapshot(v).properties.get("reload") == "true":
+                raise ValueError(
+                    f"version window ({snap_a.version}, {snap_b.version}] "
+                    f"crosses a declared full reload at version {v} — an "
+                    "incremental diff across a reload boundary is not "
+                    "well-defined. Reconcile with a full read instead "
+                    "(mirror/matview: on_gap='full')."
+                )
+    if len(snap_b.renames) < len(snap_a.renames):
+        # rename history shrank but no retained snapshot carries the
+        # reload marker (it expired): same boundary, weaker evidence
+        raise ValueError(
+            f"rename history at version {snap_b.version} is shorter than "
+            f"at {snap_a.version} — the window crosses an expired reload "
+            "boundary. Reconcile with a full read instead."
+        )
 
     keys = (
         list(snap_b.bucket_column)
@@ -237,9 +260,51 @@ def table_changes_per_commit(
             f"from_version {from_version} expired or never existed "
             f"(retained: {table.snapshots()})"
         )
+    if len(versions) > 100:
+        import warnings
+
+        warnings.warn(
+            f"table_changes_per_commit over {len(versions) - 1} version "
+            "pairs builds a union plan that wide — consider windowing the "
+            "range (several calls over sub-ranges) or the net diff "
+            "(table_changes) if per-commit attribution is not needed.",
+            stacklevel=2,
+        )
+    # each pair's diff carries payload columns at ITS to_version's
+    # names/types; schema evolution mid-range would make adjacent parts
+    # union-incompatible. Align every part to the FINAL snapshot's payload
+    # (renames mapped via the rename-log slice, added columns as nulls,
+    # widened types cast up) before unioning.
+    final = table.snapshot(hi)
+    final_payload = [
+        f for f in final.schema.fields if f.name not in AUDIT_COLUMNS
+    ]
+
+    def _align_part(part_df: DataFrame, part_snap: Snapshot) -> DataFrame:
+        mapping: dict[str, str] = {}
+        for r in final.renames[len(part_snap.renames):]:
+            src = next(
+                (k for k, v in mapping.items() if v == r["from"]), r["from"]
+            )
+            mapping[src] = r["to"]
+        have = {mapping.get(c, c): c for c in part_df.columns}
+        cols = [
+            (
+                F.col(have[f.name]).cast(f.dataType).alias(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+            )
+            for f in final_payload
+        ]
+        return part_df.select(
+            *cols, F.col(CHANGE_TYPE_COL), F.col(COMMIT_VERSION_COL)
+        )
+
     out: DataFrame | None = None
     for lo, hi_v in zip(versions, versions[1:]):
-        part = table_changes(spark, table, lo, hi_v)
+        part = _align_part(
+            table_changes(spark, table, lo, hi_v), table.snapshot(hi_v)
+        )
         out = part if out is None else out.unionByName(part)
     if out is None:
         snap = table.snapshot(hi)

@@ -140,4 +140,110 @@ class MemoryStateStore(StateStore):
             self._logs.pop(path, None)
 
 
+class ObjectStateStore(StateStore):
+    """Object-store-shaped implementation, emulated over a local prefix
+    directory — the production S3/GCS layout the module docstring designs,
+    with every operation restricted to what an object store can actually
+    do (whole-object PUT/GET/DELETE and ordered LIST of a prefix; never
+    append, never partial read):
+
+    - a blob path maps to one object (``<root>/<path>/_object``); a
+      ``write_text`` is one whole-object PUT (the local ``os.replace``
+      stands in for the PUT's all-or-nothing visibility);
+    - ``append_line`` PUTs ONE NEW OBJECT PER RECORD under the path as a
+      prefix (``<path>/records/<seq>-<uniq>``), because object stores
+      cannot append. The sequence number is zero-padded so the reader's
+      ordered LIST (lexicographic, exactly S3 ``list_objects_v2``
+      semantics) returns records in append order; the uniq suffix keeps
+      two writers at the same seq from overwriting each other (both
+      records survive, order between them is arbitrary — the same
+      guarantee two un-coordinated S3 appenders would get);
+    - ``read_lines`` is LIST + one GET per record — which is why the
+      StateStore interface speaks in records, not byte offsets.
+
+    Swap the two private ``_put``/``_list`` helpers for boto3 calls and
+    this class runs unchanged against S3; nothing else in the engine
+    knows the difference. Reference analogue: DBImport's MySQL config
+    database plays this role (configSchema.py:686-766); the seam plays it
+    without requiring one.
+    """
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+
+    # -- object primitives (the boto3 seam) ---------------------------------
+
+    def _obj(self, path: str) -> str:
+        # logical paths are absolute POSIX-ish strings; key them under the
+        # store root the way an S3 key would be (no meaning attached to
+        # the local directory layout beyond prefix-listing)
+        return os.path.join(self.root, path.lstrip("/"))
+
+    def _put(self, key: str, text: str) -> None:
+        os.makedirs(os.path.dirname(key), exist_ok=True)
+        tmp = f"{key}.tmp-{os.getpid()}-{threading.get_ident()}"
+        with open(tmp, "w") as fh:
+            fh.write(text)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, key)  # local stand-in for atomic PUT visibility
+
+    def _get(self, key: str) -> str | None:
+        if not os.path.isfile(key):
+            return None
+        with open(key) as fh:
+            return fh.read()
+
+    def _list(self, prefix_dir: str) -> list[str]:
+        if not os.path.isdir(prefix_dir):
+            return []
+        return sorted(
+            n for n in os.listdir(prefix_dir) if not n.endswith("_object")
+        )
+
+    # -- StateStore interface ------------------------------------------------
+
+    def read_text(self, path: str) -> str | None:
+        return self._get(os.path.join(self._obj(path), "_object"))
+
+    def write_text(self, path: str, text: str) -> None:
+        self._put(os.path.join(self._obj(path), "_object"), text)
+
+    def append_line(self, path: str, line: str) -> None:
+        rec_dir = os.path.join(self._obj(path), "records")
+        # next sequence = LIST + 1 (what an S3 appender does); the uniq
+        # suffix makes a same-seq race lose no records
+        existing = self._list(rec_dir)
+        seq = 0
+        if existing:
+            seq = int(existing[-1].split("-", 1)[0]) + 1
+        import uuid
+
+        name = f"{seq:020d}-{uuid.uuid4().hex[:8]}"
+        self._put(os.path.join(rec_dir, name), line.rstrip("\n"))
+
+    def read_lines(self, path: str) -> list[str]:
+        rec_dir = os.path.join(self._obj(path), "records")
+        out = []
+        for name in self._list(rec_dir):
+            text = self._get(os.path.join(rec_dir, name))
+            if text is not None and text.strip():
+                out.append(text.rstrip("\n"))
+        return out
+
+    def exists(self, path: str) -> bool:
+        base = self._obj(path)
+        return os.path.isfile(os.path.join(base, "_object")) or bool(
+            self._list(os.path.join(base, "records"))
+        )
+
+    def delete(self, path: str) -> None:
+        # an object store deletes by key; a "path" here owns at most the
+        # blob object and its record prefix — delete both
+        import shutil
+
+        base = self._obj(path)
+        shutil.rmtree(base, ignore_errors=True)
+
+
 DEFAULT_STORE = LocalStateStore()

@@ -173,8 +173,10 @@ def stratified_sample(
         # one map-literal lookup per row (O(1) regardless of stratum count)
         # instead of a chained CASE WHEN — thousands of strata stay cheap
         pairs: list = []
-        for stratum, permille in sorted(rates_permille.items()):
-            pairs += [F.lit(stratum), F.lit(int(permille))]
+        for stratum, permille in sorted(rates_permille.items(), key=lambda kv: str(kv[0])):
+            # keys cast to string so the map's key type always matches the
+            # string-cast lookup column, even for int/float strata
+            pairs += [F.lit(str(stratum)), F.lit(int(permille))]
         rate = F.coalesce(
             F.element_at(F.create_map(*pairs), F.col(part_col).cast("string")),
             F.lit(default_permille),

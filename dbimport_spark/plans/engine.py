@@ -134,6 +134,9 @@ class CDCEngine:
         rename_check: bool = True,
         state_store=None,
         quarantine_dir: str | None = None,
+        anonymize: dict[str, str] | None = None,
+        anonymize_salt: str = "",
+        stats_sink=None,
     ):
         self.spark = spark
         self.table = table
@@ -154,6 +157,29 @@ class CDCEngine:
         # replay — the reference parks rows failing validation the same
         # way (import_operations.py validation CUSTOM QUERY error path).
         self.quarantine_dir = quarantine_dir
+        # per-column anonymization applied DURING ingest (reference
+        # import_operations.py:1383-1395, driven by import_columns.
+        # anonymization_function, configSchema.py:938): every batch is
+        # masked inside the shared alignment rule (_align_exprs), so
+        # replay, repair, late-merge and full reload all persist ONLY
+        # masked values — the lake never sees plaintext. The masks are
+        # deterministic builtins (functions/masking.py), so unchanged rows
+        # stay unchanged under change detection and re-applied batches
+        # stay idempotent.
+        from dbimport_spark.functions.masking import ANONYMIZATION
+
+        self.anonymize = dict(anonymize or {})
+        for col_name, kind in self.anonymize.items():
+            if kind not in ANONYMIZATION:
+                raise ValueError(
+                    f"unknown anonymization function {kind!r} for column "
+                    f"{col_name!r} (known: {sorted(ANONYMIZATION)})"
+                )
+        self.anonymize_salt = anonymize_salt
+        # telemetry push surface (plans/stats_sink.py; reference
+        # import_stage.py:592-826 Kafka/REST senders): one record per
+        # batch, emitted AFTER its commit, best-effort
+        self.stats_sink = stats_sink
         self.dedup_strategy = dedup_strategy
         self.n_salts = n_salts
         self.broadcast_threshold_rows = broadcast_threshold_rows
@@ -334,11 +360,28 @@ class CDCEngine:
         columns."""
         from dbimport_spark.schema import AUDIT_SOURCE
 
+        from dbimport_spark.functions.masking import ANONYMIZATION
+
         out = []
         for f in fields:
             if f.name in AUDIT_COLUMNS:
                 continue
             src = self._source_expr(f, bschema)
+            kind = self.anonymize.get(f.name)
+            if kind is not None and src is not None:
+                # masked output is a string; a non-string table column
+                # would silently cast-corrupt, so refuse loudly
+                if not isinstance(f.dataType, T.StringType):
+                    raise ValueError(
+                        f"anonymize[{f.name!r}]={kind!r}: masked values are "
+                        f"strings but the table column is "
+                        f"{f.dataType.simpleString()} — anonymized columns "
+                        "must be declared string in the table schema"
+                    )
+                fn = ANONYMIZATION[kind]
+                src = (
+                    fn(src, self.anonymize_salt) if kind == "hash" else fn(src)
+                ).alias(f.name)
             if f.name == AUDIT_SOURCE and src_label is not None and src is None:
                 # provenance column: stamped by the engine on live rows
                 # (reference datalake_source, etl_operations.py:237-239)
@@ -521,6 +564,30 @@ class CDCEngine:
         import_config.py:2230-2246). The caller guarantees the batch holds
         exactly that LSN range.
         """
+        bs = self._apply_batch(batch, lo, hi)
+        self._emit_stats("apply_batch", bs)
+        return bs
+
+    def _emit_stats(self, op: str, bs: BatchStats) -> None:
+        if self.stats_sink is None:
+            return
+        from dataclasses import asdict
+        from datetime import datetime
+
+        from dbimport_spark.plans.stats_sink import emit_batch_stats
+
+        emit_batch_stats(
+            self.stats_sink,
+            {
+                "op": op,
+                "table": self.table.root,
+                "version": self.table.current().version,
+                "ts": datetime.now().isoformat(),
+                **asdict(bs),
+            },
+        )
+
+    def _apply_batch(self, batch: DataFrame, lo: int, hi: int) -> BatchStats:
         # -- declared renames (metadata-only commit per rename) -------------
         if self.renames:
             cur_names = set(self.table.current().schema.fieldNames())
@@ -621,7 +688,20 @@ class CDCEngine:
                 .collect()
             )
 
-        n_bad = sum(r["events"] for r in per_bucket if r["bucket"] == -1)
+        bad_rows = [r for r in per_bucket if r["bucket"] == -1]
+        n_bad = sum(r["events"] for r in bad_rows)
+        # actual lsn span of the quarantined events (F.min/max skip nulls;
+        # all-null-lsn batches fall back to the window's inclusive bounds
+        # lo+1..hi — never the exclusive lo, which per-bucket records also
+        # never stamp)
+        bad_first = min(
+            (r["first_lsn"] for r in bad_rows if r["first_lsn"] is not None),
+            default=lo + 1,
+        )
+        bad_last = max(
+            (r["last_lsn"] for r in bad_rows if r["last_lsn"] is not None),
+            default=hi,
+        )
         per_bucket = [r for r in per_bucket if r["bucket"] != -1]
         if n_bad:
             if self.quarantine_dir is None:
@@ -647,7 +727,13 @@ class CDCEngine:
                 set(),
                 properties={"last_lsn": str(hi)},
                 lineage=(
-                    [{"quarantined": n_bad, "first_lsn": lo, "last_lsn": hi}]
+                    [
+                        {
+                            "quarantined": n_bad,
+                            "first_lsn": bad_first,
+                            "last_lsn": bad_last,
+                        }
+                    ]
                     if n_bad
                     else None
                 ),
@@ -844,7 +930,7 @@ class CDCEngine:
         ]
         if n_bad:
             lineage.append(
-                {"quarantined": n_bad, "first_lsn": lo, "last_lsn": hi}
+                {"quarantined": n_bad, "first_lsn": bad_first, "last_lsn": bad_last}
             )
         try:
             self.table.commit(
@@ -1157,6 +1243,11 @@ class CDCEngine:
     # -- bounded late-event merge (track_lsn tables) -------------------------
 
     def apply_late(self, late: DataFrame) -> BatchStats:
+        bs = self._apply_late(late)
+        self._emit_stats("apply_late", bs)
+        return bs
+
+    def _apply_late(self, late: DataFrame) -> BatchStats:
         """Bounded-work merge of LATE events (lsn ≤ the committed
         watermark) for tables created with ``track_lsn=True``: an event
         wins iff ``event.lsn > row.dl_lsn`` — a single bucket-pruned merge

@@ -30,7 +30,11 @@ def per_bucket_offsets(table: LakeTable) -> dict[int, int]:
     out: dict[int, int] = {}
     for v in table.snapshots():
         for rec in table.snapshot(v).lineage:
-            b = rec["bucket"]
+            # quarantine / repair records carry no bucket — they describe
+            # diverted or re-folded events, not a per-partition offset
+            b = rec.get("bucket")
+            if b is None:
+                continue
             out[b] = max(out.get(b, -1), rec.get("last_lsn", -1))
     return out
 

@@ -59,14 +59,36 @@ from dbimport_spark.schema import AUDIT_COLUMNS, AUDIT_DELETE
 
 @dataclass
 class AggSpec:
-    """What the view maintains: count(*) plus sum() per listed column."""
+    """What the view maintains: count(*) plus sum()/min()/max() per
+    listed column.
+
+    count/sum are exactly delta-maintained (invertible). min/max are
+    maintained by the candidate rule — a new value can only GROW the
+    extremum, so inserts fold in for free — plus group-scoped
+    rescan-on-invalidation: a removed value that EQUALS a group's stored
+    extremum may have been its last carrier, so that group (and ONLY
+    that group) is recomputed from the source's live rows. The base
+    table is still never fully rescanned; the rescan reads the
+    invalidated groups via a semi-join (predicate reaches the parquet
+    scan) and its trigger count is logged per sync (no-silent-caps)."""
 
     group_cols: list[str]
     sum_cols: list[str] = field(default_factory=list)
+    min_cols: list[str] = field(default_factory=list)
+    max_cols: list[str] = field(default_factory=list)
     count_col: str = "n_rows"
 
     def sum_name(self, c: str) -> str:
         return f"sum_{c}"
+
+    def min_name(self, c: str) -> str:
+        return f"min_{c}"
+
+    def max_name(self, c: str) -> str:
+        return f"max_{c}"
+
+    def minmax_cols(self) -> list[str]:
+        return sorted(set(self.min_cols) | set(self.max_cols))
 
 
 def view_schema(source_schema: T.StructType, spec: AggSpec) -> T.StructType:
@@ -196,7 +218,12 @@ def sync_view(
             noop = noop & (F.col(spec.sum_name(c)) == 0)
         # group-cardinality-sized; materialized once because three
         # consumers follow (bucket collect, join, merge) — an uncached
-        # delta would re-run the feed groupBy per consumer
+        # delta would re-run the feed groupBy per consumer. Caveat: this
+        # buys the reuse at the cost of materializing |touched groups|
+        # rows — the right trade while group cardinality << row
+        # cardinality; a near-unique grouping (groups ~ rows) makes the
+        # checkpoint itself data-sized, and such a "view" should be a
+        # mirror instead
         delta = delta.filter(~noop).localCheckpoint(eager=True)
 
         # current totals, bucket-pruned to the delta's touched groups:
@@ -245,6 +272,19 @@ def sync_view(
             f"{source.snapshots()}) — the delta base is gone. Re-run with "
             "on_gap='full' for a one-time full rebuild."
         )
+    # no-silent-caps: the rebuild scans the whole source once — report
+    # how much, from file metadata alone, before paying it
+    import logging
+
+    src_snap = source.current()
+    logging.getLogger(__name__).warning(
+        "sync_view on_gap='full': delta base v%d expired — full rebuild "
+        "will scan the source (%d rows, %d bytes, %d files)",
+        from_v,
+        sum(f.rows for f in src_snap.files),
+        sum(f.bytes for f in src_snap.files),
+        len(src_snap.files),
+    )
     fresh = (
         _source_live(spark, source)
         .groupBy(*spec.group_cols)

@@ -93,6 +93,24 @@ def sync_mirror(
             f"{source.snapshots()}) — the delta base is gone. Re-run with "
             "on_gap='full' for a full reconcile sync."
         )
+    # no-silent-caps: the fallback scans BOTH tables once (the metadata
+    # that scoped the delta is deleted) — report how much, from file
+    # metadata alone, before paying it
+    import logging
+
+    src_snap, mir_snap = source.current(), mirror_engine.table.current()
+    logging.getLogger(__name__).warning(
+        "sync_mirror on_gap='full': delta base v%d expired — full "
+        "reconcile will scan the source (%d rows, %d bytes, %d files) "
+        "and the mirror's keys (%d rows, %d bytes, %d files)",
+        from_v,
+        sum(f.rows for f in src_snap.files),
+        sum(f.bytes for f in src_snap.files),
+        len(src_snap.files),
+        sum(f.rows for f in mir_snap.files),
+        sum(f.bytes for f in mir_snap.files),
+        len(mir_snap.files),
+    )
     keys = mirror_engine.keys
     src = source.read(spark)
     payload = [c for c in src.columns if c not in AUDIT_COLUMNS]

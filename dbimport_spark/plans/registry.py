@@ -39,6 +39,9 @@ class TableEntry:
     history: str | None = None
     checkpoint: str | None = None
     renames: dict[str, str] = field(default_factory=dict)
+    # per-column ingest anonymization: column -> 'hash'|'star'|'first4'
+    # (reference import_columns.anonymization_function, configSchema.py:938)
+    anonymize: dict[str, str] = field(default_factory=dict)
     batches: int = 1
     # free-form scheduling hint (e.g. "hourly") — recorded for the
     # orchestrator the deployment pairs this with; replay_all ignores it
@@ -125,6 +128,89 @@ def discover_tables(
     return added
 
 
+def discover_sources(
+    spark: SparkSession,
+    registry: TableRegistry,
+    log_base: str,
+    table_base: str,
+    key: str | list[str] | None = None,
+    num_buckets: int = 32,
+    batches: int = 1,
+    soft_delete: bool = False,
+) -> list[str]:
+    """Discover SOURCE change logs and register ready-to-replay tables —
+    the other half of the reference's ``discoverAndAddTablesFromSource``
+    (import_operations.py:518-648): where ``discover_tables`` adopts
+    existing lake tables, this scans a warehouse of change logs. Every
+    immediate subdirectory of ``log_base`` holding parquet becomes an
+    entry: its payload schema is inferred from the log footer (metadata
+    read only, bookkeeping columns ``lsn``/``op``/``commit_ts`` stripped —
+    the reference likewise reads the source catalog, not the data), the
+    merge key defaults to the schema-standard ``doc_id`` when present
+    (else the log's first payload column, matching the reference's
+    take-the-PK-else-first-column fallback), and a lake table is created
+    at ``<table_base>/<name>`` unless one already exists there. Additive
+    and idempotent: registered names and existing tables are left
+    untouched. Returns the newly registered names."""
+    import os
+
+    from dbimport_spark.lake.table import LakeTable
+    from dbimport_spark.plans.engine import CDCEngine
+    from dbimport_spark.schema import MERGE_KEY
+
+    bookkeeping = {"lsn", "op", "commit_ts"}
+    entries = registry.load()
+    added: list[str] = []
+    for name in sorted(os.listdir(log_base)):
+        log_path = os.path.join(log_base, name)
+        if not os.path.isdir(log_path) or name in entries:
+            continue
+        try:
+            # schema-only read: parquet footers, no data scan
+            log_schema = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(log_path)
+                .schema
+            )
+        except Exception:
+            continue  # not a parquet log — skip, keep discovering
+        names = set(log_schema.fieldNames())
+        if not {"lsn", "op"} <= names:
+            continue  # parquet, but not a change log
+        from pyspark.sql import types as T
+
+        payload = T.StructType(
+            [f for f in log_schema.fields if f.name not in bookkeeping]
+        )
+        if not payload.fields:
+            continue
+        if key is None:
+            tbl_key: str | list[str] = (
+                MERGE_KEY if MERGE_KEY in names else payload.fields[0].name
+            )
+        else:
+            tbl_key = key
+        key_list = [tbl_key] if isinstance(tbl_key, str) else list(tbl_key)
+        if not set(key_list) <= names:
+            continue  # declared key absent from this log
+        root = os.path.join(table_base, name)
+        if not LakeTable.exists(root):
+            CDCEngine.create_table(
+                root,
+                payload_schema=payload,
+                num_buckets=num_buckets,
+                key=tbl_key,
+                soft_delete=soft_delete,
+            )
+        entries[name] = TableEntry(
+            name=name, table_root=root, log_path=log_path, batches=batches
+        )
+        added.append(name)
+    if added:
+        registry.save(entries)
+    return added
+
+
 def replay_all(
     spark: SparkSession,
     registry: TableRegistry,
@@ -164,6 +250,7 @@ def replay_all(
                 checkpoint_dir=e.checkpoint,
                 history_table=LakeTable.load(e.history) if e.history else None,
                 renames=e.renames,
+                anonymize=e.anonymize,
                 state_store=registry.store,
             )
             changes = spark.read.option("mergeSchema", "true").parquet(e.log_path)

@@ -184,8 +184,17 @@ def run_stream(
         # window's range vanish silently.
         is_first_of_run = batch_id == first_batch_id[0]
         lin = engine.table.current().lineage
+        # quarantine records (no "bucket" key) stamp the window's exclusive
+        # low bound, not an applied event's lsn — including them would
+        # misclassify a genuinely late segment at min_lsn == lo as a benign
+        # window re-run. Only per-bucket applied records anchor prev_lo.
         prev_lo = min(
-            (rec["first_lsn"] for rec in lin if "first_lsn" in rec), default=None
+            (
+                rec["first_lsn"]
+                for rec in lin
+                if "first_lsn" in rec and rec.get("bucket") is not None
+            ),
+            default=None,
         )
         candidates = [
             r for r in per_file if r["file"] not in seen and r["min_lsn"] <= last

@@ -115,7 +115,12 @@ def test_gap_refuses_then_full_rebuild(spark, tmp_path):
     src.table.expire_snapshots(keep_last=1)
     with pytest.raises(ValueError, match="expired"):
         sync_view(spark, src.table, view, SPEC)
-    bs = sync_view(spark, src.table, view, SPEC, on_gap="full")
+    # no-silent-caps: the opt-in full rebuild reports its scan size
+    from tests.test_mirror import _caplog_records
+
+    with _caplog_records("dbimport_spark.plans.matview") as recs:
+        bs = sync_view(spark, src.table, view, SPEC, on_gap="full")
+    assert any("full rebuild will scan" in r.getMessage() for r in recs)
     assert not bs.skipped
     assert _totals(spark, view.table) == {"b": (1, 7)}
     assert verify_view(spark, src.table, view.table, SPEC)["converged"]

@@ -92,6 +92,33 @@ def test_soft_source_hard_mirror(spark, tmp_path):
     assert set(_payload_state(spark, mir.table)) == {"k1"}
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _caplog_records(logger_name):
+    """Capture log records from one logger (session-scoped spark fixture
+    makes pytest's caplog handler wiring unreliable across workers)."""
+    import logging
+
+    recs = []
+
+    class _H(logging.Handler):
+        def emit(self, record):
+            recs.append(record)
+
+    lg = logging.getLogger(logger_name)
+    h = _H()
+    old_level = lg.level
+    lg.addHandler(h)
+    lg.setLevel(logging.WARNING)
+    try:
+        yield recs
+    finally:
+        lg.removeHandler(h)
+        lg.setLevel(old_level)
+
+
 def test_gap_fallback_full_reconcile(spark, tmp_path):
     src, mir = _pair(spark, tmp_path)
     src.apply_batch(
@@ -107,7 +134,15 @@ def test_gap_fallback_full_reconcile(spark, tmp_path):
 
     with pytest.raises(ValueError, match="expired"):
         sync_mirror(spark, src.table, mir)
-    bs = sync_mirror(spark, src.table, mir, on_gap="full")
+    # no-silent-caps: the opt-in full reconcile reports its scan sizes
+    import logging
+
+    with _caplog_records("dbimport_spark.plans.mirror") as recs:
+        bs = sync_mirror(spark, src.table, mir, on_gap="full")
+    assert any(
+        "full reconcile will scan" in r.getMessage() and "rows" in r.getMessage()
+        for r in recs
+    )
     assert not bs.skipped
     assert _payload_state(spark, mir.table) == _payload_state(spark, src.table)
     # and the watermark caught up, so the next delta sync is incremental

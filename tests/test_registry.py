@@ -226,3 +226,55 @@ def test_replay_all_advances_derived_mirror_and_view(spark, tmp_path):
     assert res["t"]["mirror"]["ok"]
     assert not res["t"]["views"][0]["ok"]
     assert "missing" in res["t"]["views"][0]["root"]
+
+
+def test_discover_sources_registers_logs_and_sweeps(spark, tmp_path):
+    """Source-log discovery (VERDICT r4 #4; reference
+    discoverAndAddTablesFromSource, import_operations.py:518-648): a
+    warehouse of change logs becomes registered, ready-to-replay tables —
+    schema inferred from each log's parquet footer, key defaulting to the
+    standard merge key — and a replay_all sweep converges both. Additive:
+    re-discovery and non-log dirs are no-ops."""
+    import os
+
+    from dbimport_spark.lake.table import LakeTable
+    from dbimport_spark.plans.registry import discover_sources
+
+    logs = tmp_path / "warehouse-logs"
+    for name, (n, keys, seed) in {
+        "gamma": (1200, 60, 41),
+        "delta": (600, 30, 43),
+    }.items():
+        write_changes(
+            generate_changes(spark, n, n_keys=keys, seed=seed),
+            str(logs / name), 2,
+        )
+    # a non-log directory must be skipped, not crash discovery
+    os.makedirs(logs / "not-a-log")
+    open(logs / "not-a-log" / "readme.txt", "w").write("nope")
+
+    reg = TableRegistry(str(tmp_path / "reg.json"))
+    base = str(tmp_path / "tables")
+    added = discover_sources(spark, reg, str(logs), base, num_buckets=4)
+    assert added == ["delta", "gamma"]
+    entries = reg.load()
+    assert set(entries) == {"delta", "gamma"}
+    for name in added:
+        tbl = LakeTable.load(entries[name].table_root)
+        # inferred payload schema: the log minus lsn/op/commit_ts
+        assert set(tbl.current().schema.fieldNames()) >= {
+            "doc_id", "tokens", "n_tok", "source"
+        }
+    # idempotent re-discovery
+    assert discover_sources(spark, reg, str(logs), base) == []
+
+    results = replay_all(spark, reg)
+    assert results["gamma"]["ok"] and results["gamma"]["last_lsn"] == 1200
+    assert results["delta"]["ok"] and results["delta"]["last_lsn"] == 600
+
+    # converged content pins the inferred table end-to-end
+    for name, seed, n, keys in (("gamma", 41, 1200, 60), ("delta", 43, 600, 30)):
+        log = generate_changes(spark, n, n_keys=keys, seed=seed)
+        expected = fold_expected(log)
+        actual = LakeTable.load(reg.load()[name].table_root).read(spark)
+        assert reconcile(actual, expected, PAYLOAD_COLUMNS)["converged"]
