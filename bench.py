@@ -76,6 +76,7 @@ def main() -> None:
 
     work = tempfile.mkdtemp(prefix="cdc-bench-")
     runs: dict[str, list[float]] = {}
+    minmax_rescans: list[int] = []  # groups rescanned per incr mm sync
 
     def sample(name, fn):
         t0 = time.time()
@@ -135,7 +136,28 @@ def main() -> None:
         table = CDCEngine.create_table(tdir, num_buckets=max(cpus * 2, 32))
         eng = CDCEngine(spark, table, checkpoint_dir=cdir)
         sample("cdc_replay_full", lambda: eng.replay(head, num_batches=2))
+        # min/max view bootstrapped at the HEAD version (untimed; same
+        # fold shape as matview_sync below) so its timed sync covers only
+        # the incremental window — candidate folding plus group-scoped
+        # rescans where the tail removed a stored extremum
+        from dbimport_spark.plans.matview import AggSpec, create_view, sync_view
+
+        mm_spec = AggSpec(
+            group_cols=["source"], sum_cols=["n_tok"],
+            min_cols=["n_tok"], max_cols=["n_tok"],
+        )
+        mmdir = os.path.join(work, f"mmview-{i}")
+        mmeng = CDCEngine(
+            spark, create_view(mmdir, table, mm_spec, num_buckets=8)
+        )
+        sync_view(spark, table, mmeng, mm_spec)
         sample("cdc_apply_incr", lambda: eng.apply_batch(tail, full, n_events))
+        mm_bs = sample(
+            "matview_incr_minmax",
+            lambda: sync_view(spark, table, mmeng, mm_spec),
+        )
+        minmax_rescans.append(mm_bs.rescanned_groups)
+        shutil.rmtree(mmdir, ignore_errors=True)
         # change data feed over the incremental window just applied:
         # snapshot-diff changelog, shared files pruned from the scan
         from dbimport_spark.lake.cdf import table_changes
@@ -147,8 +169,6 @@ def main() -> None:
         )
         # matview bootstrap: the heaviest sync (v0 feed = whole table as
         # inserts folded into per-source count/sum totals)
-        from dbimport_spark.plans.matview import AggSpec, create_view, sync_view
-
         spec = AggSpec(group_cols=["source"], sum_cols=["n_tok"])
         vdir = os.path.join(work, f"view-{i}")
         veng = CDCEngine(spark, create_view(vdir, table, spec, num_buckets=8))
@@ -200,6 +220,7 @@ def main() -> None:
                 "events": n_events,
                 "keys": n_keys,
                 "cdc_apply_events_per_sec": round(eps, 1),
+                "matview_minmax_rescans_per_sync": minmax_rescans,
                 "parallelism": cpus,
             }
         )

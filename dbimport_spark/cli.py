@@ -248,9 +248,9 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser(
         "matview",
         help="incrementally-maintained aggregate view: fold the source's "
-        "change feed into a count/sum GROUP BY table without rescanning "
-        "the base (delta maintenance; exactly-once via the view's own "
-        "watermark)",
+        "change feed into a count/sum/min/max GROUP BY table without "
+        "rescanning the base (delta maintenance, group-scoped rescan for "
+        "min/max invalidation; exactly-once via the view's own watermark)",
     )
     sp.add_argument("source_root")
     sp.add_argument("view_root")
@@ -261,6 +261,15 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument(
         "--sum", action="append", default=[], metavar="COL",
         help="numeric column to maintain a sum over (repeatable)",
+    )
+    sp.add_argument(
+        "--min", action="append", default=[], metavar="COL",
+        help="orderable column to maintain a min over (candidate rule + "
+        "group-scoped rescan on extremum removal; repeatable)",
+    )
+    sp.add_argument(
+        "--max", action="append", default=[], metavar="COL",
+        help="orderable column to maintain a max over (repeatable)",
     )
     sp.add_argument(
         "--create", action="store_true",
@@ -746,7 +755,10 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         source = LakeTable.load(args.source_root)
-        spec = AggSpec(group_cols=args.group_by, sum_cols=args.sum)
+        spec = AggSpec(
+            group_cols=args.group_by, sum_cols=args.sum,
+            min_cols=args.min, max_cols=args.max,
+        )
         if args.create:
             view = create_view(args.view_root, source, spec, args.buckets)
         else:

@@ -106,6 +106,9 @@ class BatchStats:
     out_bytes: int = 0
     skipped: bool = False
     quarantined: int = 0
+    # matview only: groups recomputed for min/max extremum invalidation
+    # (plans/matview.sync_view) — 0 for plain engine batches
+    rescanned_groups: int = 0
 
 
 @dataclass

@@ -17,11 +17,14 @@ Semantics: the view equals
 
 (sums treat an all-null group as 0, the invertible convention — a true
 SQL ``NULL`` sum cannot be maintained without per-group non-null
-counters). Only count and sum are maintained: they are self-inverting
-under deletes (+x on insert, -x on delete, -old+new on update), which
-is what makes delta maintenance exact. min/max are NOT invertible — a
-deleted max forces a rescan of its group — and are deliberately out of
-scope; derive avg at read time as sum/count.
+counters). count and sum are self-inverting under deletes (+x on
+insert, -x on delete, -old+new on update), which makes their delta
+maintenance exact. min/max are NOT invertible; they are maintained by
+the candidate rule (a new value can only grow the extremum) plus
+GROUP-SCOPED rescan-on-invalidation: only a group whose stored extremum
+was possibly removed is recomputed, from the source's live rows at the
+window's end version — the table as a whole is still never rescanned.
+Derive avg at read time as sum/count.
 
 Exactly-once rides the engine unchanged: the view is a lake table whose
 LSN domain is the SOURCE VERSION NUMBER (the mirror's trick,
@@ -55,6 +58,12 @@ from dbimport_spark.lake.cdf import CHANGE_TYPE_COL, table_changes
 from dbimport_spark.lake.table import LakeTable
 from dbimport_spark.plans.engine import BatchStats, CDCEngine
 from dbimport_spark.schema import AUDIT_COLUMNS, AUDIT_DELETE
+
+
+def _log():
+    import logging
+
+    return logging.getLogger(__name__)
 
 
 @dataclass
@@ -117,6 +126,25 @@ def view_schema(source_schema: T.StructType, spec: AggSpec) -> T.StructType:
         else:
             raise ValueError(f"sum column {c!r} has non-numeric type {dt}")
         fields.append(T.StructField(spec.sum_name(c), out, True))
+    orderable = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
+        T.DoubleType, T.DecimalType, T.StringType, T.TimestampType,
+        T.DateType, T.BooleanType,
+    )
+    for c in spec.minmax_cols():
+        if c not in by_name:
+            raise ValueError(f"min/max column {c!r} not in source schema")
+        dt = by_name[c].dataType
+        if not isinstance(dt, orderable):
+            raise ValueError(
+                f"min/max column {c!r} has non-orderable type {dt}"
+            )
+        # extremes keep the source type (no widening — min/max never
+        # leave the input domain)
+        if c in spec.min_cols:
+            fields.append(T.StructField(spec.min_name(c), dt, True))
+        if c in spec.max_cols:
+            fields.append(T.StructField(spec.max_name(c), dt, True))
     return T.StructType(fields)
 
 
@@ -155,16 +183,48 @@ def _contributions(feed: DataFrame, spec: AggSpec) -> DataFrame:
     new one in the same delta.
     """
     ct = F.col(CHANGE_TYPE_COL)
+    dtypes = {f.name: f.dataType for f in feed.schema.fields}
+
+    # per-min/max column: an update that kept both the row's group AND
+    # this value contributes nothing (not a candidate, not a removal) —
+    # the value is still carried by the same row, so it can neither grow
+    # nor invalidate the extremum; skipping it avoids needless rescans
+    def unchanged(c: str):
+        same = F.lit(True)
+        for g in spec.group_cols:
+            same = same & F.col(f"_pre_{g}").eqNullSafe(F.col(g))
+        return (ct == "update") & same & F.col(f"_pre_{c}").eqNullSafe(F.col(c))
 
     def side(df: DataFrame, sign: int, prefix: str) -> DataFrame:
-        return df.select(
+        cols = [
             *[F.col(prefix + g).alias(g) for g in spec.group_cols],
             F.lit(sign).cast("long").alias("_d_n"),
             *[
                 (F.lit(sign) * F.col(prefix + c)).alias(spec.sum_name(c))
                 for c in spec.sum_cols
             ],
-        )
+        ]
+        for c in spec.minmax_cols():
+            null = F.lit(None).cast(dtypes[c])
+            if sign == 1:  # post side: candidate new values
+                cols.append(
+                    F.when(unchanged(c), null)
+                    .otherwise(F.col(c))
+                    .alias(f"_post_{c}")
+                )
+                cols.append(null.alias(f"_rem_{c}"))
+            else:  # pre side: removed values (delete / update pre-image)
+                cols.append(null.alias(f"_post_{c}"))
+                cols.append(
+                    (
+                        F.col(c)
+                        if prefix == ""
+                        else F.when(unchanged(c), null).otherwise(
+                            F.col(f"_pre_{c}")
+                        )
+                    ).alias(f"_rem_{c}")
+                )
+        return df.select(*cols)
 
     post = side(feed.filter(ct.isin("insert", "update")), 1, "")
     pre_del = side(feed.filter(ct == "delete"), -1, "")
@@ -204,18 +264,32 @@ def sync_view(
         for c in spec.sum_cols
     ]
 
+    mm_aggs = []
+    for c in spec.min_cols:
+        mm_aggs.append(F.min(f"_post_{c}").alias(f"_cand_min_{c}"))
+        mm_aggs.append(F.min(f"_rem_{c}").alias(f"_remv_min_{c}"))
+    for c in spec.max_cols:
+        mm_aggs.append(F.max(f"_post_{c}").alias(f"_cand_max_{c}"))
+        mm_aggs.append(F.max(f"_rem_{c}").alias(f"_remv_max_{c}"))
+
     if from_v in source.snapshots():
         feed = table_changes(spark, source, from_v, to_v, include_preimage=True)
         delta = (
             _contributions(feed, spec)
             .groupBy(*spec.group_cols)
-            .agg(F.sum("_d_n").alias("_d_n"), *sums)
+            .agg(F.sum("_d_n").alias("_d_n"), *sums, *mm_aggs)
         )
         # drop no-op deltas (e.g. an update that only touched columns the
         # view does not aggregate): no reason to rewrite those groups
         noop = F.col("_d_n") == 0
         for c in spec.sum_cols:
             noop = noop & (F.col(spec.sum_name(c)) == 0)
+        for c in spec.min_cols:
+            noop = noop & F.col(f"_cand_min_{c}").isNull()
+            noop = noop & F.col(f"_remv_min_{c}").isNull()
+        for c in spec.max_cols:
+            noop = noop & F.col(f"_cand_max_{c}").isNull()
+            noop = noop & F.col(f"_remv_max_{c}").isNull()
         # group-cardinality-sized; materialized once because three
         # consumers follow (bucket collect, join, merge) — an uncached
         # delta would re-run the feed groupBy per consumer. Caveat: this
@@ -246,25 +320,133 @@ def sync_view(
                 F.col(spec.sum_name(c)).alias(f"_cur_{spec.sum_name(c)}")
                 for c in spec.sum_cols
             ],
+            *[
+                F.col(spec.min_name(c)).alias(f"_cur_min_{c}")
+                for c in spec.min_cols
+            ],
+            *[
+                F.col(spec.max_name(c)).alias(f"_cur_max_{c}")
+                for c in spec.max_cols
+            ],
         )
         merged = delta.join(cur, on=list(spec.group_cols), how="left")
         new_n = F.coalesce(F.col("_cur_n"), F.lit(0)) + F.col("_d_n")
-        events = merged.select(
-            F.lit(to_v).cast("long").alias("lsn"),
-            F.when(new_n <= 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
-            *spec.group_cols,
-            new_n.alias(spec.count_col),
-            *[
-                (
-                    F.coalesce(F.col(f"_cur_{spec.sum_name(c)}"), F.lit(0))
-                    + F.col(spec.sum_name(c))
+
+        # min/max invalidation: a removed value that ties-or-beats the
+        # group's stored extremum may have been its last carrier — that
+        # group (and ONLY that group) is recomputed from the source's
+        # live rows at to_v. Candidates alone handle everything else:
+        # a surviving new value can only GROW the extremum.
+        inval = F.lit(False)
+        for c in spec.min_cols:
+            inval = inval | (
+                F.col(f"_remv_min_{c}").isNotNull()
+                & (
+                    F.col(f"_cur_min_{c}").isNull()
+                    | (F.col(f"_remv_min_{c}") <= F.col(f"_cur_min_{c}"))
                 )
-                .cast(_view_sum_type(view_engine, spec, c))
-                .alias(spec.sum_name(c))
-                for c in spec.sum_cols
-            ],
+            )
+        for c in spec.max_cols:
+            inval = inval | (
+                F.col(f"_remv_max_{c}").isNotNull()
+                & (
+                    F.col(f"_cur_max_{c}").isNull()
+                    | (F.col(f"_remv_max_{c}") >= F.col(f"_cur_max_{c}"))
+                )
+            )
+        # new groups carry no removals by construction; a group folding
+        # to zero rows is deleted outright — neither needs a rescan
+        inval = inval & F.col("_cur_n").isNotNull() & (new_n > 0)
+
+        def fold_events(rows: DataFrame) -> DataFrame:
+            return rows.select(
+                F.lit(to_v).cast("long").alias("lsn"),
+                F.when(new_n <= 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+                *spec.group_cols,
+                new_n.alias(spec.count_col),
+                *[
+                    (
+                        F.coalesce(F.col(f"_cur_{spec.sum_name(c)}"), F.lit(0))
+                        + F.col(spec.sum_name(c))
+                    )
+                    .cast(_view_sum_type(view_engine, spec, c))
+                    .alias(spec.sum_name(c))
+                    for c in spec.sum_cols
+                ],
+                # least/greatest skip nulls: for a NEW group _cur_* is
+                # null and the candidate wins; for a surviving group the
+                # stored extremum folds with the window's candidates
+                *[
+                    F.least(F.col(f"_cur_min_{c}"), F.col(f"_cand_min_{c}"))
+                    .alias(spec.min_name(c))
+                    for c in spec.min_cols
+                ],
+                *[
+                    F.greatest(F.col(f"_cur_max_{c}"), F.col(f"_cand_max_{c}"))
+                    .alias(spec.max_name(c))
+                    for c in spec.max_cols
+                ],
+            )
+
+        if not spec.minmax_cols():
+            return view_engine.apply_batch(fold_events(merged), from_v, to_v)
+
+        # group-scoped rescan: tiny (one row per invalidated group), and
+        # consumed three times (count for the log, broadcast join, plan)
+        rescan_keys = (
+            merged.filter(inval)
+            .select(*spec.group_cols)
+            .localCheckpoint(eager=True)
         )
-        return view_engine.apply_batch(events, from_v, to_v)
+        n_rescan = rescan_keys.count()
+        _log().info(
+            "sync_view window (%d, %d]: %d group(s) rescanned for min/max "
+            "invalidation",
+            from_v,
+            to_v,
+            n_rescan,
+        )
+        if n_rescan == 0:
+            return view_engine.apply_batch(fold_events(merged), from_v, to_v)
+
+        # recompute ALL aggregates for the invalidated groups from the
+        # source's live rows AT to_v (never current() — a concurrent
+        # writer may have advanced the source past this sync's window);
+        # count/sum would fold exactly anyway, but one groupBy for
+        # everything keeps the rescan single-pass
+        src = source.read(spark, version=to_v)
+        if AUDIT_DELETE in src.columns:
+            src = src.filter(F.col(AUDIT_DELETE).isNull())
+        recomputed = (
+            src.join(
+                F.broadcast(rescan_keys), on=list(spec.group_cols), how="inner"
+            )
+            .groupBy(*spec.group_cols)
+            .agg(
+                F.count(F.lit(1)).alias(spec.count_col),
+                *[
+                    F.coalesce(F.sum(F.col(c)), F.lit(0))
+                    .cast(_view_sum_type(view_engine, spec, c))
+                    .alias(spec.sum_name(c))
+                    for c in spec.sum_cols
+                ],
+                *[F.min(F.col(c)).alias(spec.min_name(c)) for c in spec.min_cols],
+                *[F.max(F.col(c)).alias(spec.max_name(c)) for c in spec.max_cols],
+            )
+        )
+        rescan_events = recomputed.select(
+            F.lit(to_v).cast("long").alias("lsn"),
+            F.lit("U").alias("op"),
+            *spec.group_cols,
+            F.col(spec.count_col),
+            *[F.col(spec.sum_name(c)) for c in spec.sum_cols],
+            *[F.col(spec.min_name(c)) for c in spec.min_cols],
+            *[F.col(spec.max_name(c)) for c in spec.max_cols],
+        )
+        events = fold_events(merged.filter(~inval)).unionByName(rescan_events)
+        bs = view_engine.apply_batch(events, from_v, to_v)
+        bs.rescanned_groups = n_rescan
+        return bs
 
     if on_gap != "full":
         raise ValueError(
@@ -274,10 +456,8 @@ def sync_view(
         )
     # no-silent-caps: the rebuild scans the whole source once — report
     # how much, from file metadata alone, before paying it
-    import logging
-
     src_snap = source.current()
-    logging.getLogger(__name__).warning(
+    _log().warning(
         "sync_view on_gap='full': delta base v%d expired — full rebuild "
         "will scan the source (%d rows, %d bytes, %d files)",
         from_v,
@@ -296,6 +476,8 @@ def sync_view(
                 .alias(spec.sum_name(c))
                 for c in spec.sum_cols
             ],
+            *[F.min(F.col(c)).alias(spec.min_name(c)) for c in spec.min_cols],
+            *[F.max(F.col(c)).alias(spec.max_name(c)) for c in spec.max_cols],
         )
     )
     upserts = fresh.select(
@@ -318,6 +500,14 @@ def sync_view(
                 .cast(vtypes[spec.sum_name(c)])
                 .alias(spec.sum_name(c))
                 for c in spec.sum_cols
+            ],
+            *[
+                F.lit(None).cast(vtypes[spec.min_name(c)]).alias(spec.min_name(c))
+                for c in spec.min_cols
+            ],
+            *[
+                F.lit(None).cast(vtypes[spec.max_name(c)]).alias(spec.max_name(c))
+                for c in spec.max_cols
             ],
         )
     )
@@ -385,6 +575,8 @@ def verify_view(
         list(spec.group_cols)
         + [spec.count_col]
         + [spec.sum_name(c) for c in spec.sum_cols]
+        + [spec.min_name(c) for c in spec.min_cols]
+        + [spec.max_name(c) for c in spec.max_cols]
     )
     vdf = view.read(spark)
     if AUDIT_DELETE in vdf.columns:
@@ -401,6 +593,8 @@ def verify_view(
                 .alias(spec.sum_name(c))
                 for c in spec.sum_cols
             ],
+            *[F.min(F.col(c)).alias(spec.min_name(c)) for c in spec.min_cols],
+            *[F.max(F.col(c)).alias(spec.max_name(c)) for c in spec.max_cols],
         )
     )
     return reconcile(vdf.select(*cols), expected.select(*cols), cols)

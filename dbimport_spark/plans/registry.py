@@ -50,7 +50,7 @@ class TableEntry:
     # derived targets advanced after each successful replay (the
     # reference's per-table copy phase: import runs, then the configured
     # cluster copies ship the delta — copy_operations.py):
-    # a mirror table root, and/or matviews [{root, group_by, sum}]
+    # a mirror table root, and/or matviews [{root, group_by, sum, min, max}]
     mirror_root: str | None = None
     views: list[dict] = field(default_factory=list)
 
@@ -308,6 +308,8 @@ def _sync_derived(
                 spec = AggSpec(
                     group_cols=list(v["group_by"]),
                     sum_cols=list(v.get("sum", [])),
+                    min_cols=list(v.get("min", [])),
+                    max_cols=list(v.get("max", [])),
                 )
                 bs = sync_view(
                     spark,

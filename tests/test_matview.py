@@ -251,3 +251,207 @@ def test_follow_view_applies_windows(spark, tmp_path):
     assert len(applied) == 2
     assert verify_view(spark, src.table, view.table, SPEC)["converged"]
     assert view.table.last_lsn() == src.table.current().version
+
+
+# ---- min/max: candidate rule + group-scoped rescan-on-invalidation ---------
+
+MM_SPEC = AggSpec(
+    group_cols=["source"], sum_cols=["n_tok"],
+    min_cols=["n_tok"], max_cols=["n_tok"],
+)
+
+
+def _mm_pair(spark, tmp_path, spec=MM_SPEC):
+    src_t = CDCEngine.create_table(str(tmp_path / "src"), num_buckets=8)
+    src = CDCEngine(spark, src_t, checkpoint_dir=str(tmp_path / "ckpt"))
+    view_t = create_view(str(tmp_path / "view"), src_t, spec, num_buckets=4)
+    view = CDCEngine(spark, view_t)
+    return src, view
+
+
+def _mm_totals(spark, view_t):
+    return {
+        r["source"]: (r["n_rows"], r["sum_n_tok"], r["min_n_tok"], r["max_n_tok"])
+        for r in view_t.read(spark).collect()
+    }
+
+
+def _rescans(recs):
+    """Total groups rescanned across the captured sync_view INFO lines."""
+    import re
+
+    n = 0
+    for r in recs:
+        m = re.search(r"(\d+) group\(s\) rescanned", r.getMessage())
+        if m:
+            n += int(m.group(1))
+    return n
+
+
+def _mm_sync(spark, src, view, spec=MM_SPEC):
+    import logging
+
+    from tests.test_mirror import _caplog_records
+
+    with _caplog_records(
+        "dbimport_spark.plans.matview", level=logging.INFO
+    ) as recs:
+        bs = sync_view(spark, src.table, view, spec)
+    return bs, _rescans(recs)
+
+
+def test_minmax_bootstrap_and_growth_without_rescan(spark, tmp_path):
+    """Inserts only ever GROW an extremum — the candidate rule handles
+    them with zero rescans, including bootstrap (the whole table arrives
+    as inserts)."""
+    src, view = _mm_pair(spark, tmp_path)
+    src.apply_batch(
+        _log(spark, [(1, "I", "k1", [1] * 10, 10, "a", TS),
+                     (2, "I", "k2", [2] * 20, 20, "a", TS),
+                     (3, "I", "k3", [3] * 5, 5, "b", TS)]), 0, 3,
+    )
+    bs, rescanned = _mm_sync(spark, src, view)
+    assert not bs.skipped and rescanned == 0
+    assert _mm_totals(spark, view.table) == {
+        "a": (2, 30, 10, 20), "b": (1, 5, 5, 5),
+    }
+    # a new outlier value: candidate folds in, still no rescan
+    src.apply_batch(_log(spark, [(4, "I", "k4", [4] * 99, 99, "a", TS)]), 3, 4)
+    bs, rescanned = _mm_sync(spark, src, view)
+    assert rescanned == 0
+    assert _mm_totals(spark, view.table)["a"] == (3, 129, 10, 99)
+    assert verify_view(spark, src.table, view.table, MM_SPEC)["converged"]
+
+
+def test_minmax_extremum_removal_rescans_only_that_group(spark, tmp_path):
+    """Deleting the max-carrier of group 'a' invalidates only 'a': one
+    group rescanned, 'b' untouched, and the new max is the runner-up."""
+    src, view = _mm_pair(spark, tmp_path)
+    src.apply_batch(
+        _log(spark, [(1, "I", "k1", [1] * 10, 10, "a", TS),
+                     (2, "I", "k2", [2] * 20, 20, "a", TS),
+                     (3, "I", "k3", [3] * 7, 7, "b", TS)]), 0, 3,
+    )
+    _mm_sync(spark, src, view)
+    src.apply_batch(_log(spark, [(4, "D", "k2", None, None, None, TS)]), 3, 4)
+    bs, rescanned = _mm_sync(spark, src, view)
+    assert rescanned == 1
+    assert _mm_totals(spark, view.table) == {
+        "a": (1, 10, 10, 10), "b": (1, 7, 7, 7),
+    }
+    assert verify_view(spark, src.table, view.table, MM_SPEC)["converged"]
+
+
+def test_minmax_nonextremal_delete_no_rescan(spark, tmp_path):
+    """Removing a strictly-interior value can't carry an extremum: no
+    group is rescanned and both extremes survive."""
+    src, view = _mm_pair(spark, tmp_path)
+    src.apply_batch(
+        _log(spark, [(1, "I", "k1", [1] * 10, 10, "a", TS),
+                     (2, "I", "k2", [2] * 15, 15, "a", TS),
+                     (3, "I", "k3", [3] * 20, 20, "a", TS)]), 0, 3,
+    )
+    _mm_sync(spark, src, view)
+    src.apply_batch(_log(spark, [(4, "D", "k2", None, None, None, TS)]), 3, 4)
+    bs, rescanned = _mm_sync(spark, src, view)
+    assert rescanned == 0
+    assert _mm_totals(spark, view.table)["a"] == (2, 30, 10, 20)
+    assert verify_view(spark, src.table, view.table, MM_SPEC)["converged"]
+
+
+def test_minmax_tied_extremum_delete_rescans_and_survives(spark, tmp_path):
+    """Two rows tie for the max; deleting one MUST rescan (the stored
+    extremum was possibly removed) and the max must survive via the
+    remaining carrier."""
+    src, view = _mm_pair(spark, tmp_path)
+    src.apply_batch(
+        _log(spark, [(1, "I", "k1", [1] * 20, 20, "a", TS),
+                     (2, "I", "k2", [2] * 20, 20, "a", TS),
+                     (3, "I", "k3", [3] * 5, 5, "a", TS)]), 0, 3,
+    )
+    _mm_sync(spark, src, view)
+    src.apply_batch(_log(spark, [(4, "D", "k1", None, None, None, TS)]), 3, 4)
+    bs, rescanned = _mm_sync(spark, src, view)
+    assert rescanned == 1
+    assert _mm_totals(spark, view.table)["a"] == (2, 25, 5, 20)
+    assert verify_view(spark, src.table, view.table, MM_SPEC)["converged"]
+
+
+def test_minmax_update_moves_extremum_across_groups(spark, tmp_path):
+    """An update migrating the max-carrier from group 'a' to 'b' removes
+    a's extremum (rescan) and candidates b's new one (no rescan)."""
+    src, view = _mm_pair(spark, tmp_path)
+    src.apply_batch(
+        _log(spark, [(1, "I", "k1", [1] * 10, 10, "a", TS),
+                     (2, "I", "k2", [2] * 30, 30, "a", TS),
+                     (3, "I", "k3", [3] * 7, 7, "b", TS)]), 0, 3,
+    )
+    _mm_sync(spark, src, view)
+    src.apply_batch(_log(spark, [(4, "U", "k2", [2] * 30, 30, "b", TS)]), 3, 4)
+    bs, rescanned = _mm_sync(spark, src, view)
+    assert rescanned == 1  # only 'a' (b's new value is a pure candidate)
+    assert _mm_totals(spark, view.table) == {
+        "a": (1, 10, 10, 10), "b": (2, 37, 7, 30),
+    }
+    assert verify_view(spark, src.table, view.table, MM_SPEC)["converged"]
+
+
+def test_minmax_value_unchanged_update_is_skipped(spark, tmp_path):
+    """An update that keeps both the group and the aggregated value
+    contributes nothing: no candidate, no removal, no rescan — even
+    though the row itself changed (token values differ)."""
+    src, view = _mm_pair(spark, tmp_path)
+    src.apply_batch(
+        _log(spark, [(1, "I", "k1", [1] * 10, 10, "a", TS),
+                     (2, "I", "k2", [2] * 5, 5, "a", TS)]), 0, 2,
+    )
+    _mm_sync(spark, src, view)
+    src.apply_batch(_log(spark, [(3, "U", "k1", [9] * 10, 10, "a", TS)]), 2, 3)
+    bs, rescanned = _mm_sync(spark, src, view)
+    assert rescanned == 0 and bs.events == 0  # watermark-only sync
+    assert _mm_totals(spark, view.table)["a"] == (2, 15, 5, 10)
+
+
+def test_minmax_group_collapse_needs_no_rescan(spark, tmp_path):
+    """Deleting a group's LAST row deletes the view row outright — no
+    rescan even though the extremum was removed."""
+    src, view = _mm_pair(spark, tmp_path)
+    src.apply_batch(
+        _log(spark, [(1, "I", "k1", [1] * 10, 10, "a", TS),
+                     (2, "I", "k2", [2] * 5, 5, "b", TS)]), 0, 2,
+    )
+    _mm_sync(spark, src, view)
+    src.apply_batch(_log(spark, [(3, "D", "k1", None, None, None, TS)]), 2, 3)
+    bs, rescanned = _mm_sync(spark, src, view)
+    assert rescanned == 0
+    assert _mm_totals(spark, view.table) == {"b": (1, 5, 5, 5)}
+    assert verify_view(spark, src.table, view.table, MM_SPEC)["converged"]
+
+
+def test_minmax_full_rebuild_gap(spark, tmp_path):
+    src, view = _mm_pair(spark, tmp_path)
+    src.apply_batch(_log(spark, [(1, "I", "k1", [1] * 10, 10, "a", TS)]), 0, 1)
+    _mm_sync(spark, src, view)
+    src.apply_batch(
+        _log(spark, [(2, "I", "k2", [2] * 7, 7, "a", TS),
+                     (3, "I", "k3", [3] * 2, 2, "b", TS),
+                     (4, "D", "k1", None, None, None, TS)]), 1, 4,
+    )
+    src.table.expire_snapshots(keep_last=1)
+    bs = sync_view(spark, src.table, view, MM_SPEC, on_gap="full")
+    assert not bs.skipped
+    assert _mm_totals(spark, view.table) == {
+        "a": (1, 7, 7, 7), "b": (1, 2, 2, 2),
+    }
+    assert verify_view(spark, src.table, view.table, MM_SPEC)["converged"]
+
+
+def test_minmax_schema_refuses_non_orderable(spark, tmp_path):
+    from dbimport_spark.plans.matview import view_schema
+    from dbimport_spark.schema import PAYLOAD_SCHEMA
+
+    with pytest.raises(ValueError, match="non-orderable"):
+        view_schema(
+            PAYLOAD_SCHEMA,
+            AggSpec(group_cols=["source"], max_cols=["tokens"]),
+        )

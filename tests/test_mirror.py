@@ -96,7 +96,7 @@ import contextlib
 
 
 @contextlib.contextmanager
-def _caplog_records(logger_name):
+def _caplog_records(logger_name, level=None):
     """Capture log records from one logger (session-scoped spark fixture
     makes pytest's caplog handler wiring unreliable across workers)."""
     import logging
@@ -111,7 +111,7 @@ def _caplog_records(logger_name):
     h = _H()
     old_level = lg.level
     lg.addHandler(h)
-    lg.setLevel(logging.WARNING)
+    lg.setLevel(logging.WARNING if level is None else level)
     try:
         yield recs
     finally:

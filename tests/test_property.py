@@ -191,7 +191,9 @@ def test_matview_random_sequences_equal_groupby(
 ):
     """Any op interleaving — first-event deletes, delete/re-insert,
     cross-group migrations, no-op updates — synced in any windowing must
-    leave the view equal to a direct groupBy of the live rows."""
+    leave the view equal to a direct groupBy of the live rows. The spec
+    carries min/max too, so extremum-removal rescans (non-invertible
+    aggregates) are exercised under the same random interleavings."""
     from pyspark.sql import functions as F
 
     from dbimport_spark.plans.matview import (
@@ -213,7 +215,10 @@ def test_matview_random_sequences_equal_groupby(
     root = str(tmp_path_factory.mktemp("mvprop"))
     table = CDCEngine.create_table(root + "/t", num_buckets=2)
     eng = CDCEngine(spark, table)
-    spec = AggSpec(group_cols=["source"], sum_cols=["n_tok"])
+    spec = AggSpec(
+        group_cols=["source"], sum_cols=["n_tok"],
+        min_cols=["n_tok"], max_cols=["n_tok"],
+    )
     view = CDCEngine(
         spark, create_view(root + "/v", table, spec, num_buckets=2)
     )

@@ -184,7 +184,10 @@ def test_replay_all_advances_derived_mirror_and_view(spark, tmp_path):
     write_changes(log, str(tmp_path / "log"), 4)
     src_t = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
     CDCEngine.create_table(str(tmp_path / "mir"), num_buckets=4)
-    spec = AggSpec(group_cols=["source"], sum_cols=["n_tok"])
+    spec = AggSpec(
+        group_cols=["source"], sum_cols=["n_tok"],
+        min_cols=["n_tok"], max_cols=["n_tok"],
+    )
     create_view(str(tmp_path / "view"), src_t, spec, num_buckets=2)
 
     reg = TableRegistry(str(tmp_path / "reg.json"))
@@ -195,7 +198,8 @@ def test_replay_all_advances_derived_mirror_and_view(spark, tmp_path):
             checkpoint=str(tmp_path / "ckpt"),
             mirror_root=str(tmp_path / "mir"),
             views=[{"root": str(tmp_path / "view"),
-                    "group_by": ["source"], "sum": ["n_tok"]}],
+                    "group_by": ["source"], "sum": ["n_tok"],
+                    "min": ["n_tok"], "max": ["n_tok"]}],
         )
     )
     res = replay_all(spark, reg)
