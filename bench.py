@@ -78,6 +78,16 @@ def main() -> None:
     runs: dict[str, list[float]] = {}
     minmax_rescans: list[int] = []  # groups rescanned per incr mm sync
 
+    def calibrate() -> float:
+        """Fixed pure-CPU probe pricing the host's external load at this
+        moment (quiet box: ~0.2-0.5s warm at 32 threads; the r4->r5
+        regression postmortem in BENCH/BASELINE.md saw 7-10x swings).
+        Reported alongside the samples so every record carries the noise
+        it was taken under."""
+        t0 = time.time()
+        spark.range(1_000_000_000).select(F.sum(F.col("id") % 7)).collect()
+        return round(time.time() - t0, 3)
+
     def sample(name, fn):
         t0 = time.time()
         out = fn()
@@ -189,10 +199,13 @@ def main() -> None:
     ]
 
     # -- interleaved best-of-N: pass i runs every query once ------------------
+    host_calib = []
     for i in range(repeats):
+        host_calib.append(calibrate())
         replay_pass(i)
         for name, fn in operator_queries:
             sample(name, fn)
+    host_calib.append(calibrate())
 
     shutil.rmtree(work, ignore_errors=True)
 
@@ -221,6 +234,7 @@ def main() -> None:
                 "keys": n_keys,
                 "cdc_apply_events_per_sec": round(eps, 1),
                 "matview_minmax_rescans_per_sync": minmax_rescans,
+                "host_calibration_sec": host_calib,
                 "parallelism": cpus,
             }
         )

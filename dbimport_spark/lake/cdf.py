@@ -81,32 +81,10 @@ def _align_to(
     )
 
 
-def table_changes(
-    spark: SparkSession,
-    table: LakeTable,
-    from_version: int,
-    to_version: int | None = None,
-    include_preimage: bool = False,
-) -> DataFrame:
-    """Net row-level changes committed after ``from_version`` up to and
-    including ``to_version`` (default: current).
-
-    Returns the payload columns (at ``to_version``'s names/types) plus
-    ``_change_type`` ('insert' | 'update' | 'delete') and
-    ``_commit_version`` (= ``to_version``). Delete rows carry the last
-    known payload from the FROM side. With ``include_preimage``, update
-    rows additionally carry every payload column's pre-image as
-    ``_pre_<col>``.
-
-    Soft-deleted rows (``dl_delete_ts`` set) count as absent: a
-    live->dead transition emits 'delete', dead->live emits 'insert'
-    (revival), dead->dead emits nothing even if the tombstone payload
-    moved.
-    """
-    snap_a = table.snapshot(from_version)
-    snap_b = (
-        table.current() if to_version is None else table.snapshot(to_version)
-    )
+def check_window(table: LakeTable, snap_a: Snapshot, snap_b: Snapshot) -> None:
+    """Refuse version windows an incremental diff cannot cover. Shared
+    by ``table_changes`` and the streaming source
+    (``streaming/cdf_source``)."""
     if snap_b.version < snap_a.version:
         raise ValueError(
             f"to_version {snap_b.version} precedes from_version {snap_a.version}"
@@ -134,6 +112,35 @@ def table_changes(
             f"at {snap_a.version} — the window crosses an expired reload "
             "boundary. Reconcile with a full read instead."
         )
+
+
+def table_changes(
+    spark: SparkSession,
+    table: LakeTable,
+    from_version: int,
+    to_version: int | None = None,
+    include_preimage: bool = False,
+) -> DataFrame:
+    """Net row-level changes committed after ``from_version`` up to and
+    including ``to_version`` (default: current).
+
+    Returns the payload columns (at ``to_version``'s names/types) plus
+    ``_change_type`` ('insert' | 'update' | 'delete') and
+    ``_commit_version`` (= ``to_version``). Delete rows carry the last
+    known payload from the FROM side. With ``include_preimage``, update
+    rows additionally carry every payload column's pre-image as
+    ``_pre_<col>``.
+
+    Soft-deleted rows (``dl_delete_ts`` set) count as absent: a
+    live->dead transition emits 'delete', dead->live emits 'insert'
+    (revival), dead->dead emits nothing even if the tombstone payload
+    moved.
+    """
+    snap_a = table.snapshot(from_version)
+    snap_b = (
+        table.current() if to_version is None else table.snapshot(to_version)
+    )
+    check_window(table, snap_a, snap_b)
 
     keys = (
         list(snap_b.bucket_column)

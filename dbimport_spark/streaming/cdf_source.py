@@ -1,0 +1,445 @@
+"""Change data feed as a Structured Streaming source.
+
+``lake/cdf.follow_changes`` is a polling generator — the CALLER owns the
+trigger loop and its resume position. This module hands both to Spark:
+a Python Data Source (``pyspark.sql.datasource``, Spark 4) whose stream
+OFFSETS ARE TABLE VERSIONS, so followers get Spark-managed checkpoints
+(offset WAL in the stream checkpoint dir), triggers, and restart
+semantics — the Delta-CDF-as-stream analogue for the lake format, and
+the streaming face of the reference's "export each import's delta
+downstream" stage (reference copy_operations.py).
+
+Scale/architecture notes:
+
+- **Planning is metadata-only.** ``latestOffset`` reads one hint file;
+  ``partitions`` prunes shared data files from the window exactly like
+  ``cdf.table_changes`` (a path in both snapshots cannot produce a diff
+  row) and emits ONE INPUT PARTITION PER TOUCHED BUCKET. Untouched
+  buckets cost zero bytes and zero tasks.
+- **The diff runs where the data is.** The engine's bucket invariant
+  (a key lives in exactly ``hash(key) % n`` forever) makes the snapshot
+  diff embarrassingly parallel per bucket: each task Arrow-reads its
+  bucket's window files for both sides and joins them locally — no
+  shuffle at all, where the batch ``table_changes`` needs one key-hash
+  exchange. Rows stream back as Arrow record batches.
+- **Exactly-once end-to-end** composes two idempotencies: Spark replans
+  a crashed micro-batch from its checkpointed offsets (same version
+  window), and version-watermarked sinks (``follow_mirror_stream``)
+  skip a redelivered window via the engine's LSN guard.
+- **Schema changes stop the stream loudly.** The declared stream schema
+  is fixed at query start; a window whose end snapshot evolved raises
+  (restart the stream to pick up the new schema) — silent nulls or
+  mis-mapped columns are never emitted. Older files WITHIN a schema are
+  still fine: per-file rename-epoch maps and upcasts are applied, same
+  as ``LakeTable.read``.
+
+Per-bucket diff semantics are pinned to ``cdf.table_changes`` by
+``tests/test_cdf_stream.py`` (same windows, both implementations, equal
+row sets).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql import types as T
+
+from dbimport_spark.schema import AUDIT_COLUMNS, AUDIT_DELETE
+
+CHANGE_TYPE_COL = "_change_type"
+COMMIT_VERSION_COL = "_commit_version"
+
+FORMAT_NAME = "lake_cdf"
+
+
+def _output_schema(payload_fields: list[T.StructField]) -> T.StructType:
+    return T.StructType(
+        list(payload_fields)
+        + [
+            T.StructField(CHANGE_TYPE_COL, T.StringType(), False),
+            T.StructField(COMMIT_VERSION_COL, T.LongType(), False),
+        ]
+    )
+
+
+def plan_window(table, from_version: int, to_version: int) -> list[dict]:
+    """Driver-side planning: one picklable work unit per touched bucket.
+
+    Shares ``cdf``'s guards (reload boundary, rename-history shrink) and
+    file pruning; every file ships with its epoch's physical->current
+    name map so executors need no table metadata at all.
+    """
+    import os
+
+    from dbimport_spark.lake.cdf import check_window, snapshot_diff_files
+    from dbimport_spark.lake.table import LakeTable
+
+    snap_a = table.snapshot(from_version)
+    snap_b = table.snapshot(to_version)
+    check_window(table, snap_a, snap_b)
+
+    keys = (
+        list(snap_b.bucket_column)
+        if isinstance(snap_b.bucket_column, list)
+        else [snap_b.bucket_column]
+    )
+    payload_cols = [
+        f.name for f in snap_b.schema.fields if f.name not in AUDIT_COLUMNS
+    ]
+    soft = AUDIT_DELETE in snap_b.schema.fieldNames()
+    keep = payload_cols + ([AUDIT_DELETE] if soft else [])
+    keep_schema = T.StructType(
+        [f for f in snap_b.schema.fields if f.name in keep]
+    )
+
+    def describe(files):
+        # physical->current name map per file, ALWAYS through snap_b's
+        # rename history: epochs index the shared rename log (snap_b's
+        # extends snap_a's, enforced by check_window), so backdating
+        # snap_b to a file's epoch yields its physical names AND folds in
+        # any renames committed inside the window — the per-file
+        # equivalent of the batch reader's _align_to step
+        out = []
+        for f in files:
+            phys = LakeTable._backdated_schema(snap_b, f.epoch)
+            mapping = {
+                p: c
+                for p, c in zip(phys.fieldNames(), snap_b.schema.fieldNames())
+                if p != c
+            }
+            out.append((os.path.join(table.root, f.path), mapping))
+        return out
+
+    only_a, only_b = snapshot_diff_files(snap_a, snap_b)
+    by_bucket: dict[int, tuple[list, list]] = {}
+    for f in only_a:
+        by_bucket.setdefault(f.bucket, ([], []))[0].append(f)
+    for f in only_b:
+        by_bucket.setdefault(f.bucket, ([], []))[1].append(f)
+
+    parts = []
+    for bucket in sorted(by_bucket):
+        a_files, b_files = by_bucket[bucket]
+        parts.append(
+            {
+                "bucket": bucket,
+                "a_files": describe(a_files),
+                "b_files": describe(b_files),
+                "keep_schema_json": keep_schema.json(),
+                "payload_cols": payload_cols,
+                "keys": keys,
+                "soft": soft,
+                "end_version": to_version,
+            }
+        )
+    return parts
+
+
+def diff_bucket(meta: dict) -> Iterator:
+    """Executor-side per-bucket snapshot diff -> Arrow record batches.
+
+    Pure function of the partition description (no Spark session, no
+    table metadata): Arrow-reads both sides' files, maps each file's
+    epoch physical names to current names, upcasts widened columns,
+    outer-joins on the merge key in pandas, and classifies rows exactly
+    like ``cdf.table_changes`` — soft tombstones count as absent, audit
+    columns are excluded from the change comparison, deletes carry the
+    last known payload from the FROM side.
+    """
+    import json
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    keep_schema = T.StructType.fromJson(json.loads(meta["keep_schema_json"]))
+    keep = keep_schema.fieldNames()
+    arrow_keep = to_arrow_schema(keep_schema)
+    arrow_types = {f.name: f.type for f in arrow_keep}
+    keys = meta["keys"]
+    payload_cols = meta["payload_cols"]
+    value_cols = [c for c in payload_cols if c not in keys]
+    soft = meta["soft"]
+
+    def read_side(files) -> pa.Table:
+        tables = []
+        for path, mapping in files:
+            t = pq.read_table(path)
+            if mapping:
+                t = t.rename_columns(
+                    [mapping.get(c, c) for c in t.column_names]
+                )
+            cols = []
+            for name in keep:
+                if name in t.column_names:
+                    cols.append(t[name].cast(arrow_types[name]))
+                else:  # additive evolution: old file lacks the column
+                    cols.append(pa.nulls(len(t), arrow_types[name]))
+            tables.append(pa.table(dict(zip(keep, cols))))
+        if not tables:
+            return arrow_keep.empty_table()
+        return pa.concat_tables(tables)
+
+    def to_pd(t: pa.Table, prefix: str) -> "pd.DataFrame":
+        # nullable extension dtypes keep ints exact under nulls (a plain
+        # to_pandas would coerce int64-with-null to float64, corrupting
+        # ids past 2^53)
+        mapper = {
+            pa.int8(): pd.Int8Dtype(),
+            pa.int16(): pd.Int16Dtype(),
+            pa.int32(): pd.Int32Dtype(),
+            pa.int64(): pd.Int64Dtype(),
+            pa.float32(): pd.Float32Dtype(),
+            pa.float64(): pd.Float64Dtype(),
+            pa.bool_(): pd.BooleanDtype(),
+            pa.string(): pd.StringDtype(),
+            pa.large_string(): pd.StringDtype(),
+        }.get
+        df = t.to_pandas(types_mapper=mapper)
+        return df.rename(
+            columns={c: prefix + c for c in df.columns if c not in keys}
+        )
+
+    dfa = to_pd(read_side(meta["a_files"]), "_a_")
+    dfb = to_pd(read_side(meta["b_files"]), "_b_")
+    m = dfa.merge(dfb, on=keys, how="outer", indicator="_cdf_side")
+    if len(m) == 0:
+        return
+
+    def _eq1(x, y) -> bool:
+        r = x == y
+        if r is pd.NA:
+            return False
+        # np.ndarray == np.ndarray is elementwise; normalized to tuples
+        # before we get here, so r is a scalar bool/np.bool_
+        return bool(r)
+
+    def null_safe_eq(a: "pd.Series", b: "pd.Series") -> "np.ndarray":
+        na_a = a.isna().to_numpy(dtype=bool)
+        na_b = b.isna().to_numpy(dtype=bool)
+        if a.dtype == object or b.dtype == object:
+            # object columns (arrays, structs): normalize ndarrays/lists
+            # to tuples, then a scalar-safe elementwise compare (pd.NA
+            # poisons vectorized eq on object dtype)
+            def norm(s):
+                return [
+                    tuple(v.tolist())
+                    if isinstance(v, np.ndarray)
+                    else (tuple(v) if isinstance(v, list) else v)
+                    for v in s.to_numpy(dtype=object)
+                ]
+            eq = np.fromiter(
+                (_eq1(x, y) for x, y in zip(norm(a), norm(b))),
+                dtype=bool,
+                count=len(a),
+            )
+        else:
+            # extension/native dtypes: vectorized eq, NA -> False
+            eq = (
+                pd.Series(a.eq(b)).fillna(False).to_numpy(dtype=bool)
+            )
+        return (eq & ~na_a & ~na_b) | (na_a & na_b)
+
+    present_a = (m["_cdf_side"] != "right_only").to_numpy(dtype=bool)
+    present_b = (m["_cdf_side"] != "left_only").to_numpy(dtype=bool)
+    live_a, live_b = present_a, present_b
+    if soft:
+        live_a = live_a & m["_a_" + AUDIT_DELETE].isna().to_numpy(dtype=bool)
+        live_b = live_b & m["_b_" + AUDIT_DELETE].isna().to_numpy(dtype=bool)
+
+    changed = np.zeros(len(m), dtype=bool)
+    for c in value_cols:
+        changed |= ~null_safe_eq(m["_a_" + c], m["_b_" + c])
+
+    ct = np.select(
+        [
+            live_b & ~live_a,
+            live_a & ~live_b,
+            live_a & live_b & changed,
+        ],
+        ["insert", "delete", "update"],
+        default="",
+    )
+    mask = ct != ""
+    if not mask.any():
+        return
+    m = m[mask].reset_index(drop=True)
+    ct = ct[mask]
+    is_delete = pd.Series(ct == "delete", index=m.index)
+
+    out = {}
+    for c in payload_cols:
+        if c in keys:
+            out[c] = m[c]
+        else:  # B side for insert/update, A side (last known) for delete
+            out[c] = m["_b_" + c].where(~is_delete, m["_a_" + c])
+    out_df = pd.DataFrame(out)
+    out_df[CHANGE_TYPE_COL] = ct
+    out_df[COMMIT_VERSION_COL] = np.int64(meta["end_version"])
+
+    target = to_arrow_schema(
+        _output_schema(
+            [f for f in keep_schema.fields if f.name in payload_cols]
+        )
+    )
+    table = pa.Table.from_pandas(out_df, schema=target, preserve_index=False)
+    yield from table.to_batches()
+
+
+class _BucketPartition(InputPartition):
+    def __init__(self, meta: dict):
+        self.meta = meta
+
+
+class LakeCDFStreamReader(DataSourceStreamReader):
+    """Offsets are table versions: ``{"version": N}``. Spark persists
+    them in the stream checkpoint; each micro-batch covers the window
+    (start, end] as one net diff, one task per touched bucket."""
+
+    def __init__(self, options: dict, schema: T.StructType):
+        self._root = options.get("path")
+        if not self._root:
+            raise ValueError("lake_cdf requires .option('path', <table root>)")
+        self._starting = int(options.get("startingversion", 0))
+        cap = options.get("maxversionsperbatch")
+        self._cap = int(cap) if cap is not None else None
+        self._schema = schema
+        self._last_end: int | None = None  # latest end offset handed out
+
+    def _table(self):
+        from dbimport_spark.lake.table import LakeTable
+
+        return LakeTable.load(self._root)
+
+    def initialOffset(self) -> dict:
+        return {"version": self._starting}
+
+    def latestOffset(self) -> dict:
+        cur = self._table().current().version
+        if self._cap is not None and self._last_end is not None:
+            cur = min(cur, self._last_end + self._cap)
+        self._last_end = max(cur, self._last_end or 0)
+        return {"version": cur}
+
+    def partitions(self, start: dict, end: dict):
+        a, b = int(start["version"]), int(end["version"])
+        # restart re-informs the rate cap of the checkpointed position
+        self._last_end = max(self._last_end or 0, b)
+        if b <= a:
+            return []
+        table = self._table()
+        snap_b = table.snapshot(b)
+        declared = [f for f in self._schema.fields][: -2]  # minus CDF cols
+        current_payload = [
+            f for f in snap_b.schema.fields if f.name not in AUDIT_COLUMNS
+        ]
+        if [ (f.name, f.dataType) for f in declared ] != [
+            (f.name, f.dataType) for f in current_payload
+        ]:
+            raise RuntimeError(
+                f"table schema at version {b} no longer matches the "
+                "stream's declared schema — the table evolved while the "
+                "stream was running. Restart the streaming query to pick "
+                "up the new schema (offsets in the checkpoint are kept)."
+            )
+        return [_BucketPartition(m) for m in plan_window(table, a, b)]
+
+    def read(self, partition: _BucketPartition):
+        return diff_bucket(partition.meta)
+
+    def commit(self, end: dict) -> None:
+        self._last_end = max(self._last_end or 0, int(end["version"]))
+
+
+class LakeCDFDataSource(DataSource):
+    """``spark.readStream.format("lake_cdf").option("path", root)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> T.StructType:
+        from dbimport_spark.lake.table import LakeTable
+
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("lake_cdf requires .option('path', <table root>)")
+        snap = LakeTable.load(root).current()
+        return _output_schema(
+            [f for f in snap.schema.fields if f.name not in AUDIT_COLUMNS]
+        )
+
+    def streamReader(self, schema: T.StructType) -> LakeCDFStreamReader:
+        return LakeCDFStreamReader(
+            {k.lower(): v for k, v in self.options.items()}, schema
+        )
+
+
+def register(spark) -> None:
+    """Register the source under ``lake_cdf`` (idempotent)."""
+    spark.dataSource.register(LakeCDFDataSource)
+
+
+def read_changes_stream(spark, root: str, **options):
+    """``readStream`` over a lake table's change feed."""
+    register(spark)
+    reader = spark.readStream.format(FORMAT_NAME).option("path", root)
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load()
+
+
+def follow_mirror_stream(
+    spark,
+    source_root: str,
+    mirror_engine,
+    checkpoint_dir: str,
+    trigger_seconds: float = 1.0,
+    **source_options,
+):
+    """The streaming twin of ``plans/mirror.follow_mirror``: Spark owns
+    the trigger loop and offset checkpointing; the mirror's own version
+    watermark makes a redelivered micro-batch (crash between foreachBatch
+    and offset commit) a no-op — exactly-once end-to-end.
+
+    Returns the started ``StreamingQuery``; callers stop it. A killed
+    follower restarted with the SAME checkpoint dir resumes from the
+    last committed window; with a fresh checkpoint dir it still
+    converges, because every window the mirror already holds is skipped
+    by the LSN guard.
+    """
+    from pyspark.sql import functions as F
+
+    from dbimport_spark.plans.mirror import (
+        feed_to_change_events,
+        source_version_mirrored,
+    )
+
+    feed = read_changes_stream(spark, source_root, **source_options)
+
+    def apply_window(batch_df, _epoch_id: int) -> None:
+        head = batch_df.agg(
+            F.max(COMMIT_VERSION_COL).alias("v")
+        ).collect()[0]
+        if head["v"] is None:
+            return  # empty window (e.g. compaction-only commits)
+        to_v = int(head["v"])
+        from_v = source_version_mirrored(mirror_engine)
+        if to_v <= from_v:
+            return  # redelivered window: mirror already has it
+        events = feed_to_change_events(batch_df, to_v)
+        mirror_engine.apply_batch(events, from_v, to_v)
+
+    return (
+        feed.writeStream.foreachBatch(apply_window)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

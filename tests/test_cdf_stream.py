@@ -1,0 +1,301 @@
+"""CDF as a Structured Streaming source (streaming/cdf_source.py).
+
+The per-bucket Arrow diff is pinned to the batch ``cdf.table_changes``
+as its oracle (same windows, both implementations, equal row sets), and
+the end-to-end stream is exercised through ``follow_mirror_stream`` with
+a kill/restart on the same checkpoint — Spark-managed offsets plus the
+mirror's LSN watermark give exactly-once across the restart."""
+
+import datetime as dt
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbimport_spark.plans.engine import CDCEngine
+from dbimport_spark.schema import CHANGE_SCHEMA
+from dbimport_spark.streaming.cdf_source import (
+    CHANGE_TYPE_COL,
+    COMMIT_VERSION_COL,
+    LakeCDFStreamReader,
+    diff_bucket,
+    plan_window,
+    read_changes_stream,
+)
+
+TS = dt.datetime(2024, 1, 1)
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(rows, CHANGE_SCHEMA)
+
+
+def _stream_rows(table, a, b):
+    """Run the stream source's planning + per-bucket executor diff
+    directly (no streaming query) and collect all rows."""
+    rows = []
+    for meta in plan_window(table, a, b):
+        it = diff_bucket(meta)
+        if it is None:
+            continue
+        for batch in it:
+            rows.extend(batch.to_pylist())
+    return rows
+
+
+def _canon(rows):
+    out = set()
+    for r in rows:
+        d = dict(r)
+        toks = d.get("tokens")
+        d["tokens"] = tuple(toks) if toks is not None else None
+        out.add(tuple(sorted(d.items(), key=lambda kv: kv[0])))
+    return out
+
+
+def _batch_oracle(spark, table, a, b):
+    from dbimport_spark.lake.cdf import table_changes
+
+    return [r.asDict() for r in table_changes(spark, table, a, b).collect()]
+
+
+def _assert_matches_oracle(spark, table, a, b):
+    got = _canon(_stream_rows(table, a, b))
+    want = _canon(_batch_oracle(spark, table, a, b))
+    assert got == want
+
+
+def test_bucket_diff_equals_table_changes_all_windows(spark, tmp_path):
+    """Every version window over a log with inserts, value updates,
+    cross-bucket churn, deletes and re-inserts diffs identically in the
+    stream source and the batch CDF."""
+    t = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    eng = CDCEngine(spark, t)
+    eng.apply_batch(
+        _log(spark, [(1, "I", "k1", [1] * 4, 4, "a", TS),
+                     (2, "I", "k2", [2] * 6, 6, "a", TS),
+                     (3, "I", "k3", [3] * 8, 8, "b", TS)]), 0, 3,
+    )
+    eng.apply_batch(
+        _log(spark, [(4, "U", "k1", [9] * 5, 5, "a", TS),
+                     (5, "D", "k2", None, None, None, TS),
+                     (6, "I", "k4", [4] * 2, 2, "c", TS)]), 3, 6,
+    )
+    eng.apply_batch(
+        _log(spark, [(7, "I", "k2", [7] * 7, 7, "b", TS),   # re-insert
+                     (8, "U", "k3", [3] * 8, 8, "b", TS)]), 6, 8,  # no-op
+    )
+    versions = t.snapshots()
+    for a in versions:
+        for b in versions:
+            if b > a:
+                _assert_matches_oracle(spark, t, a, b)
+
+
+def test_bucket_diff_soft_delete_transitions(spark, tmp_path):
+    """Soft tables: live->dead emits delete, dead->live emits insert,
+    dead->dead emits nothing — same as the batch CDF."""
+    t = CDCEngine.create_table(
+        str(tmp_path / "t"), num_buckets=4, soft_delete=True
+    )
+    eng = CDCEngine(spark, t)
+    eng.apply_batch(
+        _log(spark, [(1, "I", "k1", [1] * 4, 4, "a", TS),
+                     (2, "I", "k2", [2] * 6, 6, "a", TS)]), 0, 2,
+    )
+    eng.apply_batch(_log(spark, [(3, "D", "k1", None, None, None, TS)]), 2, 3)
+    eng.apply_batch(_log(spark, [(4, "I", "k1", [5] * 3, 3, "b", TS)]), 3, 4)
+    versions = t.snapshots()
+    for a in versions:
+        for b in versions:
+            if b > a:
+                _assert_matches_oracle(spark, t, a, b)
+
+
+def test_bucket_diff_across_schema_evolution_files(spark, tmp_path):
+    """Old files inside the window read through their rename-epoch maps
+    and upcast widened columns — the stream diff matches the batch CDF
+    after add + widen + rename evolution."""
+    from pyspark.sql import types as T
+
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("v", T.IntegerType(), True),
+        ]
+    )
+    t = CDCEngine.create_table(
+        str(tmp_path / "t"), payload_schema=payload, num_buckets=2
+    )
+    eng = CDCEngine(spark, t)
+    eng.apply_batch(
+        spark.createDataFrame(
+            [(1, "I", "a", 10), (2, "I", "b", 20)],
+            "lsn long, op string, doc_id string, v int",
+        ), 0, 2,
+    )
+    # widen v to long and add a column in one batch
+    eng.apply_batch(
+        spark.createDataFrame(
+            [(3, "I", "c", 2**40, 1.5)],
+            "lsn long, op string, doc_id string, v long, q double",
+        ), 2, 3,
+    )
+    t.rename_column("q", "quality")
+    eng.apply_batch(
+        spark.createDataFrame(
+            [(4, "U", "a", 11, 2.5)],
+            "lsn long, op string, doc_id string, v long, quality double",
+        ), 3, 4,
+    )
+    versions = t.snapshots()
+    for a in versions:
+        for b in versions:
+            if b > a:
+                got = _canon(_stream_rows(t, a, b))
+                want = _canon(_batch_oracle(spark, t, a, b))
+                assert got == want, (a, b)
+
+
+def test_reader_offsets_and_rate_cap(spark, tmp_path):
+    """Offsets are versions; maxVersionsPerBatch caps how far
+    latestOffset advances past the last planned/committed end."""
+    t = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=2)
+    eng = CDCEngine(spark, t)
+    for i in range(4):
+        eng.apply_batch(
+            _log(spark, [(i + 1, "I", f"k{i}", [1], 1, "a", TS)]), i, i + 1
+        )
+    cur = t.current().version
+    from dbimport_spark.streaming.cdf_source import LakeCDFDataSource
+
+    schema = LakeCDFDataSource({"path": str(tmp_path / "t")}).schema()
+    r = LakeCDFStreamReader(
+        {"path": str(tmp_path / "t"), "maxversionsperbatch": "1"}, schema
+    )
+    assert r.initialOffset() == {"version": 0}
+    first = r.latestOffset()["version"]  # no position yet: full backlog
+    assert first == cur
+    r.commit({"version": 1})
+    r2 = LakeCDFStreamReader(
+        {"path": str(tmp_path / "t"), "maxversionsperbatch": "1"}, schema
+    )
+    r2.partitions({"version": 0}, {"version": 1})  # restart re-informs
+    assert r2.latestOffset()["version"] == 2  # capped at last end + 1
+
+
+def test_reader_refuses_mid_stream_schema_change(spark, tmp_path):
+    """A window whose end snapshot no longer matches the stream's
+    declared schema raises instead of emitting mis-shaped rows."""
+    t = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=2)
+    eng = CDCEngine(spark, t)
+    eng.apply_batch(_log(spark, [(1, "I", "k1", [1], 1, "a", TS)]), 0, 1)
+    from dbimport_spark.streaming.cdf_source import LakeCDFDataSource
+
+    schema = LakeCDFDataSource({"path": str(tmp_path / "t")}).schema()
+    r = LakeCDFStreamReader({"path": str(tmp_path / "t")}, schema)
+    v1 = t.current().version
+    # evolve: add a column via a wider batch
+    eng.apply_batch(
+        spark.createDataFrame(
+            [(2, "I", "k2", [2], 1, "a", TS, 0.5)],
+            "lsn long, op string, doc_id string, tokens array<int>, "
+            "n_tok int, source string, commit_ts timestamp, extra double",
+        ), 1, 2,
+    )
+    with pytest.raises(RuntimeError, match="evolved while the stream"):
+        r.partitions({"version": 0}, {"version": t.current().version})
+    # windows ending before the evolution still plan fine
+    assert len(r.partitions({"version": 0}, {"version": v1})) > 0
+
+
+def _wait(pred, timeout=60.0, poll=0.2):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if pred():
+            return True
+        time.sleep(poll)
+    return False
+
+
+def test_follow_mirror_stream_kill_restart_exactly_once(spark, tmp_path):
+    """The mirror follows the source through readStream; a kill and
+    restart on the SAME checkpoint resumes from the committed offset and
+    redelivered windows are no-ops (engine LSN guard)."""
+    from dbimport_spark.plans.mirror import verify_mirror
+    from dbimport_spark.sources.loggen import generate_changes
+    from dbimport_spark.streaming.cdf_source import follow_mirror_stream
+
+    src_t = CDCEngine.create_table(str(tmp_path / "src"), num_buckets=4)
+    src = CDCEngine(spark, src_t, checkpoint_dir=str(tmp_path / "sckpt"))
+    log = generate_changes(spark, 2000, n_keys=150, seed=7)
+    src.replay(log.filter(F.col("lsn") <= 800), num_batches=1)
+
+    mir_t = CDCEngine.create_table(str(tmp_path / "mir"), num_buckets=4)
+    mir = CDCEngine(spark, mir_t)
+    ckpt = str(tmp_path / "stream-ckpt")
+
+    q = follow_mirror_stream(
+        spark, str(tmp_path / "src"), mir, ckpt, trigger_seconds=0.5
+    )
+    try:
+        assert _wait(
+            lambda: mir_t.last_lsn() >= src_t.current().version
+        ), "mirror never caught up before kill"
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    assert verify_mirror(spark, src_t, mir_t)["converged"]
+
+    # source advances while the follower is down
+    src.replay(log.filter(F.col("lsn") <= 1500), num_batches=1)
+    src.replay(log, num_batches=1)
+    v_target = src_t.current().version
+
+    q = follow_mirror_stream(
+        spark, str(tmp_path / "src"), mir, ckpt, trigger_seconds=0.5
+    )
+    try:
+        assert _wait(
+            lambda: mir_t.last_lsn() >= v_target
+        ), "mirror never caught up after restart"
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    assert verify_mirror(spark, src_t, mir_t)["converged"]
+    assert mir_t.last_lsn() == v_target
+
+
+def test_read_changes_stream_emits_cdf_columns(spark, tmp_path):
+    """Plain readStream surface: rows arrive with payload + change-type
+    + commit-version columns, and the bootstrap window (version 0) is
+    the whole table as inserts."""
+    t = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=2)
+    eng = CDCEngine(spark, t)
+    eng.apply_batch(
+        _log(spark, [(1, "I", "k1", [1] * 3, 3, "a", TS),
+                     (2, "I", "k2", [2] * 4, 4, "b", TS)]), 0, 2,
+    )
+    feed = read_changes_stream(spark, str(tmp_path / "t"))
+    assert CHANGE_TYPE_COL in feed.columns
+    assert COMMIT_VERSION_COL in feed.columns
+
+    got = []
+
+    def sink(batch_df, _eid):
+        got.extend(r.asDict() for r in batch_df.collect())
+
+    q = (
+        feed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0.5 seconds")
+        .start()
+    )
+    try:
+        assert _wait(lambda: len(got) >= 2)
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    assert {(r["doc_id"], r[CHANGE_TYPE_COL]) for r in got} == {
+        ("k1", "insert"), ("k2", "insert"),
+    }
