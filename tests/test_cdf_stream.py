@@ -299,3 +299,74 @@ def test_read_changes_stream_emits_cdf_columns(spark, tmp_path):
     assert {(r["doc_id"], r[CHANGE_TYPE_COL]) for r in got} == {
         ("k1", "insert"), ("k2", "insert"),
     }
+
+
+def test_bucket_diff_purge_window_emits_nothing(spark, tmp_path):
+    """A maintenance rewrite that preserves LIVE content — tombstone
+    purge on a soft table — re-files the touched buckets but the window
+    across it diffs to zero rows (dead->absent is not a change), in both
+    the stream source and the batch CDF."""
+    from dbimport_spark.lake.maintenance import purge_tombstones
+
+    t = CDCEngine.create_table(
+        str(tmp_path / "t"), num_buckets=2, soft_delete=True
+    )
+    eng = CDCEngine(spark, t)
+    eng.apply_batch(
+        _log(spark, [(1, "I", "k1", [1] * 3, 3, "a", TS),
+                     (2, "I", "k2", [2] * 3, 3, "a", TS)]), 0, 2,
+    )
+    eng.apply_batch(_log(spark, [(3, "D", "k1", None, None, None, TS)]), 2, 3)
+    v_before = t.current().version
+    purge_tombstones(spark, t, "2099-01-01")
+    v_after = t.current().version
+    assert v_after > v_before
+    assert plan_window(t, v_before, v_after), "files differ, so plan exists"
+    assert _stream_rows(t, v_before, v_after) == []
+    assert _batch_oracle(spark, t, v_before, v_after) == []
+
+
+def test_minmax_null_values_never_carry_extremum(spark, tmp_path):
+    """min/max ignore nulls: null-valued rows count toward n_rows but
+    never become candidates, and removing one never triggers a rescan;
+    an all-null group holds null extremes."""
+    import logging
+
+    from dbimport_spark.plans.matview import (
+        AggSpec,
+        create_view,
+        sync_view,
+        verify_view,
+    )
+    from tests.test_mirror import _caplog_records
+
+    spec = AggSpec(
+        group_cols=["source"], sum_cols=[], min_cols=["n_tok"],
+        max_cols=["n_tok"],
+    )
+    src_t = CDCEngine.create_table(str(tmp_path / "src"), num_buckets=4)
+    src = CDCEngine(spark, src_t)
+    view = CDCEngine(
+        spark, create_view(str(tmp_path / "v"), src_t, spec, num_buckets=2)
+    )
+    # group 'a': one real value + one null; group 'b': all null
+    src.apply_batch(
+        _log(spark, [(1, "I", "k1", [1] * 6, 6, "a", TS),
+                     (2, "I", "k2", None, None, "a", TS),
+                     (3, "I", "k3", None, None, "b", TS)]), 0, 3,
+    )
+    sync_view(spark, src_t, view, spec)
+    rows = {r["source"]: r for r in view.table.read(spark).collect()}
+    assert (rows["a"]["min_n_tok"], rows["a"]["max_n_tok"]) == (6, 6)
+    assert (rows["b"]["min_n_tok"], rows["b"]["max_n_tok"]) == (None, None)
+    assert verify_view(spark, src_t, view.table, spec)["converged"]
+    # deleting the null-valued row can't carry the extremum: no rescan
+    src.apply_batch(_log(spark, [(4, "D", "k2", None, None, None, TS)]), 3, 4)
+    with _caplog_records(
+        "dbimport_spark.plans.matview", level=logging.INFO
+    ) as recs:
+        sync_view(spark, src_t, view, spec)
+    assert any("0 group(s) rescanned" in r.getMessage() for r in recs)
+    rows = {r["source"]: r for r in view.table.read(spark).collect()}
+    assert rows["a"]["n_rows"] == 1 and rows["a"]["max_n_tok"] == 6
+    assert verify_view(spark, src_t, view.table, spec)["converged"]
