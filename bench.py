@@ -116,7 +116,11 @@ def main() -> None:
     shutil.rmtree(warm_tdir, ignore_errors=True)
     shutil.rmtree(warm_path, ignore_errors=True)
 
-    # -- materialize the change log (setup; timed once, not repeated) --------
+    # -- materialize the change log (setup; timed once, not repeated — so
+    # its sample can't be min-ed; the calibration bracket prices the load
+    # it ran under (r5 postmortem: a 4s loggen read 111-175s inside three
+    # externally-loaded windows while later passes were quiet) -----------
+    host_calib = [calibrate()]
     full = int(n_events * 0.9)
     log_path = os.path.join(work, "log")
     sample(
@@ -199,7 +203,6 @@ def main() -> None:
     ]
 
     # -- interleaved best-of-N: pass i runs every query once ------------------
-    host_calib = []
     for i in range(repeats):
         host_calib.append(calibrate())
         replay_pass(i)

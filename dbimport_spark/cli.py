@@ -244,6 +244,14 @@ def main(argv: list[str] | None = None) -> int:
         "--stop-file", default=None, metavar="PATH",
         help="stop --follow when this file appears",
     )
+    sp.add_argument(
+        "--stream", default=None, metavar="CHECKPOINT_DIR",
+        help="follow via Structured Streaming instead of the polling "
+        "daemon: the lake_cdf source's offsets are source versions, "
+        "checkpointed by Spark in this directory — kill/restart resumes "
+        "from the last committed window (use with --stop-file; "
+        "--poll sets the trigger interval)",
+    )
 
     sp = sub.add_parser(
         "matview",
@@ -720,7 +728,42 @@ def main(argv: list[str] | None = None) -> int:
         source = LakeTable.load(args.source_root)
         mirror = LakeTable.load(args.mirror_root)
         eng = CDCEngine(spark, mirror)
-        if args.follow:
+        if args.stream is not None:
+            import os as _os
+            import time as _time
+
+            from dbimport_spark.streaming.cdf_source import (
+                follow_mirror_stream,
+            )
+
+            q = follow_mirror_stream(
+                spark, args.source_root, eng, args.stream,
+                trigger_seconds=args.poll,
+            )
+            try:
+                # drain-then-stop, like the polling daemon: the stop file
+                # only takes effect once the mirror has caught up
+                while True:
+                    if q.exception() is not None:
+                        raise q.exception()
+                    drained = (
+                        mirror.last_lsn() >= source.current().version
+                    )
+                    if (
+                        args.stop_file is not None
+                        and _os.path.isfile(args.stop_file)
+                        and drained
+                    ):
+                        break
+                    _time.sleep(min(args.poll, 1.0))
+            finally:
+                q.stop()
+                q.awaitTermination(60)
+            out = {
+                "mirrored_source_version": mirror.last_lsn(),
+                "checkpoint": args.stream,
+            }
+        elif args.follow:
             applied = follow_mirror(
                 spark, source, eng, poll_s=args.poll,
                 max_syncs=args.max_syncs, stop_file=args.stop_file,

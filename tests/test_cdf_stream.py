@@ -370,3 +370,33 @@ def test_minmax_null_values_never_carry_extremum(spark, tmp_path):
     rows = {r["source"]: r for r in view.table.read(spark).collect()}
     assert rows["a"]["n_rows"] == 1 and rows["a"]["max_n_tok"] == 6
     assert verify_view(spark, src_t, view.table, spec)["converged"]
+
+
+def test_cli_mirror_stream_drains_then_stops(spark, tmp_path, capsys):
+    """`mirror --stream CKPT`: the CLI follows via the lake_cdf streaming
+    source and honors drain-then-stop — with the stop file pre-created it
+    exits only once the mirror reached the source's version."""
+    import json as _json
+
+    from dbimport_spark.cli import main
+
+    src_t = CDCEngine.create_table(str(tmp_path / "src"), num_buckets=2)
+    src = CDCEngine(spark, src_t)
+    src.apply_batch(
+        _log(spark, [(1, "I", "k1", [1] * 3, 3, "a", TS),
+                     (2, "I", "k2", [2] * 4, 4, "b", TS)]), 0, 2,
+    )
+    CDCEngine.create_table(str(tmp_path / "mir"), num_buckets=2)
+    stop = tmp_path / "stop"
+    stop.touch()
+    rc = main(
+        [
+            "mirror", str(tmp_path / "src"), str(tmp_path / "mir"),
+            "--stream", str(tmp_path / "ckpt"), "--stop-file", str(stop),
+            "--poll", "0.3", "--verify",
+        ]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mirrored_source_version"] == src_t.current().version
+    assert out["verify"]["converged"]
