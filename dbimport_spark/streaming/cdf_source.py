@@ -171,7 +171,17 @@ def diff_bucket(meta: dict) -> Iterator:
     def read_side(files) -> pa.Table:
         tables = []
         for path, mapping in files:
-            t = pq.read_table(path)
+            # push column pruning into the parquet read: only the keep
+            # set's physical names are decoded (audit timestamps and any
+            # other non-diff columns never leave the file)
+            logical_to_phys = {v: k for k, v in mapping.items()}
+            schema_names = pq.read_schema(path).names
+            wanted = [
+                logical_to_phys.get(name, name)
+                for name in keep
+                if logical_to_phys.get(name, name) in schema_names
+            ]
+            t = pq.read_table(path, columns=wanted)
             if mapping:
                 t = t.rename_columns(
                     [mapping.get(c, c) for c in t.column_names]

@@ -119,3 +119,108 @@ def test_plan_sessions_formula():
     assert plan_sessions(0) == 1
     assert plan_sessions(10 * 128 * 1024 * 1024) == 10
     assert plan_sessions(10**15, max_sessions=24) == 24
+
+
+def test_cdc_jdbc_export_propagates_deletes_and_resumes(spark, tmp_path):
+    """CDC export (plans/cdc_export.py): the change feed applied to Derby
+    through the staging-table merge — inserts, updates, AND hard deletes
+    land; a committed window re-syncs as a no-op; a crash between the
+    merge transaction and the state commit replays idempotently."""
+    import datetime as dt
+
+    from dbimport_spark.plans.cdc_export import (
+        CDCJdbcExporter,
+        verify_cdc_export,
+    )
+    from dbimport_spark.schema import CHANGE_SCHEMA
+
+    TS = dt.datetime(2024, 1, 1)
+
+    def log(rows):
+        return spark.createDataFrame(rows, CHANGE_SCHEMA)
+
+    url = _url(tmp_path, "cdcdb")
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    eng = CDCEngine(spark, table)
+    eng.apply_batch(
+        log([(1, "I", "k1", [1] * 4, 4, "a", TS),
+             (2, "I", "k2", [2] * 6, 6, "a", TS),
+             (3, "I", "k3", [3] * 8, 8, "b", TS)]), 0, 3,
+    )
+    exp = CDCJdbcExporter(
+        table, url, "tgt", state_dir=str(tmp_path / "state")
+    )
+    out = exp.sync(spark)  # bootstrap: whole table as inserts
+    assert not out["skipped"] and out["rows"] == 3 and out["deletes"] == 0
+    rec = verify_cdc_export(spark, table, url, "tgt")
+    assert rec["converged"], rec
+
+    # update + hard delete + cross-group churn
+    eng.apply_batch(
+        log([(4, "U", "k1", [9] * 5, 5, "b", TS),
+             (5, "D", "k2", None, None, None, TS),
+             (6, "I", "k4", [4] * 2, 2, "c", TS)]), 3, 6,
+    )
+    out = exp.sync(spark)
+    assert out["deletes"] == 1
+    rec = verify_cdc_export(spark, table, url, "tgt")
+    assert rec["converged"], rec
+    ids = {
+        r["doc_id"]
+        for r in spark.read.jdbc(url, "tgt").select("doc_id").collect()
+    }
+    assert ids == {"k1", "k3", "k4"}  # k2's hard delete propagated
+
+    # committed window: no-op
+    assert exp.sync(spark)["skipped"]
+
+    # crash-retry: roll the state back (merge committed, state didn't) —
+    # replaying the same window must converge to the same target state
+    exp._save_state({"last_version": 1, "runs": 1})
+    out = exp.sync(spark)
+    assert not out["skipped"]
+    rec = verify_cdc_export(spark, table, url, "tgt")
+    assert rec["converged"], rec
+
+
+def test_cdc_jdbc_export_gap_full_reconcile(spark, tmp_path):
+    """Expired delta base: on_gap='full' rebuilds via live-rows upserts
+    plus target-side anti-join deletes (the mirror's fallback shape, over
+    JDBC)."""
+    import datetime as dt
+
+    from dbimport_spark.plans.cdc_export import (
+        CDCJdbcExporter,
+        verify_cdc_export,
+    )
+    from dbimport_spark.schema import CHANGE_SCHEMA
+
+    TS = dt.datetime(2024, 1, 1)
+
+    def log(rows):
+        return spark.createDataFrame(rows, CHANGE_SCHEMA)
+
+    url = _url(tmp_path, "gapdb")
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    eng = CDCEngine(spark, table)
+    eng.apply_batch(
+        log([(1, "I", "k1", [1] * 4, 4, "a", TS),
+             (2, "I", "k2", [2] * 6, 6, "a", TS)]), 0, 2,
+    )
+    exp = CDCJdbcExporter(
+        table, url, "tgt2", state_dir=str(tmp_path / "state")
+    )
+    exp.sync(spark)
+    eng.apply_batch(
+        log([(3, "D", "k1", None, None, None, TS),
+             (4, "I", "k5", [5] * 3, 3, "c", TS)]), 2, 4,
+    )
+    table.expire_snapshots(keep_last=1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="expired"):
+        exp.sync(spark)
+    out = exp.sync(spark, on_gap="full")
+    assert not out["skipped"] and out["deletes"] == 1  # k1 via anti-join
+    rec = verify_cdc_export(spark, table, url, "tgt2")
+    assert rec["converged"], rec

@@ -151,6 +151,54 @@ print("RESULT " + json.dumps({{"cpus": {cpus}, "sec": round(dt, 3),
       "eps": round({n_events} / dt, 1)}}))
 """
 
+# cdf_stream stage: the lake_cdf STREAMING source over the same window —
+# one micro-batch covering (va, vb], one Arrow-diff task per touched
+# bucket in Python workers (no JVM shuffle at all). Timed via the
+# query's own progress metrics (durationMs.triggerExecution of the
+# data-carrying batch), after an untimed warmup stream on a scratch
+# checkpoint.
+CDF_STREAM_SNIPPET = """
+import sys, json, time, os
+sys.path.insert(0, {repo!r})
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+from dbimport_spark.session import get_spark
+from dbimport_spark.streaming.cdf_source import read_changes_stream
+spark = get_spark(master="local[{cpus}]", shuffle_partitions={cpus},
+                  extra_conf={{"spark.ui.showConsoleProgress": "false",
+                              "spark.io.compression.codec": "zstd",
+                              "spark.local.dir": {local_dir!r}}})
+spark.sparkContext.setLogLevel("ERROR")
+
+def run_once(tag):
+    got = {{"rows": 0}}
+    def sink(df, _eid):
+        got["rows"] += df.count()
+    feed = read_changes_stream(spark, {table!r}, startingversion={va})
+    q = (feed.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", {ckpt!r} + tag)
+         .trigger(processingTime="0.2 seconds").start())
+    try:
+        t0 = time.time()
+        while got["rows"] == 0 and time.time() - t0 < 900:
+            if q.exception() is not None:
+                raise q.exception()
+            time.sleep(0.2)
+        q.processAllAvailable()
+        dur = None
+        for p in q.recentProgress:
+            if p.get("numInputRows", 0) > 0:
+                dur = p["durationMs"]["triggerExecution"] / 1000.0
+    finally:
+        q.stop()
+    return got["rows"], dur
+
+run_once("-warm")
+rows, dur = run_once("-timed")
+print("RESULT " + json.dumps({{"cpus": {cpus}, "sec": round(dur, 3),
+      "events": {n_events}, "rows_out": rows,
+      "eps": round({n_events} / dur, 1)}}))
+"""
+
 RUN_SNIPPET = """
 import sys, json, time, os, shutil
 sys.path.insert(0, {repo!r})
@@ -196,6 +244,12 @@ def run_level(cpus: int, log: str, work: str, tag: str = "", stage: str = "repla
         code = CDF_SNIPPET.format(
             repo=REPO, cpus=cpus, table=os.path.join(work, "cdf-table"),
             local_dir=local_dir, va=cdf_versions[0], vb=cdf_versions[1],
+            n_events=n_events,
+        )
+    elif stage == "cdf_stream":
+        code = CDF_STREAM_SNIPPET.format(
+            repo=REPO, cpus=cpus, table=os.path.join(work, "cdf-table"),
+            ckpt=ckpt, local_dir=local_dir, va=cdf_versions[0],
             n_events=n_events,
         )
     elif stage == "matview":
@@ -252,7 +306,7 @@ def main() -> None:
         if "GENERATED" not in gen.stdout:
             raise RuntimeError(f"loggen failed: {gen.stdout[-1000:]}\n{gen.stderr[-1000:]}")
         cdf_versions = None
-        if stage in ("cdf", "matview"):
+        if stage in ("cdf", "cdf_stream", "matview"):
             prep = subprocess.run(
                 [sys.executable, "-c", CDF_GEN_SNIPPET.format(
                     repo=REPO, log=log,
@@ -304,6 +358,17 @@ then `table_changes(vA, vB)` over the incremental window re-executed"""
 pruned scan → one key-hash full-outer join → liveness/change-type
 classification projection); table build, JVM boot, and an untimed
 same-JVM warmup execution excluded."""
+    elif stage == "cdf_stream":
+        job_desc = f"""the same change-feed STREAM micro-batch —
+one table built ONCE from a {n:,}-event change log (2-batch replay),
+then the lake_cdf Structured Streaming source consuming the incremental
+window as a single micro-batch (one Arrow-diff task per touched bucket
+in Python workers; no JVM shuffle)"""
+        timed_desc = """Timed window = the data-carrying
+micro-batch's own durationMs.triggerExecution (planning + per-bucket
+Arrow read/join/classify + foreachBatch count); stream/query startup,
+table build, JVM boot, and an untimed warmup stream on a scratch
+checkpoint excluded."""
     elif stage == "matview":
         job_desc = f"""the same materialized-view bootstrap —
 one table built ONCE from a {n:,}-event change log, then a per-source
