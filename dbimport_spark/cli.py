@@ -120,6 +120,28 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--mode", default="incr", choices=["incr", "full"])
     sp.add_argument("--include-audit", action="store_true")
 
+    sp = sub.add_parser(
+        "cdc-export",
+        help="change-feed export to an RDBMS via the staging-table merge: "
+        "inserts, updates AND hard deletes land (the watermarked row "
+        "export cannot ship deletes); idempotent per window, resumable "
+        "from the committed source-version state",
+    )
+    sp.add_argument("table_root")
+    sp.add_argument("url", help="JDBC url, e.g. jdbc:derby:/x/db;create=true")
+    sp.add_argument("target_table")
+    sp.add_argument("--state-dir", required=True)
+    sp.add_argument(
+        "--on-gap", choices=["error", "full"], default="error",
+        help="when the delta base snapshot was expired: refuse (error) or "
+        "full-reconcile (full: live upserts + target anti-join deletes)",
+    )
+    sp.add_argument(
+        "--verify", action="store_true",
+        help="after syncing, reconcile the target against the source's "
+        "live rows (count + content checksum)",
+    )
+
     sp = sub.add_parser("compact")
     sp.add_argument("table_root")
     sp.add_argument("--max-files-per-bucket", type=int, default=4)
@@ -619,6 +641,24 @@ def main(argv: list[str] | None = None) -> int:
             table, args.out_dir, include_audit=args.include_audit
         ).export(spark, mode=args.mode)
         print(json.dumps(out))
+    elif args.cmd == "cdc-export":
+        from dbimport_spark.plans.cdc_export import (
+            CDCJdbcExporter,
+            verify_cdc_export,
+        )
+
+        table = LakeTable.load(args.table_root)
+        exp = CDCJdbcExporter(
+            table, args.url, args.target_table, state_dir=args.state_dir
+        )
+        out = exp.sync(spark, on_gap=args.on_gap)
+        if args.verify:
+            out["verify"] = verify_cdc_export(
+                spark, table, args.url, args.target_table
+            )
+        print(json.dumps(out))
+        if args.verify and not out["verify"]["converged"]:
+            return 1
     elif args.cmd == "repair":
         table = LakeTable.load(args.table_root)
         eng = CDCEngine(
