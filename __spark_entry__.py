@@ -949,6 +949,57 @@ def q_mirror_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mir.read(spark).select("doc_id", "val_cents", "source")
 
 
+def q_anonymized_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-path anonymization gate (reference per-column masks driven
+    by import_columns.anonymization_function, import_operations.py:
+    1383-1395 / configSchema.py:938): replay the derived log with
+    ``anonymize={'source': 'first4'}`` — the mask runs inside the
+    engine's shared batch-alignment rule, so the lake only ever holds
+    masked values and change detection / LWW dedup operate on the
+    masked world. The oracle folds the same log and applies the
+    identical mask in SQL; any plaintext leak or mask drift is a value
+    mismatch."""
+    table, _, _ = _replayed_cdc_table(
+        spark, sf_dir, "anon-replay-", anonymize={"source": "first4"}
+    )
+    return table.read(spark).select("doc_id", "val_cents", "source")
+
+
+def q_matview_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained aggregate view gate (A6; beyond the
+    reference): replay the derived log into a source table in 3
+    batches, syncing the view after EACH batch. count/sum are exactly
+    delta-maintained; min/max use the candidate rule plus group-scoped
+    rescan-on-invalidation — the derived log's updates and deletes
+    remove current extrema, forcing the rescan path. The oracle
+    recomputes all four aggregates directly from the full LWW fold, so
+    any drift in delta math or a missed invalidation is a value
+    mismatch."""
+    from dbimport_spark.plans.engine import CDCEngine
+    from dbimport_spark.plans.matview import AggSpec, create_view, sync_view
+
+    changes = _events_as_changes(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="matview-gate-")
+    src = CDCEngine.create_table(
+        os.path.join(root, "src"), payload_schema=CDC_PAYLOAD, num_buckets=16
+    )
+    eng = CDCEngine(spark, src, checkpoint_dir=os.path.join(root, "ckpt"))
+    spec = AggSpec(
+        group_cols=["source"],
+        sum_cols=["val_cents"],
+        min_cols=["val_cents"],
+        max_cols=["val_cents"],
+    )
+    view_t = create_view(os.path.join(root, "view"), src, spec, num_buckets=4)
+    veng = CDCEngine(spark, view_t)
+    for k in range(1, CDC_REPLAY_BATCHES + 1):
+        eng.replay(changes, num_batches=CDC_REPLAY_BATCHES, stop_after=k)
+        sync_view(spark, src, veng, spec)
+    return view_t.read(spark).select(
+        "source", "n_rows", "sum_val_cents", "min_val_cents", "max_val_cents"
+    )
+
+
 def q_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-on-ingest: the odd-id half of documents (the incoming batch)
     anti-joined against near-dups of the even-id half (the corpus) via
@@ -1039,7 +1090,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window-rank kernel) and cdc_replay (the fold through the full
         # engine). q_cdc_fold itself remains for bench/tests.
         "delete_detect": q_delete_detect,
-        "max_watermark": q_max_watermark,
+        # max_watermark (single max-over-lsn) retired from the capped
+        # 50-entry gate in r5 in favor of anonymized_replay: the identical
+        # kernel stays gated as watermark_scan's last_lsn column (max of
+        # event_id per type plus the global fold). q_max_watermark itself
+        # remains for tests/tools.
         "projection_rename": q_projection_rename,
         "changed_rows": q_changed_rows,
         "rowcount_validation": q_rowcount_validation,
@@ -1054,10 +1109,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash_dups": q_simhash_dups,
         # embedding_sim (single-pair cosine) retired from the capped
-        # 50-entry gate in favor of mirror_sync: embedding_topk exercises
-        # the identical zip_with dot-product kernel over every row and
-        # stays green. q_embedding_sim itself remains (bench.py runs it).
-        "embedding_topk": q_embedding_topk,
+        # 50-entry gate in favor of mirror_sync in r4; embedding_topk
+        # (single-query exact top-k) retired in r5 in favor of
+        # matview_minmax — the identical zip_with dot-product kernel stays
+        # gated three ways (ann_batch exact-oracle batched top-k, ann_ivf,
+        # ann_lsh recall asserts). q_embedding_sim / q_embedding_topk
+        # themselves remain (bench.py runs embedding_sim).
         "embedding_neardup": q_embedding_neardup,
         # The former embedding_neardup_exact gate entry (tiny-n brute-force
         # baseline) is retired in favor of corpus_dedup: the driver grades
@@ -1088,6 +1145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_repair": q_cdc_repair,
         "cdf_changes": q_cdf_changes,
         "mirror_sync": q_mirror_sync,
+        "anonymized_replay": q_anonymized_replay,
+        "matview_minmax": q_matview_minmax,
     }
 
 
@@ -1123,9 +1182,8 @@ def oracle_sql() -> dict[str, str]:
             AND o.o_orderdate < TIMESTAMP '1996-01-01')
     """
 
-    sql["max_watermark"] = """
-        SELECT max(event_id) AS max_lsn, count(*) AS n_events FROM events
-    """
+    # max_watermark retired from the gate in r5 (see queries()); the max-lsn
+    # kernel is oracle-checked as watermark_scan's last_lsn column above.
 
     sql["projection_rename"] = """
         SELECT l_orderkey AS order_key,
@@ -1360,21 +1418,9 @@ def oracle_sql() -> dict[str, str]:
         WHERE floor(1000 * c / (sa.n + sb.n - c)) >= 100
     """
 
-    # embedding_sim retired from the gate (see queries()); the same cosine
-    # kernel is oracle-checked row-by-row in embedding_topk below.
-
-    sql["embedding_topk"] = """
-        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        s AS (
-          SELECT vec_id,
-                 list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[]))
-                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
-                    * sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))) AS sim
-          FROM embeddings, q
-        )
-        SELECT vec_id, CAST(floor(sim * 1000) AS BIGINT) AS sim_milli
-        FROM s ORDER BY sim DESC, vec_id LIMIT 20
-    """
+    # embedding_sim (r4) and embedding_topk (r5) retired from the gate (see
+    # queries()); the same cosine kernel is oracle-checked row-by-row in
+    # ann_batch / ann_ivf / ann_lsh below.
 
     sql["embedding_neardup"] = """
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
@@ -1774,5 +1820,47 @@ def oracle_sql() -> dict[str, str]:
     # the mirror must converge to the source's final state, which is the
     # full LWW fold — cdc_replay's oracle verbatim
     sql["mirror_sync"] = sql["cdc_replay"]
+
+    sql["anonymized_replay"] = """
+        WITH log AS (
+          SELECT event_id AS lsn,
+                 CASE WHEN event_type = 'error' THEN 'D'
+                      WHEN event_type = 'purchase' THEN 'U'
+                      ELSE 'I' END AS op,
+                 'doc-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS doc_id,
+                 CAST(floor(value * 100) AS BIGINT) AS val_cents,
+                 substr(event_type, 1, 4)
+                   || repeat('*', greatest(length(event_type) - 4, 0)) AS source
+          FROM events
+        ), w AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+          FROM log
+        )
+        SELECT doc_id, val_cents, source FROM w WHERE rn = 1 AND op <> 'D'
+    """
+
+    sql["matview_minmax"] = """
+        WITH log AS (
+          SELECT event_id AS lsn,
+                 CASE WHEN event_type = 'error' THEN 'D'
+                      WHEN event_type = 'purchase' THEN 'U'
+                      ELSE 'I' END AS op,
+                 'doc-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS doc_id,
+                 CAST(floor(value * 100) AS BIGINT) AS val_cents,
+                 event_type AS source
+          FROM events
+        ), w AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+          FROM log
+        ), state AS (
+          SELECT doc_id, val_cents, source FROM w WHERE rn = 1 AND op <> 'D'
+        )
+        SELECT source,
+               count(*) AS n_rows,
+               CAST(sum(val_cents) AS BIGINT) AS sum_val_cents,
+               min(val_cents) AS min_val_cents,
+               max(val_cents) AS max_val_cents
+        FROM state GROUP BY source
+    """
 
     return sql

@@ -186,7 +186,13 @@ class SqliteCatalog(Catalog):
     tables from one catalog database.
     """
 
-    def __init__(self, db_path: str | None = None, busy_timeout_s: float = 30.0):
+    def __init__(self, db_path: str | None = None, busy_timeout_s: float = 180.0):
+        # 180s default: the lock is held across an fsync-heavy metadata
+        # write, and on a box whose disks are saturated (e.g. a full test
+        # suite plus a bench run) 30s busy waits have been observed to
+        # expire — turning a clean CommitConflict loss into a spurious
+        # OperationalError. A waiter that outlasts the stall costs nothing
+        # when the box is idle.
         self.db_path = db_path
         self.busy_timeout_s = busy_timeout_s
 

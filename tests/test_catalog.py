@@ -234,7 +234,7 @@ def test_sqlite_catalog_two_process_race_and_loser_gc(tmp_path):
 
     time.sleep(2.0)  # both racers loaded and spinning on the barrier
     go.write_text("go")
-    outs = [p.communicate(timeout=60) for p in procs]
+    outs = [p.communicate(timeout=300) for p in procs]
     stdout = "".join(o[0] for o in outs)
     assert stdout.count("WIN") == 1, outs
     assert stdout.count("LOSE") == 1, outs
