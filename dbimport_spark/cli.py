@@ -13,6 +13,7 @@ Subcommands mirror the reference's bin/import + bin/manage surface:
     gen      write a synthetic change log (testing)
     status   table totals + lineage
     compact  rewrite fragmented buckets; expire old snapshots
+    rebucket change the bucket count online (partition evolution)
 """
 
 from __future__ import annotations
@@ -146,6 +147,15 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("table_root")
     sp.add_argument("--max-files-per-bucket", type=int, default=4)
     sp.add_argument("--expire-keep-last", type=int, default=None)
+
+    sp = sub.add_parser(
+        "rebucket",
+        help="partition evolution: rewrite the table under a new bucket "
+        "count in one atomic rewrite-only commit (change feed emits the "
+        "window as empty; prefer multiples of the old count)",
+    )
+    sp.add_argument("table_root")
+    sp.add_argument("--buckets", type=int, required=True)
 
     sp = sub.add_parser(
         "schema-diff",
@@ -702,6 +712,11 @@ def main(argv: list[str] | None = None) -> int:
             expire_keep_last=args.expire_keep_last,
         )
         print(json.dumps(out))
+    elif args.cmd == "rebucket":
+        from dbimport_spark.lake.maintenance import rebucket
+
+        table = LakeTable.load(args.table_root)
+        print(json.dumps(rebucket(spark, table, args.buckets)))
     elif args.cmd == "schema-diff":
         # the planner IS the engine's own dry-run (CDCEngine.plan_evolution
         # reuses apply_batch's guards in order) — the CLI only reads the

@@ -81,6 +81,30 @@ def _align_to(
     )
 
 
+def rewrite_only_window(
+    table: LakeTable, snap_a: Snapshot, snap_b: Snapshot
+) -> bool:
+    """True when EVERY commit in (a, b] is marked ``rewrite_only`` (a
+    rebucket or other layout-only rewrite): table state at b equals state
+    at a, so the window's change feed is empty BY CONSTRUCTION and no
+    file needs reading. Metadata-only.
+
+    Conservative on expired history: if any intermediate version is no
+    longer retained the marker chain cannot be verified, so this returns
+    False and callers take the normal (scan) path — correct either way,
+    this is purely a fast path.
+    """
+    if snap_b.version <= snap_a.version:
+        return False
+    have = set(table.snapshots())
+    for v in range(snap_a.version + 1, snap_b.version + 1):
+        if v not in have:
+            return False
+        if table.snapshot(v).properties.get("rewrite_only") != "true":
+            return False
+    return True
+
+
 def check_window(table: LakeTable, snap_a: Snapshot, snap_b: Snapshot) -> None:
     """Refuse version windows an incremental diff cannot cover. Shared
     by ``table_changes`` and the streaming source
@@ -153,7 +177,13 @@ def table_changes(
     value_cols = [c for c in payload_cols if c not in keys]
     soft = AUDIT_DELETE in snap_b.schema.fieldNames()
 
-    only_a, only_b = snapshot_diff_files(snap_a, snap_b)
+    if rewrite_only_window(table, snap_a, snap_b):
+        # layout-only window (e.g. rebucket): state identical, emit empty
+        # without touching a single data file — the join below over two
+        # empty sides folds to a LocalTableScan with the exact output schema
+        only_a, only_b = [], []
+    else:
+        only_a, only_b = snapshot_diff_files(snap_a, snap_b)
     keep = payload_cols + ([AUDIT_DELETE] if soft else [])
     side_a = _align_to(
         table.read_files(spark, snap_a, only_a), snap_a, snap_b
@@ -309,6 +339,8 @@ def table_changes_per_commit(
 
     out: DataFrame | None = None
     for lo, hi_v in zip(versions, versions[1:]):
+        if table.snapshot(hi_v).properties.get("rewrite_only") == "true":
+            continue  # layout-only commit: contributes no rows, keep the union narrow
         part = _align_part(
             table_changes(spark, table, lo, hi_v), table.snapshot(hi_v)
         )

@@ -113,6 +113,88 @@ def compact(
     }
 
 
+def rebucket(
+    spark: SparkSession,
+    table: LakeTable,
+    new_buckets: int,
+) -> dict:
+    """Partition evolution: change the table's bucket count online (the
+    Iceberg ``REPLACE PARTITION FIELD bucket(N, k) WITH bucket(M, k)``
+    analogue — except eager, so readers/writers never juggle two specs).
+
+    A table sized for 1 TB outgrows its bucket count at 100 TB: merge
+    parallelism, file sizes, and compaction granularity all key off it.
+    ``rebucket`` rewrites every live row under the new modulus in ONE
+    shuffle (repartition by the new bucket id) and publishes the result as
+    a single atomic commit with ``num_buckets`` updated — content is
+    preserved byte-for-byte (audit columns, tombstones, and per-row
+    ``dl_lsn`` included), old snapshots stay readable under their own
+    bucket count (time travel resolves ``num_buckets`` per snapshot), and
+    a crash leaves either the old table or the fully rebucketed one.
+
+    The commit is marked ``rewrite_only=true``: table state is identical
+    to its parent, so the change feed (``lake/cdf.py``) emits the window
+    as empty WITHOUT scanning, and the streaming diff plans zero tasks
+    for it. Windows that span the boundary plus real changes stay correct:
+    the batch diff joins by key (bucket-agnostic), and the streaming diff
+    co-locates keys by grouping on ``bucket % gcd(N, M)``.
+
+    Watermark/properties (``last_lsn`` etc.) are inherited by the normal
+    commit merge — an engine replay resumed after a rebucket continues
+    exactly where it left off, under the new layout.
+    """
+    snap = table.current()
+    if new_buckets == snap.num_buckets:
+        return {
+            "rebucketed": False,
+            "num_buckets": snap.num_buckets,
+            "reason": "already at requested bucket count",
+        }
+    df = table.read(spark)  # full fidelity: audit columns + tombstones
+    bexpr = table.bucket_expr(
+        key_col=snap.bucket_column, num_buckets=new_buckets
+    )
+    out = df.withColumn("_bucket", bexpr).repartition(new_buckets, "_bucket")
+    version_dir = f"rebucket-{snap.version + 1}-{uuid.uuid4().hex[:8]}"
+    new_files = table.write_data_files(spark, out, version_dir)
+    rows = sum(f.rows for f in new_files)
+    nbytes = sum(f.bytes for f in new_files)
+    table.commit(
+        new_files,
+        replaced_buckets={f.bucket for f in snap.files},
+        properties={
+            "rewrite_only": "true",
+            "rebucket": f"{snap.num_buckets}->{new_buckets}",
+        },
+        lineage=[
+            # no-silent-caps: the full-table rewrite reports its scan size.
+            # No "bucket" key — per-bucket lineage consumers skip it.
+            {
+                "rebucket": f"{snap.num_buckets}->{new_buckets}",
+                "rows": rows,
+                "bytes": nbytes,
+            }
+        ],
+        expected_version=snap.version,
+        new_num_buckets=new_buckets,
+    )
+    import logging
+
+    logging.getLogger(__name__).info(
+        "rebucket %s: %d -> %d buckets, rewrote %d rows / %d bytes in %d file(s)",
+        table.root, snap.num_buckets, new_buckets, rows, nbytes, len(new_files),
+    )
+    return {
+        "rebucketed": True,
+        "from_buckets": snap.num_buckets,
+        "to_buckets": new_buckets,
+        "rows": rows,
+        "bytes": nbytes,
+        "files": len(new_files),
+        "version": table.current().version,
+    }
+
+
 def purge_tombstones(
     spark: SparkSession,
     table: LakeTable,

@@ -418,6 +418,7 @@ class LakeTable:
         lineage: list[dict] | None = None,
         new_schema: T.StructType | None = None,
         expected_version: int | None = None,
+        new_num_buckets: int | None = None,
     ) -> Snapshot:
         """Atomically publish a new snapshot.
 
@@ -425,6 +426,13 @@ class LakeTable:
         Properties are merged (so the LSN watermark rides the same commit as
         the data — crash before this point leaves v(N) fully intact; crash
         after leaves v(N+1) fully applied: exactly-once by construction).
+
+        ``new_num_buckets`` (partition evolution, ``maintenance.rebucket``)
+        is only legal on a commit that replaces EVERY live file: bucket ids
+        are assignments under ONE modulus per snapshot, so a snapshot mixing
+        files bucketed under two moduli would break merge pruning and the
+        per-bucket streaming diff. Old snapshots keep their own bucket count
+        (``bucket_expr`` and readers resolve it per snapshot).
         """
         cur = self.current()
         if expected_version is not None and cur.version != expected_version:
@@ -432,19 +440,37 @@ class LakeTable:
         if new_schema is not None and cur.renames:
             self.check_epoch_collisions(cur, new_schema)
         kept = [f for f in cur.files if f.bucket not in replaced_buckets]
+        if new_num_buckets is not None and new_num_buckets != cur.num_buckets:
+            if kept:
+                raise ValueError(
+                    f"cannot change num_buckets {cur.num_buckets} -> "
+                    f"{new_num_buckets} while keeping {len(kept)} file(s) "
+                    "bucketed under the old modulus — a rebucket commit "
+                    "must replace every live file (maintenance.rebucket)"
+                )
+            if new_num_buckets < 1:
+                raise ValueError(f"num_buckets must be >= 1, got {new_num_buckets}")
         props = dict(cur.properties)
         # the reload marker is a BOUNDARY property, not table state: only
         # the reset_for_reload snapshot itself carries it — inheriting it
         # would make every later snapshot look like a reload boundary to
         # auditors, silently disabling watermark monotonicity checks
         props.pop("reload", None)
+        # same for the rewrite-only marker (rebucket/compaction-style
+        # commits whose state equals their parent's): if it leaked onto
+        # later snapshots, the change feed would treat REAL change windows
+        # as empty — silent data loss downstream
+        props.pop("rewrite_only", None)
+        props.pop("rebucket", None)
         props.update(properties or {})
         snap = Snapshot(
             version=cur.version + 1,
             snapshot_id=uuid.uuid4().hex,
             parent_snapshot_id=cur.snapshot_id,
             schema=new_schema or cur.schema,
-            num_buckets=cur.num_buckets,
+            num_buckets=(
+                new_num_buckets if new_num_buckets is not None else cur.num_buckets
+            ),
             bucket_column=cur.bucket_column,
             files=kept + new_files,
             properties=props,

@@ -115,12 +115,38 @@ def plan_window(table, from_version: int, to_version: int) -> list[dict]:
             out.append((os.path.join(table.root, f.path), mapping))
         return out
 
+    from dbimport_spark.lake.cdf import rewrite_only_window
+
+    if rewrite_only_window(table, snap_a, snap_b):
+        # layout-only window (rebucket): state identical — zero tasks
+        return []
+
+    # Key co-location group: a key's bucket id is hash mod N under the
+    # side's own modulus, so grouping files by bucket % gcd(N_a, N_b)
+    # puts every key's a-side and b-side rows in the same partition even
+    # across a rebucket boundary. Same-bucketing windows (the normal
+    # case) have gcd == N and this is exactly per-bucket grouping.
+    import math
+
+    g = math.gcd(snap_a.num_buckets, snap_b.num_buckets)
+    if g < max(snap_a.num_buckets, snap_b.num_buckets):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "stream window (%d, %d] crosses a rebucket (%d -> %d buckets): "
+            "planning %d co-location group(s) instead of per-bucket tasks "
+            "for this window only — pick multiples when rebucketing to "
+            "keep crossing-window parallelism high",
+            from_version, to_version,
+            snap_a.num_buckets, snap_b.num_buckets, g,
+        )
+
     only_a, only_b = snapshot_diff_files(snap_a, snap_b)
     by_bucket: dict[int, tuple[list, list]] = {}
     for f in only_a:
-        by_bucket.setdefault(f.bucket, ([], []))[0].append(f)
+        by_bucket.setdefault(f.bucket % g, ([], []))[0].append(f)
     for f in only_b:
-        by_bucket.setdefault(f.bucket, ([], []))[1].append(f)
+        by_bucket.setdefault(f.bucket % g, ([], []))[1].append(f)
 
     parts = []
     for bucket in sorted(by_bucket):
