@@ -101,7 +101,12 @@ def compact(
     table.commit(
         new_files,
         replaced_buckets=set(todo),
-        properties={"last_compaction_version": str(snap.version + 1)},
+        properties={
+            "last_compaction_version": str(snap.version + 1),
+            # compaction is content-preserving (pinned by tests), so the
+            # change feed may skip this commit from metadata alone
+            "rewrite_only": "true",
+        },
         expected_version=snap.version,
     )
     if expire_keep_last is not None:

@@ -176,6 +176,37 @@ def test_stream_plan_across_rebucket(spark, tmp_path):
     assert canon(got) == canon(want)
 
 
+def test_cdf_compaction_window_is_scan_free(spark, tmp_path):
+    """Compaction commits now carry the same rewrite-only marker: a
+    compact-only window costs the change feed zero bytes and the stream
+    zero tasks (previously it scanned the rewritten buckets to net zero)."""
+    from dbimport_spark.lake.maintenance import compact
+
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    # at-scale broadcast behavior (no output repartition) appends files
+    # per commit, so the buckets actually fragment
+    eng = CDCEngine(
+        spark,
+        table,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        broadcast_threshold_rows=10**9,
+        repartition_output_bytes=0,
+    )
+    eng.replay(generate_changes(spark, 2000, n_keys=80, seed=13), num_batches=4)
+    v_pre = table.current().version
+    before = _full_rows(spark, table)
+
+    out = compact(spark, table, max_files_per_bucket=1)
+    assert out["compacted_buckets"] > 0
+    v_post = table.current().version
+    assert _full_rows(spark, table) == before  # content-preserving, as pinned
+
+    cdf = table_changes(spark, table, v_pre, v_post)
+    assert cdf.inputFiles() == []
+    assert cdf.count() == 0
+    assert plan_window(table, v_pre, v_post) == []
+
+
 def test_rebucket_soft_delete_preserves_tombstones(spark, tmp_path):
     table = CDCEngine.create_table(
         str(tmp_path / "t"), num_buckets=4, soft_delete=True
