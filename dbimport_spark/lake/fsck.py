@@ -29,6 +29,9 @@ investigation, nothing is lost):
   time, table.py epoch-collision guard) (error);
 - file epochs within the current rename-epoch range (error);
 - bucket ids within [0, num_buckets) (error);
+- bucket-modulus evolution: a ``num_buckets`` change keeps no parent
+  files (error — one modulus per snapshot, the rebucket invariant) and
+  carries the ``rewrite_only`` marker (warn — consumers scan needlessly);
 - version hint vs newest metadata (warn behind, error ahead: readers
   would chase a version the store lacks);
 - sqlite catalog pointer (when catalog.db exists) vs newest metadata
@@ -110,6 +113,31 @@ def check_table(table: LakeTable) -> list[dict]:
                 "chain",
                 f"v{s.version}.parent_snapshot_id does not match "
                 f"v{s.version - 1}",
+            )
+
+    # -- bucket-modulus evolution ---------------------------------------------
+    # a num_buckets change is only sound as a full rewrite (one modulus per
+    # snapshot — commit() enforces this at write time; the audit re-checks
+    # it because a hand-edited or corrupted snapshot breaks merge pruning
+    # and the per-bucket streaming diff silently)
+    for s in snaps[1:]:
+        parent = by_version.get(s.version - 1)
+        if parent is None or s.num_buckets == parent.num_buckets:
+            continue
+        shared = {f.path for f in s.files} & {f.path for f in parent.files}
+        if shared:
+            err(
+                "rebucket",
+                f"v{s.version} changed num_buckets "
+                f"{parent.num_buckets} -> {s.num_buckets} but kept "
+                f"{len(shared)} file(s) bucketed under the old modulus",
+            )
+        if s.properties.get("rewrite_only") != "true":
+            warn(
+                "rebucket",
+                f"v{s.version} changed num_buckets without the "
+                "rewrite_only marker — change-feed consumers will scan "
+                "the window instead of skipping it",
             )
 
     # -- watermark + merge_ts monotonicity -----------------------------------

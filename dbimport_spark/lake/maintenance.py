@@ -200,6 +200,45 @@ def rebucket(
     }
 
 
+def auto_rebucket(
+    spark: SparkSession,
+    table: LakeTable,
+    target_bytes_per_bucket: int = 512 * 1024 * 1024,
+    max_buckets: int = 4096,
+) -> dict:
+    """Growth policy around ``rebucket``: when live bytes per bucket exceed
+    the target, double the bucket count (repeatedly) until back under it.
+
+    The decision is METADATA-ONLY (file stats are in the snapshot); data is
+    touched only when a rewrite actually happens. Doubling keeps the new
+    count a multiple of the old one, so a streaming-diff window crossing
+    the boundary retains the full old parallelism (``gcd(N, 2^k N) = N``).
+    ``max_buckets`` bounds runaway growth from a mis-set target; hitting it
+    is reported, never silent.
+    """
+    snap = table.current()
+    total = sum(f.bytes for f in snap.files)
+    cur = snap.num_buckets
+    want = cur
+    while want < max_buckets and total > target_bytes_per_bucket * want:
+        want = min(want * 2, max_buckets)
+    if want == cur:
+        return {
+            "rebucketed": False,
+            "num_buckets": cur,
+            "live_bytes": total,
+            "reason": (
+                "at max_buckets cap" if total > target_bytes_per_bucket * cur
+                else "bytes per bucket within target"
+            ),
+        }
+    out = rebucket(spark, table, want)
+    out["live_bytes"] = total
+    if total > target_bytes_per_bucket * want:
+        out["capped"] = True  # no-silent-caps: still over target at the cap
+    return out
+
+
 def purge_tombstones(
     spark: SparkSession,
     table: LakeTable,

@@ -207,6 +207,59 @@ def test_cdf_compaction_window_is_scan_free(spark, tmp_path):
     assert plan_window(table, v_pre, v_post) == []
 
 
+def test_auto_rebucket_policy(spark, tmp_path):
+    from dbimport_spark.lake.maintenance import auto_rebucket
+
+    table, _ = _replayed(spark, tmp_path, n=1500, keys=100, buckets=4)
+    live = sum(f.bytes for f in table.current().files)
+    assert live > 0
+
+    # comfortably under target: metadata-only no-op
+    out = auto_rebucket(spark, table, target_bytes_per_bucket=live)
+    assert not out["rebucketed"] and "within target" in out["reason"]
+    assert table.current().num_buckets == 4
+
+    # tiny target with a cap: doubles to the cap, reports staying over
+    out = auto_rebucket(spark, table, target_bytes_per_bucket=1, max_buckets=16)
+    assert out["rebucketed"] and out["to_buckets"] == 16
+    assert out["to_buckets"] % out["from_buckets"] == 0  # stream-friendly
+    assert out.get("capped") is True  # no-silent-caps
+    # at the cap: refuses further growth, says why
+    out = auto_rebucket(spark, table, target_bytes_per_bucket=1, max_buckets=16)
+    assert not out["rebucketed"] and "max_buckets" in out["reason"]
+
+
+def test_fsck_rebucket_invariants(spark, tmp_path):
+    import json
+    import os
+
+    from dbimport_spark.lake.fsck import check_table
+
+    table, _ = _replayed(spark, tmp_path, n=800, keys=60, buckets=4)
+    v_pre = table.current().version
+    rebucket(spark, table, 8)
+    assert check_table(table) == []
+
+    meta = os.path.join(table.root, "metadata", f"v{v_pre + 1}.json")
+    doc = json.load(open(meta))
+    # tamper 1: drop the marker — consumers would scan needlessly (warn)
+    doc["properties"].pop("rewrite_only")
+    # tamper 2: keep a parent file under the old modulus (error)
+    parent = json.load(
+        open(os.path.join(table.root, "metadata", f"v{v_pre}.json"))
+    )
+    doc["files"].append(parent["files"][0])
+    json.dump(doc, open(meta, "w"))
+
+    findings = check_table(LakeTable.load(table.root))
+    assert any(
+        f["level"] == "error" and f["check"] == "rebucket" for f in findings
+    ), findings
+    assert any(
+        f["level"] == "warn" and f["check"] == "rebucket" for f in findings
+    ), findings
+
+
 def test_rebucket_soft_delete_preserves_tombstones(spark, tmp_path):
     table = CDCEngine.create_table(
         str(tmp_path / "t"), num_buckets=4, soft_delete=True
