@@ -151,6 +151,39 @@ print("RESULT " + json.dumps({{"cpus": {cpus}, "sec": round(dt, 3),
       "eps": round({n_events} / dt, 1)}}))
 """
 
+# rebucket stage: online partition evolution on the shared table — each
+# timed run is a symmetric out-and-back pair (64 -> 128 -> 64 buckets),
+# so every run at every level rewrites exactly the same rows twice
+# regardless of where the alternation left the table. One repartition
+# shuffle + parquet write per direction; the timed window excludes JVM
+# boot and an untimed same-JVM warmup pair.
+REBUCKET_SNIPPET = """
+import sys, json, time, os
+sys.path.insert(0, {repo!r})
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+from dbimport_spark.session import get_spark
+from dbimport_spark.lake.table import LakeTable
+from dbimport_spark.lake.maintenance import rebucket
+spark = get_spark(master="local[{cpus}]", shuffle_partitions={cpus},
+                  extra_conf={{"spark.ui.showConsoleProgress": "false",
+                              "spark.io.compression.codec": "zstd",
+                              "spark.local.dir": {local_dir!r}}})
+spark.sparkContext.setLogLevel("ERROR")
+table = LakeTable.load({table!r})
+if table.current().num_buckets != 64:
+    rebucket(spark, table, 64)  # normalize whatever a prior run left
+rebucket(spark, table, 128); rebucket(spark, table, 64)  # untimed warmup
+t0 = time.time()
+r1 = rebucket(spark, table, 128)
+r2 = rebucket(spark, table, 64)
+dt = time.time() - t0
+rows = r1["rows"] + r2["rows"]
+table.expire_snapshots(keep_last=2)  # bound metadata growth across runs
+print("RESULT " + json.dumps({{"cpus": {cpus}, "sec": round(dt, 3),
+      "events": {n_events}, "rows_out": rows,
+      "eps": round(rows / dt, 1)}}))
+"""
+
 # cdf_stream stage: the lake_cdf STREAMING source over the same window —
 # one micro-batch covering (va, vb], one Arrow-diff task per touched
 # bucket in Python workers (no JVM shuffle at all). Timed via the
@@ -252,6 +285,13 @@ def run_level(cpus: int, log: str, work: str, tag: str = "", stage: str = "repla
             ckpt=ckpt, local_dir=local_dir, va=cdf_versions[0],
             n_events=n_events,
         )
+    elif stage == "rebucket":
+        # shared table; mutates in place but every run is a symmetric
+        # out-and-back pair, so work per run is identical
+        code = REBUCKET_SNIPPET.format(
+            repo=REPO, cpus=cpus, table=os.path.join(work, "cdf-table"),
+            local_dir=local_dir, n_events=n_events,
+        )
     elif stage == "matview":
         # same shared table; each level bootstraps its own scratch views
         code = MATVIEW_SNIPPET.format(
@@ -306,7 +346,7 @@ def main() -> None:
         if "GENERATED" not in gen.stdout:
             raise RuntimeError(f"loggen failed: {gen.stdout[-1000:]}\n{gen.stderr[-1000:]}")
         cdf_versions = None
-        if stage in ("cdf", "cdf_stream", "matview"):
+        if stage in ("cdf", "cdf_stream", "matview", "rebucket"):
             prep = subprocess.run(
                 [sys.executable, "-c", CDF_GEN_SNIPPET.format(
                     repo=REPO, log=log,
@@ -369,6 +409,15 @@ micro-batch's own durationMs.triggerExecution (planning + per-bucket
 Arrow read/join/classify + foreachBatch count); stream/query startup,
 table build, JVM boot, and an untimed warmup stream on a scratch
 checkpoint excluded."""
+    elif stage == "rebucket":
+        job_desc = f"""the same online partition evolution —
+one table built ONCE from a {n:,}-event change log, then each run
+rebuckets it 64 -> 128 -> 64 (a symmetric pair: every run rewrites
+exactly the same rows twice; eps counts rows across both passes)"""
+        timed_desc = """Timed window = the two rebucket calls only
+(full-fidelity read → repartition by the new bucket id → parquet write
+→ atomic rewrite-only commit, per direction); table build, JVM boot,
+and an untimed same-JVM warmup pair excluded."""
     elif stage == "matview":
         job_desc = f"""the same materialized-view bootstrap —
 one table built ONCE from a {n:,}-event change log, then a per-source
