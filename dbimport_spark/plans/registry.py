@@ -53,6 +53,15 @@ class TableEntry:
     # a mirror table root, and/or matviews [{root, group_by, sum, min, max}]
     mirror_root: str | None = None
     views: list[dict] = field(default_factory=list)
+    # post-replay storage upkeep (the reference runs Iceberg
+    # expire_snapshots / remove_orphan_files right after each import,
+    # import_operations.py:1513-1535). Recognized keys:
+    #   target_bytes_per_bucket, max_buckets -> maintenance.auto_rebucket
+    #   max_files_per_bucket                 -> maintenance.compact
+    #   expire_keep_last                     -> table.expire_snapshots
+    # Runs only when the replay AND derived syncs succeeded, so snapshot
+    # expiry can never destroy a delta base a lagging mirror still needs.
+    maintenance: dict = field(default_factory=dict)
 
 
 class TableRegistry:
@@ -263,12 +272,58 @@ def replay_all(
                 "last_lsn": table.last_lsn(),
             }
             _sync_derived(spark, table, e, results[name])
+            if e.maintenance and results[name].get("ok"):
+                _run_maintenance(spark, table, e, results[name])
         except Exception as exc:  # isolate per-table failures, keep sweeping
             results[name] = {
                 "ok": False,
                 "error": f"{type(exc).__name__}: {exc}",
             }
     return results
+
+
+def _run_maintenance(
+    spark: SparkSession, table, e: TableEntry, result: dict
+) -> None:
+    """Per-entry storage upkeep after a fully-successful sweep step.
+
+    Order matters: the rebucket growth check runs first (a rebucket is a
+    full rewrite, so it leaves every bucket at one file — compacting
+    after it would be a no-op anyway), then threshold compaction, then
+    snapshot expiry. Gated on the entry's replay AND derived syncs having
+    succeeded, so expiry never removes a delta base a lagging mirror or
+    view still needs (they would otherwise be forced through the
+    on_gap='full' reconcile). Failures are recorded and flip the entry's
+    ``ok`` — every step is idempotent, the next sweep retries."""
+    m = e.maintenance
+    rec: dict = {}
+    try:
+        if "target_bytes_per_bucket" in m:
+            from dbimport_spark.lake.maintenance import auto_rebucket
+
+            rec["rebucket"] = auto_rebucket(
+                spark,
+                table,
+                target_bytes_per_bucket=int(m["target_bytes_per_bucket"]),
+                max_buckets=int(m.get("max_buckets", 4096)),
+            )
+        if "max_files_per_bucket" in m and not rec.get("rebucket", {}).get(
+            "rebucketed"
+        ):
+            from dbimport_spark.lake.maintenance import compact
+
+            rec["compact"] = compact(
+                spark, table, max_files_per_bucket=int(m["max_files_per_bucket"])
+            )
+        if "expire_keep_last" in m:
+            table.expire_snapshots(keep_last=int(m["expire_keep_last"]))
+            rec["expired_keep_last"] = int(m["expire_keep_last"])
+        rec["ok"] = True
+    except Exception as exc:
+        rec["ok"] = False
+        rec["error"] = f"{type(exc).__name__}: {exc}"
+        result["ok"] = False
+    result["maintenance"] = rec
 
 
 def _sync_derived(

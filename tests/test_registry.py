@@ -282,3 +282,56 @@ def test_discover_sources_registers_logs_and_sweeps(spark, tmp_path):
         expected = fold_expected(log)
         actual = LakeTable.load(reg.load()[name].table_root).read(spark)
         assert reconcile(actual, expected, PAYLOAD_COLUMNS)["converged"]
+
+
+def test_registry_maintenance_after_successful_sweep(spark, tmp_path):
+    """Per-entry storage upkeep (reference runs Iceberg maintenance right
+    after each import, import_operations.py:1513-1535): the growth policy
+    rebuckets past the byte target and snapshots are expired — but only
+    when replay AND derived syncs succeeded, so expiry can never destroy
+    a delta base a failing mirror still needs."""
+    from dbimport_spark.lake.table import LakeTable
+
+    log = generate_changes(spark, 1200, n_keys=80, seed=61)
+    write_changes(log, str(tmp_path / "log"), 4)
+    CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    reg = TableRegistry(str(tmp_path / "reg.json"))
+    reg.add(
+        TableEntry(
+            name="m", table_root=str(tmp_path / "t"),
+            log_path=str(tmp_path / "log"), batches=2,
+            maintenance={
+                "target_bytes_per_bucket": 1,  # force the growth path
+                "max_buckets": 8,
+                "expire_keep_last": 1,
+            },
+        )
+    )
+    results = replay_all(spark, reg)
+    assert results["m"]["ok"], results["m"]
+    mrec = results["m"]["maintenance"]
+    assert mrec["ok"] and mrec["rebucket"]["rebucketed"]
+    table = LakeTable.load(str(tmp_path / "t"))
+    assert table.current().num_buckets == 8
+    assert len(table.snapshots()) == 1  # expire_keep_last=1 applied
+    # content survived the full upkeep chain
+    assert reconcile(table.read(spark), fold_expected(log), PAYLOAD_COLUMNS)[
+        "converged"
+    ]
+    # maintenance config round-trips through the JSON document
+    assert reg.load()["m"].maintenance["max_buckets"] == 8
+
+    # gated on success: a broken derived target blocks upkeep entirely
+    CDCEngine.create_table(str(tmp_path / "t2"), num_buckets=4)
+    reg.add(
+        TableEntry(
+            name="x", table_root=str(tmp_path / "t2"),
+            log_path=str(tmp_path / "log"),
+            mirror_root=str(tmp_path / "no-such-mirror"),
+            maintenance={"expire_keep_last": 1},
+        )
+    )
+    results = replay_all(spark, reg, only=["x"])
+    assert not results["x"]["ok"]
+    assert "maintenance" not in results["x"]
+    assert len(LakeTable.load(str(tmp_path / "t2")).snapshots()) > 1
