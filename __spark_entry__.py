@@ -208,6 +208,37 @@ def q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read replay (Iceberg-v2 delta/delete-file analogue): the
+    same change log applied with write_mode='mor' — after the insert-only
+    bootstrap, every batch appends superseding delta files plus key-only
+    delete tombstones instead of rewriting buckets; a MID-REPLAY
+    compaction folds the accumulated deltas back to base (rewrite-only
+    commit); the remaining batches stack fresh deltas on the folded base.
+    The final reconciled read must equal the identical LWW SQL fold that
+    gates cdc_replay — readers cannot tell the write modes apart.
+    Reference parity: DBImport's incremental merge import writing to
+    Iceberg v2 merge-on-read tables (SURVEY.md §2.1 S7/S9)."""
+    from dbimport_spark.lake.maintenance import compact
+    from dbimport_spark.plans.engine import CDCEngine
+
+    changes = _events_as_changes(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="mor-replay-")
+    table = CDCEngine.create_table(
+        os.path.join(root, "t"), payload_schema=CDC_PAYLOAD, num_buckets=16
+    )
+    eng = CDCEngine(
+        spark,
+        table,
+        checkpoint_dir=os.path.join(root, "ckpt"),
+        write_mode="mor",
+    )
+    eng.replay(changes, num_batches=CDC_REPLAY_BATCHES, stop_after=2)
+    compact(spark, table, max_files_per_bucket=0)
+    eng.replay(changes, num_batches=CDC_REPLAY_BATCHES)
+    return table.read(spark).select("doc_id", "val_cents", "source")
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbimport_spark.operators.text_dedup import exact_dedup
 
@@ -1124,7 +1155,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dedup": q_corpus_dedup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
-        "ann_batch": q_ann_batch,
+        # ann_batch (exact-oracle batched top-k) retired from the capped
+        # 50-entry gate in r5 in favor of mor_replay: its zip_with cosine
+        # kernel is the same one ann_lsh/ann_ivf assert recall against,
+        # and q_ann_batch remains (tests/test_similarity pins batched ==
+        # per-query exact). mor_replay gates an entire WRITE MODE —
+        # merge-on-read delta/delete files with a mid-replay compaction
+        # fold — against the same LWW SQL oracle as cdc_replay.
+        "mor_replay": q_mor_replay,
         "stream_digest": q_stream_digest,
         "export_roundtrip": q_export_roundtrip,
         "compaction_replay": q_compaction_replay,
@@ -1243,6 +1281,9 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["cdc_replay_resume"] = sql["cdc_replay"]
+    # merge-on-read replay converges to the same LWW fold — the write
+    # mode must be invisible to readers
+    sql["mor_replay"] = sql["cdc_replay"]
 
     sql["metadata_rowcount"] = """
         WITH log AS (
@@ -1567,26 +1608,8 @@ def oracle_sql() -> dict[str, str]:
         FROM s ORDER BY sim DESC, vec_id LIMIT 2
     """
 
-    ids = ", ".join(str(i) for i in ANN_BATCH_IDS)
-    sql["ann_batch"] = f"""
-        WITH q AS (
-          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-          FROM embeddings WHERE vec_id IN ({ids})
-        ), s AS (
-          SELECT q.query_id, e.vec_id,
-                 list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
-                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
-                    * sqrt(list_dot_product(q.qv, q.qv))) AS sim
-          FROM embeddings e, q
-        ), r AS (
-          SELECT query_id, vec_id, sim,
-                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
-          FROM s
-        )
-        SELECT query_id, vec_id, CAST(floor(sim * 1000) AS BIGINT) AS sim_milli,
-               CAST(rank AS INTEGER) AS rank
-        FROM r WHERE rank <= 2
-    """
+    # ann_batch retired from the gate in r5 (see queries()); its batched
+    # top-k stays pinned against the per-query exact kernel in tests.
 
     sql["cdc_history"] = """
         WITH log AS (

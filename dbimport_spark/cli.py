@@ -69,6 +69,13 @@ def main(argv: list[str] | None = None) -> int:
         "rename-suspicion guard)",
     )
     sp.add_argument(
+        "--write-mode", default="cow", choices=["cow", "mor", "auto"],
+        help="cow: rewrite touched buckets per batch; mor: append merge-"
+        "on-read delta/delete files (write cost ~ batch size; compaction "
+        "folds them back); auto: mor when the batch is small relative to "
+        "the touched buckets",
+    )
+    sp.add_argument(
         "--allow-log-gap", action="store_true",
         help="proceed even if the log no longer covers the committed "
         "watermark (DANGER: the gap's changes are skipped)",
@@ -553,6 +560,7 @@ def main(argv: list[str] | None = None) -> int:
             renames=renames,
             rename_check=not args.no_rename_check,
             quarantine_dir=args.quarantine_dir,
+            write_mode=args.write_mode,
         )
         # mergeSchema: an evolved multi-segment log's older footers lack
         # the new columns (and pre-rename segments carry old names) — the

@@ -55,6 +55,45 @@ def snapshot_diff_files(
     return only_a, only_b
 
 
+def diff_read_sets(
+    snap_a: Snapshot, snap_b: Snapshot
+) -> tuple[list[DataFile], list[DataFile]]:
+    """Per-side file sets for the window diff.
+
+    Copy-on-write commits replace whole buckets, so a touched bucket's
+    non-shared files ARE its complete state on both sides — the diff
+    reads exactly ``snapshot_diff_files`` (shared paths never read, the
+    pinned scale property). Merge-on-read commits append delta/delete
+    files atop a SHARED base: for buckets where either side carries a
+    non-base file, each side widens to the bucket's full file set —
+    reconciliation needs the base both for its own live state and for
+    the pre-images the other side's deltas superseded.
+    """
+    only_a, only_b = snapshot_diff_files(snap_a, snap_b)
+    touched = {f.bucket for f in only_a} | {f.bucket for f in only_b}
+    mor_buckets = {
+        f.bucket
+        for f in list(snap_a.files) + list(snap_b.files)
+        if f.bucket in touched and f.kind != "base"
+    }
+    if not mor_buckets:
+        return only_a, only_b
+    shared = {f.path for f in snap_a.files} & {f.path for f in snap_b.files}
+    read_a = [
+        f
+        for f in snap_a.files
+        if f.path not in shared or f.bucket in mor_buckets
+        if f.bucket in touched
+    ]
+    read_b = [
+        f
+        for f in snap_b.files
+        if f.path not in shared or f.bucket in mor_buckets
+        if f.bucket in touched
+    ]
+    return read_a, read_b
+
+
 def _align_to(
     df: DataFrame, from_snap: Snapshot, to_snap: Snapshot
 ) -> DataFrame:
@@ -183,12 +222,12 @@ def table_changes(
         # empty sides folds to a LocalTableScan with the exact output schema
         only_a, only_b = [], []
     else:
-        only_a, only_b = snapshot_diff_files(snap_a, snap_b)
+        only_a, only_b = diff_read_sets(snap_a, snap_b)
     keep = payload_cols + ([AUDIT_DELETE] if soft else [])
     side_a = _align_to(
-        table.read_files(spark, snap_a, only_a), snap_a, snap_b
+        table.read_files_reconciled(spark, snap_a, only_a), snap_a, snap_b
     ).select(*keep)
-    side_b = table.read_files(spark, snap_b, only_b).select(*keep)
+    side_b = table.read_files_reconciled(spark, snap_b, only_b).select(*keep)
 
     a = side_a.alias("a")
     b = side_b.alias("b")

@@ -115,6 +115,34 @@ def check_table(table: LakeTable) -> list[dict]:
                 f"v{s.version - 1}",
             )
 
+    # -- merge-on-read file kinds ----------------------------------------------
+    # seq is the LWW order across delta commits: a non-base file whose seq
+    # is missing or from the future reconciles in the wrong order (silent
+    # lost/resurrected rows); an unknown kind would be read as base.
+    for s in snaps:
+        for f in s.files:
+            if f.kind not in ("base", "delta", "delete"):
+                err(
+                    "mor",
+                    f"v{s.version}: unknown data-file kind {f.kind!r}: {f.path}",
+                )
+            elif f.kind != "base" and not (0 < f.seq <= s.version):
+                err(
+                    "mor",
+                    f"v{s.version}: {f.kind} file with out-of-range "
+                    f"seq={f.seq} (must be in 1..{s.version}): {f.path}",
+                )
+    cur_delta_bytes = sum(f.bytes for f in cur.files if f.kind != "base")
+    if cur_delta_bytes:
+        cur_total = sum(f.bytes for f in cur.files) or 1
+        if cur_delta_bytes > 0.5 * cur_total:
+            warn(
+                "mor",
+                f"merge-on-read deltas are {cur_delta_bytes} bytes "
+                f"({100 * cur_delta_bytes // cur_total}% of the table) — "
+                "every read pays reconciliation; run maintenance.compact",
+            )
+
     # -- bucket-modulus evolution ---------------------------------------------
     # a num_buckets change is only sound as a full rewrite (one modulus per
     # snapshot — commit() enforces this at write time; the audit re-checks

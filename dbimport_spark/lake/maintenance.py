@@ -73,11 +73,37 @@ def remove_orphan_files(table: LakeTable, older_than_seconds: float = 24 * 3600)
     return removed
 
 
-def buckets_needing_compaction(table: LakeTable, max_files_per_bucket: int = 4) -> list[int]:
+def buckets_needing_compaction(
+    table: LakeTable,
+    max_files_per_bucket: int = 4,
+    max_delta_files_per_bucket: int | None = 8,
+    max_delta_fraction: float | None = 0.25,
+) -> list[int]:
+    """Buckets whose file layout needs a rewrite: too many files total,
+    or merge-on-read delta pressure — more than ``max_delta_files_per
+    _bucket`` non-base files, or delta bytes past ``max_delta_fraction``
+    of the bucket (read-time reconciliation cost is paid per read until
+    the fold; both triggers are metadata-only)."""
     counts: dict[int, int] = {}
+    dcounts: dict[int, int] = {}
+    dbytes: dict[int, int] = {}
+    tbytes: dict[int, int] = {}
     for f in table.current().files:
         counts[f.bucket] = counts.get(f.bucket, 0) + 1
-    return sorted(b for b, n in counts.items() if n > max_files_per_bucket)
+        tbytes[f.bucket] = tbytes.get(f.bucket, 0) + f.bytes
+        if f.kind != "base":
+            dcounts[f.bucket] = dcounts.get(f.bucket, 0) + 1
+            dbytes[f.bucket] = dbytes.get(f.bucket, 0) + f.bytes
+    out = {b for b, n in counts.items() if n > max_files_per_bucket}
+    if max_delta_files_per_bucket is not None:
+        out |= {b for b, n in dcounts.items() if n > max_delta_files_per_bucket}
+    if max_delta_fraction is not None:
+        out |= {
+            b
+            for b, n in dbytes.items()
+            if n > max_delta_fraction * tbytes[b]
+        }
+    return sorted(out)
 
 
 def compact(

@@ -58,16 +58,31 @@ class DataFile:
     # current names through the renames applied after e (Iceberg-style
     # name mapping, no field IDs needed because renames are ordered).
     epoch: int = 0
+    # merge-on-read (Iceberg v2 analogue): "base" files hold whole-bucket
+    # state (at most one row per key per bucket); "delta" files hold
+    # superseding upsert rows; "delete" files hold key-only tombstones
+    # (the equality-delete-file analogue). Non-base files carry ``seq``
+    # (the committing snapshot version, stamped by ``commit``) — the
+    # last-writer-wins order across delta commits. ``seq`` lives in file
+    # METADATA, never as a per-row column: reads attach it as a literal.
+    kind: str = "base"
+    seq: int = 0
 
     def to_json(self) -> dict:
         d = {"path": self.path, "bucket": self.bucket, "rows": self.rows, "bytes": self.bytes}
         if self.epoch:
             d["epoch"] = self.epoch
+        if self.kind != "base":
+            d["kind"] = self.kind
+            d["seq"] = self.seq
         return d
 
     @staticmethod
     def from_json(d: dict) -> "DataFile":
-        return DataFile(d["path"], d["bucket"], d["rows"], d["bytes"], d.get("epoch", 0))
+        return DataFile(
+            d["path"], d["bucket"], d["rows"], d["bytes"], d.get("epoch", 0),
+            d.get("kind", "base"), d.get("seq", 0),
+        )
 
 
 @dataclass
@@ -256,7 +271,68 @@ class LakeTable:
         if buckets is not None:
             wanted = set(buckets)
             files = [f for f in files if f.bucket in wanted]
-        return self.read_files(spark, snap, files)
+        return self.read_files_reconciled(spark, snap, files)
+
+    # merge-on-read: delta sets past this size lose the broadcast hint on
+    # the base-side anti-join (AQE then picks the join strategy) — the
+    # compaction policy should fold deltas long before this point.
+    MOR_BROADCAST_BYTES = 128 * 1024 * 1024
+
+    def read_files_reconciled(
+        self, spark: SparkSession, snap: Snapshot, files: list[DataFile]
+    ) -> DataFrame:
+        """Read a file subset with merge-on-read reconciliation: the live
+        state is base rows not superseded by any delta/delete, plus the
+        max-``seq`` upsert per key among the delta files.
+
+        Plan shape at scale: the delta world (small by the compaction
+        policy) takes one exchange for its per-key LWW window; the base —
+        the 100 TB side — is STREAMED through a single broadcast anti-join
+        and never shuffled. A pure-base subset short-circuits to the plain
+        file read (byte-identical plan to pre-MOR tables).
+        """
+        base = [f for f in files if f.kind == "base"]
+        extras = [f for f in files if f.kind != "base"]
+        if not extras:
+            return self.read_files(spark, snap, files)
+
+        from pyspark.sql.window import Window
+
+        keys = (
+            list(snap.bucket_column)
+            if isinstance(snap.bucket_column, list)
+            else [snap.bucket_column]
+        )
+        # one read per (seq, kind) group, each stamped with its literal
+        # seq — the number of groups is the number of un-compacted delta
+        # commits, bounded small by the compaction policy
+        groups: dict[tuple[int, str], list[DataFile]] = {}
+        for f in extras:
+            groups.setdefault((f.seq, f.kind), []).append(f)
+        events: DataFrame | None = None
+        for (seq, kind), grp in sorted(groups.items()):
+            part = (
+                self.read_files(spark, snap, grp)
+                .withColumn("_mor_seq", F.lit(int(seq)))
+                .withColumn("_mor_del", F.lit(kind == "delete"))
+            )
+            events = part if events is None else events.unionByName(part)
+        w = Window.partitionBy(*keys).orderBy(F.col("_mor_seq").desc())
+        winner = (
+            events.withColumn("_mor_rn", F.row_number().over(w))
+            .filter(F.col("_mor_rn") == 1)
+            .drop("_mor_rn")
+        )
+        superseded = winner.select(*keys)
+        if sum(f.bytes for f in extras) <= self.MOR_BROADCAST_BYTES:
+            superseded = F.broadcast(superseded)
+        live_base = self.read_files(spark, snap, base).join(
+            superseded, keys, "left_anti"
+        )
+        live_delta = winner.filter(~F.col("_mor_del")).drop(
+            "_mor_seq", "_mor_del"
+        )
+        return live_base.unionByName(live_delta)
 
     def read_files(
         self, spark: SparkSession, snap: Snapshot, files: list[DataFile]
@@ -439,6 +515,23 @@ class LakeTable:
             raise CommitConflict(f"expected v{expected_version}, found v{cur.version}")
         if new_schema is not None and cur.renames:
             self.check_epoch_collisions(cur, new_schema)
+        # merge-on-read: ``seq`` (the LWW order across delta commits) is
+        # assigned HERE, at the commit point — a writer-chosen value could
+        # go stale across a version race. A delta for a bucket this same
+        # commit replaces is ambiguous (does the delta supersede the
+        # replacement or vice versa?) — refuse loudly.
+        for f in new_files:
+            if f.kind not in ("base", "delta", "delete"):
+                raise ValueError(f"unknown data-file kind {f.kind!r}: {f.path}")
+            if f.kind != "base":
+                if f.bucket in replaced_buckets:
+                    raise ValueError(
+                        f"commit adds a {f.kind} file for bucket {f.bucket} "
+                        "while replacing that bucket — supersede order "
+                        "would be ambiguous; write the merged state as a "
+                        "base file instead"
+                    )
+                f.seq = cur.version + 1
         kept = [f for f in cur.files if f.bucket not in replaced_buckets]
         if new_num_buckets is not None and new_num_buckets != cur.num_buckets:
             if kept:
@@ -450,6 +543,12 @@ class LakeTable:
                 )
             if new_num_buckets < 1:
                 raise ValueError(f"num_buckets must be >= 1, got {new_num_buckets}")
+            if any(f.kind != "base" for f in new_files):
+                raise ValueError(
+                    "a rebucket commit must write pure base files — delta/"
+                    "delete files under a new modulus cannot supersede rows "
+                    "bucketed under the old one"
+                )
         props = dict(cur.properties)
         # the reload marker is a BOUNDARY property, not table state: only
         # the reset_for_reload snapshot itself carries it — inheriting it

@@ -353,3 +353,129 @@ def inserts_only(
             *audit_cols,
         )
     )
+
+
+def mor_outputs(
+    batch: DataFrame,
+    probe: DataFrame,
+    key: str | list[str],
+    payload_cols: list[str],
+    merge_ts: Column,
+    bucket_col: str | None = None,
+    delete_mode: str = "hard",
+    track_lsn: bool = False,
+    preimages: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Merge-on-read batch outputs: (upsert delta rows, delete keys).
+
+    ``batch`` is the LWW-deduped winner set (one row per key; lsn, op,
+    payload, optional ``*_lv`` pre-images in soft mode). ``probe`` is the
+    NARROW current state of the batch's keys — keys + dl_insert_ts
+    (+ dl_delete_ts in soft mode), built from a column-pruned streamed
+    semi-join against the touched buckets, so this function never sees
+    (and the caller never pays for) the buckets' full payload. Both
+    inputs are batch-sized; every join here is small-against-small.
+
+    Audit parity with ``merge_changes`` (the CoW path), with one
+    DOCUMENTED divergence: CoW's per-column change detection preserves
+    dl_iud/dl_update_ts when a matched row's content is identical — the
+    narrow probe cannot compare payload, so a matched upsert always
+    stamps 'U' + merge_ts. Final payload state is identical either way
+    (the change feed, which diffs payload only, emits nothing for a
+    same-value update in both modes); incremental exports may re-ship
+    such rows (consistent, merely less suppressed).
+
+    Returns ``(upserts, delete_keys)``: upserts become kind='delta'
+    files; delete_keys (hard mode only, matched 'D' winners) become
+    kind='delete' key-only tombstone files — soft-mode deletes are dead
+    ROWS (pre-image + dl_delete_ts) and ride the upsert output, exactly
+    like the CoW soft branch; ``preimages`` supplies the base pre-image
+    for 'D' winners whose window carried no live payload.
+    """
+    soft = delete_mode == "soft"
+    keys = [key] if isinstance(key, str) else list(key)
+    non_key = [c for c in payload_cols if c not in keys]
+    has_lv = soft and "_has_lv" in batch.columns
+
+    b = normalize_batch(batch).alias("b")
+    p = probe.withColumn("_probe_hit", F.lit(True)).alias("p")
+    joined = b.join(p, keys, "left")
+    if preimages is not None:
+        pre = preimages.select(
+            *keys, *[F.col(c).alias(f"_pre_{c}") for c in non_key]
+        )
+        joined = joined.join(pre, keys, "left")
+
+    matched = F.coalesce(F.col("_probe_hit"), F.lit(False))
+    is_del = F.col("b.op") == "D"
+
+    def del_payload(c: str):
+        src = (
+            F.coalesce(F.col(f"b.{c}_lv"), F.col(f"_pre_{c}"))
+            if preimages is not None and has_lv
+            else (
+                F.col(f"b.{c}_lv")
+                if has_lv
+                else (
+                    F.col(f"_pre_{c}")
+                    if preimages is not None
+                    else F.lit(None)
+                )
+            )
+        )
+        return src
+
+    out_cols = [F.col(f"b.{bucket_col}").alias(bucket_col)] if bucket_col else []
+    payload = [
+        F.when(is_del, del_payload(c)).otherwise(F.col(f"b.{c}")).alias(c)
+        for c in non_key
+    ]
+    audit_cols = [
+        F.when(is_del, F.lit("D"))
+        .when(matched, F.lit("U"))
+        .otherwise(F.lit("I"))
+        .alias(AUDIT_IUD),
+        F.when(matched, F.col(f"p.{AUDIT_INSERT}"))
+        .otherwise(merge_ts)
+        .alias(AUDIT_INSERT),
+        merge_ts.alias(AUDIT_UPDATE),
+    ]
+    if soft:
+        audit_cols.append(
+            F.when(is_del, merge_ts)
+            .otherwise(F.lit(None))
+            .cast("timestamp")
+            .alias(AUDIT_DELETE)
+        )
+    if track_lsn:
+        audit_cols.append(F.col("b.lsn").alias(AUDIT_LSN))
+
+    if soft:
+        # dead rows ride the upsert output; drop only pre-image-less
+        # NOT-MATCHED deletes (no row to mark) — except in track_lsn mode,
+        # where they become null-payload tombstones (the version a later
+        # late event must lose to), mirroring the CoW shuffle branch
+        if track_lsn:
+            keep = F.lit(True)
+        elif has_lv:
+            keep = ~is_del | matched | F.coalesce(F.col("_has_lv"), F.lit(False))
+        else:
+            keep = ~is_del | matched
+        upserts = joined.filter(keep).select(
+            *out_cols,
+            *[F.col(f"b.{k}").alias(k) for k in keys],
+            *payload,
+            *audit_cols,
+        )
+        return upserts, None
+
+    upserts = joined.filter(~is_del).select(
+        *out_cols,
+        *[F.col(f"b.{k}").alias(k) for k in keys],
+        *payload,
+        *audit_cols,
+    )
+    delete_keys = joined.filter(is_del & matched).select(
+        *out_cols, *[F.col(f"b.{k}").alias(k) for k in keys]
+    )
+    return upserts, delete_keys

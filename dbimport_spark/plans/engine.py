@@ -140,6 +140,8 @@ class CDCEngine:
         anonymize: dict[str, str] | None = None,
         anonymize_salt: str = "",
         stats_sink=None,
+        write_mode: str = "cow",
+        mor_auto_ratio: float = 0.05,
     ):
         self.spark = spark
         self.table = table
@@ -183,6 +185,18 @@ class CDCEngine:
         # import_stage.py:592-826 Kafka/REST senders): one record per
         # batch, emitted AFTER its commit, best-effort
         self.stats_sink = stats_sink
+        # merge-on-read (Iceberg v2 analogue): 'cow' rewrites touched
+        # buckets in full per batch (read amplification zero, write
+        # amplification ∝ bucket size); 'mor' appends superseding delta
+        # files + key-only delete files and defers the fold to read-time
+        # reconciliation / compaction (write cost ∝ batch size — the only
+        # viable shape for small steady-state batches against 100 TB
+        # buckets); 'auto' picks MOR when the batch is small relative to
+        # the touched buckets' base rows (metadata-only decision, logged).
+        if write_mode not in ("cow", "mor", "auto"):
+            raise ValueError("write_mode must be 'cow', 'mor' or 'auto'")
+        self.write_mode = write_mode
+        self.mor_auto_ratio = mor_auto_ratio
         self.dedup_strategy = dedup_strategy
         self.n_salts = n_salts
         self.broadcast_threshold_rows = broadcast_threshold_rows
@@ -677,6 +691,9 @@ class CDCEngine:
             F.count(F.lit(1)).alias("events"),
             F.min("lsn").alias("first_lsn"),
             F.max("lsn").alias("last_lsn"),
+            # delete-event presence, same pass: lets the MOR path skip the
+            # tombstone-file write job entirely on delete-free batches
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("dels"),
         ]
         if has_commit_ts:
             agg_cols.append(F.max("commit_ts").alias("max_ts"))
@@ -770,6 +787,35 @@ class CDCEngine:
         # -- dedup (LWW per key) --------------------------------------------
         batch_nc = batch.drop("commit_ts") if has_commit_ts else batch
 
+        # -- write-mode decision (metadata-only) -----------------------------
+        touched_set = set(touched)
+        touched_have_files = any(f.bucket in touched_set for f in snap.files)
+        touched_rows = sum(f.rows for f in snap.files if f.bucket in touched_set)
+        use_mor = touched_have_files and (
+            self.write_mode == "mor"
+            or (
+                self.write_mode == "auto"
+                and n_events < self.mor_auto_ratio * touched_rows
+            )
+        )
+        if self.write_mode == "auto":
+            import logging
+
+            logging.getLogger(__name__).info(
+                "auto write-mode for window (%d, %d]: %s (%d events vs %d "
+                "touched base rows, ratio %.4f, threshold %.4f)",
+                lo, hi, "mor" if use_mor else "cow", n_events, touched_rows,
+                (n_events / touched_rows) if touched_rows else float("inf"),
+                self.mor_auto_ratio,
+            )
+        if use_mor:
+            return self._apply_batch_mor(
+                batch_nc, snap, new_schema, delta, payload_cols, bexpr,
+                touched, per_bucket, n_events, lo, hi, merge_ts_val,
+                n_bad, bad_first, bad_last,
+                n_dels=sum(r["dels"] or 0 for r in per_bucket),
+            )
+
         # -- target aligned to the (evolved) schema -------------------------
         # added columns: nulls; widened columns: cast up (old files are also
         # readable directly through the widened schema — SPARK-40876 — but
@@ -787,8 +833,6 @@ class CDCEngine:
             ]
         )
 
-        touched_set = set(touched)
-        touched_have_files = any(f.bucket in touched_set for f in snap.files)
         if not touched_have_files:
             mode = "insert-only"
         elif n_events <= self.broadcast_threshold_rows:
@@ -971,6 +1015,207 @@ class CDCEngine:
             events=n_events,
             touched_buckets=len(touched),
             mode=mode,
+            out_rows=sum(v[0] for v in out_by_bucket.values()),
+            out_bytes=sum(v[1] for v in out_by_bucket.values()),
+            quarantined=n_bad,
+        )
+
+    def _apply_batch_mor(
+        self,
+        batch_nc: DataFrame,
+        snap,
+        new_schema,
+        delta,
+        payload_cols: list[str],
+        bexpr,
+        touched: list[int],
+        per_bucket: list,
+        n_events: int,
+        lo: int,
+        hi: int,
+        merge_ts_val,
+        n_bad: int,
+        bad_first: int,
+        bad_last: int,
+        n_dels: int = 0,
+    ) -> BatchStats:
+        """Merge-on-read apply: append superseding delta files + key-only
+        delete files instead of rewriting the touched buckets.
+
+        Scale shape (the reason this path exists): a CoW batch's write
+        cost is the touched buckets' FULL size — at 100 TB with TB-scale
+        buckets a 1k-event batch rewrites terabytes. Here the only
+        full-width data movement is the batch itself; the touched buckets
+        are scanned ONCE, COLUMN-PRUNED to (keys, dl_insert_ts[,
+        dl_delete_ts]) — a few percent of bucket bytes under token-array
+        payloads — to preserve insert-vs-update audit parity, and never
+        shuffled (broadcast semi-join, batch side built). Read-time
+        reconciliation + compaction (``lake.maintenance``) fold the
+        deltas back into base asynchronously.
+        """
+        from dbimport_spark.operators.merge import mor_outputs
+        from dbimport_spark.schema import AUDIT_INSERT
+
+        merge_ts = F.lit(merge_ts_val)
+        soft = self.delete_mode == "soft"
+
+        deduped = dedup_lww(
+            batch_nc,
+            key=self.keys,
+            order_col="lsn",
+            strategy=self.dedup_strategy,
+            n_salts=self.n_salts,
+        )
+        if soft:
+            non_key = [c for c in payload_cols if c not in self.keys]
+            live = dedup_lww(
+                batch_nc.filter(F.col("op") != "D"),
+                key=self.keys,
+                order_col="lsn",
+                strategy=self.dedup_strategy,
+                n_salts=self.n_salts,
+            ).select(
+                *self.keys,
+                F.lit(True).alias("_has_lv"),
+                *[F.col(c).alias(f"{c}_lv") for c in non_key],
+            )
+            deduped = deduped.join(live, self.keys, "left")
+        deduped = deduped.withColumn("_bucket", bexpr)
+
+        # narrow audit probe: reconciled current rows of the batch's keys,
+        # column-pruned to keys + insert-ts. The semi-join streams the
+        # touched buckets (batch keys broadcast); output is batch-sized.
+        current = self.table.read(self.spark, buckets=touched)
+        ccols = set(current.columns)
+        current = current.select(
+            *[
+                (
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name in ccols
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                )
+                for f in new_schema.fields
+            ]
+        )
+        probe_cols = [*self.keys, AUDIT_INSERT]
+        batch_keys = deduped.select(*self.keys)
+        probe = current.select(*probe_cols).join(
+            F.broadcast(batch_keys), self.keys, "left_semi"
+        )
+
+        preimages = None
+        if soft and n_dels:
+            # 'D' winners whose window carried no live payload need their
+            # pre-image from the table — a FULL-WIDTH streamed pass over
+            # the touched buckets, paid only when such winners exist
+            # (checked with one cheap job over the batch-sized winner set)
+            no_lv_dels = deduped.filter(
+                (F.col("op") == "D")
+                & ~F.coalesce(F.col("_has_lv"), F.lit(False))
+            ).select(*self.keys)
+            if no_lv_dels.limit(1).count() > 0:
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "mor window (%d, %d]: fetching soft-delete pre-images "
+                    "(full-width scan of %d touched bucket(s))",
+                    lo, hi, len(touched),
+                )
+                preimages = current.join(
+                    F.broadcast(no_lv_dels), self.keys, "left_semi"
+                )
+
+        upserts, delete_keys = mor_outputs(
+            deduped,
+            probe,
+            self.keys,
+            payload_cols,
+            merge_ts,
+            bucket_col="_bucket",
+            delete_mode=self.delete_mode,
+            track_lsn=self.track_lsn,
+            preimages=preimages,
+        )
+        # batch-sized output: a handful of write tasks, each emitting one
+        # file per bucket it holds — total delta files per batch stays
+        # <= touched buckets regardless of parallelism
+        import math as _math
+
+        nparts = max(1, min(len(touched), _math.ceil(n_events / 1_000_000) * 8))
+        version_dir = f"s{snap.version + 1}-{uuid.uuid4().hex[:8]}"
+        with _phase_timer("mor_delta_write"):
+            new_files = self.table.write_data_files(
+                self.spark, upserts.repartition(nparts, "_bucket"), version_dir
+            )
+        for f in new_files:
+            f.kind = "delta"
+        if delete_keys is not None and n_dels:
+            with _phase_timer("mor_delete_write"):
+                del_files = self.table.write_data_files(
+                    self.spark,
+                    delete_keys.repartition(nparts, "_bucket"),
+                    version_dir + "-del",
+                )
+            for f in del_files:
+                f.kind = "delete"
+            new_files = new_files + del_files
+
+        if self.history_table is not None and self.history_table.last_lsn() < hi:
+            self._append_history(
+                deduped, current, payload_cols, new_schema, merge_ts, hi,
+                broadcast_ok=n_events <= self.broadcast_threshold_rows,
+            )
+
+        out_by_bucket: dict[int, list[int]] = {}
+        for fl in new_files:
+            rows, nbytes = out_by_bucket.get(fl.bucket, [0, 0])
+            out_by_bucket[fl.bucket] = [rows + fl.rows, nbytes + fl.bytes]
+        lineage = [
+            {
+                "bucket": r["bucket"],
+                "first_lsn": r["first_lsn"],
+                "last_lsn": r["last_lsn"],
+                "events": r["events"],
+                "rows": out_by_bucket.get(r["bucket"], [0, 0])[0],
+                "bytes": out_by_bucket.get(r["bucket"], [0, 0])[1],
+            }
+            for r in per_bucket
+        ]
+        if n_bad:
+            lineage.append(
+                {"quarantined": n_bad, "first_lsn": bad_first, "last_lsn": bad_last}
+            )
+        try:
+            self.table.commit(
+                new_files,
+                replaced_buckets=set(),
+                properties={
+                    "last_lsn": str(hi),
+                    "last_batch_events": str(n_events),
+                    "last_batch_mode": "mor",
+                    "last_merge_ts": merge_ts_val.isoformat(),
+                },
+                lineage=lineage,
+                new_schema=new_schema if delta else None,
+                expected_version=snap.version,
+            )
+        except CommitConflict:
+            if self.table.last_lsn() >= hi:
+                import shutil
+
+                for d in (version_dir, version_dir + "-del"):
+                    shutil.rmtree(
+                        os.path.join(self.table.root, "data", d),
+                        ignore_errors=True,
+                    )
+                return BatchStats(lo=lo, hi=hi, skipped=True)
+            raise
+        return BatchStats(
+            lo=lo,
+            hi=hi,
+            events=n_events,
+            touched_buckets=len(touched),
+            mode="mor",
             out_rows=sum(v[0] for v in out_by_bucket.values()),
             out_bytes=sum(v[1] for v in out_by_bucket.values()),
             quarantined=n_bad,

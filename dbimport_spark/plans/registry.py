@@ -42,6 +42,10 @@ class TableEntry:
     # per-column ingest anonymization: column -> 'hash'|'star'|'first4'
     # (reference import_columns.anonymization_function, configSchema.py:938)
     anonymize: dict[str, str] = field(default_factory=dict)
+    # 'cow' | 'mor' | 'auto': how batches land (CDCEngine.write_mode —
+    # 'auto' picks merge-on-read delta files when the batch is small
+    # relative to the touched buckets, the steady-state CDC shape)
+    write_mode: str = "cow"
     batches: int = 1
     # free-form scheduling hint (e.g. "hourly") — recorded for the
     # orchestrator the deployment pairs this with; replay_all ignores it
@@ -260,6 +264,7 @@ def replay_all(
                 history_table=LakeTable.load(e.history) if e.history else None,
                 renames=e.renames,
                 anonymize=e.anonymize,
+                write_mode=e.write_mode,
                 state_store=registry.store,
             )
             changes = spark.read.option("mergeSchema", "true").parquet(e.log_path)

@@ -76,7 +76,7 @@ def plan_window(table, from_version: int, to_version: int) -> list[dict]:
     """
     import os
 
-    from dbimport_spark.lake.cdf import check_window, snapshot_diff_files
+    from dbimport_spark.lake.cdf import check_window
     from dbimport_spark.lake.table import LakeTable
 
     snap_a = table.snapshot(from_version)
@@ -103,7 +103,8 @@ def plan_window(table, from_version: int, to_version: int) -> list[dict]:
         # extends snap_a's, enforced by check_window), so backdating
         # snap_b to a file's epoch yields its physical names AND folds in
         # any renames committed inside the window — the per-file
-        # equivalent of the batch reader's _align_to step
+        # equivalent of the batch reader's _align_to step. Kind + seq ride
+        # along so the executor task can reconcile merge-on-read deltas.
         out = []
         for f in files:
             phys = LakeTable._backdated_schema(snap_b, f.epoch)
@@ -112,7 +113,7 @@ def plan_window(table, from_version: int, to_version: int) -> list[dict]:
                 for p, c in zip(phys.fieldNames(), snap_b.schema.fieldNames())
                 if p != c
             }
-            out.append((os.path.join(table.root, f.path), mapping))
+            out.append((os.path.join(table.root, f.path), mapping, f.kind, f.seq))
         return out
 
     from dbimport_spark.lake.cdf import rewrite_only_window
@@ -141,11 +142,13 @@ def plan_window(table, from_version: int, to_version: int) -> list[dict]:
             snap_a.num_buckets, snap_b.num_buckets, g,
         )
 
-    only_a, only_b = snapshot_diff_files(snap_a, snap_b)
+    from dbimport_spark.lake.cdf import diff_read_sets
+
+    read_a, read_b = diff_read_sets(snap_a, snap_b)
     by_bucket: dict[int, tuple[list, list]] = {}
-    for f in only_a:
+    for f in read_a:
         by_bucket.setdefault(f.bucket % g, ([], []))[0].append(f)
-    for f in only_b:
+    for f in read_b:
         by_bucket.setdefault(f.bucket % g, ([], []))[1].append(f)
 
     parts = []
@@ -196,7 +199,7 @@ def diff_bucket(meta: dict) -> Iterator:
 
     def read_side(files) -> pa.Table:
         tables = []
-        for path, mapping in files:
+        for path, mapping, _kind, _seq in files:
             # push column pruning into the parquet read: only the keep
             # set's physical names are decoded (audit timestamps and any
             # other non-diff columns never leave the file)
@@ -243,8 +246,39 @@ def diff_bucket(meta: dict) -> Iterator:
             columns={c: prefix + c for c in df.columns if c not in keys}
         )
 
-    dfa = to_pd(read_side(meta["a_files"]), "_a_")
-    dfb = to_pd(read_side(meta["b_files"]), "_b_")
+    def side_pd(files, prefix: str) -> "pd.DataFrame":
+        """One side's LIVE state as pandas: plain concat for pure-base
+        file sets (pre-MOR behavior, zero overhead), merge-on-read
+        reconciliation otherwise — the max-seq event per key supersedes
+        base rows; delete-file events remove the key. Runs entirely
+        inside this bucket's task: the bucket invariant means no other
+        task holds rows for these keys."""
+        base = [f for f in files if f[2] == "base"]
+        extra = [f for f in files if f[2] != "base"]
+        df = to_pd(read_side(base), "")
+        if extra:
+            evs = []
+            for f in sorted(extra, key=lambda x: x[3]):
+                e = to_pd(read_side([f]), "")
+                e["_mor_seq"] = f[3]
+                e["_mor_del"] = f[2] == "delete"
+                evs.append(e)
+            ev = pd.concat(evs, ignore_index=True)
+            ev = ev.sort_values("_mor_seq", kind="stable").drop_duplicates(
+                keys, keep="last"
+            )
+            hit = df.merge(
+                ev[keys].assign(_mor_hit=True), on=keys, how="left"
+            )["_mor_hit"]
+            df = df.loc[hit.isna().to_numpy()]
+            live = ev.loc[~ev["_mor_del"].to_numpy(), list(df.columns)]
+            df = pd.concat([df, live], ignore_index=True)
+        return df.rename(
+            columns={c: prefix + c for c in df.columns if c not in keys}
+        )
+
+    dfa = side_pd(meta["a_files"], "_a_")
+    dfb = side_pd(meta["b_files"], "_b_")
     m = dfa.merge(dfb, on=keys, how="outer", indicator="_cdf_side")
     if len(m) == 0:
         return
