@@ -52,6 +52,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     import __spark_entry__ as entry
+    from dbimport_spark.lake.table import LakeTable
     from dbimport_spark.plans.engine import CDCEngine
     from dbimport_spark.session import get_spark
     from dbimport_spark.sources.loggen import generate_changes, write_changes
@@ -165,7 +166,20 @@ def main() -> None:
             spark, create_view(mmdir, table, mm_spec, num_buckets=8)
         )
         sync_view(spark, table, mmeng, mm_spec)
+        # snapshot the pre-incremental table (untimed file copy) so the
+        # merge-on-read apply below starts from the SAME state the CoW
+        # apply consumes — the pair isolates write mode, nothing else
+        mdir = os.path.join(work, f"table-mor-{i}")
+        shutil.copytree(tdir, mdir)
         sample("cdc_apply_incr", lambda: eng.apply_batch(tail, full, n_events))
+        # same batch, merge-on-read: delta/delete files appended, touched
+        # buckets scanned only for the column-pruned audit probe — the
+        # steady-state write path for small batches against big buckets
+        meng = CDCEngine(
+            spark, LakeTable.load(mdir), write_mode="mor"
+        )
+        sample("mor_apply_incr", lambda: meng.apply_batch(tail, full, n_events))
+        shutil.rmtree(mdir, ignore_errors=True)
         mm_bs = sample(
             "matview_incr_minmax",
             lambda: sync_view(spark, table, mmeng, mm_spec),
