@@ -67,6 +67,15 @@ class DataFile:
     # METADATA, never as a per-row column: reads attach it as a literal.
     kind: str = "base"
     seq: int = 0
+    # per-file column statistics (the Iceberg manifest-metrics analogue):
+    # {column: [min, max]} as RAW parquet physical values — int64 UTC
+    # micros for timestamps, plain numbers for numeric columns — folded
+    # across the file's row groups at commit time from the same footer
+    # read that counts rows. Consumers prune scans from metadata alone
+    # (e.g. the incremental exporter skips buckets whose every file has
+    # max(dl_update_ts) <= the committed watermark). Absent stats (older
+    # files, INT96 timestamps, unsupported types) just mean "unprunable".
+    stats: dict | None = None
 
     def to_json(self) -> dict:
         d = {"path": self.path, "bucket": self.bucket, "rows": self.rows, "bytes": self.bytes}
@@ -75,14 +84,60 @@ class DataFile:
         if self.kind != "base":
             d["kind"] = self.kind
             d["seq"] = self.seq
+        if self.stats:
+            d["stats"] = self.stats
         return d
 
     @staticmethod
     def from_json(d: dict) -> "DataFile":
         return DataFile(
             d["path"], d["bucket"], d["rows"], d["bytes"], d.get("epoch", 0),
-            d.get("kind", "base"), d.get("seq", 0),
+            d.get("kind", "base"), d.get("seq", 0), d.get("stats"),
         )
+
+
+def ts_micros(dt) -> int:
+    """A (session-UTC) naive datetime as int64 UTC epoch micros — the raw
+    domain parquet TIMESTAMP_MICROS statistics live in."""
+    from datetime import timezone
+
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp()) * 1_000_000 + dt.microsecond
+
+
+def footer_stats(pf, cols: list[str]) -> dict | None:
+    """Fold per-row-group parquet min/max into one [min, max] per column,
+    RAW physical values only (ints/floats; timestamps are int64 UTC
+    micros under the session's TIMESTAMP_MICROS writer). A column with
+    any row group missing stats — INT96 legacy files, all-null groups,
+    binary types — is omitted: absent means unprunable, never wrong."""
+    md = pf.metadata
+    if md.num_row_groups == 0:
+        return None
+    rg0 = md.row_group(0)
+    idx = {rg0.column(i).path_in_schema: i for i in range(rg0.num_columns)}
+    out: dict = {}
+    for c in cols:
+        i = idx.get(c)
+        if i is None:
+            continue
+        mn = mx = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo, hi = st.min_raw, st.max_raw
+            if not isinstance(lo, (int, float)) or isinstance(lo, bool):
+                ok = False
+                break
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+        if ok and mn is not None:
+            out[c] = [mn, mx]
+    return out or None
 
 
 @dataclass
@@ -253,6 +308,25 @@ class LakeTable:
         return F.pmod(
             F.xxhash64(*[F.col(c) for c in cols]), F.lit(num_buckets)
         ).cast("int")
+
+    def buckets_stat_max_gt(
+        self, col: str, threshold, version: int | None = None
+    ) -> list[int]:
+        """Buckets that MAY hold rows with ``col`` > ``threshold``, from
+        file metadata alone: a bucket is pruned only when EVERY one of its
+        files carries the stat and its max is <= threshold. Files without
+        the stat (pre-stats commits, legacy INT96 timestamps) keep their
+        bucket — conservative, never wrong. ``threshold`` must be in the
+        stat's RAW domain (int64 UTC micros for timestamps; see
+        ``ts_micros``). Bucket granularity keeps merge-on-read
+        reconciliation sound: a surviving bucket is read complete."""
+        snap = self.current() if version is None else self.snapshot(version)
+        out = set()
+        for f in snap.files:
+            st = (f.stats or {}).get(col)
+            if st is None or st[1] > threshold:
+                out.add(f.bucket)
+        return sorted(out)
 
     def read(
         self,
@@ -430,12 +504,27 @@ class LakeTable:
 
         import pyarrow.parquet as pq
 
+        from dbimport_spark.schema import AUDIT_LSN, AUDIT_UPDATE
+
+        # column stats recorded per file from the same footer read that
+        # counts rows: the audit watermark columns always, plus any table-
+        # declared payload columns ('stat_columns' property). Names are the
+        # file's PHYSICAL names (audit columns are engine-managed and never
+        # renamed; declared extras should be too).
+        want_stats = [AUDIT_UPDATE, AUDIT_LSN]
+        extra_stats = self.current().properties.get("stat_columns", "")
+        want_stats += [c.strip() for c in extra_stats.split(",") if c.strip()]
+
         def stat_one(args: tuple[int, str]) -> DataFile | None:
             b, p = args
-            nrows = pq.ParquetFile(p).metadata.num_rows
+            pf = pq.ParquetFile(p)
+            nrows = pf.metadata.num_rows
             if nrows == 0:
                 return None
-            return DataFile(os.path.relpath(p, self.root), b, nrows, os.path.getsize(p), epoch)
+            return DataFile(
+                os.path.relpath(p, self.root), b, nrows, os.path.getsize(p),
+                epoch, stats=footer_stats(pf, want_stats),
+            )
 
         todo: list[tuple[int, str]] = []
         for sub in sorted(os.listdir(out_dir)):
@@ -464,9 +553,13 @@ class LakeTable:
 
                 import pyarrow.parquet as _pq
 
+                from dbimport_spark.lake.table import footer_stats as _fs
+
                 b, p = args
-                nrows = _pq.ParquetFile(p).metadata.num_rows
-                return (p, b, nrows, _os.path.getsize(p))
+                pf = _pq.ParquetFile(p)
+                nrows = pf.metadata.num_rows
+                st = _fs(pf, want_stats) if nrows else None
+                return (p, b, nrows, _os.path.getsize(p), st)
 
             sc = spark.sparkContext
             stats = (
@@ -475,8 +568,8 @@ class LakeTable:
                 .collect()
             )
             out = [
-                DataFile(os.path.relpath(p, root), b, nrows, nbytes, epoch)
-                for p, b, nrows, nbytes in stats
+                DataFile(os.path.relpath(p, root), b, nrows, nbytes, epoch, stats=st)
+                for p, b, nrows, nbytes, st in stats
                 if nrows > 0
             ]
         if os.environ.get("DBIMPORT_TIMINGS", "") not in ("", "0"):

@@ -47,6 +47,12 @@ def get_spark(
         # instead of forcing a re-exchange on all keys
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT64 micros instead of legacy INT96: parquet footers then carry
+        # min/max statistics for timestamp columns, which the lake records
+        # per data file (DataFile.stats) and the incremental exporter uses
+        # to prune untouched buckets from metadata alone. INT96 files from
+        # older commits stay readable; they simply carry no stats.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.parquet.compression.codec", "snappy")

@@ -1,0 +1,126 @@
+"""Per-file column statistics (Iceberg manifest-metrics analogue) and
+stats-based bucket pruning — recorded from parquet footers at commit
+time, consumed metadata-only by the incremental exporter."""
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dbimport_spark.lake.table import ts_micros
+from dbimport_spark.plans.engine import CDCEngine
+from dbimport_spark.plans.export import ParquetExporter
+from dbimport_spark.schema import AUDIT_UPDATE
+from dbimport_spark.sources.loggen import generate_changes
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+
+def test_stats_recorded_on_commit(spark, tmp_path):
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    eng = CDCEngine(spark, table)
+    eng.replay(generate_changes(spark, 800, n_keys=60, seed=1), num_batches=2)
+    files = table.current().files
+    assert files
+    for f in files:
+        st = (f.stats or {}).get(AUDIT_UPDATE)
+        assert st is not None, f.path
+        lo, hi = st
+        assert isinstance(lo, int) and isinstance(hi, int) and lo <= hi
+        # raw micros round-trip: the stat bounds the actual column values
+    actual = table.read(spark).agg(
+        F.min(AUDIT_UPDATE).alias("lo"), F.max(AUDIT_UPDATE).alias("hi")
+    ).collect()[0]
+    all_lo = min(f.stats[AUDIT_UPDATE][0] for f in files)
+    all_hi = max(f.stats[AUDIT_UPDATE][1] for f in files)
+    assert all_lo <= ts_micros(actual["lo"]) <= ts_micros(actual["hi"]) <= all_hi
+
+
+def test_stat_columns_property_extends_stats(spark, tmp_path):
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=2)
+    table.commit([], set(), properties={"stat_columns": "n_tok"})
+    eng = CDCEngine(spark, table)
+    eng.replay(generate_changes(spark, 400, n_keys=40, seed=2), num_batches=1)
+    for f in table.current().files:
+        assert "n_tok" in (f.stats or {}), f.path
+
+
+def test_buckets_stat_max_gt_prunes_and_is_conservative(spark, tmp_path):
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    eng = CDCEngine(spark, table)
+    eng.replay(generate_changes(spark, 800, n_keys=60, seed=3), num_batches=1)
+    hi = max(f.stats[AUDIT_UPDATE][1] for f in table.current().files)
+    assert table.buckets_stat_max_gt(AUDIT_UPDATE, hi) == []
+    assert len(table.buckets_stat_max_gt(AUDIT_UPDATE, hi - 1)) > 0
+    # a file without the stat keeps its bucket (legacy/INT96 files)
+    snap = table.current()
+    snap.files[0].stats = None
+    legacy_bucket = snap.files[0].bucket
+    table._write_snapshot(
+        type(snap)(
+            version=snap.version + 1,
+            snapshot_id="legacy-test",
+            parent_snapshot_id=snap.snapshot_id,
+            schema=snap.schema,
+            num_buckets=snap.num_buckets,
+            bucket_column=snap.bucket_column,
+            files=snap.files,
+            properties=snap.properties,
+            lineage=[],
+            renames=snap.renames,
+        )
+    )
+    assert legacy_bucket in table.buckets_stat_max_gt(AUDIT_UPDATE, hi)
+
+
+def test_export_scans_only_touched_buckets(spark, tmp_path):
+    """After one key changes, the incremental export's scan must touch only
+    that key's bucket — pinned via the pruning helper AND end-to-end row
+    equality, including over a merge-on-read delta."""
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=8)
+    eng = CDCEngine(spark, table)
+    log = generate_changes(spark, 1600, n_keys=120, seed=4)
+    eng.replay(log, num_batches=1)
+    ex = ParquetExporter(table, str(tmp_path / "out"))
+    ex.export(spark, mode="incr")  # bootstrap: everything, watermark set
+
+    # touch exactly one key — via the MOR path, so the touched bucket
+    # holds a delta file whose stats must keep the bucket readable
+    key = table.read(spark).select("doc_id").orderBy("doc_id").first()[0]
+    batch = spark.createDataFrame(
+        [(100_000, "U", key, [7, 7, 7], 3, "stats-test")], EVENT_SCHEMA
+    )
+    mor = CDCEngine(spark, table, write_mode="mor")
+    mor.apply_batch(batch, table.last_lsn(), 100_000)
+
+    bucket = table.read(spark).filter(F.col("doc_id") == key).select(
+        table.bucket_expr().alias("b")
+    ).first()[0]
+    last = ex._state()["last_update_ts"]
+    wm = ts_micros(datetime.fromisoformat(last))
+    assert table.buckets_stat_max_gt(AUDIT_UPDATE, wm) == [bucket]
+
+    s = ex.export(spark, mode="incr")
+    assert s["last_run_rows"] == 1
+    out = spark.read.parquet(s["last_run_dir"]).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == key and out[0]["tokens"] == [7, 7, 7]
+
+    # untouched table -> zero buckets survive, empty export, watermark kept
+    s2 = ex.export(spark, mode="incr")
+    assert s2["last_run_rows"] == 0
+    assert s2["last_update_ts"] == s["last_update_ts"]
+
+
+def test_ts_micros_roundtrip():
+    d = datetime(2026, 8, 17, 12, 34, 56, 789012)
+    assert ts_micros(d) == ts_micros(d.replace(tzinfo=timezone.utc))
+    assert ts_micros(d) % 1_000_000 == 789012
