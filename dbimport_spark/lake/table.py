@@ -603,6 +603,72 @@ class LakeTable:
         per-bucket streaming diff. Old snapshots keep their own bucket count
         (``bucket_expr`` and readers resolve it per snapshot).
         """
+        for _attempt in range(5):
+            try:
+                return self._commit_once(
+                    new_files, replaced_buckets, properties, lineage,
+                    new_schema, expected_version, new_num_buckets,
+                )
+            except CommitConflict:
+                # optimistic rebase (Iceberg-style retry, narrowed to the
+                # provably-safe case): if every commit that landed since
+                # our base is marked rewrite_only (compaction, rebucket —
+                # layout-only, state-equal) and the bucket modulus is
+                # unchanged, our files were computed from LOGICALLY THE
+                # SAME state and replace/append cleanly against the new
+                # current. A same-modulus check excludes rebucket races
+                # (our bucket ids would be stale). Anything else — a real
+                # concurrent writer — re-raises for the caller's own
+                # arbitration (the engine's same-window dedup, the stage
+                # machine's rewind).
+                cur_v = self.current().version
+                if expected_version is None:
+                    # no expectation = append to whatever is current;
+                    # losing a version race just means try the next one
+                    continue
+                if cur_v <= expected_version:
+                    raise
+                try:
+                    base_snap = self.snapshot(expected_version)
+                except FileNotFoundError:
+                    raise CommitConflict(
+                        f"expected v{expected_version}, found v{cur_v} "
+                        "(base snapshot expired — cannot verify rebase)"
+                    )
+                if not self._rewrite_only_span(expected_version, cur_v):
+                    raise
+                if self.current().num_buckets != base_snap.num_buckets:
+                    raise
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "commit rebased v%d -> v%d over rewrite-only commit(s)",
+                    expected_version, cur_v,
+                )
+                expected_version = cur_v
+        raise CommitConflict("commit retry budget exhausted")
+
+    def _rewrite_only_span(self, lo: int, hi: int) -> bool:
+        """True when every retained commit in (lo, hi] carries the
+        rewrite_only marker (state at hi provably equals state at lo)."""
+        have = set(self.snapshots())
+        for v in range(lo + 1, hi + 1):
+            if v not in have:
+                return False
+            if self.snapshot(v).properties.get("rewrite_only") != "true":
+                return False
+        return True
+
+    def _commit_once(
+        self,
+        new_files: list[DataFile],
+        replaced_buckets: set[int],
+        properties: dict[str, str] | None,
+        lineage: list[dict] | None,
+        new_schema: T.StructType | None,
+        expected_version: int | None,
+        new_num_buckets: int | None,
+    ) -> Snapshot:
         cur = self.current()
         if expected_version is not None and cur.version != expected_version:
             raise CommitConflict(f"expected v{expected_version}, found v{cur.version}")
