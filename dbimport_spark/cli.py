@@ -94,6 +94,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--checkpoint", required=True)
     sp.add_argument("--continuous", action="store_true")
     sp.add_argument(
+        "--write-mode", default="cow", choices=["cow", "mor", "auto"],
+        help="per-micro-batch apply mode: 'auto' lands small batches as "
+        "merge-on-read deltas — the steady-state streaming shape",
+    )
+    sp.add_argument(
         "--on-out-of-order", default="error",
         choices=["error", "warn", "auto", "recover"],
         help="late-segment policy: error (default, strict) | warn (skip, "
@@ -588,7 +593,7 @@ def main(argv: list[str] | None = None) -> int:
         from dbimport_spark.streaming.stream import run_stream, stream_changes
 
         table = LakeTable.load(args.table_root)
-        eng = CDCEngine(spark, table)
+        eng = CDCEngine(spark, table, write_mode=args.write_mode)
         q = run_stream(
             eng,
             stream_changes(spark, args.log_dir),

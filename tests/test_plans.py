@@ -184,3 +184,33 @@ def test_pack_sequences_plan_is_partition_parallel(spark):
     assert "SinglePartition" not in plan
     assert "BroadcastExchange" in plan  # offsets joined via broadcast
     assert out.count() == 300
+
+
+def test_mor_reconciled_read_streams_base(spark, tmp_path):
+    """Merge-on-read read-path shape: the base side is STREAMED through a
+    broadcast anti-join (no hash/range exchange on base bytes); only the
+    small delta world pays an exchange for its per-key LWW window. A
+    pure-base table keeps the plain multi-file scan (no join at all)."""
+    log = generate_changes(spark, 3000, n_keys=200, seed=31)
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=8)
+    eng = CDCEngine(spark, table, write_mode="mor")
+    eng.replay(log, num_batches=3)  # batch 1 insert-only base, 2-3 deltas
+    assert any(f.kind != "base" for f in table.current().files)
+
+    plan = explain_str(table.read(spark))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    # the base scan is the anti-join's DIRECT left child — no exchange
+    # (no shuffle of base bytes) sits between them
+    after_join = plan.split("BroadcastHashJoin LeftAnti", 1)[1]
+    assert "Scan parquet" in after_join.splitlines()[1], plan
+    # the only data exchanges are the delta world's per-key LWW windows
+    # (superseded-keys branch + live-delta branch), both delta-sized
+    assert plan.count("hashpartitioning(") == 2, plan
+
+    # after compaction the reconciliation (and its join) must vanish
+    from dbimport_spark.lake.maintenance import compact
+
+    compact(spark, table, max_files_per_bucket=0)
+    plan2 = explain_str(table.read(spark))
+    assert "Join" not in plan2 and "Exchange hashpartitioning" not in plan2
