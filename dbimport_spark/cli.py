@@ -76,6 +76,13 @@ def main(argv: list[str] | None = None) -> int:
         "the touched buckets",
     )
     sp.add_argument(
+        "--max-delete-fraction", type=float, default=None, metavar="FRAC",
+        help="pre-commit guard: refuse to publish a batch whose delete "
+        "events exceed FRAC of the touched buckets' previous rows (the "
+        "truncated-upstream guard); the staged files are discarded and "
+        "the watermark stays put",
+    )
+    sp.add_argument(
         "--allow-log-gap", action="store_true",
         help="proceed even if the log no longer covers the committed "
         "watermark (DANGER: the gap's changes are skipped)",
@@ -553,6 +560,8 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps({"written": args.log_path, "events": args.events}))
     elif args.cmd == "replay":
+        from dbimport_spark.plans.validate import max_delete_fraction
+
         table = LakeTable.load(args.table_root)
         renames = dict(r.split("=", 1) for r in args.rename)
         eng = CDCEngine(
@@ -566,6 +575,11 @@ def main(argv: list[str] | None = None) -> int:
             rename_check=not args.no_rename_check,
             quarantine_dir=args.quarantine_dir,
             write_mode=args.write_mode,
+            validators=(
+                [max_delete_fraction(args.max_delete_fraction)]
+                if args.max_delete_fraction is not None
+                else None
+            ),
         )
         # mergeSchema: an evolved multi-segment log's older footers lack
         # the new columns (and pre-rename segments carry old names) — the

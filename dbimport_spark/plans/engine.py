@@ -142,6 +142,7 @@ class CDCEngine:
         stats_sink=None,
         write_mode: str = "cow",
         mor_auto_ratio: float = 0.05,
+        validators: list | None = None,
     ):
         self.spark = spark
         self.table = table
@@ -197,6 +198,12 @@ class CDCEngine:
             raise ValueError("write_mode must be 'cow', 'mor' or 'auto'")
         self.write_mode = write_mode
         self.mor_auto_ratio = mor_auto_ratio
+        # pre-commit batch validation (write-audit-publish; plans/validate
+        # "pre-commit batch validation" section — the reference's staging-
+        # validate-publish stages): each callable(staged_df, info) may
+        # raise ValidationFailed; the staged files are then deleted and
+        # the table (watermark included) stays byte-untouched for retry.
+        self.validators = list(validators or [])
         self.dedup_strategy = dedup_strategy
         self.n_salts = n_salts
         self.broadcast_threshold_rows = broadcast_threshold_rows
@@ -950,6 +957,19 @@ class CDCEngine:
         with _phase_timer(f"merge_write[{mode}]"):
             new_files = self.table.write_data_files(self.spark, out, version_dir)
 
+        self._run_validators(
+            new_files, snap, new_schema,
+            {
+                "lo": lo, "hi": hi, "mode": mode, "events": n_events,
+                "deletes": sum(r["dels"] or 0 for r in per_bucket),
+                "touched_buckets": len(touched),
+                "out_rows": sum(f.rows for f in new_files),
+                "out_bytes": sum(f.bytes for f in new_files),
+                "prev_rows": touched_rows,
+            },
+            [version_dir],
+        )
+
         # -- optional history-audit append (own idempotent commit, BEFORE the
         # main commit: crash between them re-applies the main batch, crash
         # after history re-skips it via its own last_lsn) ------------------
@@ -1019,6 +1039,37 @@ class CDCEngine:
             out_bytes=sum(v[1] for v in out_by_bucket.values()),
             quarantined=n_bad,
         )
+
+    def _run_validators(
+        self, staged_files, snap, new_schema, info: dict, version_dirs
+    ) -> None:
+        """Write-audit-publish gate: run every configured validator against
+        the just-written, NOT-YET-COMMITTED files. A rejection deletes the
+        staged dirs and re-raises — the table, its watermark, and its
+        snapshot chain are byte-untouched, so the window replays after the
+        operator fixes the source (the reference's stage-machine halt on
+        validation failure, import_operations.py validate stages)."""
+        if not self.validators:
+            return
+        from dataclasses import replace as _dc_replace
+
+        from dbimport_spark.plans.validate import ValidationFailed
+
+        staged = self.table.read_files(
+            self.spark, _dc_replace(snap, schema=new_schema), staged_files
+        )
+        try:
+            for v in self.validators:
+                v(staged, info)
+        except ValidationFailed:
+            import shutil
+
+            for d in version_dirs:
+                shutil.rmtree(
+                    os.path.join(self.table.root, "data", d),
+                    ignore_errors=True,
+                )
+            raise
 
     def _apply_batch_mor(
         self,
@@ -1159,6 +1210,21 @@ class CDCEngine:
             for f in del_files:
                 f.kind = "delete"
             new_files = new_files + del_files
+
+        self._run_validators(
+            [f for f in new_files if f.kind == "delta"], snap, new_schema,
+            {
+                "lo": lo, "hi": hi, "mode": "mor", "events": n_events,
+                "deletes": n_dels,
+                "touched_buckets": len(touched),
+                "out_rows": sum(f.rows for f in new_files),
+                "out_bytes": sum(f.bytes for f in new_files),
+                "prev_rows": sum(
+                    f.rows for f in snap.files if f.bucket in set(touched)
+                ),
+            },
+            [version_dir, version_dir + "-del"],
+        )
 
         if self.history_table is not None and self.history_table.last_lsn() < hi:
             self._append_history(

@@ -46,6 +46,10 @@ class TableEntry:
     # 'auto' picks merge-on-read delta files when the batch is small
     # relative to the touched buckets, the steady-state CDC shape)
     write_mode: str = "cow"
+    # pre-commit truncated-upstream guard (plans/validate
+    # max_delete_fraction): refuse to publish a batch deleting more than
+    # this fraction of the touched buckets' previous rows
+    max_delete_fraction: float | None = None
     batches: int = 1
     # free-form scheduling hint (e.g. "hourly") — recorded for the
     # orchestrator the deployment pairs this with; replay_all ignores it
@@ -235,6 +239,7 @@ def replay_all(
     """
     from dbimport_spark.lake.table import LakeTable
     from dbimport_spark.plans.engine import CDCEngine
+    from dbimport_spark.plans.validate import max_delete_fraction as _mdf
 
     entries = registry.load()
     results: dict[str, dict] = {}
@@ -265,6 +270,11 @@ def replay_all(
                 renames=e.renames,
                 anonymize=e.anonymize,
                 write_mode=e.write_mode,
+                validators=(
+                    None
+                    if e.max_delete_fraction is None
+                    else [_mdf(e.max_delete_fraction)]
+                ),
                 state_store=registry.store,
             )
             changes = spark.read.option("mergeSchema", "true").parquet(e.log_path)

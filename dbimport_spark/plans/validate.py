@@ -150,3 +150,78 @@ def rowcount_tolerance(rows: int, allowed: int | None = None) -> float:
 
 def validate_rowcount(actual: int, expected: int, allowed: int | None = None) -> bool:
     return abs(actual - expected) <= rowcount_tolerance(expected, allowed)
+
+
+# -- pre-commit batch validation (write-audit-publish) -------------------------
+#
+# The reference imports into a STAGING table, runs validation (rowcount vs
+# source with tolerance, custom queries — import_operations.py validate
+# stages 1050/3505, import_config.py:2750-2900), and only then publishes to
+# the target. This lake format gets the same property for free: data files
+# are invisible until the metadata commit, so validators run between the
+# write and the commit — a rejection deletes the staged files and leaves
+# the table (and its watermark) byte-untouched for a retry after the fix.
+#
+# A validator is ``callable(staged_df, info) -> None`` that raises
+# ``ValidationFailed`` to reject. ``staged_df`` is the batch's staged
+# output read back from the just-written (uncommitted) files — LAZY, so
+# metadata-only validators (reading just ``info``) cost zero Spark jobs.
+# ``info`` carries lo/hi/mode/events/deletes/touched_buckets/out_rows/
+# out_bytes/prev_rows (live rows previously in the touched buckets).
+
+
+class ValidationFailed(Exception):
+    """A pre-commit validator rejected the staged batch."""
+
+
+def max_delete_fraction(frac: float):
+    """Reject a batch whose delete events exceed ``frac`` of the touched
+    buckets' previous rows — the classic truncated-upstream guard (a source
+    table accidentally emptied must not cascade into the lake)."""
+
+    def v(staged, info) -> None:
+        prev = info.get("prev_rows") or 0
+        if prev and info.get("deletes", 0) > frac * prev:
+            raise ValidationFailed(
+                f"batch ({info['lo']}, {info['hi']}] deletes "
+                f"{info['deletes']} of {prev} previous rows in the touched "
+                f"buckets (> {frac:.0%}) — refusing to publish; override "
+                "by raising the fraction if the mass delete is intended"
+            )
+
+    return v
+
+
+def staged_rowcount(expected_rows, allowed: int | None = None):
+    """Staged output rowcount within the reference tolerance of
+    ``expected_rows`` (a number, or a callable of ``info``)."""
+
+    def v(staged, info) -> None:
+        exp = expected_rows(info) if callable(expected_rows) else expected_rows
+        n = staged.count()
+        if not validate_rowcount(n, exp, allowed):
+            raise ValidationFailed(
+                f"staged rowcount {n} outside tolerance of expected {exp} "
+                f"(allowed diff {rowcount_tolerance(exp, allowed):.1f})"
+            )
+
+    return v
+
+
+def staged_not_null(cols: list[str]):
+    """Reject when any staged row carries NULL in the given columns — the
+    reference's most common custom validation query."""
+
+    def v(staged, info) -> None:
+        from pyspark.sql import functions as F
+
+        pred = F.lit(False)
+        for c in cols:
+            pred = pred | F.col(c).isNull()
+        bad = staged.filter(pred).count()
+        if bad:
+            raise ValidationFailed(
+                f"{bad} staged row(s) carry NULL in {cols}"
+            )
+
+    return v
