@@ -184,6 +184,61 @@ print("RESULT " + json.dumps({{"cpus": {cpus}, "sec": round(dt, 3),
       "eps": round(rows / dt, 1)}}))
 """
 
+# mor stage: the steady-state ingest path — a fresh incremental batch
+# (6.25% of the base log, same keyspace) applied as merge-on-read deltas
+# to a COPY of the shared base table. Timed window = apply_batch only
+# (LWW dedup -> column-pruned audit probe of the touched buckets ->
+# delta/delete writes -> commit); the table copy, JVM boot, and an
+# untimed warmup apply on a scratch copy are excluded. eps counts batch
+# events.
+MOR_TAIL_SNIPPET = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from dbimport_spark.session import get_spark
+from dbimport_spark.sources.loggen import generate_changes, write_changes
+spark = get_spark(master="local[32]", shuffle_partitions=32,
+                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+spark.sparkContext.setLogLevel("ERROR")
+tail = generate_changes(spark, {tail_n}, n_keys={keys}, seed=77,
+                        tokens_min={tmin}, tokens_max={tmax}
+                        ).withColumn("lsn", F.col("lsn") + F.lit({offset}))
+write_changes(tail, {tail!r}, n_files=32)
+print("TAILGEN")
+"""
+
+MOR_SNIPPET = """
+import sys, json, time, os, shutil
+sys.path.insert(0, {repo!r})
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+from dbimport_spark.session import get_spark
+from dbimport_spark.lake.table import LakeTable
+from dbimport_spark.plans.engine import CDCEngine
+spark = get_spark(master="local[{cpus}]", shuffle_partitions={cpus},
+                  extra_conf={{"spark.ui.showConsoleProgress": "false",
+                              "spark.io.compression.codec": "zstd",
+                              "spark.local.dir": {local_dir!r}}})
+spark.sparkContext.setLogLevel("ERROR")
+tail = spark.read.parquet({tail!r})
+tail.count()  # warm page cache: the timed window is the apply, not IO
+
+def apply_once(tag):
+    d = {table!r} + "-" + tag + "-{cpus}"
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.copytree({table!r}, d)
+    eng = CDCEngine(spark, LakeTable.load(d), write_mode="mor")
+    t0 = time.time()
+    eng.apply_batch(tail, {base_hi}, {tail_hi})
+    dt = time.time() - t0
+    shutil.rmtree(d, ignore_errors=True)
+    return dt
+
+apply_once("warm")  # untimed same-JVM warmup
+dt = apply_once("timed")
+print("RESULT " + json.dumps({{"cpus": {cpus}, "sec": round(dt, 3),
+      "events": {tail_n}, "eps": round({tail_n} / dt, 1)}}))
+"""
+
 # cdf_stream stage: the lake_cdf STREAMING source over the same window —
 # one micro-batch covering (va, vb], one Arrow-diff task per touched
 # bucket in Python workers (no JVM shuffle at all). Timed via the
@@ -292,6 +347,15 @@ def run_level(cpus: int, log: str, work: str, tag: str = "", stage: str = "repla
             repo=REPO, cpus=cpus, table=os.path.join(work, "cdf-table"),
             local_dir=local_dir, n_events=n_events,
         )
+    elif stage == "mor":
+        # shared base table, copied per apply (untimed) so every run
+        # starts from the identical pre-batch state
+        code = MOR_SNIPPET.format(
+            repo=REPO, cpus=cpus, table=os.path.join(work, "cdf-table"),
+            tail=os.path.join(work, "mor-tail"), local_dir=local_dir,
+            tail_n=n_events // 16, base_hi=n_events,
+            tail_hi=n_events + n_events // 16,
+        )
     elif stage == "matview":
         # same shared table; each level bootstraps its own scratch views
         code = MATVIEW_SNIPPET.format(
@@ -346,7 +410,7 @@ def main() -> None:
         if "GENERATED" not in gen.stdout:
             raise RuntimeError(f"loggen failed: {gen.stdout[-1000:]}\n{gen.stderr[-1000:]}")
         cdf_versions = None
-        if stage in ("cdf", "cdf_stream", "matview", "rebucket"):
+        if stage in ("cdf", "cdf_stream", "matview", "rebucket", "mor"):
             prep = subprocess.run(
                 [sys.executable, "-c", CDF_GEN_SNIPPET.format(
                     repo=REPO, log=log,
@@ -360,6 +424,18 @@ def main() -> None:
                     f"cdf table build failed: {prep.stdout[-1000:]}\n{prep.stderr[-1000:]}"
                 )
             cdf_versions = tuple(int(x) for x in vline[0].split()[1:3])
+        if stage == "mor":
+            tg = subprocess.run(
+                [sys.executable, "-c", MOR_TAIL_SNIPPET.format(
+                    repo=REPO, tail_n=n // 16, keys=n // 10, offset=n,
+                    tmin=tmin, tmax=tmax,
+                    tail=os.path.join(work, "mor-tail"))],
+                capture_output=True, text=True, timeout=1800,
+            )
+            if "TAILGEN" not in tg.stdout:
+                raise RuntimeError(
+                    f"tail gen failed: {tg.stdout[-1000:]}\n{tg.stderr[-1000:]}"
+                )
         for i in range(repeats):
             for cpus in (low, high):
                 r = run_level(cpus, log, work, tag=f"-r{i}", stage=stage,
@@ -428,6 +504,17 @@ steady-state syncs are delta-sized)"""
 (feed read → signed contributions → map-side-combined groupBy →
 totals join → bucket-pruned merge write); table build, JVM boot, and
 an untimed same-JVM warmup sync excluded."""
+    elif stage == "mor":
+        job_desc = f"""the same merge-on-read incremental apply —
+one base table built ONCE from a {n:,}-event change log, then an
+identical fresh {n // 16:,}-event batch (same keyspace, LSNs beyond the
+watermark) applied as merge-on-read deltas to a pristine COPY of the
+base per run"""
+        timed_desc = """Timed window = apply_batch only
+(LWW dedup -> column-pruned audit probe of the touched buckets
+(streamed broadcast semi-join) -> delta + delete-tombstone writes ->
+atomic commit); the per-run table copy, JVM boot, and an untimed
+same-JVM warmup apply on a scratch copy excluded."""
     elif stage == "dedup":
         job_desc = f"""the same keyed LWW fold —
 identical pre-generated {n:,}-event change log, columns pruned to
