@@ -335,3 +335,69 @@ def test_registry_maintenance_after_successful_sweep(spark, tmp_path):
     assert not results["x"]["ok"]
     assert "maintenance" not in results["x"]
     assert len(LakeTable.load(str(tmp_path / "t2")).snapshots()) > 1
+
+
+def test_registry_write_mode_and_delete_guard(spark, tmp_path):
+    """Entries carry write_mode='mor' and max_delete_fraction: the sweep
+    applies through merge-on-read deltas, and a truncated-upstream log is
+    refused in isolation (the other table still advances)."""
+    from dbimport_spark.lake.table import LakeTable
+
+    # healthy table, mor mode
+    log = generate_changes(spark, 1200, n_keys=80, seed=51)
+    write_changes(log, str(tmp_path / "log-m"), 4)
+    CDCEngine.create_table(str(tmp_path / "t-m"), num_buckets=4)
+
+    # guarded table whose log ends in a mass delete
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType(), False),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+            T.StructField("n_tok", T.IntegerType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    keys = [f"g{i}" for i in range(10)]
+    inserts = [(i + 1, "I", k, [1], 1, "s") for i, k in enumerate(keys)]
+    spark.createDataFrame(inserts, schema).write.parquet(str(tmp_path / "log-g"))
+    CDCEngine.create_table(str(tmp_path / "t-g"), num_buckets=4)
+
+    reg = TableRegistry(str(tmp_path / "reg.json"))
+    reg.add(
+        TableEntry(
+            name="m", table_root=str(tmp_path / "t-m"),
+            log_path=str(tmp_path / "log-m"), write_mode="mor", batches=3,
+        )
+    )
+    reg.add(
+        TableEntry(
+            name="g", table_root=str(tmp_path / "t-g"),
+            log_path=str(tmp_path / "log-g"), max_delete_fraction=0.5,
+            batches=1,
+        )
+    )
+    res = replay_all(spark, reg)
+    assert res["m"]["ok"] and res["g"]["ok"], res
+    tm = LakeTable.load(str(tmp_path / "t-m"))
+    assert any(f.kind == "delta" for f in tm.current().files)
+    rec = reconcile(tm.read(spark), fold_expected(log), PAYLOAD_COLUMNS)
+    assert rec["converged"], rec
+
+    # upstream truncation arrives as a new log segment: 9/10 keys deleted
+    deletes = [
+        (50 + i, "D", k, None, None, None) for i, k in enumerate(keys[:9])
+    ]
+    spark.createDataFrame(deletes, schema).write.mode("append").parquet(
+        str(tmp_path / "log-g")
+    )
+    res2 = replay_all(spark, reg)
+    assert res2["m"]["ok"]  # the healthy table is unaffected
+    assert not res2["g"]["ok"]
+    assert "refusing to publish" in res2["g"]["error"]
+    tg = LakeTable.load(str(tmp_path / "t-g"))
+    assert tg.read(spark).count() == 10  # inserts intact, deletes refused
+    assert tg.last_lsn() == 10  # watermark never moved past the insert load

@@ -641,3 +641,43 @@ def test_stream_on_batch_applied_syncs_derived_targets(spark, tmp_path):
     assert all(not b.skipped for b in synced)
     assert verify_view(spark, table, view_t, spec)["converged"]
     assert view_t.last_lsn() == table.current().version
+
+
+def test_stream_mor_mode_converges(spark, tmp_path):
+    """Micro-batches landed as merge-on-read deltas (the --write-mode mor
+    stream path): the stream converges to the batch fold, the bootstrap
+    segment lands as base, later segments append deltas, and a mid-stream
+    compaction-equivalent read reconciles identically."""
+    log_dir = str(tmp_path / "logm")
+    changes = generate_changes(spark, 2000, n_keys=120, seed=23)
+    write_changes_segments(changes, log_dir, n_segments=5)
+
+    root = str(tmp_path / "tm")
+    table = CDCEngine.create_table(root, num_buckets=8)
+    eng = CDCEngine(spark, table, write_mode="mor")
+    q = run_stream(
+        eng,
+        stream_changes(spark, log_dir, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "sckm"),
+    )
+    q.awaitTermination(300)
+
+    kinds = {f.kind for f in table.current().files}
+    assert "delta" in kinds, kinds  # steady-state micro-batches were MOR
+    got = as_tuple_set(
+        [r.asDict() for r in table.read(spark).collect()], PAYLOAD_COLUMNS
+    )
+    expected = lww_fold(
+        [r.asDict() for r in spark.read.parquet(log_dir).collect()]
+    )
+    assert got == as_tuple_set(list(expected.values()), PAYLOAD_COLUMNS)
+    assert table.last_lsn() == 2000
+
+    # folding the deltas preserves the streamed state exactly
+    from dbimport_spark.lake.maintenance import compact
+
+    compact(spark, table, max_files_per_bucket=0)
+    post = as_tuple_set(
+        [r.asDict() for r in table.read(spark).collect()], PAYLOAD_COLUMNS
+    )
+    assert post == got
