@@ -311,11 +311,29 @@ def purge_tombstones(
     purgeable = (F.col(AUDIT_IUD) == "D") & (
         F.col(AUDIT_DELETE) <= F.lit(cutoff)
     )
-    # bucket census: one metadata-sized agg finds the buckets to rewrite
+    # bucket census in two stages: metadata first (per-file dl_delete_ts
+    # stats — a file whose tombstone column is provably all-null, or whose
+    # oldest tombstone is younger than the cutoff, can't hold a purgeable
+    # row), then one exact data-side agg over only the candidate buckets.
+    # A churn-heavy table purging on schedule scans its recently-dead
+    # buckets, never the whole table.
+    from dbimport_spark.lake.table import ts_micros
+
     bexpr = table.bucket_expr(
         key_col=snap.bucket_column, num_buckets=snap.num_buckets
     )
-    df = table.read(spark)
+    candidates = table.buckets_stat_min_le(AUDIT_DELETE, ts_micros(cutoff))
+    n_all = len({f.bucket for f in snap.files})
+    if len(candidates) < n_all:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "purge_tombstones: stats pruned %d/%d buckets from the census",
+            n_all - len(candidates), n_all,
+        )
+    if not candidates:
+        return {"purged_buckets": 0, "purged_rows": 0}
+    df = table.read(spark, buckets=candidates)
     todo = sorted(
         r["b"]
         for r in df.filter(purgeable).select(bexpr.alias("b")).distinct().collect()

@@ -109,9 +109,15 @@ def ts_micros(dt) -> int:
 def footer_stats(pf, cols: list[str]) -> dict | None:
     """Fold per-row-group parquet min/max into one [min, max] per column,
     RAW physical values only (ints/floats; timestamps are int64 UTC
-    micros under the session's TIMESTAMP_MICROS writer). A column with
-    any row group missing stats — INT96 legacy files, all-null groups,
-    binary types — is omitted: absent means unprunable, never wrong."""
+    micros under the session's TIMESTAMP_MICROS writer).
+
+    An ALL-NULL column (every row group's null_count == its num_values)
+    is recorded as ``[None, None]`` — a proof the file holds NO value at
+    all for the column (e.g. a data file with zero soft-delete
+    tombstones), which pruning helpers may treat as vacuously outside any
+    range. A column with any row group whose stats are missing yet not
+    provably all-null — INT96 legacy files, binary types — is omitted:
+    absent means unprunable, never wrong."""
     md = pf.metadata
     if md.num_row_groups == 0:
         return None
@@ -125,7 +131,14 @@ def footer_stats(pf, cols: list[str]) -> dict | None:
         mn = mx = None
         ok = True
         for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(i).statistics
+            col = md.row_group(rg).column(i)
+            st = col.statistics
+            if (
+                st is not None
+                and st.null_count is not None
+                and st.null_count == col.num_values
+            ):
+                continue  # this group is all-null: contributes no values
             if st is None or not st.has_min_max:
                 ok = False
                 break
@@ -135,7 +148,7 @@ def footer_stats(pf, cols: list[str]) -> dict | None:
                 break
             mn = lo if mn is None else min(mn, lo)
             mx = hi if mx is None else max(mx, hi)
-        if ok and mn is not None:
+        if ok:
             out[c] = [mn, mx]
     return out or None
 
@@ -324,7 +337,27 @@ class LakeTable:
         out = set()
         for f in snap.files:
             st = (f.stats or {}).get(col)
-            if st is None or st[1] > threshold:
+            if st is None:
+                out.add(f.bucket)  # unknown: conservative
+            elif st[1] is not None and st[1] > threshold:
+                out.add(f.bucket)
+            # [None, None] = provably all-null: no value can exceed
+        return sorted(out)
+
+    def buckets_stat_min_le(
+        self, col: str, threshold, version: int | None = None
+    ) -> list[int]:
+        """Mirror of ``buckets_stat_max_gt`` for lower bounds: buckets that
+        MAY hold rows with ``col`` <= ``threshold``. Files without the
+        stat keep their bucket; files whose column is provably all-null
+        ([None, None]) contribute no values and never keep one."""
+        snap = self.current() if version is None else self.snapshot(version)
+        out = set()
+        for f in snap.files:
+            st = (f.stats or {}).get(col)
+            if st is None:
+                out.add(f.bucket)
+            elif st[0] is not None and st[0] <= threshold:
                 out.add(f.bucket)
         return sorted(out)
 
@@ -504,14 +537,16 @@ class LakeTable:
 
         import pyarrow.parquet as pq
 
-        from dbimport_spark.schema import AUDIT_LSN, AUDIT_UPDATE
+        from dbimport_spark.schema import AUDIT_DELETE, AUDIT_LSN, AUDIT_UPDATE
 
         # column stats recorded per file from the same footer read that
-        # counts rows: the audit watermark columns always, plus any table-
+        # counts rows: the audit watermark columns always (dl_delete_ts
+        # included — its all-null marker is the proof a file holds zero
+        # tombstones, which prunes the purge census), plus any table-
         # declared payload columns ('stat_columns' property). Names are the
         # file's PHYSICAL names (audit columns are engine-managed and never
         # renamed; declared extras should be too).
-        want_stats = [AUDIT_UPDATE, AUDIT_LSN]
+        want_stats = [AUDIT_UPDATE, AUDIT_LSN, AUDIT_DELETE]
         extra_stats = self.current().properties.get("stat_columns", "")
         want_stats += [c.strip() for c in extra_stats.split(",") if c.strip()]
 

@@ -124,3 +124,60 @@ def test_ts_micros_roundtrip():
     d = datetime(2026, 8, 17, 12, 34, 56, 789012)
     assert ts_micros(d) == ts_micros(d.replace(tzinfo=timezone.utc))
     assert ts_micros(d) % 1_000_000 == 789012
+
+
+def test_all_null_stat_marker_and_min_le(spark, tmp_path):
+    """A file whose stat column is entirely null records [None, None] —
+    vacuously outside every range: max_gt prunes it, min_le never keeps
+    it. A soft table with zero tombstones therefore has a provably-empty
+    purge census from metadata alone."""
+    from dbimport_spark.schema import AUDIT_DELETE
+
+    table = CDCEngine.create_table(
+        str(tmp_path / "t"), num_buckets=4, soft_delete=True
+    )
+    eng = CDCEngine(spark, table)
+    eng.replay(generate_changes(spark, 600, n_keys=50, seed=9, p_insert=1.0,
+                                p_update=0.0), num_batches=1)
+    for f in table.current().files:
+        assert f.stats.get(AUDIT_DELETE) == [None, None], f.path
+    assert table.buckets_stat_min_le(AUDIT_DELETE, 2**62) == []
+    assert table.buckets_stat_max_gt(AUDIT_DELETE, -1) == []
+
+
+def test_purge_census_pruned_by_stats(spark, tmp_path):
+    """purge_tombstones finds its buckets without scanning tombstone-free
+    ones, and still purges exactly the right rows."""
+    from datetime import datetime, timedelta, timezone
+
+    from dbimport_spark.lake.maintenance import purge_tombstones
+    from dbimport_spark.schema import AUDIT_DELETE
+
+    schema = EVENT_SCHEMA
+    table = CDCEngine.create_table(
+        str(tmp_path / "t"), num_buckets=4, soft_delete=True
+    )
+    eng = CDCEngine(spark, table)
+    keys = [f"p{i}" for i in range(12)]
+    ins = spark.createDataFrame(
+        [(i + 1, "I", k, [1], 1, "s") for i, k in enumerate(keys)], schema
+    )
+    eng.apply_batch(ins, 0, 12)
+    dels = spark.createDataFrame(
+        [(20, "D", keys[0], None, None, None)], schema
+    )
+    eng.apply_batch(dels, 12, 20)
+
+    tomb_bucket = table.read(spark).filter(
+        F.col("doc_id") == keys[0]
+    ).select(table.bucket_expr().alias("b")).first()[0]
+    future = datetime.now(timezone.utc) + timedelta(days=1)
+    assert table.buckets_stat_min_le(AUDIT_DELETE, ts_micros(future)) == [
+        tomb_bucket
+    ]
+    res = purge_tombstones(spark, table, future.replace(tzinfo=None).isoformat())
+    assert res["purged_buckets"] == 1 and res["purged_rows"] == 1
+    assert table.read(spark).count() == 11
+    # nothing left: the census is empty from metadata alone
+    res2 = purge_tombstones(spark, table, future.replace(tzinfo=None).isoformat())
+    assert res2 == {"purged_buckets": 0, "purged_rows": 0}
