@@ -361,6 +361,65 @@ class LakeTable:
                 out.add(f.bucket)
         return sorted(out)
 
+    def read_where(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Range read ``lo <= col <= hi`` (either bound optional) with
+        file-level stat pruning: files whose recorded [min, max] for
+        ``col`` (``stat_columns`` table property / audit stats) cannot
+        intersect the range are skipped from metadata alone; the exact
+        filter still runs on the survivors — pruning is an optimization,
+        never the correctness boundary.
+
+        For NUMERIC columns (their raw parquet stat domain equals the
+        native value domain, so one pair of bounds serves both the prune
+        and the filter). Timestamp watermark scans go through the
+        exporter's dedicated pruning instead (raw-micros domain).
+        Merge-on-read buckets degrade to
+        bucket granularity: a bucket holding delta/delete files is kept
+        whole whenever ANY of its files may match (reconciliation needs
+        the full bucket). Pairs with the 'sort_order' property: sorted
+        files have tight, non-overlapping stats, so a selective range
+        keeps only the files that genuinely hold it."""
+        snap = self.current() if version is None else self.snapshot(version)
+
+        def may_match(f: DataFile) -> bool:
+            st = (f.stats or {}).get(col)
+            if st is None:
+                return True  # unknown: conservative
+            if st[0] is None:  # provably all-null: no value in any range
+                return False
+            if lo is not None and st[1] < lo:
+                return False
+            if hi is not None and st[0] > hi:
+                return False
+            return True
+
+        mor_buckets = {f.bucket for f in snap.files if f.kind != "base"}
+        keep_buckets = {
+            f.bucket
+            for f in snap.files
+            if f.bucket in mor_buckets and may_match(f)
+        }
+        files = [
+            f
+            for f in snap.files
+            if (f.bucket in keep_buckets)
+            or (f.bucket not in mor_buckets and may_match(f))
+        ]
+        df = self.read_files_reconciled(spark, snap, files)
+        expr = F.lit(True)
+        if lo is not None:
+            expr = expr & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            expr = expr & (F.col(col) <= F.lit(hi))
+        return df.filter(expr)
+
     def read(
         self,
         spark: SparkSession,
@@ -526,10 +585,25 @@ class LakeTable:
         out_dir = os.path.join(self.root, "data", version_dir)
         epoch = len(self.current().renames)
         t0 = time.time()
+        out = df.withColumn("bucket", F.col(bucket_col)).drop(bucket_col)
+        # declared sort order (Iceberg SORTED BY analogue, table property
+        # 'sort_order'): every data file is written sorted by these
+        # columns WITHIN its bucket — a task-local sort, no shuffle. Rows
+        # clustered on the sort key give tight parquet row-group min/max,
+        # so range predicates prune row groups at scan time (Spark's
+        # pushed filters) and file-level stats ('stat_columns') prune
+        # whole files via read_where; sorted data also dictionary/RLE
+        # compresses better. Columns absent from this write (e.g.
+        # key-only delete files) are skipped.
+        sort_cols = [
+            c.strip()
+            for c in self.current().properties.get("sort_order", "").split(",")
+            if c.strip() and c.strip() in out.columns
+        ]
+        if sort_cols:
+            out = out.sortWithinPartitions("bucket", *sort_cols)
         (
-            df.withColumn("bucket", F.col(bucket_col))
-            .drop(bucket_col)
-            .write.partitionBy("bucket")
+            out.write.partitionBy("bucket")
             .mode("overwrite")
             .parquet(out_dir)
         )
