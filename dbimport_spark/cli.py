@@ -40,6 +40,17 @@ def main(argv: list[str] | None = None) -> int:
         "--soft-delete",
     )
     sp.add_argument("--history", default=None, help="also create a history-audit table at this path")
+    sp.add_argument(
+        "--sort-order", default=None, metavar="COLS",
+        help="comma-separated columns every data file is sorted by within "
+        "its bucket (Iceberg SORTED BY analogue): tight row-group/file "
+        "stats for range pruning, better compression",
+    )
+    sp.add_argument(
+        "--stat-columns", default=None, metavar="COLS",
+        help="extra payload columns to record per-file min/max stats for "
+        "(audit watermark columns are always recorded)",
+    )
 
     sp = sub.add_parser("replay")
     sp.add_argument("table_root")
@@ -531,10 +542,17 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("WARN")
 
     if args.cmd == "init":
-        CDCEngine.create_table(
+        t = CDCEngine.create_table(
             args.table_root, num_buckets=args.buckets,
             soft_delete=args.soft_delete, track_lsn=args.track_lsn
         )
+        layout_props = {}
+        if args.sort_order:
+            layout_props["sort_order"] = args.sort_order
+        if args.stat_columns:
+            layout_props["stat_columns"] = args.stat_columns
+        if layout_props:
+            t.commit([], set(), properties=layout_props)
         if args.history:
             CDCEngine.create_history_table(args.history, num_buckets=args.buckets)
         print(
