@@ -354,3 +354,67 @@ def test_fsck_mor_findings(spark, tmp_path):
         json.dump(meta, fh)
     errs = [f for f in check_table(t) if f["level"] == "error"]
     assert any(f["check"] == "mor" for f in errs)
+
+
+def test_derived_targets_over_mor_source(spark, tmp_path):
+    """A mirror and a materialized view following a MERGE-ON-READ source
+    through the change feed converge exactly — the write mode is invisible
+    to every CDF consumer — including across a compaction fold."""
+    from dbimport_spark.plans.matview import AggSpec, create_view, sync_view
+    from dbimport_spark.plans.mirror import sync_mirror
+
+    src = _engine(spark, tmp_path, "dsrc", write_mode="mor")
+    mir_t = CDCEngine.create_table(str(tmp_path / "dmir"), num_buckets=4)
+    mir = CDCEngine(spark, mir_t)
+    spec = AggSpec(group_cols=["source"], sum_cols=["n_tok"])
+    view = CDCEngine(
+        spark, create_view(str(tmp_path / "dview"), src.table, spec,
+                           num_buckets=4)
+    )
+    log = generate_changes(spark, 2500, n_keys=150, seed=61)
+
+    def check():
+        assert _state(spark, mir.table) == _state(spark, src.table)
+        got = {
+            (r.source, r.sum_n_tok)
+            for r in view.table.read(spark).collect()
+        }
+        want = {
+            (r.source, r.sum_n_tok)
+            for r in src.table.read(spark)
+            .groupBy("source")
+            .agg(F.sum("n_tok").alias("sum_n_tok"))
+            .collect()
+        }
+        assert got == want
+
+    src.replay(log.filter(F.col("lsn") <= 1200), num_batches=2)
+    sync_mirror(spark, src.table, mir)
+    sync_view(spark, src.table, view, spec)
+    check()
+
+    # steady-state MOR windows, then a rewrite-only fold between syncs
+    src.replay(log.filter(F.col("lsn") <= 1800), num_batches=1)
+    compact(spark, src.table, max_files_per_bucket=0)
+    src.replay(log, num_batches=1)
+    sync_mirror(spark, src.table, mir)
+    sync_view(spark, src.table, view, spec)
+    check()
+
+
+def test_rebucket_folds_live_deltas(spark, tmp_path):
+    """Partition evolution over a table holding un-compacted MOR deltas:
+    the rewrite reads reconciled state, lands pure base under the new
+    modulus, and the content is preserved exactly."""
+    from dbimport_spark.lake.maintenance import rebucket
+
+    log = generate_changes(spark, 2000, n_keys=120, seed=62)
+    eng = _engine(spark, tmp_path, "rb", write_mode="mor")
+    eng.replay(log, num_batches=4)
+    assert any(f.kind != "base" for f in eng.table.current().files)
+    before = _state(spark, eng.table)
+    rebucket(spark, eng.table, 16)
+    snap = eng.table.current()
+    assert snap.num_buckets == 16
+    assert all(f.kind == "base" for f in snap.files)
+    assert _state(spark, eng.table) == before
