@@ -418,3 +418,27 @@ def test_rebucket_folds_live_deltas(spark, tmp_path):
     assert snap.num_buckets == 16
     assert all(f.kind == "base" for f in snap.files)
     assert _state(spark, eng.table) == before
+
+
+def test_mor_history_audit_parity(spark, tmp_path):
+    """The history-audit stream (I/U/D row images) produced by a
+    merge-on-read replay is row-identical to the CoW replay's — including
+    the deterministic dl_hist_ts (derived from event commit_ts) and
+    delete pre-images enriched from the reconciled table state."""
+    log = generate_changes(spark, 2500, n_keys=120, seed=71)
+
+    def run(name, mode):
+        root = str(tmp_path / name)
+        table = CDCEngine.create_table(root, num_buckets=8)
+        hist = CDCEngine.create_history_table(f"{root}-h", num_buckets=4)
+        eng = CDCEngine(
+            spark, table, checkpoint_dir=f"{root}/_ckpt",
+            history_table=hist, write_mode=mode,
+        )
+        eng.replay(log, num_batches=4)
+        cols = COLS + ["op", "lsn", "dl_hist_ts"]
+        return as_tuple_set(
+            [r.asDict() for r in hist.read(spark).collect()], cols
+        )
+
+    assert run("hc", "cow") == run("hm", "mor")
