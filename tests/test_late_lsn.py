@@ -210,3 +210,32 @@ def test_apply_late_refuses_null_merge_keys(spark, tmp_path):
         eng.apply_late(late)
     # nothing committed, no null-key junk
     assert table.read(spark).filter("doc_id IS NULL").count() == 0
+
+
+def test_apply_late_on_mor_table(spark, tmp_path):
+    """Late events against a table whose in-order windows landed as
+    merge-on-read deltas: the gate reads the RECONCILED dl_lsn (delta
+    rows supersede base), so a late event loses to a newer delta row and
+    wins against keys only the withheld window carries. The late merge
+    itself rewrites its touched buckets (dropping their deltas into the
+    rewrite) — state converges to the full fold."""
+    table = CDCEngine.create_table(
+        str(tmp_path / "tm"), num_buckets=8, soft_delete=True, track_lsn=True
+    )
+    eng = CDCEngine(spark, table, write_mode="mor")
+    early = generate_changes(spark, 500, n_keys=80, seed=31)
+    rest = generate_changes(spark, 500, n_keys=50, seed=32, first_lsn=501)
+    changes = early.unionByName(rest, allowMissingColumns=True)
+    eng.replay(rest, num_batches=3)  # batch 1 base, later batches deltas
+    assert any(f.kind != "base" for f in table.current().files)
+
+    stats = eng.apply_late(early)
+    assert stats.mode == "late_merge"
+    got = as_tuple_set(
+        [r.asDict() for r in _live(table, spark).collect()], PAYLOAD_COLUMNS
+    )
+    expected = lww_fold([r.asDict() for r in changes.collect()])
+    assert got == as_tuple_set(list(expected.values()), PAYLOAD_COLUMNS)
+    # idempotent re-delivery still holds over the mixed base+delta layout
+    again = eng.apply_late(early)
+    assert again.skipped
