@@ -188,6 +188,20 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--buckets", type=int, required=True)
 
     sp = sub.add_parser(
+        "pin",
+        help="retention pins (Iceberg refs analogue): expire_snapshots "
+        "keeps every version at or above the oldest pin, so a lagging "
+        "change-feed follower never loses its delta base; mirror/matview/"
+        "cdc-export syncs advance their pins automatically when given a "
+        "pin name",
+    )
+    sp.add_argument("table_root")
+    sp.add_argument("--set", nargs=2, metavar=("NAME", "VERSION"),
+                    default=None, help="create or advance a pin")
+    sp.add_argument("--remove", metavar="NAME", default=None,
+                    help="delete a pin (e.g. its follower was retired)")
+
+    sp = sub.add_parser(
         "schema-diff",
         help="DRY-RUN evolution planner: the adds/widenings/comment "
         "changes (or refusals: incompatible types, suspected renames, "
@@ -488,6 +502,18 @@ def main(argv: list[str] | None = None) -> int:
         findings = check_table(LakeTable(args.table_root))
         print(json.dumps({"findings": findings, "clean": not findings}))
         return 1 if any(f["level"] == "error" for f in findings) else 0
+    if args.cmd == "pin":
+        # metadata-only: no Spark session needed
+        table = LakeTable.load(args.table_root)
+        if args.set:
+            name, version = args.set[0], int(args.set[1])
+            table.set_pin(name, version)
+        if args.remove:
+            if not table.delete_pin(args.remove):
+                print(json.dumps({"error": f"no pin named {args.remove!r}"}))
+                return 1
+        print(json.dumps({"pins": table.pins()}))
+        return 0
     if args.cmd == "tables":
         # registry is plain config: no Spark session needed
         from dataclasses import asdict

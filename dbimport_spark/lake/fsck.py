@@ -115,6 +115,27 @@ def check_table(table: LakeTable) -> list[dict]:
                 f"v{s.version - 1}",
             )
 
+    # -- retention pins ---------------------------------------------------------
+    # a pin naming an expired version protects nothing (the follower it
+    # belongs to will be forced through on_gap='full'); a pin far behind
+    # current silently inflates retention — both deserve an operator's eye
+    retained = {s.version for s in snaps}
+    for name, v in sorted(table.pins().items()):
+        if v not in retained:
+            warn(
+                "pins",
+                f"pin {name!r} names version {v}, which is not retained — "
+                "the pin is ineffective; its follower must full-reconcile "
+                "(delete the pin if the follower is gone)",
+            )
+        elif cur.version - v > 100:
+            warn(
+                "pins",
+                f"pin {name!r} lags current by {cur.version - v} versions "
+                f"(v{v} vs v{cur.version}) — expiry keeps everything above "
+                "it; check that its follower is still alive",
+            )
+
     # -- merge-on-read file kinds ----------------------------------------------
     # seq is the LWW order across delta commits: a non-base file whose seq
     # is missing or from the future reconciles in the wrong order (silent

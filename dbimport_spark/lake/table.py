@@ -764,7 +764,13 @@ class LakeTable:
         for v in range(lo + 1, hi + 1):
             if v not in have:
                 return False
-            if self.snapshot(v).properties.get("rewrite_only") != "true":
+            props = self.snapshot(v).properties
+            if props.get("rewrite_only") != "true":
+                return False
+            # a declared reload is NEVER state-equal to its parent even if
+            # a marker leaked onto it — rebasing stale pre-reload files
+            # over an emptied table would resurrect dropped state
+            if props.get("reload") == "true":
                 return False
         return True
 
@@ -874,6 +880,12 @@ class LakeTable:
             )
         props = dict(cur.properties)
         props.pop("last_merge_ts", None)
+        # boundary markers are single-commit facts — inheriting
+        # rewrite_only from a parent compaction/rebucket would make the
+        # reload look state-equal to consumers (change feed, commit
+        # rebase), silently losing the reload boundary
+        props.pop("rewrite_only", None)
+        props.pop("rebucket", None)
         props["last_lsn"] = "-1"
         # explicit boundary marker: auditors (fsck) must not flag the
         # watermark/merge_ts reset across a declared reload as corruption
@@ -926,8 +938,13 @@ class LakeTable:
                 )
             ),
             files=cur.files,
+            # boundary markers (reload / rewrite_only / rebucket) describe
+            # the PARENT commit only — a rename is its own commit type and
+            # must not look like a reload boundary or a layout-only rewrite
             properties={
-                k: v for k, v in cur.properties.items() if k != "reload"
+                k: v
+                for k, v in cur.properties.items()
+                if k not in ("reload", "rewrite_only", "rebucket")
             },
             lineage=[],
             renames=cur.renames + [{"from": old, "to": new}],
@@ -952,6 +969,66 @@ class LakeTable:
         os.replace(tmp, self._hint_path)
         Catalog._fsync_dir(self._meta_dir)
 
+    # -- retention pins (Iceberg refs/branches analogue) ----------------------
+
+    _PIN_NAME_RE = r"^[A-Za-z0-9][A-Za-z0-9._:-]*$"
+
+    @property
+    def _pins_dir(self) -> str:
+        return os.path.join(self._meta_dir, "pins")
+
+    def pins(self) -> dict[str, int]:
+        """Named retention pins: ``{name: version}``. ``expire_snapshots``
+        keeps every version >= the oldest pin (metadata AND data files),
+        so a lagging change-feed follower — a mirror, matview, CDC export,
+        or external stream — never loses its delta base to maintenance and
+        is never forced through an ``on_gap='full'`` reconcile. The
+        Iceberg ref/branch analogue, scoped to what the CDF needs."""
+        if not os.path.isdir(self._pins_dir):
+            return {}
+        out: dict[str, int] = {}
+        for name in os.listdir(self._pins_dir):
+            if not name.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(self._pins_dir, name)) as fh:
+                    out[name[:-5]] = int(json.load(fh)["version"])
+            except (ValueError, KeyError, json.JSONDecodeError):
+                continue  # torn write: fsck reports it, expiry ignores it
+        return out
+
+    def set_pin(self, name: str, version: int) -> None:
+        """Create or advance a named pin. The version must be a retained
+        snapshot (pinning an already-expired version is unenforceable —
+        its files are gone). Last-writer-wins per name: the follower that
+        owns a pin advances it after each successful sync."""
+        import re
+
+        if not re.match(self._PIN_NAME_RE, name):
+            raise ValueError(
+                f"invalid pin name {name!r} (want {self._PIN_NAME_RE})"
+            )
+        if version not in self.snapshots():
+            raise ValueError(
+                f"cannot pin version {version}: not a retained snapshot "
+                f"(retained: {self.snapshots()})"
+            )
+        os.makedirs(self._pins_dir, exist_ok=True)
+        path = os.path.join(self._pins_dir, f"{name}.json")
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "updated_unix": time.time()}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+
+    def delete_pin(self, name: str) -> bool:
+        try:
+            os.unlink(os.path.join(self._pins_dir, f"{name}.json"))
+            return True
+        except FileNotFoundError:
+            return False
+
     # -- maintenance ---------------------------------------------------------
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
@@ -959,9 +1036,30 @@ class LakeTable:
 
         Analogue of Iceberg ``expire_snapshots`` + ``remove_orphan_files``
         as the reference calls them (import_operations.py:1513-1535).
+
+        Retention pins (``set_pin``) override ``keep_last``: every version
+        at or above the OLDEST pin is kept — intermediates included, so a
+        pinned follower's window keeps its full marker chain (reload /
+        rewrite_only detection stays metadata-complete, not just the two
+        endpoint snapshots). Extra retention is logged, never silent.
         """
         versions = self.snapshots()
         keep = set(versions[-keep_last:])
+        pins = self.pins()
+        if pins:
+            floor = min(pins.values())
+            protected = {v for v in versions if v >= floor}
+            extra = protected - keep
+            if extra:
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "expire_snapshots: keeping %d extra snapshot(s) "
+                    "(>= v%d) for retention pin(s) %s",
+                    len(extra), floor,
+                    {k: v for k, v in sorted(pins.items())},
+                )
+            keep |= protected
         live: set[str] = set()
         for v in keep:
             live.update(f.path for f in self.snapshot(v).files)

@@ -69,6 +69,7 @@ class CDCJdbcExporter:
         stage_table: str | None = None,
         state_store=None,
         key_varchar_len: int = 255,
+        pin_name: str | None = None,
     ):
         from dbimport_spark.lake.statestore import DEFAULT_STORE
 
@@ -85,6 +86,10 @@ class CDCJdbcExporter:
         # staging merge's key match. Non-key strings (token JSON) keep
         # the dialect default, which may exceed any VARCHAR cap.
         self.key_varchar_len = key_varchar_len
+        # retention pin advanced on the source after each committed window
+        # (LakeTable.set_pin): keeps this export's delta base from being
+        # expired, like the mirror's pin
+        self.pin_name = pin_name
         bc = source.current().bucket_column
         self.keys = list(bc) if isinstance(bc, list) else [bc]
 
@@ -182,6 +187,9 @@ class CDCJdbcExporter:
         from_v = int(state["last_version"])
         to_v = self.source.current().version
         if to_v <= from_v:
+            from dbimport_spark.plans.mirror import _advance_pin
+
+            _advance_pin(self.source, self.pin_name, min(from_v, to_v))
             return {**state, "skipped": True}
 
         if from_v in self.source.snapshots():
@@ -230,6 +238,9 @@ class CDCJdbcExporter:
             "skipped": False,
         }
         self._save_state(state)
+        from dbimport_spark.plans.mirror import _advance_pin
+
+        _advance_pin(self.source, self.pin_name, to_v)
         return state
 
     def _full_reconcile_feed(self, spark: SparkSession) -> DataFrame:

@@ -238,6 +238,28 @@ def sync_view(
     view_engine: CDCEngine,
     spec: AggSpec,
     on_gap: str = "error",
+    pin_name: str | None = None,
+) -> BatchStats:
+    """Advance the view to the source's current version (see
+    ``_sync_view_impl`` for semantics). ``pin_name``: advance a retention
+    pin on the SOURCE to the view's synced version afterwards —
+    ``expire_snapshots`` then keeps this view's delta base alive, so a
+    lagging view is never forced through the ``on_gap='full'`` rebuild.
+    Best-effort, exactly like the mirror's pin."""
+    bs = _sync_view_impl(spark, source, view_engine, spec, on_gap)
+    if pin_name is not None:
+        from dbimport_spark.plans.mirror import _advance_pin
+
+        _advance_pin(source, pin_name, max(view_engine.table.last_lsn(), 0))
+    return bs
+
+
+def _sync_view_impl(
+    spark: SparkSession,
+    source: LakeTable,
+    view_engine: CDCEngine,
+    spec: AggSpec,
+    on_gap: str = "error",
 ) -> BatchStats:
     """Advance the view to the source's current version. Idempotent.
 

@@ -66,6 +66,7 @@ def sync_mirror(
     source: LakeTable,
     mirror_engine: CDCEngine,
     on_gap: str = "error",
+    pin_name: str | None = None,
 ) -> BatchStats:
     """Advance the mirror to the source's current version. Idempotent.
 
@@ -76,16 +77,26 @@ def sync_mirror(
     mirror keys the source no longer has. The fallback scans both tables
     once (unavoidable: the metadata that scoped the delta is deleted)
     but still applies through the same exactly-once merge.
+
+    ``pin_name``: advance a retention pin (``LakeTable.set_pin``) on the
+    SOURCE to the synced version after each sync — the source's
+    ``expire_snapshots`` then keeps this mirror's delta base alive, so a
+    mirror that lags behind the maintenance schedule is never forced
+    through the ``on_gap='full'`` scan. Pin advancement is best-effort
+    (a racing expiry may still win once; the fallback path remains).
     """
     from_v = source_version_mirrored(mirror_engine)
     to_v = source.current().version
     if to_v <= from_v:
+        _advance_pin(source, pin_name, min(from_v, to_v))
         return BatchStats(lo=from_v, hi=to_v, skipped=True)
 
     if from_v in source.snapshots():
         feed = table_changes(spark, source, from_v, to_v)
         events = feed_to_change_events(feed, to_v)
-        return mirror_engine.apply_batch(events, from_v, to_v)
+        bs = mirror_engine.apply_batch(events, from_v, to_v)
+        _advance_pin(source, pin_name, to_v)
+        return bs
 
     if on_gap != "full":
         raise ValueError(
@@ -137,9 +148,26 @@ def sync_mirror(
             for c in payload
         ],
     )
-    return mirror_engine.apply_batch(
-        upserts.unionByName(deletes), from_v, to_v
-    )
+    bs = mirror_engine.apply_batch(upserts.unionByName(deletes), from_v, to_v)
+    _advance_pin(source, pin_name, to_v)
+    return bs
+
+
+def _advance_pin(source: LakeTable, pin_name: str | None, version: int) -> None:
+    """Best-effort retention-pin advancement on the source (see
+    ``LakeTable.set_pin``): never fails the sync that already committed —
+    a pin miss only means the next expiry may cost a full reconcile."""
+    if pin_name is None or version < 0:
+        return
+    try:
+        source.set_pin(pin_name, version)
+    except (ValueError, OSError) as exc:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "could not advance retention pin %r to v%d on %s: %s",
+            pin_name, version, source.root, exc,
+        )
 
 
 def follow_mirror(

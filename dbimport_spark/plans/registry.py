@@ -341,6 +341,21 @@ def _run_maintenance(
     result["maintenance"] = rec
 
 
+def _pin_name(kind: str, root: str) -> str:
+    """Deterministic retention-pin name for a derived target: readable
+    basename plus a short hash of the full root (two targets sharing a
+    basename must not share a pin)."""
+    import hashlib
+    import os
+
+    h = hashlib.md5(root.encode()).hexdigest()[:6]
+    base = "".join(
+        ch if ch.isalnum() or ch in "._-" else "_"
+        for ch in os.path.basename(root.rstrip("/")) or "t"
+    )
+    return f"{kind}:{base}-{h}"
+
+
 def _sync_derived(
     spark: SparkSession, table, e: TableEntry, result: dict
 ) -> None:
@@ -360,7 +375,8 @@ def _sync_derived(
             from dbimport_spark.plans.mirror import sync_mirror
 
             bs = sync_mirror(
-                spark, table, CDCEngine(spark, LakeTable.load(e.mirror_root))
+                spark, table, CDCEngine(spark, LakeTable.load(e.mirror_root)),
+                pin_name=_pin_name("mirror", e.mirror_root),
             )
             result["mirror"] = {"ok": True, "skipped": bs.skipped,
                                 "events": bs.events}
@@ -386,6 +402,7 @@ def _sync_derived(
                     table,
                     CDCEngine(spark, LakeTable.load(v["root"])),
                     spec,
+                    pin_name=_pin_name("view", v["root"]),
                 )
                 out.append({"root": v["root"], "ok": True,
                             "skipped": bs.skipped, "groups": bs.events})

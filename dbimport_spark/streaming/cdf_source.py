@@ -389,6 +389,11 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         return LakeTable.load(self._root)
 
     def initialOffset(self) -> dict:
+        # a fresh start's first window is rate-capped from here — without
+        # this the cap only binds from the SECOND batch, letting the
+        # bootstrap batch swallow the whole backlog (restarts are capped
+        # via partitions(), which re-informs _last_end from the WAL)
+        self._last_end = self._starting
         return {"version": self._starting}
 
     def latestOffset(self) -> dict:

@@ -174,8 +174,14 @@ def test_reader_offsets_and_rate_cap(spark, tmp_path):
         {"path": str(tmp_path / "t"), "maxversionsperbatch": "1"}, schema
     )
     assert r.initialOffset() == {"version": 0}
-    first = r.latestOffset()["version"]  # no position yet: full backlog
-    assert first == cur
+    # the cap binds from the starting position too — a fresh stream's
+    # bootstrap batch (the largest backlog it will ever face) must not
+    # swallow the whole history in one micro-batch
+    assert r.latestOffset()["version"] == 1
+    assert r.latestOffset()["version"] == 2  # advances cap-by-cap
+    for _ in range(5):
+        r.latestOffset()
+    assert r.latestOffset()["version"] == cur  # clamped at current
     r.commit({"version": 1})
     r2 = LakeCDFStreamReader(
         {"path": str(tmp_path / "t"), "maxversionsperbatch": "1"}, schema

@@ -100,3 +100,32 @@ def test_expired_base_refuses(spark, tmp_path):
     with pytest.raises(CommitConflict, match="expired"):
         t.commit(files, replaced_buckets={f.bucket for f in files},
                  expected_version=base_v)
+
+
+def test_reload_after_rewrite_only_never_rebased(spark, tmp_path):
+    """A declared full reload right after a compaction must NOT inherit the
+    parent's rewrite_only marker: an inherited marker would make the
+    reload window look state-equal, letting a stale pre-reload commit
+    rebase over the emptied table and resurrect dropped rows."""
+    t = _table(spark, tmp_path, "r6")
+    base_v = t.current().version
+    files = _stale_files(spark, t, [("a", 10)])
+    compact(spark, t, max_files_per_bucket=0)  # marks rewrite_only
+    snap = t.reset_for_reload(SCHEMA)
+    # the boundary markers are single-commit facts
+    assert snap.properties.get("reload") == "true"
+    assert "rewrite_only" not in snap.properties
+    with pytest.raises(CommitConflict):
+        t.commit(files, replaced_buckets={f.bucket for f in files},
+                 expected_version=base_v)
+    assert t.read(spark).count() == 0  # the reload boundary held
+
+
+def test_rename_after_rewrite_only_drops_marker(spark, tmp_path):
+    """rename_column is its own commit type: it must not carry forward the
+    parent compaction's rewrite_only (or reload) boundary markers."""
+    t = _table(spark, tmp_path, "r7")
+    compact(spark, t, max_files_per_bucket=0)
+    snap = t.rename_column("v", "val")
+    assert "rewrite_only" not in snap.properties
+    assert "reload" not in snap.properties
