@@ -244,6 +244,26 @@ def main(argv: list[str] | None = None) -> int:
         help="declared column renames the log straddles (repeatable)",
     )
 
+    sp = sub.add_parser(
+        "quarantine",
+        help="dead-letter management: list parked malformed-event windows, "
+        "or drain (re-ingest) them after the rows were corrected out-of-"
+        "band — track_lsn tables merge bounded via apply_late, others "
+        "re-fold log ∪ corrections for exactly the parked keys",
+    )
+    sp.add_argument("table_root")
+    sp.add_argument("--dir", required=True, metavar="QDIR",
+                    help="the quarantine directory the replay wrote to")
+    sp.add_argument("--drain", action="store_true",
+                    help="re-ingest the parked windows (default: list only)")
+    sp.add_argument("--log", default=None, metavar="LOG_PATH",
+                    help="the full log as currently known (required to "
+                    "drain a table without track_lsn)")
+    sp.add_argument(
+        "--rename", action="append", default=[], metavar="OLD=NEW",
+        help="declared column renames the parked rows straddle (repeatable)",
+    )
+
     sp = sub.add_parser("rename", help="metadata-only column rename")
     sp.add_argument("table_root")
     sp.add_argument("old")
@@ -740,6 +760,23 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(out))
         if args.verify and not out["verify"]["converged"]:
             return 1
+    elif args.cmd == "quarantine":
+        table = LakeTable.load(args.table_root)
+        eng = CDCEngine(
+            spark,
+            table,
+            quarantine_dir=args.dir,
+            renames=dict(r.split("=", 1) for r in args.rename),
+        )
+        if not args.drain:
+            print(json.dumps({"parked": eng.list_quarantine()}))
+            return 0
+        changes = (
+            spark.read.option("mergeSchema", "true").parquet(args.log)
+            if args.log
+            else None
+        )
+        print(json.dumps(eng.drain_quarantine(changes=changes)))
     elif args.cmd == "repair":
         table = LakeTable.load(args.table_root)
         eng = CDCEngine(

@@ -420,14 +420,18 @@ class CDCEngine:
 
     # -- dry-run evolution planner -------------------------------------------
 
-    def _bad_event_reason(self):
+    def _bad_event_reason(self, key_exprs: dict | None = None):
         """Nullable reason column: non-null iff the event is malformed
         (null merge key / unknown op / null lsn). Evaluated inside the
         stats agg's bucket expression so the clean path pays one per-row
-        null check, no extra scan."""
+        null check, no extra scan. ``key_exprs`` substitutes the merge-key
+        expressions (the alignment rule's, for evaluating the predicate
+        against the RAW pre-alignment frame)."""
         key_null = F.lit(False)
         for k in self.keys:
-            key_null = key_null | F.col(k).isNull()
+            key_null = key_null | (
+                key_exprs[k] if key_exprs else F.col(k)
+            ).isNull()
         op_bad = ~F.coalesce(F.col("op").isin("I", "U", "D"), F.lit(False))
         lsn_null = F.col("lsn").isNull()
         reasons = F.concat_ws(
@@ -679,12 +683,15 @@ class CDCEngine:
         # batch columns are cast up to the table type
         src_label = snap.properties.get("source_label")
         bschema = {f.name: f for f in batch.schema.fields}
-        aligned_cols = [F.col("lsn"), F.col("op")] + self._align_exprs(
-            new_schema.fields, bschema, src_label
-        )
+        aligned_payload = self._align_exprs(new_schema.fields, bschema, src_label)
+        payload_names = [
+            f.name for f in new_schema.fields if f.name not in AUDIT_COLUMNS
+        ]
+        aligned_cols = [F.col("lsn"), F.col("op")] + aligned_payload
         has_commit_ts = "commit_ts" in bschema
         if has_commit_ts:
             aligned_cols.append(F.col("commit_ts"))
+        batch_raw = batch  # pre-alignment: the quarantine parks THESE rows
         batch = batch.select(*aligned_cols)
 
         # -- one metadata-sized agg: touched buckets + per-bucket lineage ---
@@ -739,9 +746,18 @@ class CDCEngine:
                     "CDCEngine(quarantine_dir=...) to divert them and "
                     "continue, or fix the source."
                 )
+            # park the ORIGINAL rows, not the aligned projection: alignment
+            # drops undeclared columns (e.g. a key riding an undeclared
+            # former name — the most common null_merge_key cause), and a
+            # dead letter that lost that evidence could never be repaired
+            # or drained. The predicate is the SAME rule, evaluated through
+            # the alignment exprs (they are expressions over the raw frame).
+            raw_reason = self._bad_event_reason(
+                key_exprs=dict(zip(payload_names, aligned_payload))
+            )
             (
-                batch.filter(bad_reason.isNotNull())
-                .withColumn("dl_reason", bad_reason)
+                batch_raw.filter(raw_reason.isNotNull())
+                .withColumn("dl_reason", raw_reason)
                 .write.mode("overwrite")
                 .parquet(os.path.join(self.quarantine_dir, f"batch-{lo}-{hi}"))
             )
@@ -1553,6 +1569,139 @@ class CDCEngine:
             out_rows=sum(f.rows for f in new_files),
             out_bytes=sum(f.bytes for f in new_files),
         )
+
+    # -- dead-letter drain ----------------------------------------------------
+
+    def list_quarantine(self) -> list[dict]:
+        """Metadata-sized inventory of parked dead-letter windows:
+        one record per ``batch-<lo>-<hi>`` dir (drained dirs excluded)."""
+        if self.quarantine_dir is None or not os.path.isdir(self.quarantine_dir):
+            return []
+        out = []
+        for name in sorted(os.listdir(self.quarantine_dir)):
+            if not name.startswith("batch-"):
+                continue
+            try:
+                _, lo, hi = name.split("-")
+                out.append({"dir": name, "lo": int(lo), "hi": int(hi)})
+            except ValueError:
+                continue
+        return out
+
+    def drain_quarantine(self, changes: DataFrame | None = None, fix=None) -> dict:
+        """Re-ingest repaired dead-letter events — the missing half of the
+        quarantine (reference parallel: rows parked by a failed validation
+        are re-imported after the source is fixed, the import stage's
+        retry loop).
+
+        Reads every parked ``batch-*`` window (the ORIGINAL rows, all
+        source columns preserved), applies the optional ``fix(df) -> df``
+        correction (the frame carries ``dl_reason``; rows the operator
+        drops stay resolved), and refuses the WHOLE drain — nothing
+        applied, nothing archived — if any surviving row still fails the
+        malformed check after alignment.
+
+        Apply path (the events' LSNs are at or below the committed
+        watermark, so ``apply_batch`` can never take them):
+
+        - ``track_lsn`` soft tables: ``apply_late`` — one bounded
+          bucket-pruned merge, no log rescan;
+        - otherwise: authoritative re-fold via ``repair_keys`` over the
+          full log (``changes``, required here) UNION the corrected
+          events, scoped to exactly the corrected keys. The log is first
+          filtered through the same malformed predicate — it still
+          carries the broken originals, and an original sharing its LSN
+          with its correction would otherwise tie in the LWW fold.
+
+        On success each drained window dir is renamed ``batch-*`` ->
+        ``drained-batch-*`` (kept for audit). Idempotent under crashes:
+        a failure before the rename re-drains — ``apply_late`` re-loses
+        to the now-equal ``dl_lsn`` and the re-fold recomputes the same
+        state.
+        """
+        if self.quarantine_dir is None:
+            raise ValueError("no quarantine_dir configured")
+        parked = self.list_quarantine()
+        if not parked:
+            return {"drained_windows": 0, "events": 0}
+        paths = [
+            os.path.join(self.quarantine_dir, p["dir"]) for p in parked
+        ]
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        if fix is not None:
+            df = fix(df)
+        if "dl_reason" in df.columns:
+            df = df.drop("dl_reason")
+
+        snap = self.table.current()
+        src_label = snap.properties.get("source_label")
+
+        def _raw_reason(frame: DataFrame):
+            bschema = {f.name: f for f in frame.schema.fields}
+            exprs = self._align_exprs(snap.schema.fields, bschema, src_label)
+            names = [
+                f.name for f in snap.schema.fields if f.name not in AUDIT_COLUMNS
+            ]
+            return self._bad_event_reason(key_exprs=dict(zip(names, exprs)))
+
+        fixed = df.localCheckpoint(eager=True)  # 3 consumers: check/keys/apply
+        still_bad = fixed.filter(_raw_reason(fixed).isNotNull()).count()
+        if still_bad:
+            raise ValueError(
+                f"drain refused: {still_bad} parked event(s) are still "
+                "malformed after the fix — nothing was applied or archived. "
+                "Correct them (or drop them in fix()) and retry."
+            )
+        n_events = fixed.count()
+        stats = None
+        if n_events:
+            if self.track_lsn and self.delete_mode == "soft":
+                stats = self.apply_late(fixed)
+            else:
+                if changes is None:
+                    raise ValueError(
+                        "drain_quarantine on a table without track_lsn needs "
+                        "changes= (the full log as currently known) for the "
+                        "authoritative re-fold; create the table with "
+                        "track_lsn=True for the bounded no-rescan path"
+                    )
+                clean_log = changes.filter(_raw_reason(changes).isNull())
+                combined = clean_log.unionByName(
+                    fixed, allowMissingColumns=True
+                )
+                bschema = {f.name: f for f in fixed.schema.fields}
+                exprs = self._align_exprs(snap.schema.fields, bschema, src_label)
+                names = [
+                    f.name
+                    for f in snap.schema.fields
+                    if f.name not in AUDIT_COLUMNS
+                ]
+                emap = dict(zip(names, exprs))
+                scope = fixed.select(
+                    *[emap[k].alias(k) for k in self.keys]
+                ).distinct()
+                stats = self.repair_keys(combined, keys=scope)
+        import shutil as _shutil
+
+        for p in parked:
+            src = os.path.join(self.quarantine_dir, p["dir"])
+            dst = os.path.join(self.quarantine_dir, "drained-" + p["dir"])
+            if os.path.isdir(dst):  # stale target from a prior crash
+                _shutil.rmtree(dst)
+            os.rename(src, dst)
+        self._emit_stats(
+            "drain_quarantine",
+            stats or BatchStats(lo=-1, hi=self.table.last_lsn(), skipped=True),
+        )
+        return {
+            "drained_windows": len(parked),
+            "events": n_events,
+            "mode": (
+                "late_merge"
+                if self.track_lsn and self.delete_mode == "soft"
+                else "refold"
+            ),
+        }
 
     # -- bounded late-event merge (track_lsn tables) -------------------------
 

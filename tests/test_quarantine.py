@@ -124,3 +124,178 @@ def test_replay_accumulates_quarantined(spark, tmp_path):
     stats = eng.replay(_log(spark, GOOD + BAD[:2]), num_batches=2)
     assert stats.events_applied == len(GOOD)
     assert stats.events_quarantined == 2
+
+
+# -- drain (dead-letter re-ingest) --------------------------------------------
+
+CORRECTED_BAD = [
+    (4, "I", "k3", [5], 1, "web", TS),   # null key -> k3
+    (5, "U", "k3", [6], 1, "web", TS),   # op X -> U
+    (7, "I", "k4", [7], 1, "web", TS),   # null lsn -> 7
+    # the all-null row (lsn 6) is dropped by the operator's fix
+]
+
+
+def _fix(df):
+    from pyspark.sql import functions as F
+
+    df = df.filter(F.col("op").isNotNull())  # drop the unfixable row
+    return (
+        df.withColumn("doc_id", F.coalesce(F.col("doc_id"), F.lit("k3")))
+        .withColumn(
+            "op", F.when(F.col("op") == "X", "U").otherwise(F.col("op"))
+        )
+        .withColumn("lsn", F.coalesce(F.col("lsn"), F.lit(7)))
+    )
+
+
+def _payload(spark, table):
+    return {
+        r["doc_id"]: list(r["tokens"] or [])
+        for r in table.read(spark).collect()
+        if r.asDict().get("dl_delete_ts") is None
+    }
+
+
+def test_quarantine_preserves_source_only_columns(spark, tmp_path):
+    """The dead letter parks ORIGINAL rows: a null merge key whose real
+    value rides a source-side extra column (an upstream extractor bug)
+    keeps that column in the parked parquet — the aligned projection
+    would drop it, making the window unrepairable. (A key riding an
+    undeclared former name at the same position is caught even earlier,
+    by the rename-suspicion guard.)"""
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    qdir = str(tmp_path / "q")
+    eng = CDCEngine(spark, table, quarantine_dir=qdir)
+    wide_schema = T.StructType(
+        list(LAX_SCHEMA.fields)
+        + [T.StructField("src_pk", T.StringType(), True)]
+    )
+    log = spark.createDataFrame(
+        [
+            (1, "I", None, [1], 1, "web", TS, "kA"),  # key only in src_pk
+            (2, "I", None, [2], 1, "web", TS, "kB"),
+            (3, "I", "k1", [3], 1, "web", TS, "k1"),  # well-formed
+        ],
+        wide_schema,
+    )
+    bs = eng.apply_batch(log, 0, 3)
+    assert bs.quarantined == 2
+    q = spark.read.parquet(os.path.join(qdir, "batch-0-3"))
+    assert "src_pk" in q.columns
+    assert {r["src_pk"] for r in q.collect()} == {"kA", "kB"}
+    assert all(r["dl_reason"] == "null_merge_key" for r in q.collect())
+
+
+def test_drain_refold_converges(spark, tmp_path):
+    """Non-track_lsn table: drain re-folds log ∪ corrections for exactly
+    the corrected keys; the result equals a fresh replay of the corrected
+    log."""
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    qdir = str(tmp_path / "q")
+    eng = CDCEngine(spark, table, quarantine_dir=qdir)
+    log = _log(spark, GOOD + BAD)
+    eng.apply_batch(log, 0, 10)
+
+    with pytest.raises(ValueError, match="needs"):
+        eng.drain_quarantine(fix=_fix)  # the refold path requires the log
+
+    res = eng.drain_quarantine(changes=log, fix=_fix)
+    assert res == {"drained_windows": 1, "events": 3, "mode": "refold"}
+
+    oracle_t = CDCEngine.create_table(str(tmp_path / "o"), num_buckets=4)
+    CDCEngine(spark, oracle_t).apply_batch(
+        _log(spark, GOOD + CORRECTED_BAD), 0, 10
+    )
+    assert _payload(spark, table) == _payload(spark, oracle_t)
+    # archived, not deleted; nothing left to drain
+    assert eng.list_quarantine() == []
+    assert os.path.isdir(os.path.join(qdir, "drained-batch-0-10"))
+    assert eng.drain_quarantine(changes=log) == {
+        "drained_windows": 0, "events": 0,
+    }
+
+
+def test_drain_late_merge_path(spark, tmp_path):
+    """track_lsn soft table: drain goes through apply_late — one bounded
+    bucket-pruned merge, no log rescan — and re-draining after a simulated
+    crash (archive rolled back) changes nothing."""
+    table = CDCEngine.create_table(
+        str(tmp_path / "t"), num_buckets=4, soft_delete=True, track_lsn=True
+    )
+    qdir = str(tmp_path / "q")
+    eng = CDCEngine(spark, table, quarantine_dir=qdir)
+    eng.apply_batch(_log(spark, GOOD + BAD), 0, 10)
+
+    res = eng.drain_quarantine(fix=_fix)  # no log needed
+    assert res == {"drained_windows": 1, "events": 3, "mode": "late_merge"}
+
+    oracle_t = CDCEngine.create_table(
+        str(tmp_path / "o"), num_buckets=4, soft_delete=True, track_lsn=True
+    )
+    CDCEngine(spark, oracle_t).apply_batch(
+        _log(spark, GOOD + CORRECTED_BAD), 0, 10
+    )
+    assert _payload(spark, table) == _payload(spark, oracle_t)
+
+    # crash between apply and archive: roll the rename back, re-drain
+    os.rename(
+        os.path.join(qdir, "drained-batch-0-10"),
+        os.path.join(qdir, "batch-0-10"),
+    )
+    before = _payload(spark, table)
+    res2 = eng.drain_quarantine(fix=_fix)
+    assert res2["drained_windows"] == 1
+    assert _payload(spark, table) == before  # idempotent
+
+
+def test_drain_refuses_still_bad(spark, tmp_path):
+    """A fix that leaves any malformed row refuses the WHOLE drain:
+    nothing applied, nothing archived."""
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    qdir = str(tmp_path / "q")
+    eng = CDCEngine(spark, table, quarantine_dir=qdir)
+    log = _log(spark, GOOD + BAD)
+    eng.apply_batch(log, 0, 10)
+    v = table.current().version
+    with pytest.raises(ValueError, match="still"):
+        eng.drain_quarantine(changes=log)  # no fix: rows stay malformed
+    assert table.current().version == v
+    assert eng.list_quarantine() == [{"dir": "batch-0-10", "lo": 0, "hi": 10}]
+
+
+def test_cli_quarantine_list_and_drain(spark, tmp_path, capsys):
+    """CLI surface: `quarantine --dir` lists parked windows; with the rows
+    corrected out-of-band (the parked dir rewritten), `--drain --log`
+    re-folds them in."""
+    import json
+
+    from dbimport_spark.cli import main
+
+    root = str(tmp_path / "t")
+    qdir = str(tmp_path / "q")
+    table = CDCEngine.create_table(root, num_buckets=4)
+    eng = CDCEngine(spark, table, quarantine_dir=qdir)
+    log = _log(spark, GOOD + BAD)
+    log_path = str(tmp_path / "log")
+    log.write.parquet(log_path)
+    eng.apply_batch(log, 0, 10)
+
+    assert main(["quarantine", root, "--dir", qdir]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"parked": [{"dir": "batch-0-10", "lo": 0, "hi": 10}]}
+
+    # operator's out-of-band correction: replace the parked window's rows
+    _log(spark, CORRECTED_BAD).write.mode("overwrite").parquet(
+        os.path.join(qdir, "batch-0-10")
+    )
+    rc = main(["quarantine", root, "--dir", qdir, "--drain", "--log", log_path])
+    assert rc in (0, None)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["drained_windows"] == 1 and out["mode"] == "refold"
+
+    oracle_t = CDCEngine.create_table(str(tmp_path / "o"), num_buckets=4)
+    CDCEngine(spark, oracle_t).apply_batch(
+        _log(spark, GOOD + CORRECTED_BAD), 0, 10
+    )
+    assert _payload(spark, table) == _payload(spark, oracle_t)
