@@ -377,11 +377,43 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         self._root = options.get("path")
         if not self._root:
             raise ValueError("lake_cdf requires .option('path', <table root>)")
-        self._starting = int(options.get("startingversion", 0))
+        ts = options.get("startingtimestamp")
+        if ts is not None and options.get("startingversion") is not None:
+            raise ValueError(
+                "pass startingVersion OR startingTimestamp, not both"
+            )
+        if ts is not None:
+            self._starting = self._version_before(ts)
+        else:
+            self._starting = int(options.get("startingversion", 0))
         cap = options.get("maxversionsperbatch")
         self._cap = int(cap) if cap is not None else None
         self._schema = schema
         self._last_end: int | None = None  # latest end offset handed out
+
+    def _version_before(self, ts: str) -> int:
+        """Resolve startingTimestamp (ISO 8601 or unix seconds) to the
+        starting OFFSET: the newest retained version committed strictly
+        before the timestamp, so the first window (offset, ...] carries
+        every change committed at or after it. If every retained commit
+        is at/after the timestamp, the earliest retained version is the
+        best available starting point (older history is expired) — same
+        contract as Delta's CDF startingTimestamp on a vacuumed table."""
+        from datetime import datetime, timezone
+
+        try:
+            unix = float(ts)
+        except ValueError:
+            dt = datetime.fromisoformat(ts)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            unix = dt.timestamp()
+        table = self._table()
+        versions = table.snapshots()
+        before = [
+            v for v in versions if table.snapshot(v).created_unix < unix
+        ]
+        return max(before) if before else min(versions)
 
     def _table(self):
         from dbimport_spark.lake.table import LakeTable

@@ -406,3 +406,48 @@ def test_cli_mirror_stream_drains_then_stops(spark, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["mirrored_source_version"] == src_t.current().version
     assert out["verify"]["converged"]
+
+
+def test_reader_starting_timestamp(spark, tmp_path):
+    """startingTimestamp resolves to the newest version committed strictly
+    before it (so the first window carries every commit at/after it);
+    before-all-history clamps to the earliest retained version; passing
+    both starting options refuses."""
+    import json as _json
+    import os as _os
+
+    t = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=2)
+    eng = CDCEngine(spark, t)
+    for i in range(3):
+        eng.apply_batch(
+            _log(spark, [(i + 1, "I", f"k{i}", [1], 1, "a", TS)]), i, i + 1
+        )
+    # pin deterministic commit times: v0..v3 at unix 100, 200, 300, 400
+    for v, unix in zip(t.snapshots(), (100.0, 200.0, 300.0, 400.0)):
+        p = t._meta_path(v)
+        doc = _json.load(open(p))
+        doc["created_unix"] = unix
+        _os.unlink(p)
+        with open(p, "w") as fh:
+            _json.dump(doc, fh)
+
+    from dbimport_spark.streaming.cdf_source import LakeCDFDataSource
+
+    schema = LakeCDFDataSource({"path": str(tmp_path / "t")}).schema()
+
+    def reader(**opts):
+        return LakeCDFStreamReader(
+            {"path": str(tmp_path / "t"), **opts}, schema
+        )
+
+    # 250 falls between v1 (200) and v2 (300): start at v1, first window
+    # (1, ...] replays exactly the commits at/after the timestamp
+    assert reader(startingtimestamp="250").initialOffset() == {"version": 1}
+    # exact boundary is inclusive of that commit (strictly-before rule)
+    assert reader(startingtimestamp="300").initialOffset() == {"version": 1}
+    # before all history: everything (the empty v0 creation snapshot)
+    assert reader(startingtimestamp="50").initialOffset() == {"version": 0}
+    # after all history: nothing until the next commit
+    assert reader(startingtimestamp="999").initialOffset() == {"version": 3}
+    with pytest.raises(ValueError, match="not both"):
+        reader(startingtimestamp="250", startingversion="1")
