@@ -416,6 +416,18 @@ def main(argv: list[str] | None = None) -> int:
         "pointer, orphans — exit 1 on errors",
     )
     sp.add_argument("table_root")
+    sp.add_argument(
+        "--repair", action="store_true",
+        help="apply the SAFE repairs after the audit (rewrite the version "
+        "hint to the newest retained metadata, quarantine stray metadata "
+        "files to metadata/_stray/, remove age-gated orphan data files), "
+        "then re-audit; structural corruption is reported, never 'fixed'",
+    )
+    sp.add_argument(
+        "--orphan-age-hours", type=float, default=24.0,
+        help="minimum age before an orphan data file is removed "
+        "(in-flight commits write files before the metadata swap)",
+    )
 
     sp = sub.add_parser(
         "tables",
@@ -517,11 +529,28 @@ def main(argv: list[str] | None = None) -> int:
         # metadata-only: no Spark session needed. Plain constructor, NOT
         # load(): load() resolves current(), which raises on exactly the
         # lost-newest-metadata corruption fsck exists to report.
-        from dbimport_spark.lake.fsck import check_table
+        from dbimport_spark.lake.fsck import check_table, repair_table
 
-        findings = check_table(LakeTable(args.table_root))
-        print(json.dumps({"findings": findings, "clean": not findings}))
-        return 1 if any(f["level"] == "error" for f in findings) else 0
+        t = LakeTable(args.table_root)
+        findings = check_table(t)
+        if not args.repair:
+            print(json.dumps({"findings": findings, "clean": not findings}))
+            return 1 if any(f["level"] == "error" for f in findings) else 0
+        repairs = repair_table(
+            t, orphan_older_than_seconds=args.orphan_age_hours * 3600
+        )
+        after = check_table(t)
+        print(
+            json.dumps(
+                {
+                    "findings": findings,
+                    "repairs": repairs,
+                    "findings_after": after,
+                    "clean_after": not after,
+                }
+            )
+        )
+        return 1 if any(f["level"] == "error" for f in after) else 0
     if args.cmd == "pin":
         # metadata-only: no Spark session needed
         table = LakeTable.load(args.table_root)

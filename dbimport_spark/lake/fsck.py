@@ -322,3 +322,90 @@ def check_table(table: LakeTable) -> list[dict]:
         )
 
     return findings
+
+
+def repair_table(
+    table: LakeTable, orphan_older_than_seconds: float = 24 * 3600
+) -> list[dict]:
+    """Apply the SAFE subset of repairs for ``check_table`` findings —
+    actions that restore readability or reclaim space without ever
+    destroying committed state or hiding what happened (the findings the
+    operator saw before repairing remain the durable record):
+
+    - **version hint** rewritten to the newest retained metadata —
+      a hint AHEAD of the newest snapshot (committed metadata lost)
+      otherwise breaks ``load()`` outright; behind/missing merely costs
+      the probe. The rewrite repairs the POINTER, not the loss — the
+      error finding still reported it.
+    - **stray metadata files** (unparseable ``v*.json`` names) moved to
+      ``metadata/_stray/`` — never deleted; readers and ``snapshots()``
+      stop tripping over them.
+    - **orphan data files** (referenced by no retained snapshot) removed
+      via ``maintenance.remove_orphan_files`` — age-gated so an in-flight
+      commit's fresh files are never swept.
+
+    Deliberately NOT repaired: chain gaps, modulus violations, missing
+    data files, watermark regressions (structural corruption — an
+    automatic "fix" would destroy evidence or fabricate state) and
+    retention pins (operator-owned; an ineffective pin is a decision,
+    not damage). Returns the actions taken. Idempotent: a second run
+    finds nothing to do.
+    """
+    import shutil
+
+    actions: list[dict] = []
+    meta_dir = os.path.join(table.root, "metadata")
+
+    # stray metadata files -> metadata/_stray/
+    for name in sorted(os.listdir(meta_dir)):
+        if not (name.startswith("v") and name.endswith(".json")):
+            continue
+        try:
+            int(name[1:-5])
+        except ValueError:
+            stray_dir = os.path.join(meta_dir, "_stray")
+            os.makedirs(stray_dir, exist_ok=True)
+            dst = os.path.join(stray_dir, name)
+            if os.path.exists(dst):
+                os.unlink(dst)
+            shutil.move(os.path.join(meta_dir, name), dst)
+            actions.append(
+                {"action": "quarantine_stray_metadata", "detail": name}
+            )
+
+    # version hint -> newest retained metadata
+    versions = table.snapshots()
+    if versions:
+        newest = versions[-1]
+        hint_path = os.path.join(meta_dir, "version-hint.text")
+        hint = None
+        try:
+            with open(hint_path) as fh:
+                hint = int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            pass
+        if hint != newest:
+            tmp = hint_path + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(str(newest))
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, hint_path)
+            actions.append(
+                {
+                    "action": "rewrite_version_hint",
+                    "detail": f"{hint} -> {newest}",
+                }
+            )
+
+    # orphan data files (age-gated)
+    from dbimport_spark.lake.maintenance import remove_orphan_files
+
+    removed = remove_orphan_files(
+        table, older_than_seconds=orphan_older_than_seconds
+    )
+    if removed:
+        actions.append(
+            {"action": "remove_orphan_files", "detail": f"{removed} file(s)"}
+        )
+    return actions

@@ -196,3 +196,93 @@ def test_fsck_tolerates_missing_root_and_stray_files(tmp_path):
         fh.write("{}")
     findings = check_table(LakeTable(root))
     assert any("stray" in f["detail"] for f in findings)
+
+
+# -- repair (the safe subset) ---------------------------------------------------
+
+
+def test_repair_fixes_hint_strays_and_orphans(spark, tmp_path):
+    """repair_table restores the pointer, quarantines stray metadata, and
+    reclaims aged orphans — then the re-audit is clean. A second run is a
+    no-op."""
+    from dbimport_spark.lake.fsck import repair_table
+
+    table = _mk_table(spark, tmp_path)
+    meta = os.path.join(table.root, "metadata")
+    # hint AHEAD of newest metadata (breaks load() outright)
+    with open(os.path.join(meta, "version-hint.text"), "w") as fh:
+        fh.write("99")
+    # stray metadata file
+    with open(os.path.join(meta, "vgarbage.json"), "w") as fh:
+        fh.write("{}")
+    # aged orphan
+    d = os.path.join(table.root, "data", "orphaned")
+    os.makedirs(d)
+    orphan = os.path.join(d, "junk.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"x" * 64)
+    os.utime(orphan, (1, 1))  # ancient mtime: past any age gate
+
+    before = check_table(table)
+    assert any(f["check"] == "hint" and f["level"] == "error" for f in before)
+    actions = repair_table(table)
+    kinds = {a["action"] for a in actions}
+    assert kinds == {
+        "rewrite_version_hint",
+        "quarantine_stray_metadata",
+        "remove_orphan_files",
+    }
+    assert check_table(table) == []
+    assert LakeTable.load(table.root)  # load() works again
+    # stray preserved, not deleted
+    assert os.path.isfile(os.path.join(meta, "_stray", "vgarbage.json"))
+    assert not os.path.exists(orphan)
+    assert repair_table(table) == []  # idempotent
+
+
+def test_repair_age_gate_spares_fresh_orphans(spark, tmp_path):
+    """A freshly written orphan (an in-flight commit's files) survives the
+    repair's orphan sweep."""
+    from dbimport_spark.lake.fsck import repair_table
+
+    table = _mk_table(spark, tmp_path)
+    d = os.path.join(table.root, "data", "inflight")
+    os.makedirs(d)
+    fresh = os.path.join(d, "part.parquet")
+    with open(fresh, "wb") as fh:
+        fh.write(b"x" * 64)
+    actions = repair_table(table)
+    assert not any(a["action"] == "remove_orphan_files" for a in actions)
+    assert os.path.isfile(fresh)
+
+
+def test_repair_never_touches_structural_corruption(spark, tmp_path):
+    """A missing data file (structural: the table lies about its state)
+    is reported before AND after repair — never 'fixed' away."""
+    from dbimport_spark.lake.fsck import repair_table
+
+    table = _mk_table(spark, tmp_path)
+    victim = table.current().files[0].path
+    os.unlink(os.path.join(table.root, victim))
+    repair_table(table)
+    after = check_table(table)
+    assert any(
+        f["level"] == "error" and "missing file" in f["detail"] for f in after
+    )
+
+
+def test_fsck_cli_repair(spark, tmp_path):
+    table = _mk_table(spark, tmp_path)
+    with open(os.path.join(table.root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("0")  # behind: warn
+    out = subprocess.run(
+        [sys.executable, "-m", "dbimport_spark.cli", "fsck", table.root,
+         "--repair"],
+        capture_output=True, text=True,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["clean_after"] is True
+    assert any(
+        a["action"] == "rewrite_version_hint" for a in rep["repairs"]
+    )
