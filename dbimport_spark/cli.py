@@ -348,6 +348,12 @@ def main(argv: list[str] | None = None) -> int:
         "from the last committed window (use with --stop-file; "
         "--poll sets the trigger interval)",
     )
+    sp.add_argument(
+        "--pin", default=None, metavar="NAME",
+        help="advance this retention pin on the SOURCE after each synced "
+        "window, so source snapshot expiry never strands this mirror "
+        "(see the pin command)",
+    )
 
     sp = sub.add_parser(
         "matview",
@@ -456,8 +462,35 @@ def main(argv: list[str] | None = None) -> int:
     tp.add_argument(
         "--view", action="append", default=[], metavar="JSON",
         help='matview to delta-sync after each replay, e.g. '
-        '\'{"root": "/lake/v", "group_by": ["source"], "sum": ["n_tok"]}\' '
-        "(repeatable)",
+        '\'{"root": "/lake/v", "group_by": ["source"], "sum": ["n_tok"], '
+        '"min": [], "max": []}\' (repeatable)',
+    )
+    tp.add_argument(
+        "--cdc-export", action="append", default=[], metavar="JSON",
+        help='RDBMS target to delta-sync after each replay via the '
+        'staging-table merge (deletes propagate), e.g. '
+        '\'{"url": "jdbc:derby:/x/db;create=true", "target_table": "tgt", '
+        '"state_dir": "/x/est"}\' (repeatable)',
+    )
+    tp.add_argument(
+        "--anonymize", action="append", default=[], metavar="COL=KIND",
+        help="per-column ingest mask, KIND in hash|star|first4 "
+        "(reference import_columns.anonymization_function; repeatable)",
+    )
+    tp.add_argument("--anonymize-salt", default="", metavar="SALT")
+    tp.add_argument(
+        "--write-mode", default="cow", choices=["cow", "mor", "auto"],
+        help="how this table's batches land (merge-on-read for small "
+        "steady-state batches; auto decides from metadata per batch)",
+    )
+    tp.add_argument(
+        "--max-delete-fraction", type=float, default=None, metavar="FRAC",
+        help="pre-commit truncated-upstream guard for this table's sweeps",
+    )
+    tp.add_argument(
+        "--maintenance", default=None, metavar="JSON",
+        help='post-replay storage upkeep, e.g. \'{"expire_keep_last": 3, '
+        '"max_files_per_bucket": 4, "target_bytes_per_bucket": 536870912}\'',
     )
     tsub.add_parser("list")
     tp = tsub.add_parser("remove")
@@ -580,6 +613,37 @@ def main(argv: list[str] | None = None) -> int:
                 except (json.JSONDecodeError, ValueError) as exc:
                     p.error(f"--view expects JSON with root/group_by/sum: {exc}")
                 views.append(v)
+            cdc_exports = []
+            for raw in args.cdc_export:
+                try:
+                    x = json.loads(raw)
+                    missing = {"url", "target_table", "state_dir"} - set(x)
+                    if missing:
+                        raise ValueError(f"missing {sorted(missing)}")
+                except (json.JSONDecodeError, ValueError) as exc:
+                    p.error(
+                        "--cdc-export expects JSON with url/target_table/"
+                        f"state_dir: {exc}"
+                    )
+                cdc_exports.append(x)
+            anonymize = {}
+            for raw in args.anonymize:
+                if "=" not in raw:
+                    p.error(f"--anonymize expects COL=KIND, got: {raw}")
+                col_name, kind = raw.split("=", 1)
+                if kind not in ("hash", "star", "first4"):
+                    p.error(
+                        f"--anonymize KIND must be hash|star|first4, got: {kind}"
+                    )
+                anonymize[col_name] = kind
+            maintenance = {}
+            if args.maintenance:
+                try:
+                    maintenance = json.loads(args.maintenance)
+                    if not isinstance(maintenance, dict):
+                        raise ValueError("must be a JSON object")
+                except (json.JSONDecodeError, ValueError) as exc:
+                    p.error(f"--maintenance expects a JSON object: {exc}")
             reg.add(
                 TableEntry(
                     name=args.name,
@@ -588,10 +652,16 @@ def main(argv: list[str] | None = None) -> int:
                     history=args.history,
                     checkpoint=args.checkpoint,
                     renames=dict(r.split("=", 1) for r in args.rename),
+                    anonymize=anonymize,
+                    anonymize_salt=args.anonymize_salt,
+                    write_mode=args.write_mode,
+                    max_delete_fraction=args.max_delete_fraction,
                     batches=args.batches,
                     schedule=args.schedule,
                     mirror_root=args.mirror,
                     views=views,
+                    cdc_exports=cdc_exports,
+                    maintenance=maintenance,
                 )
             )
             print(json.dumps({"added": args.name}))
@@ -930,7 +1000,7 @@ def main(argv: list[str] | None = None) -> int:
 
             q = follow_mirror_stream(
                 spark, args.source_root, eng, args.stream,
-                trigger_seconds=args.poll,
+                trigger_seconds=args.poll, pin_name=args.pin,
             )
             try:
                 # drain-then-stop, like the polling daemon: the stop file
@@ -959,7 +1029,7 @@ def main(argv: list[str] | None = None) -> int:
             applied = follow_mirror(
                 spark, source, eng, poll_s=args.poll,
                 max_syncs=args.max_syncs, stop_file=args.stop_file,
-                on_gap=args.on_gap,
+                on_gap=args.on_gap, pin_name=args.pin,
             )
             out = {
                 "syncs": len(applied),
@@ -967,7 +1037,8 @@ def main(argv: list[str] | None = None) -> int:
                 "mirrored_source_version": mirror.last_lsn(),
             }
         else:
-            bs = sync_mirror(spark, source, eng, on_gap=args.on_gap)
+            bs = sync_mirror(spark, source, eng, on_gap=args.on_gap,
+                             pin_name=args.pin)
             out = {
                 "skipped": bs.skipped,
                 "events": bs.events,

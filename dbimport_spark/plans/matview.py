@@ -545,6 +545,7 @@ def follow_view(
     max_syncs: int | None = None,
     stop_file: str | None = None,
     on_gap: str = "error",
+    pin_name: str | None = None,
 ) -> list[BatchStats]:
     """Continuous view maintenance: poll the source and ``sync_view``
     each time it advances (``plans/mirror.follow_mirror``'s shape — the
@@ -557,7 +558,8 @@ def follow_view(
 
     applied: list[BatchStats] = []
     while max_syncs is None or len(applied) < max_syncs:
-        bs = sync_view(spark, source, view_engine, spec, on_gap=on_gap)
+        bs = sync_view(spark, source, view_engine, spec, on_gap=on_gap,
+                       pin_name=pin_name)
         if not bs.skipped:
             applied.append(bs)
             continue  # drained this window; re-check before sleeping

@@ -178,6 +178,7 @@ def follow_mirror(
     max_syncs: int | None = None,
     stop_file: str | None = None,
     on_gap: str = "error",
+    pin_name: str | None = None,
 ) -> list[BatchStats]:
     """Continuous replication: poll the source and ``sync_mirror`` each
     time it advances (the daemonized form of the reference's scheduled
@@ -193,7 +194,8 @@ def follow_mirror(
 
     applied: list[BatchStats] = []
     while max_syncs is None or len(applied) < max_syncs:
-        bs = sync_mirror(spark, source, mirror_engine, on_gap=on_gap)
+        bs = sync_mirror(spark, source, mirror_engine, on_gap=on_gap,
+                         pin_name=pin_name)
         if not bs.skipped:
             applied.append(bs)
             continue  # drained this window; re-check before sleeping

@@ -42,6 +42,7 @@ class TableEntry:
     # per-column ingest anonymization: column -> 'hash'|'star'|'first4'
     # (reference import_columns.anonymization_function, configSchema.py:938)
     anonymize: dict[str, str] = field(default_factory=dict)
+    anonymize_salt: str = ""
     # 'cow' | 'mor' | 'auto': how batches land (CDCEngine.write_mode —
     # 'auto' picks merge-on-read delta files when the batch is small
     # relative to the touched buckets, the steady-state CDC shape)
@@ -61,6 +62,11 @@ class TableEntry:
     # a mirror table root, and/or matviews [{root, group_by, sum, min, max}]
     mirror_root: str | None = None
     views: list[dict] = field(default_factory=list)
+    # CDC JDBC exports advanced per sweep alongside mirror/views (the
+    # reference's export phase): [{url, target_table, state_dir,
+    # properties?, on_gap?}] — each applies the window's change feed
+    # through plans/cdc_export's staging-table merge (deletes propagate)
+    cdc_exports: list[dict] = field(default_factory=list)
     # post-replay storage upkeep (the reference runs Iceberg
     # expire_snapshots / remove_orphan_files right after each import,
     # import_operations.py:1513-1535). Recognized keys:
@@ -269,6 +275,7 @@ def replay_all(
                 history_table=LakeTable.load(e.history) if e.history else None,
                 renames=e.renames,
                 anonymize=e.anonymize,
+                anonymize_salt=e.anonymize_salt,
                 write_mode=e.write_mode,
                 validators=(
                     None
@@ -286,7 +293,7 @@ def replay_all(
                 "events_applied": stats.events_applied,
                 "last_lsn": table.last_lsn(),
             }
-            _sync_derived(spark, table, e, results[name])
+            _sync_derived(spark, table, e, results[name], store=registry.store)
             if e.maintenance and results[name].get("ok"):
                 _run_maintenance(spark, table, e, results[name])
         except Exception as exc:  # isolate per-table failures, keep sweeping
@@ -357,9 +364,10 @@ def _pin_name(kind: str, root: str) -> str:
 
 
 def _sync_derived(
-    spark: SparkSession, table, e: TableEntry, result: dict
+    spark: SparkSession, table, e: TableEntry, result: dict, store=None
 ) -> None:
-    """Advance the entry's derived targets (mirror, matviews) after a
+    """Advance the entry's derived targets (mirror, matviews, CDC JDBC
+    exports) after a
     successful replay — the reference's copy phase runs the same way,
     per table, after its import phase (bin/import COPY PHASE,
     copy_operations.py). Each derived target has its own watermark (its
@@ -413,3 +421,29 @@ def _sync_derived(
                 })
                 result["ok"] = False
         result["views"] = out
+    if e.cdc_exports:
+        out = []
+        for x in e.cdc_exports:
+            try:
+                from dbimport_spark.plans.cdc_export import CDCJdbcExporter
+
+                exp = CDCJdbcExporter(
+                    table,
+                    x["url"],
+                    x["target_table"],
+                    state_dir=x["state_dir"],
+                    properties=x.get("properties"),
+                    state_store=store,  # the registry's statestore seam
+                    pin_name=_pin_name("export", x["state_dir"]),
+                )
+                st = exp.sync(spark, on_gap=x.get("on_gap", "error"))
+                out.append({"target": x["target_table"], "ok": True,
+                            "skipped": st.get("skipped", False),
+                            "rows": st.get("rows", 0)})
+            except Exception as exc:
+                out.append({
+                    "target": x.get("target_table"), "ok": False,
+                    "error": f"{type(exc).__name__}: {exc}",
+                })
+                result["ok"] = False
+        result["cdc_exports"] = out

@@ -509,6 +509,7 @@ def follow_mirror_stream(
     mirror_engine,
     checkpoint_dir: str,
     trigger_seconds: float = 1.0,
+    pin_name: str | None = None,
     **source_options,
 ):
     """The streaming twin of ``plans/mirror.follow_mirror``: Spark owns
@@ -543,6 +544,11 @@ def follow_mirror_stream(
             return  # redelivered window: mirror already has it
         events = feed_to_change_events(batch_df, to_v)
         mirror_engine.apply_batch(events, from_v, to_v)
+        if pin_name is not None:
+            from dbimport_spark.lake.table import LakeTable
+            from dbimport_spark.plans.mirror import _advance_pin
+
+            _advance_pin(LakeTable.load(source_root), pin_name, to_v)
 
     return (
         feed.writeStream.foreachBatch(apply_window)

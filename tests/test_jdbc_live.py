@@ -224,3 +224,61 @@ def test_cdc_jdbc_export_gap_full_reconcile(spark, tmp_path):
     assert not out["skipped"] and out["deletes"] == 1  # k1 via anti-join
     rec = verify_cdc_export(spark, table, url, "tgt2")
     assert rec["converged"], rec
+
+
+def test_registry_sweep_advances_cdc_export(spark, tmp_path):
+    """A registry entry's cdc_exports target converges with the table per
+    sweep (deletes included) and auto-pins its delta base on the source —
+    the derived-target family's export member, live against Derby."""
+    import json
+
+    from dbimport_spark.plans.cdc_export import verify_cdc_export
+    from dbimport_spark.plans.registry import (
+        TableEntry,
+        TableRegistry,
+        replay_all,
+    )
+
+    url = _url(tmp_path, "db_reg")
+    log = generate_changes(spark, 1500, n_keys=80, seed=77)
+    log_dir = str(tmp_path / "log")
+    log.write.parquet(log_dir)
+    root = str(tmp_path / "t")
+    CDCEngine.create_table(root, num_buckets=4)
+    reg = TableRegistry(str(tmp_path / "r.json"))
+    reg.save(
+        {
+            "t1": TableEntry(
+                name="t1",
+                table_root=root,
+                log_path=log_dir,
+                checkpoint=str(tmp_path / "ckpt"),
+                batches=2,
+                cdc_exports=[
+                    {
+                        "url": url,
+                        "target_table": "tgt",
+                        "state_dir": str(tmp_path / "est"),
+                    }
+                ],
+            )
+        }
+    )
+    res = replay_all(spark, reg)
+    assert res["t1"]["ok"], res["t1"]
+    assert res["t1"]["cdc_exports"][0]["ok"]
+
+    from dbimport_spark.lake.table import LakeTable
+
+    table = LakeTable.load(root)
+    rec = verify_cdc_export(spark, table, url, "tgt")
+    assert rec["converged"], rec
+    pins = table.pins()
+    assert any(n.startswith("export:") for n in pins)
+    assert pins[next(n for n in pins if n.startswith("export:"))] == (
+        table.current().version
+    )
+    # second sweep: log unchanged -> replay and export both settle
+    res2 = replay_all(spark, reg)
+    assert res2["t1"]["ok"]
+    assert res2["t1"]["cdc_exports"][0]["skipped"] is True

@@ -401,3 +401,42 @@ def test_registry_write_mode_and_delete_guard(spark, tmp_path):
     tg = LakeTable.load(str(tmp_path / "t-g"))
     assert tg.read(spark).count() == 10  # inserts intact, deletes refused
     assert tg.last_lsn() == 10  # watermark never moved past the insert load
+
+
+def test_cli_tables_add_new_entry_fields(tmp_path, capsys):
+    """The registry CLI exposes every TableEntry knob the sweep honors —
+    anonymization, write mode, the delete-fraction guard, and the
+    maintenance chain — without hand-editing JSON."""
+    import json
+
+    from dbimport_spark.cli import main
+
+    reg_path = str(tmp_path / "r.json")
+    rc = main(
+        [
+            "tables", reg_path, "add", "t1", "/x/t", "/x/log",
+            "--anonymize", "source=first4",
+            "--anonymize-salt", "s1",
+            "--write-mode", "auto",
+            "--max-delete-fraction", "0.5",
+            "--maintenance", '{"expire_keep_last": 2}',
+        ]
+    )
+    assert rc in (0, None)
+    assert json.loads(capsys.readouterr().out.strip()) == {"added": "t1"}
+    e = TableRegistry(reg_path).load()["t1"]
+    assert e.anonymize == {"source": "first4"}
+    assert e.anonymize_salt == "s1"
+    assert e.write_mode == "auto"
+    assert e.max_delete_fraction == 0.5
+    assert e.maintenance == {"expire_keep_last": 2}
+
+
+def test_cli_tables_add_rejects_bad_anonymize(tmp_path):
+    import pytest as _pytest
+
+    from dbimport_spark.cli import main
+
+    with _pytest.raises(SystemExit):
+        main(["tables", str(tmp_path / "r.json"), "add", "t", "/x", "/y",
+              "--anonymize", "source=rot13"])
