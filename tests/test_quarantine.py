@@ -299,3 +299,34 @@ def test_cli_quarantine_list_and_drain(spark, tmp_path, capsys):
         _log(spark, GOOD + CORRECTED_BAD), 0, 10
     )
     assert _payload(spark, table) == _payload(spark, oracle_t)
+
+
+def test_drain_refold_soft_table(spark, tmp_path):
+    """Soft-delete table without track_lsn: the refold drain path carries
+    tombstones — the corrected delete lands as a dead row, not a vanish."""
+    table = CDCEngine.create_table(
+        str(tmp_path / "t"), num_buckets=4, soft_delete=True
+    )
+    qdir = str(tmp_path / "q")
+    eng = CDCEngine(spark, table, quarantine_dir=qdir)
+    # k1 inserted cleanly; its delete arrives with a garbage op
+    log = _log(
+        spark,
+        GOOD + [(5, "Z", "k1", None, None, None, TS)],
+    )
+    eng.apply_batch(log, 0, 10)
+    assert eng.list_quarantine() == [{"dir": "batch-0-10", "lo": 0, "hi": 10}]
+
+    def fix(df):
+        from pyspark.sql import functions as F
+
+        return df.withColumn(
+            "op", F.when(F.col("op") == "Z", "D").otherwise(F.col("op"))
+        )
+
+    res = eng.drain_quarantine(changes=log, fix=fix)
+    assert res["mode"] == "refold" and res["events"] == 1
+    rows = {r["doc_id"]: r for r in table.read(spark).collect()}
+    assert rows["k1"]["dl_delete_ts"] is not None  # tombstoned, not gone
+    assert rows["k2"]["dl_delete_ts"] is None
+    assert _payload(spark, table) == {"k2": [3]}
