@@ -202,6 +202,24 @@ def main(argv: list[str] | None = None) -> int:
                     help="delete a pin (e.g. its follower was retired)")
 
     sp = sub.add_parser(
+        "tag",
+        help="snapshot tags (Iceberg refs/tags analogue): name ONE version "
+        "for time-travel reads (a data freeze, an audit point); "
+        "expire_snapshots keeps exactly the tagged snapshot while untagged "
+        "intermediates age out; resolve a tag/version/timestamp with "
+        "--resolve",
+    )
+    sp.add_argument("table_root")
+    sp.add_argument("--set", nargs="+", metavar=("NAME", "VERSION"),
+                    default=None,
+                    help="create or move a tag (VERSION defaults to current)")
+    sp.add_argument("--remove", metavar="NAME", default=None,
+                    help="delete a tag")
+    sp.add_argument("--resolve", metavar="REF", default=None,
+                    help="resolve a tag name / version / ISO-or-unix "
+                    "timestamp to its snapshot version")
+
+    sp = sub.add_parser(
         "schema-diff",
         help="DRY-RUN evolution planner: the adds/widenings/comment "
         "changes (or refusals: incompatible types, suspected renames, "
@@ -595,6 +613,24 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps({"error": f"no pin named {args.remove!r}"}))
                 return 1
         print(json.dumps({"pins": table.pins()}))
+        return 0
+    if args.cmd == "tag":
+        # metadata-only: no Spark session needed
+        table = LakeTable.load(args.table_root)
+        if args.set:
+            if len(args.set) > 2:
+                p.error("tag --set takes NAME [VERSION]")
+            name = args.set[0]
+            version = int(args.set[1]) if len(args.set) == 2 else None
+            table.set_tag(name, version)
+        if args.remove:
+            if not table.delete_tag(args.remove):
+                print(json.dumps({"error": f"no tag named {args.remove!r}"}))
+                return 1
+        out: dict = {"tags": table.tags()}
+        if args.resolve is not None:
+            out["resolved"] = {args.resolve: table.resolve_ref(args.resolve)}
+        print(json.dumps(out))
         return 0
     if args.cmd == "tables":
         # registry is plain config: no Spark session needed

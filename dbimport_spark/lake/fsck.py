@@ -102,8 +102,12 @@ def check_table(table: LakeTable) -> list[dict]:
     cur = snaps[-1]
 
     # -- snapshot chain -------------------------------------------------------
+    # a gap whose lower edge is tagged is expiry working as designed (a tag
+    # keeps exactly its version; the untagged successors aged out); any
+    # other gap is a hole someone tore in the chain
+    tag_versions = set(table.tags().values())
     for a, b in zip(versions, versions[1:]):
-        if b != a + 1:
+        if b != a + 1 and a not in tag_versions:
             err("chain", f"retained versions jump v{a} -> v{b}")
     by_version = {s.version: s for s in snaps}
     for s in snaps[1:]:
@@ -134,6 +138,19 @@ def check_table(table: LakeTable) -> list[dict]:
                 f"pin {name!r} lags current by {cur.version - v} versions "
                 f"(v{v} vs v{cur.version}) — expiry keeps everything above "
                 "it; check that its follower is still alive",
+            )
+
+    # -- snapshot tags ----------------------------------------------------------
+    # expire_snapshots keeps tagged versions, so a tag naming a missing
+    # version means out-of-band deletion or a pre-tag expiry — time travel
+    # to it is broken NOW and the operator should retag or delete it
+    for name, v in sorted(table.tags().items()):
+        if v not in retained:
+            err(
+                "tags",
+                f"tag {name!r} names version {v}, which is not retained — "
+                "time travel to it is broken (expiry keeps tagged versions, "
+                "so this was deleted out-of-band; retag or delete the tag)",
             )
 
     # -- merge-on-read file kinds ----------------------------------------------

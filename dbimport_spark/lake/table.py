@@ -1029,6 +1029,119 @@ class LakeTable:
         except FileNotFoundError:
             return False
 
+    # -- snapshot tags (Iceberg refs/tags analogue) ----------------------------
+    # A tag names ONE version for time-travel reads (audits, reproducible
+    # training runs, "the corpus as of the v3 data freeze"). Unlike a pin —
+    # a retention FLOOR that keeps every version above it for change-feed
+    # followers — a tag protects exactly its own snapshot: expire_snapshots
+    # keeps the tagged version and its data files, while untagged
+    # intermediates still age out. Reference parity: DBImport pins nothing
+    # (its Iceberg maintenance expires on count alone); this is the Iceberg
+    # tag-with-retention surface its users reach for out-of-band.
+
+    @property
+    def _tags_dir(self) -> str:
+        return os.path.join(self._meta_dir, "tags")
+
+    def tags(self) -> dict[str, int]:
+        """Named snapshot tags: ``{name: version}``."""
+        if not os.path.isdir(self._tags_dir):
+            return {}
+        out: dict[str, int] = {}
+        for name in os.listdir(self._tags_dir):
+            if not name.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(self._tags_dir, name)) as fh:
+                    out[name[:-5]] = int(json.load(fh)["version"])
+            except (ValueError, KeyError, json.JSONDecodeError):
+                continue  # torn write: fsck reports it, readers skip it
+        return out
+
+    def set_tag(self, name: str, version: int | None = None) -> int:
+        """Create or move a tag (default: the current version). The version
+        must be retained — tagging expired history is unenforceable.
+        Returns the tagged version. Last-writer-wins per name (Iceberg's
+        replace-tag)."""
+        import re
+
+        if not re.match(self._PIN_NAME_RE, name):
+            raise ValueError(
+                f"invalid tag name {name!r} (want {self._PIN_NAME_RE})"
+            )
+        v = self.current().version if version is None else version
+        if v not in self.snapshots():
+            raise ValueError(
+                f"cannot tag version {v}: not a retained snapshot "
+                f"(retained: {self.snapshots()})"
+            )
+        os.makedirs(self._tags_dir, exist_ok=True)
+        path = os.path.join(self._tags_dir, f"{name}.json")
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump({"version": v, "updated_unix": time.time()}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+        return v
+
+    def delete_tag(self, name: str) -> bool:
+        try:
+            os.unlink(os.path.join(self._tags_dir, f"{name}.json"))
+            return True
+        except FileNotFoundError:
+            return False
+
+    def snapshot_for_timestamp(self, ts: float | str) -> int:
+        """AS-OF resolution: the newest retained version committed at or
+        before ``ts`` (unix seconds or ISO 8601; naive strings read as
+        UTC). A timestamp older than the oldest retained commit raises —
+        that history is expired, and silently serving a NEWER state than
+        asked for would corrupt an audit (the streaming CDF's
+        startingTimestamp fallback is different on purpose: a change
+        *stream* starting late re-reads nothing wrong, a point-in-time
+        *read* would)."""
+        if isinstance(ts, str):
+            from datetime import datetime, timezone
+
+            try:
+                unix = float(ts)
+            except ValueError:
+                dt = datetime.fromisoformat(ts)
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                unix = dt.timestamp()
+        else:
+            unix = float(ts)
+        versions = self.snapshots()
+        at_or_before = [
+            v for v in versions if self.snapshot(v).created_unix <= unix
+        ]
+        if not at_or_before:
+            raise ValueError(
+                f"no retained snapshot at or before timestamp {ts!r} "
+                f"(oldest retained: v{versions[0]} at "
+                f"{self.snapshot(versions[0]).created_unix:.3f} unix) — "
+                "older history is expired"
+            )
+        return max(at_or_before)
+
+    def resolve_ref(self, ref: int | str) -> int:
+        """Resolve a user-facing snapshot reference to a version number:
+        a tag name (checked first — tags are explicit user intent), else
+        a decimal version, else a timestamp (unix seconds or ISO 8601,
+        via :meth:`snapshot_for_timestamp`)."""
+        if isinstance(ref, int):
+            return ref
+        tags = self.tags()
+        if ref in tags:
+            return tags[ref]
+        try:
+            return int(ref)
+        except ValueError:
+            pass
+        return self.snapshot_for_timestamp(ref)
+
     # -- maintenance ---------------------------------------------------------
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
@@ -1041,10 +1154,25 @@ class LakeTable:
         at or above the OLDEST pin is kept — intermediates included, so a
         pinned follower's window keeps its full marker chain (reload /
         rewrite_only detection stays metadata-complete, not just the two
-        endpoint snapshots). Extra retention is logged, never silent.
+        endpoint snapshots). Snapshot tags (``set_tag``) keep exactly their
+        own version (time-travel reads need no intermediate chain). Extra
+        retention is logged, never silent.
         """
         versions = self.snapshots()
         keep = set(versions[-keep_last:])
+        tags = self.tags()
+        if tags:
+            tagged = {v for v in tags.values() if v in set(versions)}
+            extra_t = tagged - keep
+            if extra_t:
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "expire_snapshots: keeping %d extra snapshot(s) for "
+                    "tag(s) %s", len(extra_t),
+                    {k: v for k, v in sorted(tags.items())},
+                )
+            keep |= tagged
         pins = self.pins()
         if pins:
             floor = min(pins.values())
