@@ -294,8 +294,16 @@ def main(argv: list[str] | None = None) -> int:
         "only files not shared between the snapshots)",
     )
     sp.add_argument("table_root")
-    sp.add_argument("--from-version", type=int, required=True)
-    sp.add_argument("--to-version", type=int, default=None)
+    sp.add_argument(
+        "--from-version", required=True, metavar="REF",
+        help="window low bound, exclusive: a version number, a tag name, "
+        "or a timestamp (ISO 8601 / unix seconds)",
+    )
+    sp.add_argument(
+        "--to-version", default=None, metavar="REF",
+        help="window high bound, inclusive (same REF forms; default: "
+        "current version)",
+    )
     sp.add_argument(
         "--per-commit", action="store_true",
         help="one diff per committed version instead of the net window diff",
@@ -976,12 +984,20 @@ def main(argv: list[str] | None = None) -> int:
         from dbimport_spark.lake.cdf import table_changes, table_changes_per_commit
 
         table = LakeTable.load(args.table_root)
+        # REFs (version / tag / timestamp) resolve against retained
+        # metadata only — no data read happens before the window check
+        from_v = table.resolve_ref(args.from_version)
+        to_v = (
+            table.resolve_ref(args.to_version)
+            if args.to_version is not None
+            else None
+        )
         if args.follow:
             from dbimport_spark.lake.cdf import follow_changes
 
             emitted = []
             for lo, hi, feed in follow_changes(
-                spark, table, from_version=args.from_version,
+                spark, table, from_version=from_v,
                 poll_s=args.poll, max_windows=args.max_windows,
                 stop_file=args.stop_file,
             ):
@@ -993,13 +1009,10 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"windows": len(emitted)}))
             return 0
         if args.per_commit:
-            df = table_changes_per_commit(
-                spark, table, args.from_version, args.to_version
-            )
+            df = table_changes_per_commit(spark, table, from_v, to_v)
         else:
             df = table_changes(
-                spark, table, args.from_version, args.to_version,
-                include_preimage=args.preimage,
+                spark, table, from_v, to_v, include_preimage=args.preimage,
             )
         if args.out:
             df.write.mode("overwrite").parquet(args.out)
@@ -1011,9 +1024,9 @@ def main(argv: list[str] | None = None) -> int:
         print(
             json.dumps(
                 {
-                    "from_version": args.from_version,
-                    "to_version": args.to_version
-                    if args.to_version is not None
+                    "from_version": from_v,
+                    "to_version": to_v
+                    if to_v is not None
                     else table.current().version,
                     "changes": counts,
                     "out": args.out,

@@ -172,3 +172,23 @@ def test_cli_tag_set_resolve_remove(spark, tmp_path, capsys):
 
     rc = main(["tag", root, "--remove", "freeze"])  # already gone -> error
     assert rc == 1
+
+
+def test_cli_changes_accepts_tag_refs(spark, tmp_path, capsys):
+    """The change-feed CLI takes tags (and timestamps) as window bounds —
+    'what changed since the freeze' without bookkeeping version numbers."""
+    import json
+
+    from dbimport_spark.cli import main
+
+    root = str(tmp_path / "t")
+    t = CDCEngine.create_table(root, num_buckets=2)
+    eng = CDCEngine(spark, t)
+    _commits(spark, eng, 3)
+    t.set_tag("freeze", 1)
+
+    rc = main(["changes", root, "--from-version", "freeze"])
+    assert rc in (0, None)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["from_version"] == 1 and out["to_version"] == 3
+    assert out["changes"] == {"insert": 2}  # k1, k2 landed after the tag
