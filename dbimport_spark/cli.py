@@ -150,6 +150,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("out_dir")
     sp.add_argument("--mode", default="incr", choices=["incr", "full"])
     sp.add_argument("--include-audit", action="store_true")
+    sp.add_argument(
+        "--at", default=None, metavar="REF",
+        help="one-off AS-OF snapshot export (version / tag / timestamp) to "
+        "<out_dir>/snapshot-v<version>; does not touch the incremental "
+        "watermark state (--mode is ignored)",
+    )
 
     sp = sub.add_parser(
         "cdc-export",
@@ -878,12 +884,18 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(rec))
         return 0 if rec["converged"] else 1
     elif args.cmd == "export":
-        from dbimport_spark.plans.export import ParquetExporter
+        from dbimport_spark.plans.export import ParquetExporter, export_snapshot
 
         table = LakeTable.load(args.table_root)
-        out = ParquetExporter(
-            table, args.out_dir, include_audit=args.include_audit
-        ).export(spark, mode=args.mode)
+        if args.at is not None:
+            out = export_snapshot(
+                spark, table, args.out_dir, args.at,
+                include_audit=args.include_audit,
+            )
+        else:
+            out = ParquetExporter(
+                table, args.out_dir, include_audit=args.include_audit
+            ).export(spark, mode=args.mode)
         print(json.dumps(out))
     elif args.cmd == "cdc-export":
         from dbimport_spark.plans.cdc_export import (

@@ -238,3 +238,32 @@ def export_to_jdbc(df: DataFrame, url: str, table: str, properties: dict | None 
     """One-shot stateless JDBC append (reference export_operations.py:
     1076-1079). For watermarked incremental export use ``JdbcExporter``."""
     return df.write.mode("append").jdbc(url, table, properties=properties or {})
+
+
+def export_snapshot(
+    spark: SparkSession,
+    table: LakeTable,
+    out_dir: str,
+    at: int | str,
+    include_audit: bool = False,
+) -> dict:
+    """One-off full export of a historical snapshot to parquet — "ship the
+    corpus as of the freeze tag". ``at`` is any snapshot ref (version, tag
+    name, timestamp; ``LakeTable.resolve_ref``).
+
+    Deliberately OUTSIDE the incremental watermark state machine: a freeze
+    shipment must neither advance nor depend on the live export chain's
+    watermark (an AS-OF export re-shipping old rows would otherwise
+    rewind it). Output lands in ``<out_dir>/snapshot-v<version>/`` with a
+    schema sidecar; overwrite-by-version makes re-runs idempotent."""
+    v = table.resolve_ref(at)
+    df = table.read(spark, version=v)
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    if not include_audit:
+        df = df.drop(*[c for c in AUDIT_COLUMNS if c in df.columns])
+    dest = os.path.join(out_dir, f"snapshot-v{v}")
+    df.write.mode("overwrite").parquet(dest)
+    with open(os.path.join(dest, "_export_schema.json"), "w") as fh:
+        fh.write(df.schema.json())
+    return {"version": v, "at": str(at), "rows": obs.get["rows"], "out": dest}

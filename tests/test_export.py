@@ -99,3 +99,37 @@ def test_parquet_export_schema_sidecar(spark, tmp_path):
         sidecar_schema2 = T.StructType.fromJson(json.load(fh))
     assert "quality_score" in sidecar_schema2.fieldNames()
     assert sidecar_schema2 == spark.read.parquet(s2["last_run_dir"]).schema
+
+
+def test_snapshot_export_at_tag(spark, tmp_path):
+    """AS-OF export ships a tagged freeze without touching the incremental
+    watermark chain: the next incr export still sees everything as new."""
+    from dbimport_spark.plans.export import export_snapshot
+
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    eng = CDCEngine(spark, table)
+    log = generate_changes(spark, 1000, n_keys=80, seed=7)
+    eng.replay(log.filter("lsn <= 500"), num_batches=1)
+    frozen_rows = table.read(spark).count()
+    table.set_tag("freeze")
+    eng.replay(log, num_batches=1)  # table advances past the freeze
+
+    out = export_snapshot(spark, table, str(tmp_path / "ship"), "freeze")
+    assert out["rows"] == frozen_rows
+    shipped = spark.read.parquet(out["out"])
+    assert shipped.count() == frozen_rows
+    assert "dl_iud" not in shipped.columns  # audit stripped by default
+    # the frozen content, not the current content
+    assert shipped.count() != table.read(spark).count() or frozen_rows == table.read(spark).count()
+    frozen_ids = {r["doc_id"] for r in table.read(
+        spark, version=table.resolve_ref("freeze")).select("doc_id").collect()}
+    assert {r["doc_id"] for r in shipped.select("doc_id").collect()} == frozen_ids
+
+    # re-run is idempotent (overwrite-by-version)
+    out2 = export_snapshot(spark, table, str(tmp_path / "ship"), "freeze")
+    assert out2["out"] == out["out"] and out2["rows"] == frozen_rows
+
+    # the incremental chain was NOT advanced by the freeze shipment
+    ex = ParquetExporter(table, str(tmp_path / "incr_out"))
+    s = ex.export(spark, mode="incr")
+    assert s["last_run_rows"] == table.read(spark).count()
