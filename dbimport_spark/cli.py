@@ -548,6 +548,32 @@ def main(argv: list[str] | None = None) -> int:
         "--only", action="append", default=None, metavar="NAME",
         help="restrict the sweep to the named table(s) (repeatable)",
     )
+    sp.add_argument(
+        "--sync-point", default=None, metavar="NAME",
+        help="after an ALL-green sweep, freeze a named cross-table sync "
+        "point over the swept tables (tags every table and its derived "
+        "mirror/history/views; read back with --at NAME / resolve_ref)",
+    )
+
+    sp = sub.add_parser(
+        "sync-point",
+        help="cross-table consistent snapshot sets: freeze every registry "
+        "table (and derived mirrors/views/history) at its current version "
+        "under one name; read any member AS-OF the freeze via the name "
+        "(tag semantics — survives expire_snapshots)",
+    )
+    sp.add_argument("registry", help="registry JSON path")
+    spx = sp.add_mutually_exclusive_group(required=True)
+    spx.add_argument("--set", dest="sp_set", metavar="NAME",
+                     help="create a sync point over all enabled tables")
+    spx.add_argument("--remove", dest="sp_remove", metavar="NAME")
+    spx.add_argument("--list", dest="sp_list", action="store_true")
+    spx.add_argument("--show", dest="sp_show", metavar="NAME",
+                     help="print one manifest")
+    sp.add_argument(
+        "--only", action="append", default=None, metavar="TABLE",
+        help="with --set: restrict the freeze to the named table(s)",
+    )
 
     args = p.parse_args(argv)
 
@@ -731,6 +757,38 @@ def main(argv: list[str] | None = None) -> int:
                 reg, args.base_dir, args.log_base, batches=args.batches
             )
             print(json.dumps({"discovered": added}))
+        return 0
+    if args.cmd == "sync-point":
+        # metadata-only: tags + one manifest document, no Spark session
+        from dbimport_spark.plans.registry import (
+            TableRegistry,
+            create_sync_point,
+            drop_sync_point,
+            sync_points,
+        )
+
+        reg = TableRegistry(args.registry)
+        if args.sp_set:
+            print(json.dumps(
+                create_sync_point(reg, args.sp_set, only=args.only), indent=2
+            ))
+        elif args.sp_remove:
+            found = drop_sync_point(reg, args.sp_remove)
+            print(json.dumps({"removed": args.sp_remove, "found": found}))
+            return 0 if found else 1
+        elif args.sp_show:
+            pts = sync_points(reg)
+            if args.sp_show not in pts:
+                print(json.dumps({"error": f"no sync point {args.sp_show!r}"}))
+                return 1
+            print(json.dumps(pts[args.sp_show], indent=2))
+        else:
+            pts = sync_points(reg)
+            print(json.dumps(
+                {n: {"created_unix": m["created_unix"],
+                     "tables": sorted(m["tables"])}
+                 for n, m in pts.items()}, indent=2,
+            ))
         return 0
 
     spark = get_spark(app_name=f"dbimport-{args.cmd}", master=args.master)
@@ -959,7 +1017,8 @@ def main(argv: list[str] | None = None) -> int:
         from dbimport_spark.plans.registry import TableRegistry, replay_all
 
         results = replay_all(
-            spark, TableRegistry(args.registry), only=args.only
+            spark, TableRegistry(args.registry), only=args.only,
+            sync_point=args.sync_point,
         )
         print(json.dumps(results, indent=2))
         if any(not r.get("ok") for r in results.values()):

@@ -234,10 +234,148 @@ def discover_sources(
     return added
 
 
+def _syncpoints_path(registry: TableRegistry) -> str:
+    return f"{registry.path}.syncpoints.json"
+
+
+def sync_points(registry: TableRegistry) -> dict[str, dict]:
+    """All sync-point manifests for this registry: ``{name: manifest}``."""
+    text = registry.store.read_text(_syncpoints_path(registry))
+    return json.loads(text) if text else {}
+
+
+def _entry_roots(e: TableEntry) -> list[tuple[str, str]]:
+    """Every lake-table root a sync point must freeze for one entry:
+    the table itself plus its derived targets (mirror, history,
+    matviews) — a warehouse freeze that skipped the derived side would
+    let ``expire_snapshots`` age the frozen mirror out from under the
+    sync point's reader."""
+    roots = [("table", e.table_root)]
+    if e.history:
+        roots.append(("history", e.history))
+    if e.mirror_root:
+        roots.append(("mirror", e.mirror_root))
+    for v in e.views:
+        if v.get("root"):
+            roots.append(("view", v["root"]))
+    return roots
+
+
+def create_sync_point(
+    registry: TableRegistry,
+    name: str,
+    only: list[str] | None = None,
+) -> dict:
+    """Freeze a consistent cross-table snapshot set — tag every enabled
+    entry's table (and its derived mirror / history / matview tables) at
+    its CURRENT version under ``name``, and record one manifest.
+
+    This is a *snapshot set*, not a cross-table transaction: each table
+    is tagged at whatever version it holds when the sync point is cut.
+    Run it right after an all-green ``replay_all`` sweep (or pass
+    ``sync_point=`` to ``replay_all``) and the set is mutually
+    consistent — every table reflects its own log up to the ``last_lsn``
+    the manifest records, and the derived targets were just synced to
+    those versions. The reference has no cross-table surface at all (one
+    Airflow task per table); this is the coordinated-freeze primitive a
+    training-data warehouse needs ("ship the corpus as of Monday":
+    ``create_sync_point`` then ``export --at <name>`` per table).
+
+    All-or-nothing: tag names are validated and versions tagged table by
+    table; any failure rolls back the tags already set and re-raises, and
+    the manifest — the sync point's existence proof — is written only
+    after every tag landed. Tags pin exactly their version through
+    ``expire_snapshots``, so the frozen set survives retention. A sync
+    point is immutable: re-using a live name raises (a freeze that can
+    move is not a freeze) — ``drop_sync_point`` first.
+    """
+    import re
+    import time as _time
+
+    from dbimport_spark.lake.table import LakeTable
+
+    if not re.match(LakeTable._PIN_NAME_RE, name):
+        raise ValueError(f"invalid sync point name {name!r}")
+    points = sync_points(registry)
+    if name in points:
+        raise ValueError(
+            f"sync point {name!r} already exists (drop_sync_point first — "
+            "a freeze never moves)"
+        )
+    entries = registry.load()
+    missing = [n for n in only or [] if n not in entries]
+    if missing:
+        raise KeyError(f"not registered: {missing}")
+    targets = {
+        n: e
+        for n, e in entries.items()
+        if e.enabled and (only is None or n in only)
+    }
+    if not targets:
+        raise ValueError("sync point over zero tables")
+
+    manifest: dict = {"created_unix": _time.time(), "tables": {}}
+    tagged: list[LakeTable] = []
+    try:
+        for n, e in targets.items():
+            rec: dict = {}
+            for kind, root in _entry_roots(e):
+                if kind != "table" and not LakeTable.exists(root):
+                    continue  # derived target not materialized yet
+                t = LakeTable.load(root)
+                v = t.set_tag(name)
+                tagged.append(t)
+                rec.setdefault(kind + "s" if kind == "view" else kind, [])
+                info = {"root": root, "version": v,
+                        "last_lsn": t.last_lsn()}
+                if kind == "view":
+                    rec["views"].append(info)
+                else:
+                    rec[kind] = info
+            manifest["tables"][n] = rec
+    except Exception:
+        for t in tagged:  # roll back: a half-tagged freeze must not exist
+            try:
+                t.delete_tag(name)
+            except OSError:
+                pass  # stray tag without a manifest is inert; fsck-visible
+        raise
+    points[name] = manifest
+    registry.store.write_text(
+        _syncpoints_path(registry), json.dumps(points, indent=2)
+    )
+    return manifest
+
+
+def drop_sync_point(registry: TableRegistry, name: str) -> bool:
+    """Remove a sync point: per-table tags first (best effort — a table
+    deleted since the freeze is fine), manifest entry last. Returns False
+    when the name does not exist."""
+    from dbimport_spark.lake.table import LakeTable
+
+    points = sync_points(registry)
+    if name not in points:
+        return False
+    for rec in points[name]["tables"].values():
+        infos = [rec[k] for k in ("table", "history", "mirror") if k in rec]
+        infos += rec.get("views", [])
+        for info in infos:
+            try:
+                LakeTable.load(info["root"]).delete_tag(name)
+            except Exception:
+                pass  # already gone; the manifest removal is authoritative
+    del points[name]
+    registry.store.write_text(
+        _syncpoints_path(registry), json.dumps(points, indent=2)
+    )
+    return True
+
+
 def replay_all(
     spark: SparkSession,
     registry: TableRegistry,
     only: list[str] | None = None,
+    sync_point: str | None = None,
 ) -> dict[str, dict]:
     """One sweep over every enabled registry entry: independent replays,
     independent watermarks, independent failures. Returns per-table
@@ -300,6 +438,27 @@ def replay_all(
             results[name] = {
                 "ok": False,
                 "error": f"{type(exc).__name__}: {exc}",
+            }
+    if sync_point is not None:
+        # cut the freeze only over an ALL-green sweep: a sync point whose
+        # manifest silently excluded a failed table would read as "the
+        # warehouse as of X" while missing a member
+        if all(r.get("ok") for r in results.values()):
+            try:
+                swept = [
+                    n for n, r in results.items() if "skipped" not in r
+                ]
+                create_sync_point(registry, sync_point, only=swept or None)
+                results["_sync_point"] = {"ok": True, "name": sync_point}
+            except Exception as exc:
+                results["_sync_point"] = {
+                    "ok": False,
+                    "error": f"{type(exc).__name__}: {exc}",
+                }
+        else:
+            results["_sync_point"] = {
+                "ok": False,
+                "error": "sweep had failures — sync point not created",
             }
     return results
 

@@ -440,3 +440,187 @@ def test_cli_tables_add_rejects_bad_anonymize(tmp_path):
     with _pytest.raises(SystemExit):
         main(["tables", str(tmp_path / "r.json"), "add", "t", "/x", "/y",
               "--anonymize", "source=rot13"])
+
+
+# -- cross-table sync points (r5) --------------------------------------------
+
+
+def _mk_fleet(spark, tmp_path, names=("alpha", "beta"), n=400):
+    """Two replayed tables behind a registry; returns (reg, logs)."""
+    reg = TableRegistry(str(tmp_path / "reg.json"))
+    logs = {}
+    for i, name in enumerate(names):
+        log = generate_changes(spark, n, n_keys=30, seed=50 + i)
+        path = str(tmp_path / f"log-{name}")
+        write_changes(log, path, 4)
+        CDCEngine.create_table(str(tmp_path / f"t-{name}"), num_buckets=4)
+        reg.add(TableEntry(
+            name=name, table_root=str(tmp_path / f"t-{name}"),
+            log_path=path,
+        ))
+        logs[name] = log
+    replay_all(spark, reg)
+    return reg, logs
+
+
+def test_sync_point_freeze_read_expire_drop(spark, tmp_path):
+    """A sync point freezes every table at its current version; members
+    stay readable AS-OF the freeze through later replays AND snapshot
+    expiry; drop removes the tags and the manifest; the name is then
+    reusable, but a LIVE name never moves."""
+    import pytest as _pytest
+
+    from dbimport_spark.lake.table import LakeTable
+    from dbimport_spark.plans.registry import (
+        create_sync_point, drop_sync_point, sync_points,
+    )
+
+    reg, logs = _mk_fleet(spark, tmp_path)
+    m = create_sync_point(reg, "monday")
+    assert set(m["tables"]) == {"alpha", "beta"}
+    frozen = {}
+    for name in ("alpha", "beta"):
+        t = LakeTable.load(str(tmp_path / f"t-{name}"))
+        info = m["tables"][name]["table"]
+        assert info["version"] == t.current().version
+        assert info["last_lsn"] == 400
+        frozen[name] = t.read(spark).count()
+
+    # a live freeze never moves
+    with _pytest.raises(ValueError, match="already exists"):
+        create_sync_point(reg, "monday")
+
+    # advance both tables past the freeze, then expire history
+    for i, name in enumerate(("alpha", "beta")):
+        extra = generate_changes(
+            spark, 150, n_keys=30, seed=60 + i, first_lsn=401
+        )
+        path = str(tmp_path / f"log2-{name}")
+        write_changes(logs[name].unionByName(extra), path, 4)
+        entries = reg.load()
+        entries[name].log_path = path
+        reg.save(entries)
+    replay_all(spark, reg)
+    for name in ("alpha", "beta"):
+        t = LakeTable.load(str(tmp_path / f"t-{name}"))
+        t.expire_snapshots(keep_last=1)
+        v = t.resolve_ref("monday")
+        assert t.read(spark, version=v).count() == frozen[name]
+        assert t.last_lsn() == 550  # the live table moved on
+
+    assert set(sync_points(reg)) == {"monday"}
+    assert drop_sync_point(reg, "monday")
+    assert sync_points(reg) == {}
+    for name in ("alpha", "beta"):
+        assert "monday" not in LakeTable.load(
+            str(tmp_path / f"t-{name}")
+        ).tags()
+    assert not drop_sync_point(reg, "monday")  # second drop: not found
+    create_sync_point(reg, "monday")  # name reusable after drop
+
+
+def test_sync_point_rollback_on_partial_failure(spark, tmp_path):
+    """A member that cannot be tagged aborts the freeze and rolls back
+    tags already set — a half-tagged sync point must not exist."""
+    import pytest as _pytest
+
+    from dbimport_spark.lake.table import LakeTable
+    from dbimport_spark.plans.registry import create_sync_point, sync_points
+
+    reg, _ = _mk_fleet(spark, tmp_path, names=("alpha",))
+    reg.add(TableEntry(
+        name="ghost",
+        table_root=str(tmp_path / "missing"),  # no table here
+        log_path=str(tmp_path / "no-log"),
+    ))
+    with _pytest.raises(Exception):
+        create_sync_point(reg, "broken")
+    assert sync_points(reg) == {}
+    assert "broken" not in LakeTable.load(str(tmp_path / "t-alpha")).tags()
+
+
+def test_sync_point_covers_derived_mirror(spark, tmp_path):
+    """Derived targets are frozen too: an entry's mirror is tagged at the
+    version the sweep left it, so 'the warehouse as of X' includes the
+    mirror a downstream reader actually queries."""
+    from dbimport_spark.lake.table import LakeTable
+    from dbimport_spark.plans.registry import create_sync_point
+
+    log = generate_changes(spark, 300, n_keys=25, seed=77)
+    write_changes(log, str(tmp_path / "log"), 4)
+    CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    CDCEngine.create_table(str(tmp_path / "m"), num_buckets=4)
+    reg = TableRegistry(str(tmp_path / "reg.json"))
+    reg.add(TableEntry(
+        name="main", table_root=str(tmp_path / "t"),
+        log_path=str(tmp_path / "log"), mirror_root=str(tmp_path / "m"),
+    ))
+    results = replay_all(spark, reg, sync_point="nightly")
+    assert results["main"]["ok"] and results["main"]["mirror"]["ok"]
+    assert results["_sync_point"] == {"ok": True, "name": "nightly"}
+
+    mirror = LakeTable.load(str(tmp_path / "m"))
+    assert "nightly" in mirror.tags()
+    vm = mirror.resolve_ref("nightly")
+    main = LakeTable.load(str(tmp_path / "t"))
+    assert (
+        mirror.read(spark, version=vm).count()
+        == main.read(spark, version=main.resolve_ref("nightly")).count()
+    )
+
+
+def test_replay_all_sync_point_skipped_on_failure(spark, tmp_path):
+    """A sweep with failures must NOT cut the freeze — a sync point that
+    silently excluded a failed member would lie about the warehouse."""
+    from dbimport_spark.plans.registry import sync_points
+
+    reg, _ = _mk_fleet(spark, tmp_path, names=("alpha",))
+    reg.add(TableEntry(
+        name="broken", table_root=str(tmp_path / "nope"),
+        log_path=str(tmp_path / "no-log"),
+    ))
+    results = replay_all(spark, reg, sync_point="bad")
+    assert not results["broken"]["ok"]
+    assert not results["_sync_point"]["ok"]
+    assert sync_points(reg) == {}
+
+
+def test_cli_sync_point_roundtrip(spark, tmp_path, capsys):
+    """CLI surface: --set over the fleet, --list, --show, --remove; the
+    frozen ref then feeds the AS-OF export (`export --at NAME`)."""
+    import json as _json
+
+    from dbimport_spark.cli import main
+
+    reg, _ = _mk_fleet(spark, tmp_path, names=("alpha",))
+    reg_path = str(tmp_path / "reg.json")
+
+    rc = main(["sync-point", reg_path, "--set", "ship-1"])
+    assert rc in (0, None)
+    m = _json.loads(capsys.readouterr().out)
+    assert "alpha" in m["tables"]
+
+    rc = main(["sync-point", reg_path, "--list"])
+    assert rc in (0, None)
+    listing = _json.loads(capsys.readouterr().out)
+    assert listing["ship-1"]["tables"] == ["alpha"]
+
+    rc = main(["sync-point", reg_path, "--show", "ship-1"])
+    assert rc in (0, None)
+    shown = _json.loads(capsys.readouterr().out)
+    assert shown["tables"]["alpha"]["table"]["last_lsn"] == 400
+
+    # the frozen name is a snapshot ref everywhere refs are accepted
+    rc = main([
+        "export", str(tmp_path / "t-alpha"), str(tmp_path / "ship"),
+        "--at", "ship-1",
+    ])
+    assert rc in (0, None)
+    out = _json.loads(capsys.readouterr().out)
+    assert out["rows"] == spark.read.parquet(out["out"]).count()
+
+    rc = main(["sync-point", reg_path, "--remove", "ship-1"])
+    assert rc in (0, None)
+    assert _json.loads(capsys.readouterr().out)["found"]
+    rc = main(["sync-point", reg_path, "--remove", "ship-1"])
+    assert rc == 1
