@@ -178,6 +178,29 @@ def main(argv: list[str] | None = None) -> int:
         help="after syncing, reconcile the target against the source's "
         "live rows (count + content checksum)",
     )
+    sp.add_argument(
+        "--dialect", default=None,
+        help="generate explicit target DDL for this dialect (derby/"
+        "postgresql/mysql/oracle/mssql/db2/snowflake/ansi): CREATE TABLE "
+        "with a PRIMARY KEY over the merge keys, plus ALTER ADD / RENAME "
+        "following the source's evolution. Default: let Spark's JDBC "
+        "writer create the target",
+    )
+
+    sp = sub.add_parser(
+        "ddl",
+        help="print the per-dialect target DDL (CREATE TABLE + comments) "
+        "for a lake table's flattened export payload — a dry-run of what "
+        "cdc-export --dialect would execute",
+    )
+    sp.add_argument("table_root")
+    sp.add_argument("target_table")
+    sp.add_argument(
+        "--dialect", required=True,
+        help="derby/postgresql/mysql/oracle/mssql/db2/snowflake/ansi",
+    )
+    sp.add_argument("--schema-name", default=None)
+    sp.add_argument("--key-varchar-len", type=int, default=255)
 
     sp = sub.add_parser("compact")
     sp.add_argument("table_root")
@@ -605,6 +628,51 @@ def main(argv: list[str] | None = None) -> int:
             for rec in lineage_history(table):
                 print(json.dumps(rec))
         return 0
+    if args.cmd == "ddl":
+        # metadata-only: no Spark session needed — the flattened export
+        # payload schema is derivable from the snapshot alone (complex
+        # types ship as JSON strings, JdbcExporter._flatten_for_rdbms)
+        from pyspark.sql import types as T
+
+        from dbimport_spark.plans import dialects as D
+        from dbimport_spark.schema import AUDIT_COLUMNS
+
+        table = LakeTable.load(args.table_root)
+        snap = table.current()
+        flat = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    T.StringType()
+                    if isinstance(
+                        f.dataType, (T.ArrayType, T.MapType, T.StructType)
+                    )
+                    else f.dataType,
+                    f.nullable,
+                )
+                for f in snap.schema.fields
+                if f.name not in AUDIT_COLUMNS
+            ]
+        )
+        bc = snap.bucket_column
+        keys = list(bc) if isinstance(bc, list) else [bc]
+        comments = {
+            f.name: f.metadata.get("comment")
+            for f in snap.schema.fields
+            if f.metadata and f.metadata.get("comment")
+        }
+        for stmt in D.create_table_sql(
+            args.dialect,
+            args.target_table,
+            flat,
+            keys=keys,
+            comments=comments,
+            key_varchar_len=args.key_varchar_len,
+            schema_name=args.schema_name,
+            quote_table=False,
+        ):
+            print(stmt + ";")
+        return 0
     if args.cmd == "rename":
         # metadata-only: no Spark session needed
         table = LakeTable.load(args.table_root)
@@ -963,7 +1031,8 @@ def main(argv: list[str] | None = None) -> int:
 
         table = LakeTable.load(args.table_root)
         exp = CDCJdbcExporter(
-            table, args.url, args.target_table, state_dir=args.state_dir
+            table, args.url, args.target_table, state_dir=args.state_dir,
+            dialect=args.dialect,
         )
         out = exp.sync(spark, on_gap=args.on_gap)
         if args.verify:

@@ -70,6 +70,7 @@ class CDCJdbcExporter:
         state_store=None,
         key_varchar_len: int = 255,
         pin_name: str | None = None,
+        dialect: str | None = None,
     ):
         from dbimport_spark.lake.statestore import DEFAULT_STORE
 
@@ -90,6 +91,14 @@ class CDCJdbcExporter:
         # (LakeTable.set_pin): keeps this export's delta base from being
         # expired, like the mirror's pin
         self.pin_name = pin_name
+        # dialect=None keeps the writer-created target (Spark's JDBC
+        # defaults + the key VARCHAR hint). Naming a dialect switches
+        # target DDL to plans/dialects.py: explicit CREATE TABLE with a
+        # PRIMARY KEY over the merge keys, plus ALTER ADD / RENAME
+        # statements that follow the source's additive evolution and
+        # declared renames (reference createTargetTable /
+        # updateTargetTable, export_config.py:1164-1235 / 766-1060).
+        self.dialect = dialect
         bc = source.current().bucket_column
         self.keys = list(bc) if isinstance(bc, list) else [bc]
 
@@ -126,20 +135,32 @@ class CDCJdbcExporter:
             f"INSERT INTO {tgt} ({collist}) SELECT {collist} FROM {stg} "
             f"WHERE {_q(CHANGE_TYPE_COL)} <> 'delete'"
         )
+        self._execute_driver_sql(
+            spark, [delete_sql, insert_sql], transactional=True
+        )
+
+    def _execute_driver_sql(
+        self, spark: SparkSession, statements: list, transactional: bool
+    ) -> None:
+        """Run metadata-sized SQL strings on the driver's own JDBC
+        connection — one transaction when asked (the merge), autocommit
+        otherwise (DDL, which many dialects implicitly commit anyway)."""
         jvm = spark._jvm
         props = jvm.java.util.Properties()
         for k, v in self.properties.items():
             props.setProperty(k, str(v))
         conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
         try:
-            conn.setAutoCommit(False)
+            conn.setAutoCommit(not transactional)
             st = conn.createStatement()
             try:
-                st.executeUpdate(delete_sql)
-                st.executeUpdate(insert_sql)
-                conn.commit()
+                for sql in statements:
+                    st.executeUpdate(sql)
+                if transactional:
+                    conn.commit()
             except Exception:
-                conn.rollback()
+                if transactional:
+                    conn.rollback()
                 raise
             finally:
                 st.close()
@@ -172,14 +193,68 @@ class CDCJdbcExporter:
         return ", ".join(specs) or None
 
     def _ensure_target(self, spark: SparkSession, template: DataFrame) -> None:
-        """Create the target table if absent (empty append — a no-op on an
-        existing table with a compatible schema)."""
+        """Create the target table if absent. Without a dialect: empty
+        append, Spark's writer picks the types (a no-op on an existing
+        table). With a dialect: explicit generated DDL (PRIMARY KEY over
+        the merge keys, source column comments where the target supports
+        them), and an existing target is EVOLVED — declared renames +
+        ALTER ADD for new source columns — before the merge touches it."""
         flat = self._flatten(template).limit(0)
-        w = flat.write.mode("append")
-        ddl = self._ddl_types(flat, with_change_type=False)
-        if ddl:
-            w = w.option("createTableColumnTypes", ddl)
-        w.jdbc(self.url, self.target_table, properties=self.properties)
+        if self.dialect is None:
+            w = flat.write.mode("append")
+            ddl = self._ddl_types(flat, with_change_type=False)
+            if ddl:
+                w = w.option("createTableColumnTypes", ddl)
+            w.jdbc(self.url, self.target_table, properties=self.properties)
+            return
+
+        from dbimport_spark.plans import dialects as D
+
+        cur = self.source.current()
+        comments = {
+            f.name: f.metadata.get("comment")
+            for f in cur.schema.fields
+            if f.metadata and f.metadata.get("comment")
+        }
+        live = self._target_columns(spark)
+        if live is None:
+            stmts = D.create_table_sql(
+                self.dialect,
+                self.target_table,
+                flat.schema,
+                keys=self.keys,
+                comments=comments,
+                key_varchar_len=self.key_varchar_len,
+                # unquoted-verbatim table name: the database applies its
+                # own fold, agreeing with the unquoted merge SQL and
+                # Spark's writer dbtable (see _execute_merge)
+                quote_table=False,
+            )
+        else:
+            epoch = int(self._state().get("rename_epoch", 0))
+            stmts = D.plan_target_evolution(
+                self.dialect,
+                self.target_table,
+                live,
+                flat.schema,
+                renames=cur.renames[epoch:],
+                comments=comments,
+                quote_table=False,
+            )
+        if stmts:
+            # autocommit: idempotent by construction (create only when
+            # absent; rename only while old-present/new-absent; add only
+            # while missing), so a crash mid-list resumes cleanly
+            self._execute_driver_sql(spark, stmts, transactional=False)
+
+    def _target_columns(self, spark: SparkSession) -> list | None:
+        """Live target column names via JDBC metadata, None if absent."""
+        try:
+            return spark.read.jdbc(
+                self.url, self.target_table, properties=self.properties
+            ).columns
+        except Exception:
+            return None
 
     def sync(self, spark: SparkSession, on_gap: str = "error") -> dict:
         """Advance the RDBMS target to the source's current version."""
@@ -235,6 +310,10 @@ class CDCJdbcExporter:
             "runs": state["runs"] + 1,
             "rows": got["rows"],
             "deletes": int(got["deletes"] or 0),
+            # rename-log position already applied to the target: the next
+            # sync's evolution plan replays only renames declared after
+            # this window (idempotent anyway — see _ensure_target)
+            "rename_epoch": len(self.source.current().renames),
             "skipped": False,
         }
         self._save_state(state)

@@ -594,6 +594,7 @@ def _sync_derived(
                     properties=x.get("properties"),
                     state_store=store,  # the registry's statestore seam
                     pin_name=_pin_name("export", x["state_dir"]),
+                    dialect=x.get("dialect"),
                 )
                 st = exp.sync(spark, on_gap=x.get("on_gap", "error"))
                 out.append({"target": x["target_table"], "ok": True,
