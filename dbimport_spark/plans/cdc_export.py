@@ -117,26 +117,46 @@ class CDCJdbcExporter:
         self.state_store.write_text(self._state_path, json.dumps(state))
 
     # -- driver-side SQL (metadata-sized; one transaction) ---------------
-    def _execute_merge(self, spark: SparkSession, payload_cols: list[str]) -> None:
+    def _qt(self, name: str) -> str:
+        """Quote a TARGET-side column. The stage table is always created
+        by Spark's JDBC writer (quoted, case-preserved -> ``_q``), but a
+        dialect-created target has FOLDED quoted columns (oracle/db2
+        upper, postgres lower — plans/dialects.quote_ident), so the two
+        sides of the merge need different spellings of the same column."""
+        if self.dialect is None:
+            return _q(name)
+        from dbimport_spark.plans import dialects as D
+
+        return D.quote_ident(self.dialect, name)
+
+    def _merge_sqls(self, payload_cols: list[str]) -> list[str]:
         # table names UNQUOTED (verbatim) — Spark's JDBC writer interpolates
         # the dbtable string unquoted into CREATE TABLE, so the database
         # applied its own case folding; quoting here would miss it.
-        # COLUMN names quoted — the writer quotes those, preserving case.
         tgt, stg = self.target_table, self.stage_table
+        # correlate the inner EXISTS through the target's EXPOSED name
+        # (its unqualified table name), not an alias: MySQL and MSSQL
+        # reject an alias on single-table DELETE, the exposed-name form
+        # is accepted everywhere
+        texp = tgt.split(".")[-1]
         on = " AND ".join(
-            f"s.{_q(k)} = t.{_q(k)}" for k in self.keys
+            f"s.{_q(k)} = {texp}.{self._qt(k)}" for k in self.keys
         )
-        collist = ", ".join(_q(c) for c in payload_cols)
+        stg_cols = ", ".join(_q(c) for c in payload_cols)
+        tgt_cols = ", ".join(self._qt(c) for c in payload_cols)
         delete_sql = (
-            f"DELETE FROM {tgt} t WHERE EXISTS "
+            f"DELETE FROM {tgt} WHERE EXISTS "
             f"(SELECT 1 FROM {stg} s WHERE {on})"
         )
         insert_sql = (
-            f"INSERT INTO {tgt} ({collist}) SELECT {collist} FROM {stg} "
+            f"INSERT INTO {tgt} ({tgt_cols}) SELECT {stg_cols} FROM {stg} "
             f"WHERE {_q(CHANGE_TYPE_COL)} <> 'delete'"
         )
+        return [delete_sql, insert_sql]
+
+    def _execute_merge(self, spark: SparkSession, payload_cols: list[str]) -> None:
         self._execute_driver_sql(
-            spark, [delete_sql, insert_sql], transactional=True
+            spark, self._merge_sqls(payload_cols), transactional=True
         )
 
     def _execute_driver_sql(
@@ -238,6 +258,8 @@ class CDCJdbcExporter:
                 live,
                 flat.schema,
                 renames=cur.renames[epoch:],
+                keys=self.keys,
+                key_varchar_len=self.key_varchar_len,
                 comments=comments,
                 quote_table=False,
             )

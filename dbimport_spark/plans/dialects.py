@@ -375,12 +375,20 @@ def rename_column_sql(
     new: str,
     dtype: T.DataType | None = None,
     *,
+    key: bool = False,
+    key_varchar_len: int = 255,
     schema_name: str | None = None,
     quote_table: bool = True,
 ) -> str:
     """Per-dialect column rename (reference updateTargetTable's rename
     branch, export_config.py:875-900). MySQL's CHANGE COLUMN needs the
-    type restated; MSSQL uses sp_rename with raw (unquoted) names."""
+    type restated; MSSQL uses sp_rename with raw (unquoted) names.
+
+    ``key=True`` when the column carries the merge key: type-restating
+    renames (MySQL) must restate the bounded key VARCHAR + NOT NULL, not
+    the unbounded text type — TEXT/LONGTEXT is illegal inside a PRIMARY
+    KEY and CHANGE COLUMN would otherwise also reset nullability.
+    """
     d = get_dialect(dialect)
     tname = _qualified(d, table, schema_name, quote_table)
     if "{type}" in d.rename_template and dtype is None:
@@ -388,11 +396,18 @@ def rename_column_sql(
     raw_table = _fold(d, table)
     if schema_name:
         raw_table = f"{_fold(d, schema_name)}.{raw_table}"
+    type_sql = ""
+    if dtype is not None:
+        type_sql = column_type(
+            d, dtype, key=key, key_varchar_len=key_varchar_len
+        )
+        if key and "{type}" in d.rename_template:
+            type_sql += " NOT NULL"
     return d.rename_template.format(
         table=tname,
         old=quote_ident(d, old),
         new=quote_ident(d, new),
-        type=column_type(d, dtype) if dtype is not None else "",
+        type=type_sql,
         table_raw=raw_table,
         old_raw=_fold(d, old),
         new_raw=_fold(d, new),
@@ -406,6 +421,8 @@ def plan_target_evolution(
     desired: T.StructType,
     *,
     renames: list | tuple = (),
+    keys: tuple | list = (),
+    key_varchar_len: int = 255,
     comments: dict | None = None,
     schema_name: str | None = None,
     quote_table: bool = True,
@@ -421,18 +438,38 @@ def plan_target_evolution(
     compared case-insensitively, JDBC metadata case-folds per database).
     ``renames``: ordered ``[{"from": old, "to": new}, ...]`` — the lake
     snapshot rename-log slice since the last sync.
+    ``keys``: the merge-key columns (post-rename names) — a renamed key
+    keeps its bounded VARCHAR + NOT NULL where the dialect restates the
+    type (the lake may rename its bucket column, table.py:913).
     """
     d = get_dialect(dialect)
     have = {c.lower() for c in target_columns}
+    # transitive pre-images: a chained key rename (a->b then b->c, key=c)
+    # must treat the intermediate hop as a key rename too
+    keyset = {k.lower() for k in keys}
+    for r in reversed(list(renames)):
+        if r["to"].lower() in keyset:
+            keyset.add(r["from"].lower())
     stmts: list[str] = []
-    dtypes = {f.name: f.dataType for f in desired.fields}
-    for r in renames:
+    dtypes = {f.name.lower(): f.dataType for f in desired.fields}
+    renames = list(renames)
+    for i, r in enumerate(renames):
         old, new = r["from"], r["to"]
+        # an intermediate hop of a chained rename (a->b then b->c) is not
+        # in the desired schema — resolve through the remaining chain to
+        # the final name for its type
+        final = new
+        for nxt in renames[i + 1:]:
+            if nxt["from"].lower() == final.lower():
+                final = nxt["to"]
         if old.lower() in have and new.lower() not in have:
             stmts.append(
                 rename_column_sql(
                     d, table, old, new,
-                    dtypes.get(new), schema_name=schema_name,
+                    dtypes.get(final.lower()),
+                    key=new.lower() in keyset,
+                    key_varchar_len=key_varchar_len,
+                    schema_name=schema_name,
                     quote_table=quote_table,
                 )
             )

@@ -317,3 +317,83 @@ def test_cli_ddl_dry_run(spark, tmp_path):
     assert 'PRIMARY KEY ("DOC_ID")' in ddl
     assert "DL_IUD" not in ddl and "dl_iud" not in ddl
     assert table.current().version == v  # pure dry run
+
+
+def test_key_rename_restates_key_type_not_lob():
+    """A renamed MERGE-KEY column must keep its bounded VARCHAR + NOT
+    NULL on type-restating dialects (MySQL CHANGE COLUMN) — LONGTEXT is
+    illegal inside a PRIMARY KEY and CHANGE resets nullability."""
+    sql = D.rename_column_sql(
+        "mysql", "tgt", "doc_id", "doc_key", T.StringType(),
+        key=True, key_varchar_len=64, quote_table=False,
+    )
+    assert sql == (
+        "ALTER TABLE tgt CHANGE COLUMN `doc_id` `doc_key` "
+        "VARCHAR(64) NOT NULL"
+    )
+    # non-restating dialects are unaffected by the key flag
+    assert (
+        D.rename_column_sql(
+            "derby", "tgt", "doc_id", "doc_key", key=True, quote_table=False
+        )
+        == 'RENAME COLUMN tgt."doc_id" TO "doc_key"'
+    )
+
+
+def test_evolution_key_rename_chain_keeps_key_type():
+    """a->b then b->c with key=c: BOTH hops are key renames (the
+    intermediate name is a transitive pre-image of the key)."""
+    desired = T.StructType(
+        [
+            T.StructField("doc_key", T.StringType(), False),
+            T.StructField("tokens", T.StringType(), True),
+        ]
+    )
+    stmts = D.plan_target_evolution(
+        "mysql",
+        "tgt",
+        ["doc_id", "tokens"],
+        desired,
+        renames=[
+            {"from": "doc_id", "to": "doc_tmp"},
+            {"from": "doc_tmp", "to": "doc_key"},
+        ],
+        keys=["doc_key"],
+        key_varchar_len=255,
+        quote_table=False,
+    )
+    assert stmts == [
+        "ALTER TABLE tgt CHANGE COLUMN `doc_id` `doc_tmp` "
+        "VARCHAR(255) NOT NULL",
+        "ALTER TABLE tgt CHANGE COLUMN `doc_tmp` `doc_key` "
+        "VARCHAR(255) NOT NULL",
+    ]
+
+
+def test_merge_sql_folds_target_side_only():
+    """The staging merge's two statements against a fold dialect: stage
+    columns keep the Spark writer's case-preserved quoting, target
+    columns take the dialect's fold — and the DELETE correlates through
+    the target's exposed name (MySQL/MSSQL reject a DELETE alias)."""
+    from dbimport_spark.plans.cdc_export import CDCJdbcExporter
+
+    exp = CDCJdbcExporter.__new__(CDCJdbcExporter)
+    exp.target_table = "tgt"
+    exp.stage_table = "tgt_stage"
+    exp.keys = ["doc_id"]
+    exp.dialect = "oracle"
+    delete_sql, insert_sql = exp._merge_sqls(["doc_id", "tokens"])
+    assert delete_sql == (
+        "DELETE FROM tgt WHERE EXISTS "
+        '(SELECT 1 FROM tgt_stage s WHERE s."doc_id" = tgt."DOC_ID")'
+    )
+    assert insert_sql == (
+        'INSERT INTO tgt ("DOC_ID", "TOKENS") '
+        'SELECT "doc_id", "tokens" FROM tgt_stage '
+        'WHERE "_change_type" <> \'delete\''
+    )
+    # no dialect: both sides case-preserved (the writer created both)
+    exp.dialect = None
+    delete_sql, insert_sql = exp._merge_sqls(["doc_id", "tokens"])
+    assert '"doc_id" = tgt."doc_id"' in delete_sql
+    assert 'INSERT INTO tgt ("doc_id", "tokens")' in insert_sql
