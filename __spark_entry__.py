@@ -203,6 +203,58 @@ def q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).select("doc_id", "val_cents", "source")
 
 
+def q_cdc_replay_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kill/resume + point-in-time read, one hash-verified gate (absorbs
+    the former cdc_replay_resume slot — its stop_after kill and fresh-
+    engine plan-reload path run inside this query, and BOTH resulting
+    states are value-hashed: 'frozen' rows must equal the LWW fold of the
+    half-log, 'final' rows the fold of the whole log).
+
+    Sequence: replay the log's first half, cut a snapshot TAG, resume the
+    full log with a FRESH engine killed after one batch (stop_after=1),
+    resume again to completion, EXPIRE untagged history, then read AS OF
+    the tag (lake/table.py set_tag / resolve_ref / read(version=)). The
+    tag must pin exactly its snapshot through expire_snapshots — the
+    'reproducible training run against the v3 freeze' guarantee.
+    Reference parity: DBImport's Iceberg maintenance expires on count
+    alone (import_operations.py:1513-1535) with no tag surface; this is
+    the Iceberg tag-with-retention analogue."""
+    from dbimport_spark.plans.engine import CDCEngine
+
+    changes = _events_as_changes(spark, sf_dir)
+    mid = changes.agg(F.max("lsn")).collect()[0][0] // 2
+    root = tempfile.mkdtemp(prefix="cdc-asof-")
+    table = CDCEngine.create_table(
+        os.path.join(root, "t"), payload_schema=CDC_PAYLOAD, num_buckets=16
+    )
+    ckpt = os.path.join(root, "ckpt")
+    CDCEngine(spark, table, checkpoint_dir=ckpt).replay(
+        changes.filter(F.col("lsn") <= mid), num_batches=2
+    )
+    table.set_tag("freeze")
+    # restarted job: fresh engine resumes past the watermark, is killed
+    # after one batch, and a third instance reloads the plan and finishes
+    eng2 = CDCEngine(spark, table, checkpoint_dir=ckpt)
+    stats = eng2.replay(changes, num_batches=2, stop_after=1)
+    assert stats.batches_applied == 1, "kill hook must stop mid-replay"
+    CDCEngine(spark, table, checkpoint_dir=ckpt).replay(
+        changes, num_batches=2
+    )
+    table.expire_snapshots(keep_last=1)  # tag must survive retention
+    frozen = table.resolve_ref("freeze")
+    payload = ["doc_id", "val_cents", "source"]
+    return (
+        table.read(spark, version=frozen)
+        .select(*payload)
+        .withColumn("state", F.lit("frozen"))
+        .unionByName(
+            table.read(spark).select(*payload).withColumn(
+                "state", F.lit("final")
+            )
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -1107,7 +1159,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay": q_cdc_replay,
-        "cdc_replay_resume": q_cdc_replay_resume,
+        # cdc_replay_resume's slot upgraded in r5 to cdc_replay_asof:
+        # the SAME stop_after kill + fresh-engine plan-reload resume runs
+        # inside the new query (its 'final' rows hash-verify the resumed
+        # state against the full fold, exactly what the old gate checked),
+        # PLUS a snapshot tag cut at the half-log point whose 'frozen'
+        # rows hash-verify time travel + tag-pinned retention through
+        # expire_snapshots. q_cdc_replay_resume itself remains for tests.
+        "cdc_replay_asof": q_cdc_replay_asof,
         "cdc_replay_composite": q_cdc_replay_composite,
         "metadata_rowcount": q_metadata_rowcount,
         "custom_validation": q_custom_validation,
@@ -1280,7 +1339,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, val_cents, source FROM w WHERE rn = 1 AND op <> 'D'
     """
 
-    sql["cdc_replay_resume"] = sql["cdc_replay"]
+    # frozen = LWW fold of the half-log (everything at or below
+    # floor(max_lsn/2) — the tag cut), final = fold of the whole log;
+    # the Spark side unions the AS-OF read with the post-resume read
+    sql["cdc_replay_asof"] = """
+        WITH log AS (
+          SELECT event_id AS lsn,
+                 CASE WHEN event_type = 'error' THEN 'D'
+                      WHEN event_type = 'purchase' THEN 'U'
+                      ELSE 'I' END AS op,
+                 'doc-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS doc_id,
+                 CAST(floor(value * 100) AS BIGINT) AS val_cents,
+                 event_type AS source
+          FROM events
+        ), half AS (
+          SELECT * FROM log
+          WHERE lsn <= (SELECT CAST(floor(max(lsn) / 2.0) AS BIGINT) FROM log)
+        ), w_full AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+          FROM log
+        ), w_half AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+          FROM half
+        )
+        SELECT doc_id, val_cents, source, 'final' AS state
+        FROM w_full WHERE rn = 1 AND op <> 'D'
+        UNION ALL
+        SELECT doc_id, val_cents, source, 'frozen' AS state
+        FROM w_half WHERE rn = 1 AND op <> 'D'
+    """
     # merge-on-read replay converges to the same LWW fold — the write
     # mode must be invisible to readers
     sql["mor_replay"] = sql["cdc_replay"]
