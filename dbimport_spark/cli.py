@@ -598,6 +598,23 @@ def main(argv: list[str] | None = None) -> int:
         help="with --set: restrict the freeze to the named table(s)",
     )
 
+    sp = sub.add_parser(
+        "lag",
+        help="follower lag / freshness report over a registry — source "
+        "vs change-log tail (parquet footer stats), mirror/matview/"
+        "cdc-export/history vs source; metadata-only, no Spark session, "
+        "safe to poll from monitoring",
+    )
+    sp.add_argument("registry", help="registry JSON path")
+    sp.add_argument(
+        "--only", action="append", default=None, metavar="TABLE",
+    )
+    sp.add_argument(
+        "--max-versions-behind", type=int, default=None, metavar="N",
+        help="exit 1 if any follower lags the source by more than N "
+        "versions (alerting threshold)",
+    )
+
     args = p.parse_args(argv)
 
     if getattr(args, "rename", None):
@@ -857,6 +874,27 @@ def main(argv: list[str] | None = None) -> int:
                      "tables": sorted(m["tables"])}
                  for n, m in pts.items()}, indent=2,
             ))
+        return 0
+    if args.cmd == "lag":
+        # metadata-only: snapshot JSON + parquet footers, no Spark session
+        from dbimport_spark.plans.lag import follower_lag
+        from dbimport_spark.plans.registry import TableRegistry
+
+        report = follower_lag(
+            TableRegistry(args.registry), only=args.only
+        )
+        print(json.dumps(report, indent=2))
+        if args.max_versions_behind is not None:
+            worst = max(
+                (
+                    f.get("versions_behind") or 0
+                    for rec in report.values()
+                    for f in rec["followers"]
+                ),
+                default=0,
+            )
+            if worst > args.max_versions_behind:
+                return 1
         return 0
 
     spark = get_spark(app_name=f"dbimport-{args.cmd}", master=args.master)
