@@ -254,6 +254,211 @@ def sync_view(
     return bs
 
 
+def apply_feed_to_view(
+    spark: SparkSession,
+    source: LakeTable,
+    view_engine: CDCEngine,
+    spec: AggSpec,
+    feed: DataFrame,
+    from_v: int,
+    to_v: int,
+) -> BatchStats:
+    """Apply one window's PRE-IMAGE change feed to the view — the shared
+    core of the batch ``sync_view`` and the streaming
+    ``follow_view_stream`` (streaming/cdf_source.py). ``feed`` carries
+    ``table_changes(..., include_preimage=True)``'s columns — equally a
+    ``lake_cdf`` stream micro-batch read with ``includePreimage`` (the
+    two are pinned row-identical by tests/test_cdf_stream.py). The
+    window MUST start at the view's own watermark and callers enforce
+    it; min/max invalidation rescans read the SOURCE at ``to_v``."""
+    sums = [
+        F.coalesce(F.sum(spec.sum_name(c)), F.lit(0))
+        .cast(_view_sum_type(view_engine, spec, c))
+        .alias(spec.sum_name(c))
+        for c in spec.sum_cols
+    ]
+    mm_aggs = []
+    for c in spec.min_cols:
+        mm_aggs.append(F.min(f"_post_{c}").alias(f"_cand_min_{c}"))
+        mm_aggs.append(F.min(f"_rem_{c}").alias(f"_remv_min_{c}"))
+    for c in spec.max_cols:
+        mm_aggs.append(F.max(f"_post_{c}").alias(f"_cand_max_{c}"))
+        mm_aggs.append(F.max(f"_rem_{c}").alias(f"_remv_max_{c}"))
+    delta = (
+        _contributions(feed, spec)
+        .groupBy(*spec.group_cols)
+        .agg(F.sum("_d_n").alias("_d_n"), *sums, *mm_aggs)
+    )
+    # drop no-op deltas (e.g. an update that only touched columns the
+    # view does not aggregate): no reason to rewrite those groups
+    noop = F.col("_d_n") == 0
+    for c in spec.sum_cols:
+        noop = noop & (F.col(spec.sum_name(c)) == 0)
+    for c in spec.min_cols:
+        noop = noop & F.col(f"_cand_min_{c}").isNull()
+        noop = noop & F.col(f"_remv_min_{c}").isNull()
+    for c in spec.max_cols:
+        noop = noop & F.col(f"_cand_max_{c}").isNull()
+        noop = noop & F.col(f"_remv_max_{c}").isNull()
+    # group-cardinality-sized; materialized once because three
+    # consumers follow (bucket collect, join, merge) — an uncached
+    # delta would re-run the feed groupBy per consumer. Caveat: this
+    # buys the reuse at the cost of materializing |touched groups|
+    # rows — the right trade while group cardinality << row
+    # cardinality; a near-unique grouping (groups ~ rows) makes the
+    # checkpoint itself data-sized, and such a "view" should be a
+    # mirror instead
+    delta = delta.filter(~noop).localCheckpoint(eager=True)
+
+    # current totals, bucket-pruned to the delta's touched groups:
+    # sync cost scales with the window's delta, not the view size
+    vsnap = view_engine.table.current()
+    bexpr = view_engine.table.bucket_expr(
+        key_col=list(spec.group_cols), num_buckets=vsnap.num_buckets
+    )
+    touched = sorted(
+        r["bucket"]
+        for r in delta.select(bexpr.alias("bucket")).distinct().collect()
+    )
+    cur = view_engine.table.read(spark, buckets=touched)
+    if AUDIT_DELETE in cur.columns:
+        cur = cur.filter(F.col(AUDIT_DELETE).isNull())
+    cur = cur.select(
+        *spec.group_cols,
+        F.col(spec.count_col).alias("_cur_n"),
+        *[
+            F.col(spec.sum_name(c)).alias(f"_cur_{spec.sum_name(c)}")
+            for c in spec.sum_cols
+        ],
+        *[
+            F.col(spec.min_name(c)).alias(f"_cur_min_{c}")
+            for c in spec.min_cols
+        ],
+        *[
+            F.col(spec.max_name(c)).alias(f"_cur_max_{c}")
+            for c in spec.max_cols
+        ],
+    )
+    merged = delta.join(cur, on=list(spec.group_cols), how="left")
+    new_n = F.coalesce(F.col("_cur_n"), F.lit(0)) + F.col("_d_n")
+
+    # min/max invalidation: a removed value that ties-or-beats the
+    # group's stored extremum may have been its last carrier — that
+    # group (and ONLY that group) is recomputed from the source's
+    # live rows at to_v. Candidates alone handle everything else:
+    # a surviving new value can only GROW the extremum.
+    inval = F.lit(False)
+    for c in spec.min_cols:
+        inval = inval | (
+            F.col(f"_remv_min_{c}").isNotNull()
+            & (
+                F.col(f"_cur_min_{c}").isNull()
+                | (F.col(f"_remv_min_{c}") <= F.col(f"_cur_min_{c}"))
+            )
+        )
+    for c in spec.max_cols:
+        inval = inval | (
+            F.col(f"_remv_max_{c}").isNotNull()
+            & (
+                F.col(f"_cur_max_{c}").isNull()
+                | (F.col(f"_remv_max_{c}") >= F.col(f"_cur_max_{c}"))
+            )
+        )
+    # new groups carry no removals by construction; a group folding
+    # to zero rows is deleted outright — neither needs a rescan
+    inval = inval & F.col("_cur_n").isNotNull() & (new_n > 0)
+
+    def fold_events(rows: DataFrame) -> DataFrame:
+        return rows.select(
+            F.lit(to_v).cast("long").alias("lsn"),
+            F.when(new_n <= 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+            *spec.group_cols,
+            new_n.alias(spec.count_col),
+            *[
+                (
+                    F.coalesce(F.col(f"_cur_{spec.sum_name(c)}"), F.lit(0))
+                    + F.col(spec.sum_name(c))
+                )
+                .cast(_view_sum_type(view_engine, spec, c))
+                .alias(spec.sum_name(c))
+                for c in spec.sum_cols
+            ],
+            # least/greatest skip nulls: for a NEW group _cur_* is
+            # null and the candidate wins; for a surviving group the
+            # stored extremum folds with the window's candidates
+            *[
+                F.least(F.col(f"_cur_min_{c}"), F.col(f"_cand_min_{c}"))
+                .alias(spec.min_name(c))
+                for c in spec.min_cols
+            ],
+            *[
+                F.greatest(F.col(f"_cur_max_{c}"), F.col(f"_cand_max_{c}"))
+                .alias(spec.max_name(c))
+                for c in spec.max_cols
+            ],
+        )
+
+    if not spec.minmax_cols():
+        return view_engine.apply_batch(fold_events(merged), from_v, to_v)
+
+    # group-scoped rescan: tiny (one row per invalidated group), and
+    # consumed three times (count for the log, broadcast join, plan)
+    rescan_keys = (
+        merged.filter(inval)
+        .select(*spec.group_cols)
+        .localCheckpoint(eager=True)
+    )
+    n_rescan = rescan_keys.count()
+    _log().info(
+        "sync_view window (%d, %d]: %d group(s) rescanned for min/max "
+        "invalidation",
+        from_v,
+        to_v,
+        n_rescan,
+    )
+    if n_rescan == 0:
+        return view_engine.apply_batch(fold_events(merged), from_v, to_v)
+
+    # recompute ALL aggregates for the invalidated groups from the
+    # source's live rows AT to_v (never current() — a concurrent
+    # writer may have advanced the source past this sync's window);
+    # count/sum would fold exactly anyway, but one groupBy for
+    # everything keeps the rescan single-pass
+    src = source.read(spark, version=to_v)
+    if AUDIT_DELETE in src.columns:
+        src = src.filter(F.col(AUDIT_DELETE).isNull())
+    recomputed = (
+        src.join(
+            F.broadcast(rescan_keys), on=list(spec.group_cols), how="inner"
+        )
+        .groupBy(*spec.group_cols)
+        .agg(
+            F.count(F.lit(1)).alias(spec.count_col),
+            *[
+                F.coalesce(F.sum(F.col(c)), F.lit(0))
+                .cast(_view_sum_type(view_engine, spec, c))
+                .alias(spec.sum_name(c))
+                for c in spec.sum_cols
+            ],
+            *[F.min(F.col(c)).alias(spec.min_name(c)) for c in spec.min_cols],
+            *[F.max(F.col(c)).alias(spec.max_name(c)) for c in spec.max_cols],
+        )
+    )
+    rescan_events = recomputed.select(
+        F.lit(to_v).cast("long").alias("lsn"),
+        F.lit("U").alias("op"),
+        *spec.group_cols,
+        F.col(spec.count_col),
+        *[F.col(spec.sum_name(c)) for c in spec.sum_cols],
+        *[F.col(spec.min_name(c)) for c in spec.min_cols],
+        *[F.col(spec.max_name(c)) for c in spec.max_cols],
+    )
+    events = fold_events(merged.filter(~inval)).unionByName(rescan_events)
+    bs = view_engine.apply_batch(events, from_v, to_v)
+    bs.rescanned_groups = n_rescan
+    return bs
+
+
 def _sync_view_impl(
     spark: SparkSession,
     source: LakeTable,
@@ -279,196 +484,11 @@ def _sync_view_impl(
     if to_v <= from_v:
         return BatchStats(lo=from_v, hi=to_v, skipped=True)
 
-    sums = [
-        F.coalesce(F.sum(spec.sum_name(c)), F.lit(0))
-        .cast(_view_sum_type(view_engine, spec, c))
-        .alias(spec.sum_name(c))
-        for c in spec.sum_cols
-    ]
-
-    mm_aggs = []
-    for c in spec.min_cols:
-        mm_aggs.append(F.min(f"_post_{c}").alias(f"_cand_min_{c}"))
-        mm_aggs.append(F.min(f"_rem_{c}").alias(f"_remv_min_{c}"))
-    for c in spec.max_cols:
-        mm_aggs.append(F.max(f"_post_{c}").alias(f"_cand_max_{c}"))
-        mm_aggs.append(F.max(f"_rem_{c}").alias(f"_remv_max_{c}"))
-
     if from_v in source.snapshots():
         feed = table_changes(spark, source, from_v, to_v, include_preimage=True)
-        delta = (
-            _contributions(feed, spec)
-            .groupBy(*spec.group_cols)
-            .agg(F.sum("_d_n").alias("_d_n"), *sums, *mm_aggs)
+        return apply_feed_to_view(
+            spark, source, view_engine, spec, feed, from_v, to_v
         )
-        # drop no-op deltas (e.g. an update that only touched columns the
-        # view does not aggregate): no reason to rewrite those groups
-        noop = F.col("_d_n") == 0
-        for c in spec.sum_cols:
-            noop = noop & (F.col(spec.sum_name(c)) == 0)
-        for c in spec.min_cols:
-            noop = noop & F.col(f"_cand_min_{c}").isNull()
-            noop = noop & F.col(f"_remv_min_{c}").isNull()
-        for c in spec.max_cols:
-            noop = noop & F.col(f"_cand_max_{c}").isNull()
-            noop = noop & F.col(f"_remv_max_{c}").isNull()
-        # group-cardinality-sized; materialized once because three
-        # consumers follow (bucket collect, join, merge) — an uncached
-        # delta would re-run the feed groupBy per consumer. Caveat: this
-        # buys the reuse at the cost of materializing |touched groups|
-        # rows — the right trade while group cardinality << row
-        # cardinality; a near-unique grouping (groups ~ rows) makes the
-        # checkpoint itself data-sized, and such a "view" should be a
-        # mirror instead
-        delta = delta.filter(~noop).localCheckpoint(eager=True)
-
-        # current totals, bucket-pruned to the delta's touched groups:
-        # sync cost scales with the window's delta, not the view size
-        vsnap = view_engine.table.current()
-        bexpr = view_engine.table.bucket_expr(
-            key_col=list(spec.group_cols), num_buckets=vsnap.num_buckets
-        )
-        touched = sorted(
-            r["bucket"]
-            for r in delta.select(bexpr.alias("bucket")).distinct().collect()
-        )
-        cur = view_engine.table.read(spark, buckets=touched)
-        if AUDIT_DELETE in cur.columns:
-            cur = cur.filter(F.col(AUDIT_DELETE).isNull())
-        cur = cur.select(
-            *spec.group_cols,
-            F.col(spec.count_col).alias("_cur_n"),
-            *[
-                F.col(spec.sum_name(c)).alias(f"_cur_{spec.sum_name(c)}")
-                for c in spec.sum_cols
-            ],
-            *[
-                F.col(spec.min_name(c)).alias(f"_cur_min_{c}")
-                for c in spec.min_cols
-            ],
-            *[
-                F.col(spec.max_name(c)).alias(f"_cur_max_{c}")
-                for c in spec.max_cols
-            ],
-        )
-        merged = delta.join(cur, on=list(spec.group_cols), how="left")
-        new_n = F.coalesce(F.col("_cur_n"), F.lit(0)) + F.col("_d_n")
-
-        # min/max invalidation: a removed value that ties-or-beats the
-        # group's stored extremum may have been its last carrier — that
-        # group (and ONLY that group) is recomputed from the source's
-        # live rows at to_v. Candidates alone handle everything else:
-        # a surviving new value can only GROW the extremum.
-        inval = F.lit(False)
-        for c in spec.min_cols:
-            inval = inval | (
-                F.col(f"_remv_min_{c}").isNotNull()
-                & (
-                    F.col(f"_cur_min_{c}").isNull()
-                    | (F.col(f"_remv_min_{c}") <= F.col(f"_cur_min_{c}"))
-                )
-            )
-        for c in spec.max_cols:
-            inval = inval | (
-                F.col(f"_remv_max_{c}").isNotNull()
-                & (
-                    F.col(f"_cur_max_{c}").isNull()
-                    | (F.col(f"_remv_max_{c}") >= F.col(f"_cur_max_{c}"))
-                )
-            )
-        # new groups carry no removals by construction; a group folding
-        # to zero rows is deleted outright — neither needs a rescan
-        inval = inval & F.col("_cur_n").isNotNull() & (new_n > 0)
-
-        def fold_events(rows: DataFrame) -> DataFrame:
-            return rows.select(
-                F.lit(to_v).cast("long").alias("lsn"),
-                F.when(new_n <= 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
-                *spec.group_cols,
-                new_n.alias(spec.count_col),
-                *[
-                    (
-                        F.coalesce(F.col(f"_cur_{spec.sum_name(c)}"), F.lit(0))
-                        + F.col(spec.sum_name(c))
-                    )
-                    .cast(_view_sum_type(view_engine, spec, c))
-                    .alias(spec.sum_name(c))
-                    for c in spec.sum_cols
-                ],
-                # least/greatest skip nulls: for a NEW group _cur_* is
-                # null and the candidate wins; for a surviving group the
-                # stored extremum folds with the window's candidates
-                *[
-                    F.least(F.col(f"_cur_min_{c}"), F.col(f"_cand_min_{c}"))
-                    .alias(spec.min_name(c))
-                    for c in spec.min_cols
-                ],
-                *[
-                    F.greatest(F.col(f"_cur_max_{c}"), F.col(f"_cand_max_{c}"))
-                    .alias(spec.max_name(c))
-                    for c in spec.max_cols
-                ],
-            )
-
-        if not spec.minmax_cols():
-            return view_engine.apply_batch(fold_events(merged), from_v, to_v)
-
-        # group-scoped rescan: tiny (one row per invalidated group), and
-        # consumed three times (count for the log, broadcast join, plan)
-        rescan_keys = (
-            merged.filter(inval)
-            .select(*spec.group_cols)
-            .localCheckpoint(eager=True)
-        )
-        n_rescan = rescan_keys.count()
-        _log().info(
-            "sync_view window (%d, %d]: %d group(s) rescanned for min/max "
-            "invalidation",
-            from_v,
-            to_v,
-            n_rescan,
-        )
-        if n_rescan == 0:
-            return view_engine.apply_batch(fold_events(merged), from_v, to_v)
-
-        # recompute ALL aggregates for the invalidated groups from the
-        # source's live rows AT to_v (never current() — a concurrent
-        # writer may have advanced the source past this sync's window);
-        # count/sum would fold exactly anyway, but one groupBy for
-        # everything keeps the rescan single-pass
-        src = source.read(spark, version=to_v)
-        if AUDIT_DELETE in src.columns:
-            src = src.filter(F.col(AUDIT_DELETE).isNull())
-        recomputed = (
-            src.join(
-                F.broadcast(rescan_keys), on=list(spec.group_cols), how="inner"
-            )
-            .groupBy(*spec.group_cols)
-            .agg(
-                F.count(F.lit(1)).alias(spec.count_col),
-                *[
-                    F.coalesce(F.sum(F.col(c)), F.lit(0))
-                    .cast(_view_sum_type(view_engine, spec, c))
-                    .alias(spec.sum_name(c))
-                    for c in spec.sum_cols
-                ],
-                *[F.min(F.col(c)).alias(spec.min_name(c)) for c in spec.min_cols],
-                *[F.max(F.col(c)).alias(spec.max_name(c)) for c in spec.max_cols],
-            )
-        )
-        rescan_events = recomputed.select(
-            F.lit(to_v).cast("long").alias("lsn"),
-            F.lit("U").alias("op"),
-            *spec.group_cols,
-            F.col(spec.count_col),
-            *[F.col(spec.sum_name(c)) for c in spec.sum_cols],
-            *[F.col(spec.min_name(c)) for c in spec.min_cols],
-            *[F.col(spec.max_name(c)) for c in spec.max_cols],
-        )
-        events = fold_events(merged.filter(~inval)).unionByName(rescan_events)
-        bs = view_engine.apply_batch(events, from_v, to_v)
-        bs.rescanned_groups = n_rescan
-        return bs
 
     if on_gap != "full":
         raise ValueError(

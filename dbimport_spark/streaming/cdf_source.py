@@ -57,9 +57,23 @@ COMMIT_VERSION_COL = "_commit_version"
 FORMAT_NAME = "lake_cdf"
 
 
-def _output_schema(payload_fields: list[T.StructField]) -> T.StructType:
+def _output_schema(
+    payload_fields: list[T.StructField], include_preimage: bool = False
+) -> T.StructType:
+    fields = list(payload_fields)
+    if include_preimage:
+        # update rows carry every payload column's pre-image as
+        # _pre_<col> (null on insert/delete) — the batch feed's
+        # include_preimage layout (lake/cdf.py:265), and the shape the
+        # matview delta-maintenance consumes (plans/matview.py
+        # _contributions). Delta-CDF parity: its update_preimage ROWS
+        # become our pre-image COLUMNS (one row per change either way).
+        fields += [
+            T.StructField(f"_pre_{f.name}", f.dataType, True)
+            for f in payload_fields
+        ]
     return T.StructType(
-        list(payload_fields)
+        fields
         + [
             T.StructField(CHANGE_TYPE_COL, T.StringType(), False),
             T.StructField(COMMIT_VERSION_COL, T.LongType(), False),
@@ -67,7 +81,12 @@ def _output_schema(payload_fields: list[T.StructField]) -> T.StructType:
     )
 
 
-def plan_window(table, from_version: int, to_version: int) -> list[dict]:
+def plan_window(
+    table,
+    from_version: int,
+    to_version: int,
+    include_preimage: bool = False,
+) -> list[dict]:
     """Driver-side planning: one picklable work unit per touched bucket.
 
     Shares ``cdf``'s guards (reload boundary, rename-history shrink) and
@@ -164,6 +183,7 @@ def plan_window(table, from_version: int, to_version: int) -> list[dict]:
                 "keys": keys,
                 "soft": soft,
                 "end_version": to_version,
+                "include_preimage": include_preimage,
             }
         )
     return parts
@@ -350,17 +370,75 @@ def diff_bucket(meta: dict) -> Iterator:
             out[c] = m[c]
         else:  # B side for insert/update, A side (last known) for delete
             out[c] = m["_b_" + c].where(~is_delete, m["_a_" + c])
+    if meta.get("include_preimage"):
+        is_update = pd.Series(ct == "update", index=m.index)
+        for c in payload_cols:
+            # A side on update (keys equal both sides), null elsewhere —
+            # the batch feed's include_preimage layout (lake/cdf.py:265)
+            pre = m[c] if c in keys else m["_a_" + c]
+            out["_pre_" + c] = pre.where(is_update)
     out_df = pd.DataFrame(out)
     out_df[CHANGE_TYPE_COL] = ct
     out_df[COMMIT_VERSION_COL] = np.int64(meta["end_version"])
 
     target = to_arrow_schema(
         _output_schema(
-            [f for f in keep_schema.fields if f.name in payload_cols]
+            [f for f in keep_schema.fields if f.name in payload_cols],
+            include_preimage=bool(meta.get("include_preimage")),
         )
     )
     table = pa.Table.from_pandas(out_df, schema=target, preserve_index=False)
     yield from table.to_batches()
+
+
+def resolve_starting_version(table, options: dict) -> int:
+    """The stream's effective starting OFFSET for an option dict (any
+    key case): ``startingVersion`` verbatim, ``startingTimestamp`` as
+    the newest retained version committed strictly before the timestamp
+    (clamping to the earliest retained when history is expired — the
+    Delta-CDF startingTimestamp contract on a vacuumed table), default
+    0. Shared by the reader and the follower start guards."""
+    opts = {k.lower(): v for k, v in options.items()}
+    ts = opts.get("startingtimestamp")
+    if ts is not None and opts.get("startingversion") is not None:
+        raise ValueError(
+            "pass startingVersion OR startingTimestamp, not both"
+        )
+    if ts is None:
+        return int(opts.get("startingversion", 0))
+    from datetime import datetime, timezone
+
+    try:
+        unix = float(ts)
+    except ValueError:
+        dt = datetime.fromisoformat(str(ts))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        unix = dt.timestamp()
+    versions = table.snapshots()
+    before = [
+        v for v in versions if table.snapshot(v).created_unix < unix
+    ]
+    return max(before) if before else min(versions)
+
+
+def _guard_follower_start(source_root: str, follower_v: int, options: dict):
+    """A stream started AHEAD of its follower's watermark would silently
+    skip the window (follower_v, start] — the feed's first micro-batch
+    begins past it and the sink's LSN guard cannot detect a hole BELOW
+    its own watermark. Refuse loudly instead."""
+    from dbimport_spark.lake.table import LakeTable
+
+    start = resolve_starting_version(LakeTable.load(source_root), options)
+    if follower_v < start:
+        raise ValueError(
+            f"stream starting position {start} is ahead of the "
+            f"follower's watermark {follower_v}: the window "
+            f"({follower_v}, {start}] would be silently lost. Drop the "
+            "starting option (the follower's own watermark makes the "
+            "bootstrap window a no-op re-read), or catch the follower "
+            "up first."
+        )
 
 
 class _BucketPartition(InputPartition):
@@ -377,43 +455,14 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         self._root = options.get("path")
         if not self._root:
             raise ValueError("lake_cdf requires .option('path', <table root>)")
-        ts = options.get("startingtimestamp")
-        if ts is not None and options.get("startingversion") is not None:
-            raise ValueError(
-                "pass startingVersion OR startingTimestamp, not both"
-            )
-        if ts is not None:
-            self._starting = self._version_before(ts)
-        else:
-            self._starting = int(options.get("startingversion", 0))
+        self._starting = resolve_starting_version(self._table(), options)
         cap = options.get("maxversionsperbatch")
         self._cap = int(cap) if cap is not None else None
+        self._preimage = str(
+            options.get("includepreimage", "false")
+        ).lower() in ("true", "1")
         self._schema = schema
         self._last_end: int | None = None  # latest end offset handed out
-
-    def _version_before(self, ts: str) -> int:
-        """Resolve startingTimestamp (ISO 8601 or unix seconds) to the
-        starting OFFSET: the newest retained version committed strictly
-        before the timestamp, so the first window (offset, ...] carries
-        every change committed at or after it. If every retained commit
-        is at/after the timestamp, the earliest retained version is the
-        best available starting point (older history is expired) — same
-        contract as Delta's CDF startingTimestamp on a vacuumed table."""
-        from datetime import datetime, timezone
-
-        try:
-            unix = float(ts)
-        except ValueError:
-            dt = datetime.fromisoformat(ts)
-            if dt.tzinfo is None:
-                dt = dt.replace(tzinfo=timezone.utc)
-            unix = dt.timestamp()
-        table = self._table()
-        versions = table.snapshots()
-        before = [
-            v for v in versions if table.snapshot(v).created_unix < unix
-        ]
-        return max(before) if before else min(versions)
 
     def _table(self):
         from dbimport_spark.lake.table import LakeTable
@@ -443,7 +492,12 @@ class LakeCDFStreamReader(DataSourceStreamReader):
             return []
         table = self._table()
         snap_b = table.snapshot(b)
-        declared = [f for f in self._schema.fields][: -2]  # minus CDF cols
+        declared = [
+            f
+            for f in self._schema.fields
+            if f.name not in (CHANGE_TYPE_COL, COMMIT_VERSION_COL)
+            and not f.name.startswith("_pre_")
+        ]
         current_payload = [
             f for f in snap_b.schema.fields if f.name not in AUDIT_COLUMNS
         ]
@@ -456,7 +510,12 @@ class LakeCDFStreamReader(DataSourceStreamReader):
                 "stream was running. Restart the streaming query to pick "
                 "up the new schema (offsets in the checkpoint are kept)."
             )
-        return [_BucketPartition(m) for m in plan_window(table, a, b)]
+        return [
+            _BucketPartition(m)
+            for m in plan_window(
+                table, a, b, include_preimage=self._preimage
+            )
+        ]
 
     def read(self, partition: _BucketPartition):
         return diff_bucket(partition.meta)
@@ -475,12 +534,16 @@ class LakeCDFDataSource(DataSource):
     def schema(self) -> T.StructType:
         from dbimport_spark.lake.table import LakeTable
 
-        root = self.options.get("path")
+        opts = {k.lower(): v for k, v in self.options.items()}
+        root = opts.get("path")
         if not root:
             raise ValueError("lake_cdf requires .option('path', <table root>)")
         snap = LakeTable.load(root).current()
         return _output_schema(
-            [f for f in snap.schema.fields if f.name not in AUDIT_COLUMNS]
+            [f for f in snap.schema.fields if f.name not in AUDIT_COLUMNS],
+            include_preimage=str(
+                opts.get("includepreimage", "false")
+            ).lower() in ("true", "1"),
         )
 
     def streamReader(self, schema: T.StructType) -> LakeCDFStreamReader:
@@ -530,6 +593,9 @@ def follow_mirror_stream(
         source_version_mirrored,
     )
 
+    _guard_follower_start(
+        source_root, source_version_mirrored(mirror_engine), source_options
+    )
     feed = read_changes_stream(spark, source_root, **source_options)
 
     def apply_window(batch_df, _epoch_id: int) -> None:
@@ -549,6 +615,77 @@ def follow_mirror_stream(
             from dbimport_spark.plans.mirror import _advance_pin
 
             _advance_pin(LakeTable.load(source_root), pin_name, to_v)
+
+    return (
+        feed.writeStream.foreachBatch(apply_window)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def follow_view_stream(
+    spark,
+    source_root: str,
+    view_engine,
+    spec,
+    checkpoint_dir: str,
+    trigger_seconds: float = 1.0,
+    pin_name: str | None = None,
+    **source_options,
+):
+    """The streaming twin of ``plans/matview.follow_view``: the
+    incrementally-maintained aggregate view driven by the ``lake_cdf``
+    stream with ``includePreimage`` — each micro-batch IS the window's
+    pre-image feed, applied directly through
+    ``matview.apply_feed_to_view`` (no second snapshot diff; the batch
+    ``sync_view`` recomputes ``table_changes`` per refresh, the stream
+    already carries it). Spark owns triggers + offset checkpointing;
+    the view's version watermark makes a redelivered micro-batch a
+    no-op — exactly-once end-to-end, same composition as
+    ``follow_mirror_stream``.
+
+    Returns the started ``StreamingQuery``; callers stop it. Kill and
+    restart with the same checkpoint dir resumes from the last
+    committed window; a fresh checkpoint dir still converges via the
+    LSN guard. A starting position ahead of the view's watermark is
+    refused (the skipped window would be silently lost).
+    """
+    from pyspark.sql import functions as F
+
+    from dbimport_spark.lake.table import LakeTable
+    from dbimport_spark.plans.matview import apply_feed_to_view
+
+    _guard_follower_start(
+        source_root, max(view_engine.table.last_lsn(), 0), source_options
+    )
+    source_options = {"includePreimage": "true", **source_options}
+    if str(source_options["includePreimage"]).lower() not in ("true", "1"):
+        raise ValueError(
+            "follow_view_stream needs the pre-image feed — "
+            "includePreimage cannot be disabled (update inversion "
+            "reads the _pre_ columns)"
+        )
+    feed = read_changes_stream(spark, source_root, **source_options)
+
+    def apply_window(batch_df, _epoch_id: int) -> None:
+        head = batch_df.agg(
+            F.max(COMMIT_VERSION_COL).alias("v")
+        ).collect()[0]
+        if head["v"] is None:
+            return  # empty window (e.g. compaction-only commits)
+        to_v = int(head["v"])
+        from_v = max(view_engine.table.last_lsn(), 0)
+        if to_v <= from_v:
+            return  # redelivered window: view already has it
+        source = LakeTable.load(source_root)
+        apply_feed_to_view(
+            spark, source, view_engine, spec, batch_df, from_v, to_v
+        )
+        if pin_name is not None:
+            from dbimport_spark.plans.mirror import _advance_pin
+
+            _advance_pin(source, pin_name, to_v)
 
     return (
         feed.writeStream.foreachBatch(apply_window)

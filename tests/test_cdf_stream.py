@@ -451,3 +451,152 @@ def test_reader_starting_timestamp(spark, tmp_path):
     assert reader(startingtimestamp="999").initialOffset() == {"version": 3}
     with pytest.raises(ValueError, match="not both"):
         reader(startingtimestamp="250", startingversion="1")
+
+
+def _stream_rows_pre(table, a, b):
+    rows = []
+    for meta in plan_window(table, a, b, include_preimage=True):
+        it = diff_bucket(meta)
+        if it is None:
+            continue
+        for batch in it:
+            rows.extend(batch.to_pylist())
+    return rows
+
+
+def test_preimage_stream_equals_batch_feed_all_windows(spark, tmp_path):
+    """includePreimage parity: every window's per-bucket diff with
+    pre-image columns equals table_changes(include_preimage=True) —
+    updates carry every payload column's _pre_ value, inserts/deletes
+    carry nulls."""
+    from dbimport_spark.lake.cdf import table_changes
+    from dbimport_spark.sources.loggen import generate_changes
+
+    src_t = CDCEngine.create_table(str(tmp_path / "src"), num_buckets=4)
+    src = CDCEngine(spark, src_t, checkpoint_dir=str(tmp_path / "ckpt"))
+    log = generate_changes(spark, 2500, n_keys=150, seed=13)
+    for hi in (900, 1800, 2500):
+        src.replay(log.filter(F.col("lsn") <= hi), num_batches=1)
+
+    def canon(rows):
+        out = set()
+        for r in rows:
+            d = {
+                k: tuple(v) if isinstance(v, list) else v
+                for k, v in dict(r).items()
+            }
+            out.add(tuple(sorted(d.items(), key=lambda kv: kv[0])))
+        return out
+
+    versions = src_t.snapshots()
+    for a, b in zip(versions, versions[1:]):
+        got = canon(_stream_rows_pre(src_t, a, b))
+        want = canon(
+            r.asDict()
+            for r in table_changes(
+                spark, src_t, a, b, include_preimage=True
+            ).collect()
+        )
+        assert got == want, f"window ({a}, {b}]"
+    # sanity: at least one window actually produced a non-null preimage
+    all_rows = [
+        r
+        for a, b in zip(versions, versions[1:])
+        for r in _stream_rows_pre(src_t, a, b)
+    ]
+    ups = [r for r in all_rows if r["_change_type"] == "update"]
+    assert ups and all(r["_pre_doc_id"] == r["doc_id"] for r in ups)
+    assert any(r["_pre_n_tok"] is not None for r in ups)
+    non_ups = [r for r in all_rows if r["_change_type"] != "update"]
+    assert all(r["_pre_n_tok"] is None for r in non_ups)
+
+
+def test_follow_view_stream_kill_restart_exactly_once(spark, tmp_path):
+    """The matview follows the source through readStream with the
+    pre-image feed (no second snapshot diff); kill/restart on the same
+    checkpoint resumes exactly, and the final view equals a direct
+    groupBy of the source."""
+    from dbimport_spark.plans.matview import AggSpec, create_view, verify_view
+    from dbimport_spark.sources.loggen import generate_changes
+    from dbimport_spark.streaming.cdf_source import follow_view_stream
+
+    spec = AggSpec(group_cols=["source"], sum_cols=["n_tok"], max_cols=["n_tok"])
+    src_t = CDCEngine.create_table(str(tmp_path / "src"), num_buckets=4)
+    src = CDCEngine(spark, src_t, checkpoint_dir=str(tmp_path / "sckpt"))
+    log = generate_changes(spark, 2000, n_keys=150, seed=9)
+    src.replay(log.filter(F.col("lsn") <= 800), num_batches=1)
+
+    view_t = create_view(str(tmp_path / "view"), src_t, spec, num_buckets=4)
+    view = CDCEngine(spark, view_t)
+    ckpt = str(tmp_path / "stream-ckpt")
+
+    q = follow_view_stream(
+        spark, str(tmp_path / "src"), view, spec, ckpt, trigger_seconds=0.5
+    )
+    try:
+        assert _wait(
+            lambda: view_t.last_lsn() >= src_t.current().version
+        ), "view never caught up before kill"
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    assert verify_view(spark, src_t, view_t, spec)["converged"]
+
+    # source advances (updates + deletes) while the follower is down
+    src.replay(log.filter(F.col("lsn") <= 1500), num_batches=1)
+    src.replay(log, num_batches=1)
+    v_target = src_t.current().version
+
+    q = follow_view_stream(
+        spark, str(tmp_path / "src"), view, spec, ckpt, trigger_seconds=0.5
+    )
+    try:
+        assert _wait(
+            lambda: view_t.last_lsn() >= v_target
+        ), "view never caught up after restart"
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    assert verify_view(spark, src_t, view_t, spec)["converged"]
+    assert view_t.last_lsn() == v_target
+
+
+def test_follower_start_guard_refuses_skipped_window(spark, tmp_path):
+    """A stream starting position ahead of the follower's watermark
+    would silently lose (watermark, start] — both stream followers
+    refuse it loudly."""
+    from dbimport_spark.plans.matview import AggSpec, create_view
+    from dbimport_spark.sources.loggen import generate_changes
+    from dbimport_spark.streaming.cdf_source import (
+        follow_mirror_stream,
+        follow_view_stream,
+    )
+
+    src_t = CDCEngine.create_table(str(tmp_path / "src"), num_buckets=4)
+    src = CDCEngine(spark, src_t, checkpoint_dir=str(tmp_path / "ckpt"))
+    log = generate_changes(spark, 1200, n_keys=100, seed=3)
+    src.replay(log.filter(F.col("lsn") <= 600), num_batches=1)
+    src.replay(log, num_batches=1)
+
+    mir_t = CDCEngine.create_table(str(tmp_path / "mir"), num_buckets=4)
+    mir = CDCEngine(spark, mir_t)  # watermark 0 < startingVersion
+    with pytest.raises(ValueError, match="silently lost"):
+        follow_mirror_stream(
+            spark, str(tmp_path / "src"), mir, str(tmp_path / "c1"),
+            startingVersion=src_t.current().version,
+        )
+
+    spec = AggSpec(group_cols=["source"], sum_cols=["n_tok"])
+    view_t = create_view(str(tmp_path / "view"), src_t, spec, num_buckets=4)
+    view = CDCEngine(spark, view_t)
+    with pytest.raises(ValueError, match="silently lost"):
+        follow_view_stream(
+            spark, str(tmp_path / "src"), view, spec, str(tmp_path / "c2"),
+            startingVersion=src_t.current().version,
+        )
+    # starting at/below the watermark is fine: the guard passes and the
+    # redundant window is a no-op via the LSN guard (not started here —
+    # resolution only)
+    from dbimport_spark.streaming.cdf_source import resolve_starting_version
+
+    assert resolve_starting_version(src_t, {"startingVersion": "1"}) == 1
