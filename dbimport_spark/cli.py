@@ -469,6 +469,21 @@ def main(argv: list[str] | None = None) -> int:
         "--stop-file", default=None, metavar="PATH",
         help="stop --follow when this file appears (after draining)",
     )
+    sp.add_argument(
+        "--stream", default=None, metavar="CHECKPOINT_DIR",
+        help="follow via Structured Streaming instead of the polling "
+        "daemon: the lake_cdf source streams the PRE-IMAGE change feed "
+        "(offsets are source versions, checkpointed by Spark here) and "
+        "each micro-batch is folded straight into the view — kill/"
+        "restart resumes from the last committed window (use with "
+        "--stop-file; --poll sets the trigger interval)",
+    )
+    sp.add_argument(
+        "--pin", default=None, metavar="NAME",
+        help="advance this retention pin on the SOURCE after each synced "
+        "window, so source snapshot expiry never strands this view "
+        "(see the pin command)",
+    )
 
     sp = sub.add_parser(
         "fsck",
@@ -1297,13 +1312,46 @@ def main(argv: list[str] | None = None) -> int:
         else:
             view = LakeTable.load(args.view_root)
         eng = CDCEngine(spark, view)
-        if args.follow:
+        if args.stream is not None:
+            import os as _os
+            import time as _time
+
+            from dbimport_spark.streaming.cdf_source import (
+                follow_view_stream,
+            )
+
+            q = follow_view_stream(
+                spark, args.source_root, eng, spec, args.stream,
+                trigger_seconds=args.poll, pin_name=args.pin,
+            )
+            try:
+                # drain-then-stop, like the polling daemon: the stop file
+                # only takes effect once the view has caught up
+                while True:
+                    if q.exception() is not None:
+                        raise q.exception()
+                    drained = view.last_lsn() >= source.current().version
+                    if (
+                        args.stop_file is not None
+                        and _os.path.isfile(args.stop_file)
+                        and drained
+                    ):
+                        break
+                    _time.sleep(min(args.poll, 1.0))
+            finally:
+                q.stop()
+                q.awaitTermination(60)
+            out = {
+                "view_source_version": view.last_lsn(),
+                "checkpoint": args.stream,
+            }
+        elif args.follow:
             from dbimport_spark.plans.matview import follow_view
 
             applied = follow_view(
                 spark, source, eng, spec, poll_s=args.poll,
                 max_syncs=args.max_syncs, stop_file=args.stop_file,
-                on_gap=args.on_gap,
+                on_gap=args.on_gap, pin_name=args.pin,
             )
             out = {
                 "syncs": len(applied),
@@ -1311,7 +1359,10 @@ def main(argv: list[str] | None = None) -> int:
                 "view_source_version": view.last_lsn(),
             }
         else:
-            bs = sync_view(spark, source, eng, spec, on_gap=args.on_gap)
+            bs = sync_view(
+                spark, source, eng, spec, on_gap=args.on_gap,
+                pin_name=args.pin,
+            )
             out = {
                 "skipped": bs.skipped,
                 "groups_touched": bs.events,

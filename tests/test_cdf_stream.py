@@ -600,3 +600,37 @@ def test_follower_start_guard_refuses_skipped_window(spark, tmp_path):
     from dbimport_spark.streaming.cdf_source import resolve_starting_version
 
     assert resolve_starting_version(src_t, {"startingVersion": "1"}) == 1
+
+
+def test_cli_matview_stream_drains_then_stops(spark, tmp_path, capsys):
+    """`matview --stream CKPT`: the CLI follows via the lake_cdf pre-image
+    stream and honors drain-then-stop — with the stop file pre-created it
+    exits only once the view reached the source's version, converged, and
+    advanced the requested retention pin."""
+    import json as _json
+
+    from dbimport_spark.cli import main
+
+    src_t = CDCEngine.create_table(str(tmp_path / "src"), num_buckets=2)
+    src = CDCEngine(spark, src_t)
+    src.apply_batch(
+        _log(spark, [(1, "I", "k1", [1] * 3, 3, "a", TS),
+                     (2, "I", "k2", [2] * 4, 4, "b", TS),
+                     (3, "U", "k1", [1] * 5, 5, "a", TS)]), 0, 3,
+    )
+    stop = tmp_path / "stop"
+    stop.touch()
+    rc = main(
+        [
+            "matview", str(tmp_path / "src"), str(tmp_path / "view"),
+            "--group-by", "source", "--sum", "n_tok", "--max", "n_tok",
+            "--create", "--buckets", "2",
+            "--stream", str(tmp_path / "ckpt"), "--stop-file", str(stop),
+            "--poll", "0.3", "--verify", "--pin", "cli-view",
+        ]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["view_source_version"] == src_t.current().version
+    assert out["verify"]["converged"]
+    assert src_t.pins()["cli-view"] == src_t.current().version
