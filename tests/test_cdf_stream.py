@@ -215,7 +215,7 @@ def test_reader_refuses_mid_stream_schema_change(spark, tmp_path):
     assert len(r.partitions({"version": 0}, {"version": v1})) > 0
 
 
-def _wait(pred, timeout=60.0, poll=0.2):
+def _wait(pred, timeout=180.0, poll=0.2):
     t0 = time.time()
     while time.time() - t0 < timeout:
         if pred():
