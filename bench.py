@@ -9,7 +9,7 @@ MinHash-LSH dedup, embedding similarity).
 
 Noise protocol (round 3): the sandbox VM shows ±2.4× run-to-run noise on
 identical code (BENCH/BASELINE.md), so every timed query is repeated
-``SPARK_GRAFT_BENCH_REPEATS`` times (default 3) INTERLEAVED — pass 1 runs
+``SPARK_GRAFT_BENCH_REPEATS`` times (default 5 as of round 5) INTERLEAVED — pass 1 runs
 every query once, then pass 2, then pass 3 — so a host-noise burst hits at
 most one sample of each query instead of all samples of one query. The
 reported per-query number is the best (min) wall time — the noise-robust
@@ -20,7 +20,7 @@ own pass just replayed, preserving the full→incr dependency per pass.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     SPARK_GRAFT_BENCH_REPEATS (default 3).
+     SPARK_GRAFT_BENCH_REPEATS (default 5).
 """
 
 from __future__ import annotations

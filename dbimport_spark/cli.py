@@ -156,6 +156,12 @@ def main(argv: list[str] | None = None) -> int:
         "<out_dir>/snapshot-v<version>; does not touch the incremental "
         "watermark state (--mode is ignored)",
     )
+    sp.add_argument(
+        "--include-deleted", action="store_true",
+        help="with --at on a soft-delete table: keep tombstoned rows in "
+        "the shipment (forces --include-audit so the delete marker "
+        "travels with them); default ships live rows only",
+    )
 
     sp = sub.add_parser(
         "cdc-export",
@@ -1070,6 +1076,7 @@ def main(argv: list[str] | None = None) -> int:
             out = export_snapshot(
                 spark, table, args.out_dir, args.at,
                 include_audit=args.include_audit,
+                include_deleted=args.include_deleted,
             )
         else:
             out = ParquetExporter(
@@ -1238,6 +1245,7 @@ def main(argv: list[str] | None = None) -> int:
 
             from dbimport_spark.streaming.cdf_source import (
                 follow_mirror_stream,
+                stream_caught_up,
             )
 
             q = follow_mirror_stream(
@@ -1246,12 +1254,17 @@ def main(argv: list[str] | None = None) -> int:
             )
             try:
                 # drain-then-stop, like the polling daemon: the stop file
-                # only takes effect once the mirror has caught up
+                # only takes effect once the mirror has caught up. The
+                # watermark check alone would hang when the source's
+                # newest commits are empty windows (compaction /
+                # rewrite-only) — the stream's own delivered offset
+                # covers those (stream_caught_up).
                 while True:
                     if q.exception() is not None:
                         raise q.exception()
                     drained = (
                         mirror.last_lsn() >= source.current().version
+                        or stream_caught_up(q, source)
                     )
                     if (
                         args.stop_file is not None
@@ -1318,6 +1331,7 @@ def main(argv: list[str] | None = None) -> int:
 
             from dbimport_spark.streaming.cdf_source import (
                 follow_view_stream,
+                stream_caught_up,
             )
 
             q = follow_view_stream(
@@ -1326,11 +1340,16 @@ def main(argv: list[str] | None = None) -> int:
             )
             try:
                 # drain-then-stop, like the polling daemon: the stop file
-                # only takes effect once the view has caught up
+                # only takes effect once the view has caught up — by its
+                # own watermark, or by the stream having delivered every
+                # window (empty windows never advance the watermark)
                 while True:
                     if q.exception() is not None:
                         raise q.exception()
-                    drained = view.last_lsn() >= source.current().version
+                    drained = (
+                        view.last_lsn() >= source.current().version
+                        or stream_caught_up(q, source)
+                    )
                     if (
                         args.stop_file is not None
                         and _os.path.isfile(args.stop_file)

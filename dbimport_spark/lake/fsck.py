@@ -122,8 +122,32 @@ def check_table(table: LakeTable) -> list[dict]:
     # -- retention pins ---------------------------------------------------------
     # a pin naming an expired version protects nothing (the follower it
     # belongs to will be forced through on_gap='full'); a pin far behind
-    # current silently inflates retention — both deserve an operator's eye
+    # current silently inflates retention — both deserve an operator's eye.
+    # First: TORN pin/tag files. pins()/tags() silently skip unparsable
+    # JSON (a reader must), but a torn pin has silently STOPPED protecting
+    # its follower's delta base — fsck is where that surfaces.
     retained = {s.version for s in snaps}
+    import json as _json
+
+    for sub, check in (("pins", "pins"), ("tags", "tags")):
+        d = os.path.join(meta_dir, sub)
+        if not os.path.isdir(d):
+            continue
+        for fname in sorted(os.listdir(d)):
+            if not fname.endswith(".json"):
+                if not fname.endswith(".tmp") and ".tmp-" not in fname:
+                    warn(check, f"stray file in {sub}/: {fname}")
+                continue
+            try:
+                with open(os.path.join(d, fname)) as fh:
+                    int(_json.load(fh)["version"])
+            except (ValueError, KeyError, _json.JSONDecodeError, OSError) as e:
+                err(
+                    check,
+                    f"{sub}/{fname} is unreadable ({type(e).__name__}) — "
+                    "a torn write; this entry protects NOTHING until "
+                    "re-created (set_pin/set_tag) or deleted",
+                )
     for name, v in sorted(table.pins().items()):
         if v not in retained:
             warn(

@@ -129,6 +129,20 @@ class CDCJdbcExporter:
 
         return D.quote_ident(self.dialect, name)
 
+    def _qs(self, name: str) -> str:
+        """Quote a STAGE-side column. Spark's JDBC writer creates the
+        stage case-PRESERVED but with the connector's identifier quote
+        char — double quotes everywhere except MySQL's backticks (double
+        quotes there are string literals under default sql_mode, which
+        would turn the merge's WHERE into a constant-true comparison).
+        So: the dialect's quote char, no case folding."""
+        if self.dialect is None:
+            return _q(name)
+        from dbimport_spark.plans import dialects as D
+
+        q = D.get_dialect(self.dialect).quote
+        return q + name.replace(q, q * 2) + q
+
     def _merge_sqls(self, payload_cols: list[str]) -> list[str]:
         # table names UNQUOTED (verbatim) — Spark's JDBC writer interpolates
         # the dbtable string unquoted into CREATE TABLE, so the database
@@ -140,9 +154,9 @@ class CDCJdbcExporter:
         # is accepted everywhere
         texp = tgt.split(".")[-1]
         on = " AND ".join(
-            f"s.{_q(k)} = {texp}.{self._qt(k)}" for k in self.keys
+            f"s.{self._qs(k)} = {texp}.{self._qt(k)}" for k in self.keys
         )
-        stg_cols = ", ".join(_q(c) for c in payload_cols)
+        stg_cols = ", ".join(self._qs(c) for c in payload_cols)
         tgt_cols = ", ".join(self._qt(c) for c in payload_cols)
         delete_sql = (
             f"DELETE FROM {tgt} WHERE EXISTS "
@@ -150,7 +164,7 @@ class CDCJdbcExporter:
         )
         insert_sql = (
             f"INSERT INTO {tgt} ({tgt_cols}) SELECT {stg_cols} FROM {stg} "
-            f"WHERE {_q(CHANGE_TYPE_COL)} <> 'delete'"
+            f"WHERE {self._qs(CHANGE_TYPE_COL)} <> 'delete'"
         )
         return [delete_sql, insert_sql]
 

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dbimport_spark.lake.table import LakeTable
-from dbimport_spark.schema import AUDIT_COLUMNS, AUDIT_UPDATE
+from dbimport_spark.schema import AUDIT_COLUMNS, AUDIT_DELETE, AUDIT_UPDATE
 
 
 class _IncrementalExporter:
@@ -246,18 +246,30 @@ def export_snapshot(
     out_dir: str,
     at: int | str,
     include_audit: bool = False,
+    include_deleted: bool = False,
 ) -> dict:
     """One-off full export of a historical snapshot to parquet — "ship the
     corpus as of the freeze tag". ``at`` is any snapshot ref (version, tag
     name, timestamp; ``LakeTable.resolve_ref``).
+
+    On a soft-delete table the shipped corpus is the snapshot's LIVE rows:
+    tombstones are records already deleted as of the freeze, and shipping
+    them indistinguishable from live rows (the default drops the audit
+    marker) would corrupt the corpus. ``include_deleted=True`` keeps them
+    for audit shipments — it forces ``include_audit`` so the marker column
+    always travels with the rows it explains.
 
     Deliberately OUTSIDE the incremental watermark state machine: a freeze
     shipment must neither advance nor depend on the live export chain's
     watermark (an AS-OF export re-shipping old rows would otherwise
     rewind it). Output lands in ``<out_dir>/snapshot-v<version>/`` with a
     schema sidecar; overwrite-by-version makes re-runs idempotent."""
+    if include_deleted:
+        include_audit = True
     v = table.resolve_ref(at)
     df = table.read(spark, version=v)
+    if AUDIT_DELETE in df.columns and not include_deleted:
+        df = df.filter(F.col(AUDIT_DELETE).isNull())
     obs = Observation()
     df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     if not include_audit:

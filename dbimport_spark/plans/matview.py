@@ -271,6 +271,12 @@ def apply_feed_to_view(
     two are pinned row-identical by tests/test_cdf_stream.py). The
     window MUST start at the view's own watermark and callers enforce
     it; min/max invalidation rescans read the SOURCE at ``to_v``."""
+    if list(view_engine.keys) != list(spec.group_cols):
+        raise ValueError(
+            f"spec.group_cols {spec.group_cols} != view table merge key "
+            f"{list(view_engine.keys)} — the view is keyed by its group "
+            "columns; syncing with a different spec would corrupt totals"
+        )
     sums = [
         F.coalesce(F.sum(spec.sum_name(c)), F.lit(0))
         .cast(_view_sum_type(view_engine, spec, c))

@@ -53,12 +53,21 @@ from dbimport_spark.schema import AUDIT_COLUMNS, AUDIT_DELETE
 
 CHANGE_TYPE_COL = "_change_type"
 COMMIT_VERSION_COL = "_commit_version"
+# opt-in (option includeWindowStart): the micro-batch window's EXCLUSIVE
+# low bound, constant per batch — lets a signed-delta sink (the matview
+# follower) verify window continuity against its own watermark, which
+# COMMIT_VERSION_COL (the end bound) alone cannot do
+COMMIT_WINDOW_START_COL = "_commit_window_start"
 
 FORMAT_NAME = "lake_cdf"
 
+_META_COLS = (CHANGE_TYPE_COL, COMMIT_VERSION_COL, COMMIT_WINDOW_START_COL)
+
 
 def _output_schema(
-    payload_fields: list[T.StructField], include_preimage: bool = False
+    payload_fields: list[T.StructField],
+    include_preimage: bool = False,
+    include_window_start: bool = False,
 ) -> T.StructType:
     fields = list(payload_fields)
     if include_preimage:
@@ -72,13 +81,13 @@ def _output_schema(
             T.StructField(f"_pre_{f.name}", f.dataType, True)
             for f in payload_fields
         ]
-    return T.StructType(
-        fields
-        + [
-            T.StructField(CHANGE_TYPE_COL, T.StringType(), False),
-            T.StructField(COMMIT_VERSION_COL, T.LongType(), False),
-        ]
-    )
+    fields = fields + [
+        T.StructField(CHANGE_TYPE_COL, T.StringType(), False),
+        T.StructField(COMMIT_VERSION_COL, T.LongType(), False),
+    ]
+    if include_window_start:
+        fields.append(T.StructField(COMMIT_WINDOW_START_COL, T.LongType(), False))
+    return T.StructType(fields)
 
 
 def plan_window(
@@ -86,6 +95,7 @@ def plan_window(
     from_version: int,
     to_version: int,
     include_preimage: bool = False,
+    include_window_start: bool = False,
 ) -> list[dict]:
     """Driver-side planning: one picklable work unit per touched bucket.
 
@@ -183,7 +193,9 @@ def plan_window(
                 "keys": keys,
                 "soft": soft,
                 "end_version": to_version,
+                "window_start": from_version,
                 "include_preimage": include_preimage,
+                "include_window_start": include_window_start,
             }
         )
     return parts
@@ -380,11 +392,14 @@ def diff_bucket(meta: dict) -> Iterator:
     out_df = pd.DataFrame(out)
     out_df[CHANGE_TYPE_COL] = ct
     out_df[COMMIT_VERSION_COL] = np.int64(meta["end_version"])
+    if meta.get("include_window_start"):
+        out_df[COMMIT_WINDOW_START_COL] = np.int64(meta["window_start"])
 
     target = to_arrow_schema(
         _output_schema(
             [f for f in keep_schema.fields if f.name in payload_cols],
             include_preimage=bool(meta.get("include_preimage")),
+            include_window_start=bool(meta.get("include_window_start")),
         )
     )
     table = pa.Table.from_pandas(out_df, schema=target, preserve_index=False)
@@ -461,6 +476,9 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         self._preimage = str(
             options.get("includepreimage", "false")
         ).lower() in ("true", "1")
+        self._window_start = str(
+            options.get("includewindowstart", "false")
+        ).lower() in ("true", "1")
         self._schema = schema
         self._last_end: int | None = None  # latest end offset handed out
 
@@ -486,7 +504,22 @@ class LakeCDFStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         a, b = int(start["version"]), int(end["version"])
-        # restart re-informs the rate cap of the checkpointed position
+        # restart re-informs the rate cap of the checkpointed position —
+        # note this covers only REDELIVERY of an uncommitted batch: on a
+        # clean restart latestOffset() ran before any partitions() call,
+        # so the first batch after a restart is NOT capped (Spark's
+        # simple-offset Python source API gives latestOffset no view of
+        # the checkpointed start). Loud, not silent:
+        if self._cap is not None and (b - a) > self._cap:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "lake_cdf window (%d, %d] spans %d versions, over the "
+                "maxVersionsPerBatch cap of %d — this is the backlog "
+                "batch after a restart (the cap binds from the next "
+                "batch). Expect one oversized micro-batch.",
+                a, b, b - a, self._cap,
+            )
         self._last_end = max(self._last_end or 0, b)
         if b <= a:
             return []
@@ -495,7 +528,7 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         declared = [
             f
             for f in self._schema.fields
-            if f.name not in (CHANGE_TYPE_COL, COMMIT_VERSION_COL)
+            if f.name not in _META_COLS
             and not f.name.startswith("_pre_")
         ]
         current_payload = [
@@ -513,7 +546,9 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         return [
             _BucketPartition(m)
             for m in plan_window(
-                table, a, b, include_preimage=self._preimage
+                table, a, b,
+                include_preimage=self._preimage,
+                include_window_start=self._window_start,
             )
         ]
 
@@ -544,6 +579,9 @@ class LakeCDFDataSource(DataSource):
             include_preimage=str(
                 opts.get("includepreimage", "false")
             ).lower() in ("true", "1"),
+            include_window_start=str(
+                opts.get("includewindowstart", "false")
+            ).lower() in ("true", "1"),
         )
 
     def streamReader(self, schema: T.StructType) -> LakeCDFStreamReader:
@@ -564,6 +602,36 @@ def read_changes_stream(spark, root: str, **options):
     for k, v in options.items():
         reader = reader.option(k, str(v))
     return reader.load()
+
+
+def stream_caught_up(query, table) -> bool:
+    """True when the ``lake_cdf`` stream's last COMPLETED micro-batch
+    ends at (or past) the table's current version — i.e. every committed
+    window has been DELIVERED to the sink, even windows that produced
+    zero change rows (compaction / rewrite-only / quarantine-only
+    commits), which never advance a follower's own watermark. This is
+    the correct drain predicate for a follower CLI: comparing the
+    follower's watermark to ``table.current().version`` hangs forever
+    when the newest commits are empty windows."""
+    p = query.lastProgress
+    if not p:
+        return False
+    try:
+        end = p["sources"][0]["endOffset"]
+        if isinstance(end, str):
+            # Spark renders the Python source's offset dict as its repr
+            # (single quotes), not JSON — accept both spellings
+            try:
+                import json as _json
+
+                end = _json.loads(end)
+            except ValueError:
+                import ast as _ast
+
+                end = _ast.literal_eval(end)
+        return int(end["version"]) >= table.current().version
+    except (KeyError, IndexError, TypeError, ValueError, SyntaxError):
+        return False
 
 
 def follow_mirror_stream(
@@ -647,9 +715,16 @@ def follow_view_stream(
 
     Returns the started ``StreamingQuery``; callers stop it. Kill and
     restart with the same checkpoint dir resumes from the last
-    committed window; a fresh checkpoint dir still converges via the
-    LSN guard. A starting position ahead of the view's watermark is
-    refused (the skipped window would be silently lost).
+    committed window. Unlike the mirror (whose full-row merge is
+    idempotent under overlap), the view's SIGNED delta fold must see
+    each window exactly once: every micro-batch carries its window's
+    start bound (``includeWindowStart``) and a window that does not
+    begin at the view's own watermark is refused loudly — this catches
+    a fresh checkpoint dir started below the view's watermark and an
+    out-of-band batch ``sync_view`` racing this stream, both of which
+    would otherwise double-count the overlap. A starting position ahead
+    of the view's watermark is likewise refused (the skipped window
+    would be silently lost).
     """
     from pyspark.sql import functions as F
 
@@ -666,11 +741,19 @@ def follow_view_stream(
             "includePreimage cannot be disabled (update inversion "
             "reads the _pre_ columns)"
         )
+    # the window-start column makes every micro-batch carry its own
+    # exclusive low bound, so the sink can verify window CONTINUITY: a
+    # signed delta fold applied over a window that starts below the
+    # view's watermark would double-count the overlap (the mirror's
+    # full-row merge is idempotent and doesn't need this; the view's
+    # fold is not)
+    source_options = {"includeWindowStart": "true", **source_options}
     feed = read_changes_stream(spark, source_root, **source_options)
 
     def apply_window(batch_df, _epoch_id: int) -> None:
         head = batch_df.agg(
-            F.max(COMMIT_VERSION_COL).alias("v")
+            F.max(COMMIT_VERSION_COL).alias("v"),
+            F.max(COMMIT_WINDOW_START_COL).alias("ws"),
         ).collect()[0]
         if head["v"] is None:
             return  # empty window (e.g. compaction-only commits)
@@ -678,9 +761,22 @@ def follow_view_stream(
         from_v = max(view_engine.table.last_lsn(), 0)
         if to_v <= from_v:
             return  # redelivered window: view already has it
+        start = int(head["ws"])
+        if start != from_v:
+            raise ValueError(
+                f"view watermark {from_v} does not match the stream "
+                f"window start {start} (window ({start}, {to_v}]): the "
+                "view was advanced out-of-band (a batch sync_view ran "
+                "against this stream's checkpoint), or the stream was "
+                "started on a fresh checkpoint below the view's "
+                "watermark. Applying would double-count the overlap. "
+                f"Restart with a fresh checkpoint dir and "
+                f"startingVersion={from_v}."
+            )
         source = LakeTable.load(source_root)
         apply_feed_to_view(
-            spark, source, view_engine, spec, batch_df, from_v, to_v
+            spark, source, view_engine, spec,
+            batch_df.drop(COMMIT_WINDOW_START_COL), from_v, to_v,
         )
         if pin_name is not None:
             from dbimport_spark.plans.mirror import _advance_pin

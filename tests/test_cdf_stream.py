@@ -634,3 +634,122 @@ def test_cli_matview_stream_drains_then_stops(spark, tmp_path, capsys):
     assert out["view_source_version"] == src_t.current().version
     assert out["verify"]["converged"]
     assert src_t.pins()["cli-view"] == src_t.current().version
+
+
+def test_window_start_column_opt_in(spark, tmp_path):
+    """includeWindowStart adds the window's exclusive low bound as a
+    constant column; the default schema is unchanged (existing stream
+    consumers and checkpoints keep their shape)."""
+    from dbimport_spark.streaming.cdf_source import (
+        COMMIT_WINDOW_START_COL,
+        LakeCDFDataSource,
+    )
+
+    t = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=2)
+    eng = CDCEngine(spark, t)
+    eng.apply_batch(
+        _log(spark, [(1, "I", "k1", [1] * 3, 3, "a", TS),
+                     (2, "I", "k2", [2] * 4, 4, "b", TS)]), 0, 2,
+    )
+    v = t.current().version
+    default_schema = LakeCDFDataSource({"path": str(tmp_path / "t")}).schema()
+    assert COMMIT_WINDOW_START_COL not in default_schema.fieldNames()
+    opt_schema = LakeCDFDataSource(
+        {"path": str(tmp_path / "t"), "includeWindowStart": "true"}
+    ).schema()
+    assert COMMIT_WINDOW_START_COL in opt_schema.fieldNames()
+
+    rows = []
+    for meta in plan_window(t, 0, v, include_window_start=True):
+        for batch in diff_bucket(meta):
+            rows.extend(batch.to_pylist())
+    assert rows and all(r[COMMIT_WINDOW_START_COL] == 0 for r in rows)
+    assert all(r[COMMIT_VERSION_COL] == v for r in rows)
+    # default plan: the column is absent
+    for meta in plan_window(t, 0, v):
+        for batch in diff_bucket(meta):
+            assert COMMIT_WINDOW_START_COL not in batch.schema.names
+
+
+def test_follow_view_stream_refuses_window_overlap(spark, tmp_path):
+    """code-review r5: a fresh checkpoint dir under a view that is
+    already ahead (e.g. bootstrapped by a batch sync_view) would replay
+    a window that STARTS below the view's watermark — the signed delta
+    fold would double-count the overlap. The follower must refuse
+    loudly, not corrupt."""
+    from dbimport_spark.plans.matview import AggSpec, create_view, sync_view
+    from dbimport_spark.streaming.cdf_source import follow_view_stream
+
+    spec = AggSpec(group_cols=["source"], sum_cols=["n_tok"])
+    src_t = CDCEngine.create_table(str(tmp_path / "src"), num_buckets=2)
+    src = CDCEngine(spark, src_t)
+    src.apply_batch(
+        _log(spark, [(1, "I", "k1", [1] * 3, 3, "a", TS),
+                     (2, "I", "k2", [2] * 4, 4, "b", TS)]), 0, 2,
+    )
+    view_t = create_view(str(tmp_path / "view"), src_t, spec, num_buckets=2)
+    view = CDCEngine(spark, view_t)
+    sync_view(spark, src_t, view, spec)  # out-of-band batch bootstrap
+    assert view_t.last_lsn() == src_t.current().version
+    # source advances, so the fresh stream has a non-empty (0, cur] window
+    src.apply_batch(
+        _log(spark, [(3, "U", "k1", [9] * 5, 5, "a", TS)]), 2, 3,
+    )
+
+    q = follow_view_stream(
+        spark, str(tmp_path / "src"), view, spec,
+        str(tmp_path / "fresh-ckpt"), trigger_seconds=0.3,
+    )
+    try:
+        assert _wait(lambda: q.exception() is not None, timeout=120)
+        assert "double-count" in str(q.exception())
+    finally:
+        q.stop()
+    # the view was NOT corrupted: totals still match the watermark state
+    from dbimport_spark.plans.matview import verify_view
+
+    assert view_t.last_lsn() < src_t.current().version
+    # resume correctly: a batch sync from the watermark converges
+    sync_view(spark, src_t, view, spec)
+    assert verify_view(spark, src_t, view_t, spec)["converged"]
+
+
+def test_stream_caught_up_covers_empty_windows(spark, tmp_path):
+    """code-review r5: a trailing commit that diffs to zero rows
+    (a layout-only rewrite) never advances a follower's watermark, so
+    the CLI drain predicate must also accept 'the stream has DELIVERED
+    every window' — stream_caught_up reads the query's committed
+    offset."""
+    from dbimport_spark.lake.maintenance import rebucket
+    from dbimport_spark.streaming.cdf_source import (
+        follow_mirror_stream,
+        stream_caught_up,
+    )
+
+    src_t = CDCEngine.create_table(str(tmp_path / "src"), num_buckets=2)
+    src = CDCEngine(spark, src_t)
+    for i in range(3):
+        src.apply_batch(
+            _log(spark, [(i + 1, "I", f"k{i}", [1] * 3, 3, "a", TS)]),
+            i, i + 1,
+        )
+    mir_t = CDCEngine.create_table(str(tmp_path / "mir"), num_buckets=2)
+    mir = CDCEngine(spark, mir_t)
+
+    q = follow_mirror_stream(
+        spark, str(tmp_path / "src"), mir, str(tmp_path / "ckpt"),
+        trigger_seconds=0.3,
+    )
+    try:
+        assert _wait(lambda: mir_t.last_lsn() >= src_t.current().version)
+        v_data = src_t.current().version
+        rebucket(spark, src_t, 4)
+        assert src_t.current().version > v_data  # a layout-only commit
+        # the mirror's watermark can never reach it, but the stream
+        # delivers (and commits) the empty window — the drain predicate
+        # the CLI uses goes true
+        assert _wait(lambda: stream_caught_up(q, src_t), timeout=120)
+        assert mir_t.last_lsn() == v_data < src_t.current().version
+    finally:
+        q.stop()
+    q.awaitTermination(30)

@@ -397,3 +397,17 @@ def test_merge_sql_folds_target_side_only():
     delete_sql, insert_sql = exp._merge_sqls(["doc_id", "tokens"])
     assert '"doc_id" = tgt."doc_id"' in delete_sql
     assert 'INSERT INTO tgt ("doc_id", "tokens")' in insert_sql
+    # mysql: the stage side MUST use backticks — double quotes are string
+    # LITERALS under default sql_mode, turning the EXISTS predicate into
+    # a constant comparison and the INSERT's SELECT into literal strings
+    exp.dialect = "mysql"
+    delete_sql, insert_sql = exp._merge_sqls(["doc_id", "tokens"])
+    assert delete_sql == (
+        "DELETE FROM tgt WHERE EXISTS "
+        "(SELECT 1 FROM tgt_stage s WHERE s.`doc_id` = tgt.`doc_id`)"
+    )
+    assert insert_sql == (
+        "INSERT INTO tgt (`doc_id`, `tokens`) "
+        "SELECT `doc_id`, `tokens` FROM tgt_stage "
+        "WHERE `_change_type` <> 'delete'"
+    )

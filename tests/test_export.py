@@ -132,3 +132,48 @@ def test_snapshot_export_at_tag(spark, tmp_path):
     ex = ParquetExporter(table, str(tmp_path / "incr_out"))
     s = ex.export(spark, mode="incr")
     assert s["last_run_rows"] == table.read(spark).count()
+
+
+def test_snapshot_export_excludes_tombstones(spark, tmp_path):
+    """A freeze shipment from a SOFT-delete table ships the snapshot's
+    LIVE rows: tombstoned records (deleted before the freeze) must not
+    land in the corpus — by default they'd be indistinguishable from
+    live rows once the audit columns are stripped. --include-deleted
+    keeps them, forcing the audit marker along."""
+    import datetime as _dt
+
+    from dbimport_spark.plans.export import export_snapshot
+    from dbimport_spark.schema import AUDIT_DELETE
+
+    ts = _dt.datetime(2024, 1, 1)
+    table = CDCEngine.create_table(
+        str(tmp_path / "t"), num_buckets=2, soft_delete=True
+    )
+    eng = CDCEngine(spark, table)
+    eng.apply_batch(
+        spark.createDataFrame(
+            [(1, "I", "k1", [1] * 3, 3, "a", ts),
+             (2, "I", "k2", [2] * 4, 4, "b", ts),
+             (3, "D", "k1", None, None, None, ts)],
+            CHANGE_SCHEMA,
+        ), 0, 3,
+    )
+    table.set_tag("freeze")
+
+    out = export_snapshot(spark, table, str(tmp_path / "ship"), "freeze")
+    shipped = spark.read.parquet(out["out"])
+    assert out["rows"] == 1
+    assert {r["doc_id"] for r in shipped.select("doc_id").collect()} == {"k2"}
+    assert AUDIT_DELETE not in shipped.columns
+
+    # audit shipment: tombstones kept, marker column forced along
+    out2 = export_snapshot(
+        spark, table, str(tmp_path / "ship-audit"), "freeze",
+        include_deleted=True,
+    )
+    shipped2 = spark.read.parquet(out2["out"])
+    assert out2["rows"] == 2
+    assert AUDIT_DELETE in shipped2.columns
+    dead = {r["doc_id"] for r in shipped2.filter(
+        f"{AUDIT_DELETE} is not null").select("doc_id").collect()}
+    assert dead == {"k1"}

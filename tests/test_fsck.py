@@ -198,6 +198,28 @@ def test_fsck_tolerates_missing_root_and_stray_files(tmp_path):
     assert any("stray" in f["detail"] for f in findings)
 
 
+def test_fsck_reports_torn_pin_and_tag_files(tmp_path):
+    """pins()/tags() silently skip unparsable JSON (readers must), so a
+    torn pin has silently stopped protecting its follower's delta base —
+    fsck is where that must surface, as an error."""
+    root = str(tmp_path / "t")
+    CDCEngine.create_table(root, num_buckets=2)
+    t = LakeTable.load(root)
+    t.set_pin("mirror", 0)
+    t.set_tag("freeze", 0)
+    assert not [f for f in check_table(t) if f["check"] in ("pins", "tags")]
+    # tear both files
+    with open(os.path.join(root, "metadata", "pins", "mirror.json"), "w") as fh:
+        fh.write('{"version":')
+    with open(os.path.join(root, "metadata", "tags", "broke.json"), "w") as fh:
+        fh.write("not json")
+    findings = check_table(t)
+    torn = [f for f in findings if "torn write" in f["detail"]]
+    assert len(torn) == 2
+    assert all(f["level"] == "error" for f in torn)
+    assert {f["check"] for f in torn} == {"pins", "tags"}
+
+
 # -- repair (the safe subset) ---------------------------------------------------
 
 
