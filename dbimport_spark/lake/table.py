@@ -96,6 +96,41 @@ class DataFile:
         )
 
 
+def parse_timestamp(ts: float | str) -> float:
+    """One spelling of timestamp parsing for every AS-OF surface (table
+    time travel, stream startingTimestamp, CLI --at): unix seconds (any
+    numeric string) or ISO 8601; a naive ISO string reads as UTC."""
+    if not isinstance(ts, str):
+        return float(ts)
+    try:
+        return float(ts)
+    except ValueError:
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(ts)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return dt.timestamp()
+
+
+def advance_pin(table: "LakeTable", pin_name: str | None, version: int) -> None:
+    """Best-effort retention-pin advancement (see ``LakeTable.set_pin``),
+    shared by every follower (mirror, matview, CDC export, stream
+    followers): never fails the sync that already committed — a pin miss
+    only means the next expiry may cost a full reconcile."""
+    if pin_name is None or version < 0:
+        return
+    try:
+        table.set_pin(pin_name, version)
+    except (ValueError, OSError) as exc:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "could not advance retention pin %r to v%d on %s: %s",
+            pin_name, version, table.root, exc,
+        )
+
+
 def ts_micros(dt) -> int:
     """A (session-UTC) naive datetime as int64 UTC epoch micros — the raw
     domain parquet TIMESTAMP_MICROS statistics live in."""
@@ -1101,18 +1136,7 @@ class LakeTable:
         startingTimestamp fallback is different on purpose: a change
         *stream* starting late re-reads nothing wrong, a point-in-time
         *read* would)."""
-        if isinstance(ts, str):
-            from datetime import datetime, timezone
-
-            try:
-                unix = float(ts)
-            except ValueError:
-                dt = datetime.fromisoformat(ts)
-                if dt.tzinfo is None:
-                    dt = dt.replace(tzinfo=timezone.utc)
-                unix = dt.timestamp()
-        else:
-            unix = float(ts)
+        unix = parse_timestamp(ts)
         versions = self.snapshots()
         at_or_before = [
             v for v in versions if self.snapshot(v).created_unix <= unix

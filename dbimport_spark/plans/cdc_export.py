@@ -298,9 +298,9 @@ class CDCJdbcExporter:
         from_v = int(state["last_version"])
         to_v = self.source.current().version
         if to_v <= from_v:
-            from dbimport_spark.plans.mirror import _advance_pin
+            from dbimport_spark.lake.table import advance_pin
 
-            _advance_pin(self.source, self.pin_name, min(from_v, to_v))
+            advance_pin(self.source, self.pin_name, min(from_v, to_v))
             return {**state, "skipped": True}
 
         if from_v in self.source.snapshots():
@@ -353,9 +353,9 @@ class CDCJdbcExporter:
             "skipped": False,
         }
         self._save_state(state)
-        from dbimport_spark.plans.mirror import _advance_pin
+        from dbimport_spark.lake.table import advance_pin
 
-        _advance_pin(self.source, self.pin_name, to_v)
+        advance_pin(self.source, self.pin_name, to_v)
         return state
 
     def _full_reconcile_feed(self, spark: SparkSession) -> DataFrame:

@@ -248,9 +248,9 @@ def sync_view(
     Best-effort, exactly like the mirror's pin."""
     bs = _sync_view_impl(spark, source, view_engine, spec, on_gap)
     if pin_name is not None:
-        from dbimport_spark.plans.mirror import _advance_pin
+        from dbimport_spark.lake.table import advance_pin
 
-        _advance_pin(source, pin_name, max(view_engine.table.last_lsn(), 0))
+        advance_pin(source, pin_name, max(view_engine.table.last_lsn(), 0))
     return bs
 
 

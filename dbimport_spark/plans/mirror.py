@@ -33,7 +33,7 @@ from dbimport_spark.lake.cdf import (
     COMMIT_VERSION_COL,
     table_changes,
 )
-from dbimport_spark.lake.table import LakeTable
+from dbimport_spark.lake.table import LakeTable, advance_pin
 from dbimport_spark.plans.engine import BatchStats, CDCEngine
 from dbimport_spark.schema import AUDIT_COLUMNS
 
@@ -88,14 +88,14 @@ def sync_mirror(
     from_v = source_version_mirrored(mirror_engine)
     to_v = source.current().version
     if to_v <= from_v:
-        _advance_pin(source, pin_name, min(from_v, to_v))
+        advance_pin(source, pin_name, min(from_v, to_v))
         return BatchStats(lo=from_v, hi=to_v, skipped=True)
 
     if from_v in source.snapshots():
         feed = table_changes(spark, source, from_v, to_v)
         events = feed_to_change_events(feed, to_v)
         bs = mirror_engine.apply_batch(events, from_v, to_v)
-        _advance_pin(source, pin_name, to_v)
+        advance_pin(source, pin_name, to_v)
         return bs
 
     if on_gap != "full":
@@ -149,25 +149,8 @@ def sync_mirror(
         ],
     )
     bs = mirror_engine.apply_batch(upserts.unionByName(deletes), from_v, to_v)
-    _advance_pin(source, pin_name, to_v)
+    advance_pin(source, pin_name, to_v)
     return bs
-
-
-def _advance_pin(source: LakeTable, pin_name: str | None, version: int) -> None:
-    """Best-effort retention-pin advancement on the source (see
-    ``LakeTable.set_pin``): never fails the sync that already committed —
-    a pin miss only means the next expiry may cost a full reconcile."""
-    if pin_name is None or version < 0:
-        return
-    try:
-        source.set_pin(pin_name, version)
-    except (ValueError, OSError) as exc:
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "could not advance retention pin %r to v%d on %s: %s",
-            pin_name, version, source.root, exc,
-        )
 
 
 def follow_mirror(

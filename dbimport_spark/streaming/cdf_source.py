@@ -421,15 +421,9 @@ def resolve_starting_version(table, options: dict) -> int:
         )
     if ts is None:
         return int(opts.get("startingversion", 0))
-    from datetime import datetime, timezone
+    from dbimport_spark.lake.table import parse_timestamp
 
-    try:
-        unix = float(ts)
-    except ValueError:
-        dt = datetime.fromisoformat(str(ts))
-        if dt.tzinfo is None:
-            dt = dt.replace(tzinfo=timezone.utc)
-        unix = dt.timestamp()
+    unix = parse_timestamp(str(ts))
     versions = table.snapshots()
     before = [
         v for v in versions if table.snapshot(v).created_unix < unix
@@ -680,9 +674,9 @@ def follow_mirror_stream(
         mirror_engine.apply_batch(events, from_v, to_v)
         if pin_name is not None:
             from dbimport_spark.lake.table import LakeTable
-            from dbimport_spark.plans.mirror import _advance_pin
+            from dbimport_spark.lake.table import advance_pin
 
-            _advance_pin(LakeTable.load(source_root), pin_name, to_v)
+            advance_pin(LakeTable.load(source_root), pin_name, to_v)
 
     return (
         feed.writeStream.foreachBatch(apply_window)
@@ -779,9 +773,9 @@ def follow_view_stream(
             batch_df.drop(COMMIT_WINDOW_START_COL), from_v, to_v,
         )
         if pin_name is not None:
-            from dbimport_spark.plans.mirror import _advance_pin
+            from dbimport_spark.lake.table import advance_pin
 
-            _advance_pin(source, pin_name, to_v)
+            advance_pin(source, pin_name, to_v)
 
     return (
         feed.writeStream.foreachBatch(apply_window)
