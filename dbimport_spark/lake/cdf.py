@@ -144,6 +144,19 @@ def rewrite_only_window(
     return True
 
 
+def window_has_reload(table: LakeTable, from_v: int, to_v: int) -> int | None:
+    """The version of the first declared full reload STRICTLY inside
+    ``(from_v, to_v]``, or None. Followers use this to route a window an
+    incremental diff cannot cover to their full-reconcile path BEFORE
+    calling ``table_changes`` — a retained base snapshot does not make
+    the window diffable when a reload sits inside it."""
+    for v in table.snapshots():
+        if from_v < v <= to_v:
+            if table.snapshot(v).properties.get("reload") == "true":
+                return v
+    return None
+
+
 def check_window(table: LakeTable, snap_a: Snapshot, snap_b: Snapshot) -> None:
     """Refuse version windows an incremental diff cannot cover. Shared
     by ``table_changes`` and the streaming source
@@ -157,16 +170,15 @@ def check_window(table: LakeTable, snap_a: Snapshot, snap_b: Snapshot) -> None:
     # (to extends from) no longer holds, and a by-bare-name match across
     # the boundary could silently emit wrong deltas. Refuse; callers
     # reconcile via the full path (mirror/matview on_gap='full').
-    for v in table.snapshots():
-        if snap_a.version < v <= snap_b.version:
-            if table.snapshot(v).properties.get("reload") == "true":
-                raise ValueError(
-                    f"version window ({snap_a.version}, {snap_b.version}] "
-                    f"crosses a declared full reload at version {v} — an "
-                    "incremental diff across a reload boundary is not "
-                    "well-defined. Reconcile with a full read instead "
-                    "(mirror/matview: on_gap='full')."
-                )
+    v = window_has_reload(table, snap_a.version, snap_b.version)
+    if v is not None:
+        raise ValueError(
+            f"version window ({snap_a.version}, {snap_b.version}] "
+            f"crosses a declared full reload at version {v} — an "
+            "incremental diff across a reload boundary is not "
+            "well-defined. Reconcile with a full read instead "
+            "(mirror/matview: on_gap='full')."
+        )
     if len(snap_b.renames) < len(snap_a.renames):
         # rename history shrank but no retained snapshot carries the
         # reload marker (it expired): same boundary, weaker evidence

@@ -197,8 +197,15 @@ class ObjectStateStore(StateStore):
     def _list(self, prefix_dir: str) -> list[str]:
         if not os.path.isdir(prefix_dir):
             return []
+        # in-flight temp files are NOT objects: an S3 PUT is invisible
+        # until complete, so the emulation's LIST must never surface a
+        # half-written local file (a reader racing _put, or the orphan a
+        # crash mid-PUT leaves behind — on real S3 an aborted PUT leaves
+        # nothing; here the orphan stays on disk but stays invisible)
         return sorted(
-            n for n in os.listdir(prefix_dir) if not n.endswith("_object")
+            n
+            for n in os.listdir(prefix_dir)
+            if not n.endswith("_object") and ".tmp-" not in n
         )
 
     # -- StateStore interface ------------------------------------------------

@@ -133,12 +133,20 @@ def advance_pin(table: "LakeTable", pin_name: str | None, version: int) -> None:
 
 def ts_micros(dt) -> int:
     """A (session-UTC) naive datetime as int64 UTC epoch micros — the raw
-    domain parquet TIMESTAMP_MICROS statistics live in."""
-    from datetime import timezone
+    domain parquet TIMESTAMP_MICROS statistics live in. Exact integer
+    arithmetic over the epoch delta: float ``timestamp()`` loses micros
+    past ~2255 AD, and ``int(timestamp())`` truncates toward zero, which
+    mis-signs the sub-second part of pre-1970 values."""
+    from datetime import datetime, timezone
 
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)
-    return int(dt.timestamp()) * 1_000_000 + dt.microsecond
+    delta = dt - datetime(1970, 1, 1, tzinfo=timezone.utc)
+    return (
+        delta.days * 86_400_000_000
+        + delta.seconds * 1_000_000
+        + delta.microseconds
+    )
 
 
 def footer_stats(pf, cols: list[str]) -> dict | None:

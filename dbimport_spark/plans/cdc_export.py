@@ -44,7 +44,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dbimport_spark.lake.cdf import CHANGE_TYPE_COL, table_changes
+from dbimport_spark.lake.cdf import CHANGE_TYPE_COL, table_changes, window_has_reload
 from dbimport_spark.lake.table import LakeTable
 from dbimport_spark.schema import AUDIT_COLUMNS, AUDIT_DELETE
 
@@ -207,11 +207,19 @@ class CDCJdbcExporter:
         return JdbcExporter._flatten_for_rdbms(df)
 
     def _payload_cols(self, feed: DataFrame) -> list[str]:
-        return [
-            c
-            for c in feed.columns
-            if c not in (CHANGE_TYPE_COL,) and not c.startswith("_")
-        ]
+        # authoritative set = the SOURCE schema's payload columns, not a
+        # name-shape heuristic: a legitimate payload column starting with
+        # an underscore must reach the target, and the CDF's bookkeeping
+        # columns (_change_type/_commit_version/_pre_*) are excluded by
+        # simply not being source columns
+        from dbimport_spark.schema import AUDIT_COLUMNS as _AUDIT
+
+        payload = {
+            f.name
+            for f in self.source.current().schema.fields
+            if f.name not in _AUDIT
+        }
+        return [c for c in feed.columns if c in payload]
 
     def _ddl_types(self, df: DataFrame, with_change_type: bool) -> str | None:
         from pyspark.sql import types as T
@@ -303,10 +311,18 @@ class CDCJdbcExporter:
             advance_pin(self.source, self.pin_name, min(from_v, to_v))
             return {**state, "skipped": True}
 
-        if from_v in self.source.snapshots():
+        reload_v = window_has_reload(self.source, from_v, to_v)
+        if from_v in self.source.snapshots() and reload_v is None:
             feed = table_changes(spark, self.source, from_v, to_v)
         else:
             if on_gap != "full":
+                if reload_v is not None:
+                    raise ValueError(
+                        f"window ({from_v}, {to_v}] crosses a declared "
+                        f"full reload at version {reload_v} — an "
+                        "incremental sync cannot cover it. Re-run with "
+                        "on_gap='full' for a one-time full reconcile."
+                    )
                 raise ValueError(
                     f"source snapshot {from_v} has been expired (retained: "
                     f"{self.source.snapshots()}) — the delta base is gone. "

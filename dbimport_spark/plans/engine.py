@@ -584,15 +584,26 @@ class CDCEngine:
 
     # -- single batch --------------------------------------------------------
 
-    def apply_batch(self, batch: DataFrame, lo: int, hi: int) -> BatchStats:
+    def apply_batch(
+        self,
+        batch: DataFrame,
+        lo: int,
+        hi: int,
+        stats_extra: dict | None = None,
+    ) -> BatchStats:
         """Apply change events with lo < lsn <= hi. Idempotent.
 
         ``lo``/``hi`` are the watermark window bounds (strict > low,
         inclusive <= high — mirroring the reference's incremental WHERE,
         import_config.py:2230-2246). The caller guarantees the batch holds
-        exactly that LSN range.
+        exactly that LSN range. ``stats_extra`` sets BatchStats fields
+        the caller computed about this batch (e.g. the matview's
+        ``rescanned_groups``) BEFORE the stats-sink emit — setting them
+        on the returned object would be too late for telemetry.
         """
         bs = self._apply_batch(batch, lo, hi)
+        for k, v in (stats_extra or {}).items():
+            setattr(bs, k, v)
         self._emit_stats("apply_batch", bs)
         return bs
 

@@ -54,7 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dbimport_spark.lake.cdf import CHANGE_TYPE_COL, table_changes
+from dbimport_spark.lake.cdf import CHANGE_TYPE_COL, table_changes, window_has_reload
 from dbimport_spark.lake.table import LakeTable
 from dbimport_spark.plans.engine import BatchStats, CDCEngine
 from dbimport_spark.schema import AUDIT_COLUMNS, AUDIT_DELETE
@@ -460,9 +460,9 @@ def apply_feed_to_view(
         *[F.col(spec.max_name(c)) for c in spec.max_cols],
     )
     events = fold_events(merged.filter(~inval)).unionByName(rescan_events)
-    bs = view_engine.apply_batch(events, from_v, to_v)
-    bs.rescanned_groups = n_rescan
-    return bs
+    return view_engine.apply_batch(
+        events, from_v, to_v, stats_extra={"rescanned_groups": n_rescan}
+    )
 
 
 def _sync_view_impl(
@@ -490,13 +490,21 @@ def _sync_view_impl(
     if to_v <= from_v:
         return BatchStats(lo=from_v, hi=to_v, skipped=True)
 
-    if from_v in source.snapshots():
+    reload_v = window_has_reload(source, from_v, to_v)
+    if from_v in source.snapshots() and reload_v is None:
         feed = table_changes(spark, source, from_v, to_v, include_preimage=True)
         return apply_feed_to_view(
             spark, source, view_engine, spec, feed, from_v, to_v
         )
 
     if on_gap != "full":
+        if reload_v is not None:
+            raise ValueError(
+                f"window ({from_v}, {to_v}] crosses a declared full "
+                f"reload at version {reload_v} — an incremental sync "
+                "cannot cover it. Re-run with on_gap='full' for a "
+                "one-time full rebuild."
+            )
         raise ValueError(
             f"source snapshot {from_v} has been expired (retained: "
             f"{source.snapshots()}) — the delta base is gone. Re-run with "

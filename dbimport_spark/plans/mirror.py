@@ -32,6 +32,7 @@ from dbimport_spark.lake.cdf import (
     CHANGE_TYPE_COL,
     COMMIT_VERSION_COL,
     table_changes,
+    window_has_reload,
 )
 from dbimport_spark.lake.table import LakeTable, advance_pin
 from dbimport_spark.plans.engine import BatchStats, CDCEngine
@@ -91,7 +92,8 @@ def sync_mirror(
         advance_pin(source, pin_name, min(from_v, to_v))
         return BatchStats(lo=from_v, hi=to_v, skipped=True)
 
-    if from_v in source.snapshots():
+    reload_v = window_has_reload(source, from_v, to_v)
+    if from_v in source.snapshots() and reload_v is None:
         feed = table_changes(spark, source, from_v, to_v)
         events = feed_to_change_events(feed, to_v)
         bs = mirror_engine.apply_batch(events, from_v, to_v)
@@ -99,6 +101,13 @@ def sync_mirror(
         return bs
 
     if on_gap != "full":
+        if reload_v is not None:
+            raise ValueError(
+                f"window ({from_v}, {to_v}] crosses a declared full "
+                f"reload at version {reload_v} — an incremental sync "
+                "cannot cover it. Re-run with on_gap='full' for a full "
+                "reconcile sync."
+            )
         raise ValueError(
             f"source snapshot {from_v} has been expired (retained: "
             f"{source.snapshots()}) — the delta base is gone. Re-run with "

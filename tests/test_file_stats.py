@@ -181,3 +181,22 @@ def test_purge_census_pruned_by_stats(spark, tmp_path):
     # nothing left: the census is empty from metadata alone
     res2 = purge_tombstones(spark, table, future.replace(tzinfo=None).isoformat())
     assert res2 == {"purged_buckets": 0, "purged_rows": 0}
+
+
+def test_ts_micros_pre_epoch_exact():
+    """code-review r5: int(timestamp()) truncates toward zero, so the
+    sub-second part of pre-1970 values came out with the wrong sign —
+    the stats-pruning comparisons would keep/drop the wrong buckets for
+    pre-epoch thresholds."""
+    from datetime import datetime, timezone
+
+    assert ts_micros(datetime(1970, 1, 1)) == 0
+    assert ts_micros(datetime(1969, 12, 31, 23, 59, 59, 500000)) == -500_000
+    assert ts_micros(datetime(1969, 12, 31, 23, 59, 58, 250000)) == -1_750_000
+    # far-future values stay exact past float64 microsecond precision
+    want = (
+        datetime(2400, 6, 1, tzinfo=timezone.utc)
+        - datetime(1970, 1, 1, tzinfo=timezone.utc)
+    )
+    micros = (want.days * 86_400 + want.seconds) * 1_000_000
+    assert ts_micros(datetime(2400, 6, 1, 0, 0, 0, 7)) == micros + 7

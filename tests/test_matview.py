@@ -455,3 +455,63 @@ def test_minmax_schema_refuses_non_orderable(spark, tmp_path):
             PAYLOAD_SCHEMA,
             AggSpec(group_cols=["source"], max_cols=["tokens"]),
         )
+
+
+def test_view_sync_across_reload_boundary(spark, tmp_path):
+    """code-review r5: same wedge as the mirror — a reload inside the
+    window must route to the on_gap='full' rebuild even while the base
+    snapshot is retained, and on_gap='error' must name the reload."""
+    spec = AggSpec(group_cols=["source"], sum_cols=["n_tok"])
+    src_t = CDCEngine.create_table(str(tmp_path / "src"), num_buckets=2)
+    src = CDCEngine(spark, src_t)
+    src.apply_batch(
+        _log(spark, [(1, "I", "k1", [1] * 3, 3, "a", TS),
+                     (2, "I", "k2", [2] * 4, 4, "b", TS)]), 0, 2,
+    )
+    view_t = create_view(str(tmp_path / "view"), src_t, spec, num_buckets=2)
+    view = CDCEngine(spark, view_t)
+    sync_view(spark, src_t, view, spec)
+    base_v = view_t.last_lsn()
+
+    src_t.reset_for_reload(src_t.current().schema)
+    src2 = CDCEngine(spark, src_t)
+    src2.apply_batch(
+        _log(spark, [(1, "I", "k9", [9] * 5, 5, "c", TS)]), 0, 1,
+    )
+    assert base_v in src_t.snapshots()
+
+    with pytest.raises(ValueError, match="declared full reload"):
+        sync_view(spark, src_t, view, spec)
+    bs = sync_view(spark, src_t, view, spec, on_gap="full")
+    assert not bs.skipped
+    assert verify_view(spark, src_t, view_t, spec)["converged"]
+    rows = {r["source"]: r["n_rows"] for r in view_t.read(spark).filter(
+        "dl_delete_ts is null" if "dl_delete_ts" in view_t.read(spark).columns
+        else "1=1").collect()}
+    assert rows == {"c": 1}  # pre-reload groups a/b are gone
+
+
+def test_rescanned_groups_reaches_stats_sink(spark, tmp_path):
+    """code-review r5: the min/max invalidation rescan count must be in
+    the EMITTED stats record, not set on the BatchStats after the sink
+    already serialized it."""
+    from dbimport_spark.plans.stats_sink import CallableStatsSink
+
+    spec = AggSpec(group_cols=["source"], min_cols=["n_tok"])
+    src_t = CDCEngine.create_table(str(tmp_path / "src"), num_buckets=2)
+    src = CDCEngine(spark, src_t)
+    src.apply_batch(
+        _log(spark, [(1, "I", "k1", [1] * 2, 2, "a", TS),
+                     (2, "I", "k2", [2] * 9, 9, "a", TS)]), 0, 2,
+    )
+    view_t = create_view(str(tmp_path / "view"), src_t, spec, num_buckets=2)
+    got = []
+    view = CDCEngine(spark, view_t, stats_sink=CallableStatsSink(got.append))
+    sync_view(spark, src_t, view, spec)
+    # delete the min carrier: group 'a' must rescan, and the emitted
+    # record must say so
+    src.apply_batch(_log(spark, [(3, "D", "k1", None, None, None, TS)]), 2, 3)
+    got.clear()
+    sync_view(spark, src_t, view, spec)
+    recs = [r for r in got if r["op"] == "apply_batch" and not r["skipped"]]
+    assert recs and recs[-1]["rescanned_groups"] == 1

@@ -275,3 +275,48 @@ def test_mirror_and_view_converge_after_source_repair(spark, tmp_path):
     assert verify_mirror(spark, src.table, mir.table)["converged"]
     assert verify_view(spark, src.table, view_t, spec)["converged"]
     assert _payload_state(spark, mir.table) == _payload_state(spark, src.table)
+
+
+def test_mirror_sync_across_reload_boundary(spark, tmp_path):
+    """code-review r5: a declared full reload INSIDE the sync window must
+    route to the full reconcile when on_gap='full' — previously the
+    incremental branch fired whenever the base snapshot was still
+    retained, table_changes refused the reload window, and the
+    prescribed on_gap='full' remedy was unreachable (the sync wedged
+    until the base happened to expire)."""
+    from dbimport_spark.plans.mirror import verify_mirror
+
+    src_t = CDCEngine.create_table(str(tmp_path / "src"), num_buckets=2)
+    src = CDCEngine(spark, src_t)
+    src.apply_batch(
+        _log(spark, [(1, "I", "k1", [1] * 3, 3, "a", TS),
+                     (2, "I", "k2", [2] * 4, 4, "b", TS)]), 0, 2,
+    )
+    mir_t = CDCEngine.create_table(str(tmp_path / "mir"), num_buckets=2)
+    mir = CDCEngine(spark, mir_t)
+    sync_mirror(spark, src_t, mir)
+    base_v = mir_t.last_lsn()
+    assert base_v == src_t.current().version
+
+    # declared full reload + repopulate with DIFFERENT content
+    src_t.reset_for_reload(src_t.current().schema)
+    src2 = CDCEngine(spark, src_t)
+    src2.apply_batch(
+        _log(spark, [(1, "I", "k2", [9] * 5, 5, "c", TS),
+                     (2, "I", "k3", [7] * 2, 2, "c", TS)]), 0, 2,
+    )
+    assert base_v in src_t.snapshots()  # the base is still retained
+
+    with pytest.raises(ValueError, match="declared full reload"):
+        sync_mirror(spark, src_t, mir)  # on_gap='error' names the cause
+    bs = sync_mirror(spark, src_t, mir, on_gap="full")
+    assert not bs.skipped
+    assert verify_mirror(spark, src_t, mir_t)["converged"]
+    # k1 (pre-reload only) is gone from the mirror, k3 arrived
+    ids = {r["doc_id"] for r in mir_t.read(spark).select("doc_id").collect()}
+    assert ids == {"k2", "k3"}
+    # subsequent incremental syncs work again
+    src2.apply_batch(_log(spark, [(3, "U", "k3", [8] * 3, 3, "c", TS)]), 2, 3)
+    bs2 = sync_mirror(spark, src_t, mir)
+    assert not bs2.skipped
+    assert verify_mirror(spark, src_t, mir_t)["converged"]

@@ -167,3 +167,25 @@ def test_object_store_append_order_and_delete(tmp_path):
     store.delete(log)
     assert store.read_lines(log) == []
     assert not store.exists(log)
+
+
+def test_object_store_list_never_surfaces_inflight_temps(tmp_path):
+    """code-review r5: the S3 emulation's LIST must never return a
+    half-written local temp file — an S3 PUT is invisible until
+    complete. A crash-orphaned .tmp-* object must neither corrupt
+    read_lines nor break the next append's sequence computation."""
+    from dbimport_spark.lake.statestore import ObjectStateStore
+
+    store = ObjectStateStore(str(tmp_path / "s3"))
+    store.append_line("/state/log", '{"n": 1}')
+    store.append_line("/state/log", '{"n": 2}')
+    rec_dir = tmp_path / "s3" / "state" / "log" / "records"
+    # simulate a crash mid-PUT: a torn temp object in the records prefix
+    names = sorted(p.name for p in rec_dir.iterdir())
+    torn = rec_dir / f"{names[-1]}.tmp-999-140000000"
+    torn.write_text('{"n": 3, "truncat')
+    assert store.read_lines("/state/log") == ['{"n": 1}', '{"n": 2}']
+    store.append_line("/state/log", '{"n": 4}')  # seq parse unaffected
+    assert store.read_lines("/state/log") == [
+        '{"n": 1}', '{"n": 2}', '{"n": 4}',
+    ]
