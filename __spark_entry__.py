@@ -327,6 +327,41 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_t(spark, sf_dir, "documents"))
 
 
+def _pii_augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic synthetic PII appended — the raw corpus
+    is PII-free word soup, so the gate injects doc_id-derived emails/phones/
+    IPs/SSNs (mirrored verbatim in the oracle SQL) to actually exercise the
+    redaction patterns rather than hash an all-zero result."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pad4 = F.lpad((did % 10000).cast("string"), 4, "0")
+    suffix = F.concat(
+        F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+        F.when(did % 2 == 0, F.concat(F.lit(" tel 555-101-"), pad4)).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" ip 10.0."), (did % 256).cast("string"),
+                F.lit("."), ((did * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.concat(F.lit(" ssn 123-45-"), pad4)).otherwise(F.lit("")),
+    )
+    return d.withColumn("text", F.concat(F.col("text"), suffix))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbimport_spark.operators.text import pii_features
+
+    return pii_features(_pii_augmented_docs(spark, sf_dir))
+
+
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbimport_spark.operators.text import repetition_features
+
+    return repetition_features(_t(spark, sf_dir, "documents"))
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbimport_spark.operators.text_dedup import ngram_jaccard_dedup
 
@@ -1194,6 +1229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
+        "pii_redact": q_pii_redact,
+        "repetition_score": q_repetition_score,
         "ngram_jaccard": q_ngram_jaccard,
         "neardup_clusters": q_neardup_clusters,
         "minhash_lsh": q_minhash_lsh,
@@ -1521,6 +1558,69 @@ def oracle_sql() -> dict[str, str]:
                     WHEN s_es >= s_fr THEN 'es'
                     ELSE 'fr' END AS lang_pred
         FROM s
+    """
+
+    # pii_redact: same PII_PATTERNS constant as the Spark side (RE2 ∩ Java
+    # regex dialect); DuckDB regexp_replace needs the explicit 'g' flag to
+    # match Spark's replace-all semantics.
+    from dbimport_spark.operators.text import PII_PATTERNS
+
+    pii_counts = ",\n               ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _tok in PII_PATTERNS
+    )
+    pii_red = "text"
+    for _name, pat, tok in PII_PATTERNS:
+        pii_red = f"regexp_replace({pii_red}, '{pat}', '{tok}', 'g')"
+    sql["pii_redact"] = f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   || CASE WHEN doc_id % 2 = 0
+                        THEN ' tel 555-101-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE '' END
+                   || CASE WHEN doc_id % 3 = 0
+                        THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                             || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                        ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                        THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE '' END
+                 AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               {pii_counts},
+               md5({pii_red}) AS red_fp
+        FROM aug
+    """
+
+    sql["repetition_score"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+          FROM documents
+        ), tok AS (
+          SELECT doc_id, x AS w FROM toks, UNNEST(t) AS u(x)
+        ), tc AS (
+          SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
+        ), agg AS (
+          SELECT doc_id, sum(c) AS n, count(*) AS d, max(c) AS m FROM tc GROUP BY doc_id
+        ), big AS (
+          SELECT doc_id, t[i] || ' ' || t[i + 1] AS b
+          FROM toks, UNNEST(range(1, len(t))) AS r(i)
+          WHERE len(t) >= 2
+        ), bc AS (
+          SELECT doc_id, b, count(*) AS c FROM big GROUP BY doc_id, b
+        ), bagg AS (
+          SELECT doc_id, sum(c) AS bn, max(c) AS bm FROM bc GROUP BY doc_id
+        )
+        SELECT a.doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(floor(1000 * d / n) AS BIGINT) AS distinct_permille,
+               CAST(floor(1000 * m / n) AS BIGINT) AS top_token_permille,
+               CAST(coalesce(floor(1000 * bm / bn), 0) AS BIGINT) AS top_bigram_permille
+        FROM agg a LEFT JOIN bagg b ON a.doc_id = b.doc_id
     """
 
     sql["ngram_jaccard"] = r"""

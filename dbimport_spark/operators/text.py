@@ -73,6 +73,84 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+# --- PII redaction -----------------------------------------------------
+#
+# Pattern order matters: email is redacted first (its local part may contain
+# digits/dots that would otherwise be nibbled by the number-shaped patterns),
+# then SSN (3-2-4) before phone (3-3-4) — the two never overlap thanks to the
+# \b anchors, but a fixed order keeps the redacted text deterministic.
+# Patterns are kept to the Java-regex ∩ RE2 dialect (no backrefs, no
+# lookaround) so the same strings run verbatim in Spark and the DuckDB
+# oracle. Reference analogue: DBImport's per-column anonymization at import
+# time (import_operations.py:1383-1395); here generalized to in-text PII.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Redact all PII_PATTERNS classes, applied in declaration order."""
+    red = text
+    for _name, pat, token in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, token)
+    return red
+
+
+def pii_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc PII counts (per class, on the ORIGINAL text) + a fingerprint
+    of the fully redacted text. All JVM-side regex — scales as a pure
+    projection, no shuffle."""
+    text = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("bigint").alias(f"n_{name}")
+        for name, pat, _tok in PII_PATTERNS
+    ]
+    return df.select(F.col(id_col), *counts, F.md5(redact_pii(text)).alias("red_fp"))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition-quality signals, integral permilles.
+
+    Per doc: token count, distinct-token ratio, top-token frequency share,
+    and top-bigram frequency share — the classic "repetitious document"
+    filters for training corpora. Shape at scale: explode → two hash
+    aggregations with map-side partial combine (shuffle keys (doc, token)
+    then doc), one doc-keyed join; no window over the full corpus, no
+    driver-side state.
+    """
+    idc = F.col(id_col)
+    toks = df.select(idc, F.split(normalize_text(F.col(text_col)), " ").alias("t"))
+    tok = toks.select(idc, F.explode("t").alias("w"))
+    tc = tok.groupBy(id_col, "w").count()
+    agg = tc.groupBy(id_col).agg(
+        F.sum("count").alias("n"), F.count("*").alias("d"), F.max("count").alias("m")
+    )
+    bigrams = toks.select(
+        idc,
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i])) "
+                "ELSE array() END"
+            )
+        ).alias("b"),
+    )
+    bc = bigrams.groupBy(id_col, "b").count()
+    bagg = bc.groupBy(id_col).agg(F.sum("count").alias("bn"), F.max("count").alias("bm"))
+    return agg.join(bagg, id_col, "left").select(
+        idc,
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.floor(F.lit(1000) * F.col("d") / F.col("n")).cast("bigint").alias("distinct_permille"),
+        F.floor(F.lit(1000) * F.col("m") / F.col("n")).cast("bigint").alias("top_token_permille"),
+        F.coalesce(
+            F.floor(F.lit(1000) * F.col("bm") / F.col("bn")), F.lit(0)
+        ).cast("bigint").alias("top_bigram_permille"),
+    )
+
+
 LANG_MARKERS: dict[str, list[str]] = {
     # padded-word markers; scored by total occurrences, ties broken by order
     "en": ["the", "and"],

@@ -46,6 +46,49 @@ def test_exact_dedup(spark):
     assert got2 == {1, 3}
 
 
+def test_pii_redaction(spark):
+    from dbimport_spark.operators.text import pii_features, redact_pii
+
+    df = _docs(
+        spark,
+        [
+            (1, "mail a.b+c@ex-ample.org or 555-123-4567, ssn 123-45-6789, host 192.168.0.1"),
+            (2, "no pii here at all"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in pii_features(df).collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["n_phone"] == 1
+    assert rows[1]["n_ssn"] == 1 and rows[1]["n_ipv4"] == 1
+    assert all(rows[2][c] == 0 for c in ("n_email", "n_phone", "n_ssn", "n_ipv4"))
+    red = {
+        r["doc_id"]: r["r"]
+        for r in df.select("doc_id", redact_pii(F.col("text")).alias("r")).collect()
+    }
+    assert red[1] == "mail <EMAIL> or <PHONE>, ssn <SSN>, host <IPV4>"
+    assert red[2] == "no pii here at all"
+
+
+def test_repetition_features(spark):
+    from dbimport_spark.operators.text import repetition_features
+
+    df = _docs(
+        spark,
+        [(1, "a a a a"), (2, "a b c d"), (3, "x y x y x y"), (4, "solo")],
+    )
+    rows = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    assert rows[1]["n_tokens"] == 4
+    assert rows[1]["distinct_permille"] == 250
+    assert rows[1]["top_token_permille"] == 1000
+    assert rows[1]["top_bigram_permille"] == 1000  # "a a" is every bigram
+    assert rows[2]["distinct_permille"] == 1000
+    assert rows[2]["top_token_permille"] == 250
+    assert rows[2]["top_bigram_permille"] == 333  # 3 bigrams, each once
+    assert rows[3]["top_token_permille"] == 500  # x: 3 of 6
+    assert rows[3]["top_bigram_permille"] == 600  # "x y" 3 of 5
+    # single-token doc: no bigrams → permille 0, not null/failure
+    assert rows[4]["n_tokens"] == 1 and rows[4]["top_bigram_permille"] == 0
+
+
 def test_jaccard_and_minhash_agree(spark):
     from dbimport_spark.operators.text_dedup import (
         minhash_lsh_dedup,
