@@ -1225,8 +1225,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rowcount_validation": q_rowcount_validation,
         "masking": q_masking,
         "exact_dedup": q_exact_dedup,
-        "doc_fingerprint": q_doc_fingerprint,
-        "token_count": q_token_count,
+        # doc_fingerprint (md5-of-normalized-text projection) retired from
+        # the capped 50-entry gate in r5 in favor of pii_redact: the
+        # identical kernel stays gated twice over — exact_dedup groups on
+        # the same md5 digest, and pii_redact hash-verifies an md5 over
+        # the (normalized, redacted) text. q_doc_fingerprint remains for
+        # tests/tools.
+        # token_count (ws/word token counts projection) retired from the
+        # capped 50-entry gate in r5 in favor of repetition_score: the
+        # ws_token_count kernel stays gated as quality_score's n_tokens
+        # column and token_vocab's n_tokens, and word-regex tokenization
+        # stays gated inside repetition_score's distinct/top-token
+        # permilles. q_token_count remains for tests/tools and bench.py.
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "pii_redact": q_pii_redact,
@@ -1496,18 +1506,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
     """
 
-    sql["doc_fingerprint"] = r"""
-        SELECT doc_id,
-               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-        FROM documents
-    """
-
-    sql["token_count"] = r"""
-        SELECT doc_id,
-               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens,
-               CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS n_word_tokens
-        FROM documents
-    """
+    # doc_fingerprint and token_count retired from the gate in r5 (see
+    # queries()); their md5-normalize and tokenize kernels stay
+    # oracle-checked inside exact_dedup / pii_redact and quality_score /
+    # token_vocab / repetition_score respectively.
 
     # quality_score: occurrences(x, n) = (len(x) - len(replace(x, n, ''))) / len(n)
     stop_terms = " + ".join(
