@@ -1,0 +1,244 @@
+"""Debezium-envelope source: wire-format parsing, ordering-key fallbacks,
+envelope unwrap, tombstone handling, flattening, error modes — and
+end-to-end convergence of a Debezium topic dump replayed through the engine
+against the pure-Python LWW oracle."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dbimport_spark.plans.engine import CDCEngine
+from dbimport_spark.sources.debezium import read_debezium_changes
+from tests.oracle import as_tuple_set, lww_fold
+
+
+def _write_log(tmp_path, events, name="dbz.jsonl"):
+    p = tmp_path / name
+    with open(p, "w") as f:
+        for ev in events:
+            f.write(json.dumps(ev) + "\n")
+    return str(p)
+
+
+def _ev(op, key, lsn, before=None, after=None, ts_ms=None, source=None):
+    src = {"lsn": lsn}
+    if source:
+        src.update(source)
+    ev = {"op": op, "before": before, "after": after, "source": src}
+    if ts_ms is not None:
+        ev["ts_ms"] = ts_ms
+    return ev
+
+
+BASIC = [
+    _ev("r", "a", 1, after={"doc_id": "a", "val": "snap", "n": 10}, ts_ms=1000),
+    _ev("c", "b", 2, after={"doc_id": "b", "val": "new", "n": 20}, ts_ms=2000),
+    _ev(
+        "u",
+        "a",
+        3,
+        before={"doc_id": "a", "val": "snap", "n": 10},
+        after={"doc_id": "a", "val": "upd", "n": 11},
+        ts_ms=3000,
+    ),
+    _ev("d", "b", 4, before={"doc_id": "b", "val": "new", "n": 20}, ts_ms=4000),
+]
+
+
+def test_basic_parse_and_op_map(spark, tmp_path):
+    path = _write_log(tmp_path, BASIC)
+    df = read_debezium_changes(spark, path)
+    rows = {r["lsn"]: r.asDict() for r in df.collect()}
+    assert set(df.columns) == {"lsn", "op", "doc_id", "val", "n", "commit_ts"}
+    # c and r both map to I; u -> U; d -> D
+    assert [rows[i]["op"] for i in (1, 2, 3, 4)] == ["I", "I", "U", "D"]
+    # after-image for c/r/u
+    assert rows[3]["val"] == "upd" and rows[3]["n"] == 11
+    # delete carries the before-image (after is null in a Debezium delete)
+    assert rows[4]["doc_id"] == "b" and rows[4]["val"] == "new"
+    # commit_ts from ts_ms
+    assert rows[1]["commit_ts"].timestamp() == 1.0
+
+
+def test_tombstones_and_schema_lines_dropped(spark, tmp_path):
+    events = list(BASIC) + [
+        {"before": None, "after": None, "source": None, "op": None},  # tombstone
+        {"schema": {"type": "struct"}},  # schema-only line
+    ]
+    path = _write_log(tmp_path, events)
+    df = read_debezium_changes(spark, path)
+    assert df.count() == 4
+
+
+def test_kafka_connect_envelope_unwrap(spark, tmp_path):
+    wrapped = [{"schema": {"type": "struct"}, "payload": ev} for ev in BASIC]
+    path = _write_log(tmp_path, wrapped)
+    df = read_debezium_changes(spark, path)
+    assert df.count() == 4
+    assert {r["op"] for r in df.collect()} == {"I", "U", "D"}
+
+
+def test_ordering_key_fallbacks(spark, tmp_path):
+    # source.pos when source.lsn is absent (MySQL binlog)
+    mysql = [
+        {
+            "op": "c",
+            "after": {"doc_id": "x", "val": "1"},
+            "before": None,
+            "source": {"pos": 77, "file": "binlog.000001"},
+        }
+    ]
+    df = read_debezium_changes(spark, _write_log(tmp_path, mysql, "my.jsonl"))
+    assert df.first()["lsn"] == 77
+
+    # ts_ms when source carries neither
+    bare = [
+        {"op": "c", "after": {"doc_id": "y", "val": "2"}, "before": None,
+         "source": {"db": "d"}, "ts_ms": 5555}
+    ]
+    df = read_debezium_changes(spark, _write_log(tmp_path, bare, "ts.jsonl"))
+    assert df.first()["lsn"] == 5555
+
+    # explicit lsn_expr wins over everything (file+pos combined)
+    df = read_debezium_changes(
+        spark,
+        _write_log(tmp_path, mysql, "my2.jsonl"),
+        lsn_expr=F.regexp_extract("source.file", r"(\d+)$", 1).cast("long")
+        * 1_000_000_000
+        + F.col("source.pos"),
+    )
+    assert df.first()["lsn"] == 1_000_000_077
+
+    # no ordering key at all -> loud error
+    nokey = [{"op": "c", "after": {"doc_id": "z"}, "before": None,
+              "source": {"db": "d"}}]
+    with pytest.raises(ValueError, match="no ordering key"):
+        read_debezium_changes(spark, _write_log(tmp_path, nokey, "nk.jsonl"))
+
+
+def test_nested_struct_flatten(spark, tmp_path):
+    events = [
+        {
+            "op": "c",
+            "before": None,
+            "after": {"doc_id": "a", "geo": {"lat": 1.5, "lon": 2.5}},
+            "source": {"lsn": 1},
+        }
+    ]
+    df = read_debezium_changes(spark, _write_log(tmp_path, events))
+    row = df.first()
+    assert row["geo__lat"] == 1.5 and row["geo__lon"] == 2.5
+    # flatten=False keeps the struct (normalized)
+    df2 = read_debezium_changes(
+        spark, _write_log(tmp_path, events, "f2.jsonl"), flatten=False
+    )
+    assert isinstance(df2.schema["geo"].dataType, T.StructType)
+
+
+def test_error_modes(spark, tmp_path):
+    # no op field anywhere
+    with pytest.raises(ValueError, match="no 'op' field"):
+        read_debezium_changes(
+            spark, _write_log(tmp_path, [{"x": 1}], "noop.jsonl")
+        )
+    # key field absent from the images
+    with pytest.raises(ValueError, match="key field"):
+        read_debezium_changes(
+            spark,
+            _write_log(
+                tmp_path,
+                [{"op": "c", "after": {"id": "a"}, "before": None,
+                  "source": {"lsn": 1}}],
+                "nokeyf.jsonl",
+            ),
+        )
+    # image field colliding with an envelope column
+    with pytest.raises(ValueError, match="collides"):
+        read_debezium_changes(
+            spark,
+            _write_log(
+                tmp_path,
+                [{"op": "c",
+                  "after": {"doc_id": "a", "lsn": 9}, "before": None,
+                  "source": {"lsn": 1}}],
+                "coll.jsonl",
+            ),
+        )
+
+
+def test_custom_key_field(spark, tmp_path):
+    events = [
+        {"op": "c", "before": None,
+         "after": {"order_id": 42, "status": "open"}, "source": {"lsn": 1}}
+    ]
+    df = read_debezium_changes(
+        spark, _write_log(tmp_path, events), key_field="order_id"
+    )
+    row = df.first()
+    # key is hoisted to doc_id as string; no duplicate order_id column
+    assert row["doc_id"] == "42"
+    assert "order_id" not in df.columns
+
+
+def test_end_to_end_engine_convergence(spark, tmp_path):
+    """A Debezium topic dump (snapshot reads + inserts + updates + deletes,
+    interleaved and out of order in the file) replayed through CDCEngine
+    converges to the LWW oracle's state."""
+    import random
+
+    rng = random.Random(7)
+    keys = [f"k{i}" for i in range(40)]
+    events, lsn = [], 0
+    live: dict[str, dict] = {}
+    for k in keys[:20]:  # initial snapshot
+        lsn += 1
+        img = {"doc_id": k, "val": f"snap-{k}", "n": lsn}
+        live[k] = img
+        events.append(_ev("r", k, lsn, after=img, ts_ms=lsn * 1000))
+    for _ in range(300):
+        lsn += 1
+        k = rng.choice(keys)
+        if k in live:
+            if rng.random() < 0.25:
+                events.append(
+                    _ev("d", k, lsn, before=live.pop(k), ts_ms=lsn * 1000)
+                )
+            else:
+                new = {"doc_id": k, "val": f"v{lsn}", "n": lsn}
+                events.append(
+                    _ev("u", k, lsn, before=live[k], after=new,
+                        ts_ms=lsn * 1000)
+                )
+                live[k] = new
+        else:
+            new = {"doc_id": k, "val": f"v{lsn}", "n": lsn}
+            events.append(_ev("c", k, lsn, after=new, ts_ms=lsn * 1000))
+            live[k] = new
+
+    rng.shuffle(events)  # arrival order is NOT commit order
+    path = _write_log(tmp_path, events, "topic.jsonl")
+    changes = read_debezium_changes(spark, path)
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("val", T.StringType(), True),
+            T.StructField("n", T.LongType(), True),
+        ]
+    )
+    root = str(tmp_path / "dbz_table")
+    table = CDCEngine.create_table(root, payload_schema=payload_schema,
+                                   num_buckets=4)
+    eng = CDCEngine(spark, table, checkpoint_dir=f"{root}/_ckpt")
+    eng.replay(changes, num_batches=3)
+
+    got = as_tuple_set(
+        [r.asDict() for r in table.read(spark).collect()],
+        ["doc_id", "val", "n"],
+    )
+    ora = lww_fold([r.asDict() for r in changes.collect()])
+    want = as_tuple_set(list(ora.values()), ["doc_id", "val", "n"])
+    assert got == want
+    assert want == as_tuple_set(list(live.values()), ["doc_id", "val", "n"])
