@@ -58,6 +58,17 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--batches", type=int, default=4)
     sp.add_argument("--checkpoint", default=None)
     sp.add_argument(
+        "--format", default="parquet", choices=["parquet", "json", "debezium"],
+        help="log wire format: parquet (native change log), json "
+        "(document-store JSON-lines, sources/jsonlog.py), debezium "
+        "(Debezium/Kafka-Connect envelope JSON-lines, sources/debezium.py)",
+    )
+    sp.add_argument(
+        "--key-field", default=None, metavar="NAME",
+        help="merge-key field inside the json/debezium row image "
+        "(default: _id for json, doc_id for debezium)",
+    )
+    sp.add_argument(
         "--dedup", default="maxjoin", choices=["maxjoin", "maxby", "window", "salted"]
     )
     sp.add_argument(
@@ -979,11 +990,26 @@ def main(argv: list[str] | None = None) -> int:
                 else None
             ),
         )
-        # mergeSchema: an evolved multi-segment log's older footers lack
-        # the new columns (and pre-rename segments carry old names) — the
-        # union schema is what the engine's alignment and the schema-diff
-        # planner both reason over, so replay must read the same way
-        changes = spark.read.option("mergeSchema", "true").parquet(args.log_path)
+        if args.format == "debezium":
+            from dbimport_spark.sources.debezium import read_debezium_changes
+
+            changes = read_debezium_changes(
+                spark, args.log_path, key_field=args.key_field or "doc_id"
+            )
+        elif args.format == "json":
+            from dbimport_spark.sources.jsonlog import read_json_changes
+
+            changes = read_json_changes(
+                spark, args.log_path, id_field=args.key_field or "_id"
+            )
+        else:
+            # mergeSchema: an evolved multi-segment log's older footers lack
+            # the new columns (and pre-rename segments carry old names) — the
+            # union schema is what the engine's alignment and the schema-diff
+            # planner both reason over, so replay must read the same way
+            changes = spark.read.option("mergeSchema", "true").parquet(
+                args.log_path
+            )
         if args.full_reload:
             stats = eng.full_reload(changes, num_batches=args.batches)
         else:

@@ -182,6 +182,32 @@ def test_custom_key_field(spark, tmp_path):
     assert "order_id" not in df.columns
 
 
+def test_cli_replay_debezium_format(spark, tmp_path, capsys):
+    """`replay --format debezium` ingests a topic dump from the CLI."""
+    from dbimport_spark.cli import main
+
+    path = _write_log(tmp_path, BASIC)
+    payload_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("val", T.StringType(), True),
+            T.StructField("n", T.LongType(), True),
+        ]
+    )
+    root = str(tmp_path / "cli_table")
+    CDCEngine.create_table(root, payload_schema=payload_schema, num_buckets=2)
+    rc = main(["replay", root, path, "--format", "debezium", "--batches", "1"])
+    assert rc in (0, None)
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["events"] == 4 and out["applied"] == 1
+    from dbimport_spark.lake.table import LakeTable
+
+    rows = {r["doc_id"]: r.asDict()
+            for r in LakeTable.load(root).read(spark).collect()}
+    assert set(rows) == {"a"}  # b was deleted at lsn 4
+    assert rows["a"]["val"] == "upd"
+
+
 def test_end_to_end_engine_convergence(spark, tmp_path):
     """A Debezium topic dump (snapshot reads + inserts + updates + deletes,
     interleaved and out of order in the file) replayed through CDCEngine
