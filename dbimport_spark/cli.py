@@ -135,6 +135,16 @@ def main(argv: list[str] | None = None) -> int:
         "on a brand-new checkpoint's catch-up batch) | recover (re-fold the "
         "affected keys from the per-segment ledger)",
     )
+    sp.add_argument(
+        "--format", default="parquet", choices=["parquet", "debezium"],
+        help="segment wire format: parquet (native change log) or "
+        "debezium (Debezium/Kafka-Connect envelope JSON-lines; schema "
+        "inferred once from the segments present at start)",
+    )
+    sp.add_argument(
+        "--key-field", default="doc_id", metavar="NAME",
+        help="merge-key field inside the debezium row image",
+    )
 
     sp = sub.add_parser("gen")
     sp.add_argument("log_path")
@@ -1032,9 +1042,17 @@ def main(argv: list[str] | None = None) -> int:
 
         table = LakeTable.load(args.table_root)
         eng = CDCEngine(spark, table, write_mode=args.write_mode)
+        if args.format == "debezium":
+            from dbimport_spark.sources.debezium import stream_debezium_changes
+
+            stream_df = stream_debezium_changes(
+                spark, args.log_dir, key_field=args.key_field
+            )
+        else:
+            stream_df = stream_changes(spark, args.log_dir)
         q = run_stream(
             eng,
-            stream_changes(spark, args.log_dir),
+            stream_df,
             checkpoint_dir=args.checkpoint,
             available_now=not args.continuous,
             on_out_of_order=args.on_out_of_order,

@@ -63,7 +63,55 @@ def read_debezium_changes(
     ordering key, or image fields that collide with envelope columns.
     """
     raw = spark.read.json(path)
+    return _to_change_shape(
+        raw, path, key_field, lsn_expr, flatten, dates_to_string
+    )
 
+
+def stream_debezium_changes(
+    spark: SparkSession,
+    path: str,
+    key_field: str = "doc_id",
+    lsn_expr: Column | None = None,
+    flatten: bool = True,
+    dates_to_string: bool = False,
+    schema: T.StructType | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """``readStream`` over a growing directory of Debezium JSON-lines
+    segments — the continuous tail to ``read_debezium_changes``'s batch
+    read. The projection is identical (pure column expressions, so it is
+    streaming-legal); feed the result to ``streaming.stream.run_stream``
+    and the per-segment ledger / watermark machinery applies unchanged
+    (the micro-batch classifier keys on ``input_file_name``, which
+    survives projections).
+
+    The streaming JSON source needs a fixed schema; by default it is
+    inferred ONCE from the files already present (a topic dump always
+    starts non-empty — the connector snapshot). Events arriving later
+    with NEW image columns read as null until the caller re-infers and
+    restarts — pass ``schema`` explicitly to pre-declare evolution,
+    exactly like Spark's own streaming JSON contract.
+    """
+    if schema is None:
+        schema = spark.read.json(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.json(path)
+    return _to_change_shape(
+        raw, path, key_field, lsn_expr, flatten, dates_to_string
+    )
+
+
+def _to_change_shape(
+    raw: DataFrame,
+    path: str,
+    key_field: str,
+    lsn_expr: Column | None,
+    flatten: bool,
+    dates_to_string: bool,
+) -> DataFrame:
     # Kafka-Connect envelope: {"schema": …, "payload": {actual event}}
     if "payload" in raw.columns and isinstance(
         raw.schema["payload"].dataType, T.StructType

@@ -208,6 +208,65 @@ def test_cli_replay_debezium_format(spark, tmp_path, capsys):
     assert rows["a"]["val"] == "upd"
 
 
+def test_stream_debezium_tail(spark, tmp_path):
+    """Tail a growing Debezium topic directory under Structured Streaming:
+    initial segments apply, a later segment applies incrementally, and a
+    restart over the same checkpoint re-applies nothing."""
+    from dbimport_spark.sources.debezium import stream_debezium_changes
+    from dbimport_spark.streaming.stream import run_stream
+
+    log_dir = tmp_path / "topic"
+    log_dir.mkdir()
+
+    def seg(name, events):
+        _write_log(log_dir, events, name)
+
+    seg("000.jsonl", [
+        _ev("r", "a", 1, after={"doc_id": "a", "val": "s1", "n": 1}, ts_ms=1),
+        _ev("r", "b", 2, after={"doc_id": "b", "val": "s2", "n": 2}, ts_ms=2),
+    ])
+    seg("001.jsonl", [
+        _ev("u", "a", 3, before={"doc_id": "a", "val": "s1", "n": 1},
+            after={"doc_id": "a", "val": "u3", "n": 3}, ts_ms=3),
+    ])
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("val", T.StringType(), True),
+            T.StructField("n", T.LongType(), True),
+        ]
+    )
+    root = str(tmp_path / "stream_table")
+    table = CDCEngine.create_table(root, payload_schema=payload_schema,
+                                   num_buckets=2)
+    eng = CDCEngine(spark, table)
+    ckpt = str(tmp_path / "ckpt")
+
+    stream_df = stream_debezium_changes(spark, str(log_dir))
+    run_stream(eng, stream_df, checkpoint_dir=ckpt).awaitTermination()
+    state = {r["doc_id"]: r["val"] for r in table.read(spark).collect()}
+    assert state == {"a": "u3", "b": "s2"}
+    assert table.last_lsn() == 3
+
+    # a new segment arrives: delete b, insert c
+    seg("002.jsonl", [
+        _ev("d", "b", 4, before={"doc_id": "b", "val": "s2", "n": 2}, ts_ms=4),
+        _ev("c", "c", 5, after={"doc_id": "c", "val": "new", "n": 5}, ts_ms=5),
+    ])
+    stream_df = stream_debezium_changes(spark, str(log_dir))
+    run_stream(eng, stream_df, checkpoint_dir=ckpt).awaitTermination()
+    state = {r["doc_id"]: r["val"] for r in table.read(spark).collect()}
+    assert state == {"a": "u3", "c": "new"}
+    assert table.last_lsn() == 5
+    v_done = table.current().version
+
+    # restart with nothing new: exactly-once, no state or version change
+    stream_df = stream_debezium_changes(spark, str(log_dir))
+    run_stream(eng, stream_df, checkpoint_dir=ckpt).awaitTermination()
+    assert table.current().version == v_done
+
+
 def test_end_to_end_engine_convergence(spark, tmp_path):
     """A Debezium topic dump (snapshot reads + inserts + updates + deletes,
     interleaved and out of order in the file) replayed through CDCEngine
