@@ -267,6 +267,37 @@ def test_stream_debezium_tail(spark, tmp_path):
     assert table.current().version == v_done
 
 
+def test_debezium_schema_evolution_through_engine(spark, tmp_path):
+    """Later Debezium events carrying a NEW image column evolve the table
+    additively: the JSON reader infers the union schema, early events read
+    the column as null, the engine adds it without a rewrite."""
+    events = [
+        _ev("c", "a", 1, after={"doc_id": "a", "val": "v1"}, ts_ms=1),
+        _ev("c", "b", 2,
+            after={"doc_id": "b", "val": "v2", "score": 0.5}, ts_ms=2),
+        _ev("u", "a", 3, before={"doc_id": "a", "val": "v1"},
+            after={"doc_id": "a", "val": "v3", "score": 0.9}, ts_ms=3),
+    ]
+    path = _write_log(tmp_path, events, "evo.jsonl")
+    changes = read_debezium_changes(spark, path)
+    assert "score" in changes.columns
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("val", T.StringType(), True),
+        ]
+    )
+    root = str(tmp_path / "evo_table")
+    table = CDCEngine.create_table(root, payload_schema=payload_schema,
+                                   num_buckets=2)
+    eng = CDCEngine(spark, table, checkpoint_dir=f"{root}/_ckpt")
+    eng.replay(changes, num_batches=1)
+    rows = {r["doc_id"]: r.asDict() for r in table.read(spark).collect()}
+    assert rows["a"]["val"] == "v3" and rows["a"]["score"] == 0.9
+    assert rows["b"]["score"] == 0.5
+
+
 def test_end_to_end_engine_convergence(spark, tmp_path):
     """A Debezium topic dump (snapshot reads + inserts + updates + deletes,
     interleaved and out of order in the file) replayed through CDCEngine
