@@ -31,6 +31,10 @@ Semantics:
   the envelope ``ts_ms``.
 - Kafka tombstones (null value emitted after a delete for log compaction)
   and schema-only lines carry no ``op`` — dropped before projection.
+- ``t`` (truncate) and ``m`` (logical message) are documented Debezium
+  non-row events with no before/after image — dropped too. Any OTHER op
+  value is unknown wire content and flows through as a null-op row, which
+  the engine's malformed-event check quarantines (plans/engine.py op_bad).
 
 The result feeds ``CDCEngine.apply_batch`` / ``replay`` unchanged: LWW
 dedup, keyed MERGE, watermark commits and schema evolution all operate on
@@ -125,8 +129,12 @@ def _to_change_shape(
             f"debezium log at {path} has no 'op' field (neither top-level "
             "nor under 'payload')"
         )
-    # tombstones / schema-only lines: no op -> not a change event
-    raw = raw.filter(F.col("op").isNotNull())
+    # tombstones / schema-only lines: no op -> not a change event;
+    # 't' (truncate) / 'm' (logical message) are documented non-row
+    # events with no row image — not malformed, just not row changes
+    raw = raw.filter(
+        F.col("op").isNotNull() & ~F.upper(F.col("op")).isin("T", "M")
+    )
 
     def _struct_fields(name: str) -> list[T.StructField]:
         if name in raw.columns and isinstance(raw.schema[name].dataType, T.StructType):

@@ -66,10 +66,23 @@ def test_tombstones_and_schema_lines_dropped(spark, tmp_path):
     events = list(BASIC) + [
         {"before": None, "after": None, "source": None, "op": None},  # tombstone
         {"schema": {"type": "struct"}},  # schema-only line
+        # documented non-row events: truncate and logical message carry no
+        # row image — dropped, not quarantined
+        {"before": None, "after": None, "source": {"lsn": 99}, "op": "t"},
+        {"before": None, "after": None, "source": {"lsn": 100}, "op": "m"},
     ]
     path = _write_log(tmp_path, events)
     df = read_debezium_changes(spark, path)
     assert df.count() == 4
+    # an UNKNOWN op is not silently dropped: it flows through as a null-op
+    # row for the engine's malformed-event quarantine to catch
+    weird = list(BASIC) + [
+        {"before": None, "after": {"doc_id": "z", "val": "?", "n": 0},
+         "source": {"lsn": 101}, "op": "x"},
+    ]
+    df2 = read_debezium_changes(spark, _write_log(tmp_path, weird, "w.jsonl"))
+    assert df2.count() == 5
+    assert df2.filter("op is null").count() == 1
 
 
 def test_kafka_connect_envelope_unwrap(spark, tmp_path):
