@@ -1042,12 +1042,30 @@ def main(argv: list[str] | None = None) -> int:
 
         table = LakeTable.load(args.table_root)
         eng = CDCEngine(spark, table, write_mode=args.write_mode)
+        reread = None
         if args.format == "debezium":
-            from dbimport_spark.sources.debezium import stream_debezium_changes
+            from dbimport_spark.sources.debezium import (
+                read_debezium_changes,
+                stream_debezium_changes,
+            )
 
             stream_df = stream_debezium_changes(
-                spark, args.log_dir, key_field=args.key_field
+                spark,
+                args.log_dir,
+                key_field=args.key_field,
+                # persist the inferred raw schema next to the checkpoint:
+                # a restart over a large archive reloads it in O(1)
+                # instead of re-inferring over every segment
+                schema_cache=os.path.join(
+                    args.checkpoint, "debezium_schema.json"
+                ),
             )
+
+            def reread(sp, paths, _kf=args.key_field):
+                # late-segment recovery must re-read JSONL segments with
+                # the Debezium projection, not as parquet
+                return read_debezium_changes(sp, list(paths), key_field=_kf)
+
         else:
             stream_df = stream_changes(spark, args.log_dir)
         q = run_stream(
@@ -1056,6 +1074,7 @@ def main(argv: list[str] | None = None) -> int:
             checkpoint_dir=args.checkpoint,
             available_now=not args.continuous,
             on_out_of_order=args.on_out_of_order,
+            reread=reread,
         )
         q.awaitTermination()
         print(json.dumps({"last_lsn": table.last_lsn()}))

@@ -79,3 +79,45 @@ def normalize_dataframe(df: DataFrame, dates_to_string: bool = False) -> DataFra
             for f in df.schema.fields
         ]
     )
+
+
+def flatten_image_columns(
+    fields: list[T.StructField],
+    src_for,
+    key_field: str,
+    taken: set[str],
+    flatten: bool = True,
+    what: str = "image field",
+) -> list[Column]:
+    """Project the non-key fields of a row image to output columns: one
+    level of ``parent__child`` struct flattening (the reference's Mongo
+    subdocument flatten, import_operations.py:686-713) plus a collision
+    guard against the change-envelope columns and earlier flattened names.
+
+    Shared by sources/jsonlog.py and sources/debezium.py — ``src_for(name)``
+    supplies the Column for an image field (each source picks its own row
+    image), ``taken`` holds the reserved output names and is mutated as
+    names are claimed.
+    """
+    cols: list[Column] = []
+    for f in fields:
+        if f.name == key_field:
+            continue
+        src = src_for(f.name)
+        if flatten and isinstance(f.dataType, T.StructType):
+            emit = [
+                (f"{f.name}__{sub.name}", src.getField(sub.name))
+                for sub in f.dataType.fields
+            ]
+        else:
+            emit = [(f.name, src)]
+        for name, col in emit:
+            if name in taken:
+                raise ValueError(
+                    f"{what} {name!r} collides with a change-envelope "
+                    "column or another flattened field — rename it in "
+                    "the source or map it explicitly"
+                )
+            taken.add(name)
+            cols.append(col.alias(name))
+    return cols

@@ -28,13 +28,24 @@ Semantics:
   ``source.lsn`` (Postgres/SQL Server commit LSN) when present, else
   ``source.pos`` (MySQL binlog offset — valid within a single binlog
   file; multi-file logs must pass ``lsn_expr`` combining file+pos), else
-  the envelope ``ts_ms``.
+  ``(source.ts_ms << 12) + source.ord`` when both exist (MongoDB: the
+  in-second event counter breaks same-timestamp ties), else the envelope
+  ``ts_ms`` — a lossy last resort (same-millisecond events to one key tie
+  on lsn and LWW picks arbitrarily; a warning says so).
 - Kafka tombstones (null value emitted after a delete for log compaction)
-  and schema-only lines carry no ``op`` — dropped before projection.
-- ``t`` (truncate) and ``m`` (logical message) are documented Debezium
-  non-row events with no before/after image — dropped too. Any OTHER op
-  value is unknown wire content and flows through as a null-op row, which
-  the engine's malformed-event check quarantines (plans/engine.py op_bad).
+  and schema-only lines carry no ``op`` AND no row image — dropped.
+- ``m`` (logical message) is a documented non-row event — dropped.
+- ``t`` (truncate) is data-bearing (delete-all): the engine cannot apply
+  a table truncation incrementally, so by default the projection embeds
+  ``raise_error`` and the read fails LOUDLY at action time when a
+  truncate event is present (re-snapshot the source, or pass
+  ``on_truncate='ignore'`` to accept the divergence explicitly) — same
+  loud-on-truncation stance as the native changelog's LogTruncatedError.
+- anything else unknown (an op value outside c/r/u/d/t/m, a row with an
+  image but no op, a corrupt line under PERMISSIVE parsing) flows
+  through as a null-op / null-key row, which the engine's
+  malformed-event check quarantines (plans/engine.py op_bad) — unknown
+  wire content is never silently lost.
 
 The result feeds ``CDCEngine.apply_batch`` / ``replay`` unchanged: LWW
 dedup, keyed MERGE, watermark commits and schema evolution all operate on
@@ -43,32 +54,41 @@ this source exactly as on the native change log.
 
 from __future__ import annotations
 
+import json
+import warnings
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dbimport_spark.functions.schema_normalize import normalize_dataframe
+from dbimport_spark.functions.schema_normalize import (
+    flatten_image_columns,
+    normalize_dataframe,
+)
 
 ENVELOPE_COLS = ("lsn", "op", "doc_id", "commit_ts")
 
 
 def read_debezium_changes(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     key_field: str = "doc_id",
     lsn_expr: Column | None = None,
     flatten: bool = True,
     dates_to_string: bool = False,
+    on_truncate: str = "error",
 ) -> DataFrame:
     """Read JSON-lines Debezium change events into the engine change shape.
 
     ``key_field`` names the merge key inside the row image (hoisted to
     ``doc_id``). Raises on events with no row images, no resolvable
     ordering key, or image fields that collide with envelope columns.
+    ``path`` may be a glob/directory or an explicit list of files (the
+    streaming late-segment recovery re-reads specific segments).
     """
     raw = spark.read.json(path)
     return _to_change_shape(
-        raw, path, key_field, lsn_expr, flatten, dates_to_string
+        raw, path, key_field, lsn_expr, flatten, dates_to_string, on_truncate
     )
 
 
@@ -81,6 +101,9 @@ def stream_debezium_changes(
     dates_to_string: bool = False,
     schema: T.StructType | None = None,
     max_files_per_trigger: int | None = None,
+    on_truncate: str = "error",
+    schema_cache: str | None = None,
+    state_store=None,
 ) -> DataFrame:
     """``readStream`` over a growing directory of Debezium JSON-lines
     segments — the continuous tail to ``read_debezium_changes``'s batch
@@ -90,32 +113,48 @@ def stream_debezium_changes(
     (the micro-batch classifier keys on ``input_file_name``, which
     survives projections).
 
-    The streaming JSON source needs a fixed schema; by default it is
-    inferred ONCE from the files already present (a topic dump always
-    starts non-empty — the connector snapshot). Events arriving later
-    with NEW image columns read as null until the caller re-infers and
-    restarts — pass ``schema`` explicitly to pre-declare evolution,
-    exactly like Spark's own streaming JSON contract.
+    The streaming JSON source needs a fixed schema. Resolution order:
+    ``schema`` if passed; else ``schema_cache`` (a state-store path — the
+    inferred schema is persisted there on first run and reloaded on
+    restart, so a stream restart over a multi-GB archive costs one small
+    read instead of a full re-inference scan); else inferred ONCE from
+    the files already present (a topic dump always starts non-empty — the
+    connector snapshot). Events arriving later with NEW image columns
+    read as null until the caller re-infers (delete the cache file) and
+    restarts — Spark's own streaming JSON contract.
     """
-    if schema is None:
+    if schema is None and schema_cache is not None:
+        from dbimport_spark.lake.statestore import DEFAULT_STORE
+
+        store = state_store or DEFAULT_STORE
+        cached = store.read_text(schema_cache)
+        if cached is not None:
+            schema = T.StructType.fromJson(json.loads(cached))
+        else:
+            schema = spark.read.json(path).schema
+            store.write_text(schema_cache, json.dumps(schema.jsonValue()))
+    elif schema is None:
         schema = spark.read.json(path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.json(path)
     return _to_change_shape(
-        raw, path, key_field, lsn_expr, flatten, dates_to_string
+        raw, path, key_field, lsn_expr, flatten, dates_to_string, on_truncate
     )
 
 
 def _to_change_shape(
     raw: DataFrame,
-    path: str,
+    path: str | list[str],
     key_field: str,
     lsn_expr: Column | None,
     flatten: bool,
     dates_to_string: bool,
+    on_truncate: str = "error",
 ) -> DataFrame:
+    if on_truncate not in ("error", "ignore"):
+        raise ValueError("on_truncate must be 'error' or 'ignore'")
     # Kafka-Connect envelope: {"schema": …, "payload": {actual event}}
     if "payload" in raw.columns and isinstance(
         raw.schema["payload"].dataType, T.StructType
@@ -129,12 +168,6 @@ def _to_change_shape(
             f"debezium log at {path} has no 'op' field (neither top-level "
             "nor under 'payload')"
         )
-    # tombstones / schema-only lines: no op -> not a change event;
-    # 't' (truncate) / 'm' (logical message) are documented non-row
-    # events with no row image — not malformed, just not row changes
-    raw = raw.filter(
-        F.col("op").isNotNull() & ~F.upper(F.col("op")).isin("T", "M")
-    )
 
     def _struct_fields(name: str) -> list[T.StructField]:
         if name in raw.columns and isinstance(raw.schema[name].dataType, T.StructType):
@@ -148,6 +181,23 @@ def _to_change_shape(
             f"debezium log at {path} has no 'before'/'after' row images"
         )
 
+    # Drop only TRUE non-events: tombstones / schema-only lines (no op AND
+    # no row image) and 'm' logical messages. A row that carries an image
+    # but no op — or a corrupt line parsed to nulls + _corrupt_record — is
+    # unknown wire content and must NOT vanish: it flows through as a
+    # null-op row for the engine's malformed-event quarantine.
+    no_image = F.lit(True)
+    for img in ("before", "after"):
+        if img in raw.columns:
+            no_image = no_image & F.col(img).isNull()
+    if "_corrupt_record" in raw.columns:
+        no_image = no_image & F.col("_corrupt_record").isNull()
+    raw_op_pre = F.upper(F.col("op"))
+    drop = (F.col("op").isNull() & no_image) | (raw_op_pre == "M")
+    if on_truncate == "ignore":
+        drop = drop | (raw_op_pre == "T")
+    raw = raw.filter(~F.coalesce(drop, F.lit(False)))
+
     source_fields = {f.name for f in _struct_fields("source")}
     if lsn_expr is not None:
         lsn = lsn_expr.cast("long")
@@ -155,12 +205,27 @@ def _to_change_shape(
         lsn = F.col("source.lsn").cast("long")
     elif "pos" in source_fields:
         lsn = F.col("source.pos").cast("long")
+    elif "ts_ms" in source_fields and "ord" in source_fields:
+        # MongoDB connector: source.ts_ms + source.ord (the event counter
+        # within one cluster-time second) — the shift keeps ordering by
+        # time and breaks same-timestamp ties deterministically
+        lsn = (
+            F.shiftleft(F.col("source.ts_ms").cast("long"), 12)
+            + F.col("source.ord").cast("long")
+        )
     elif "ts_ms" in raw.columns:
+        warnings.warn(
+            "debezium source: ordering falls back to the envelope ts_ms "
+            "(source.lsn/pos/ord all absent) — events to the same key in "
+            "the same millisecond tie on lsn and last-writer-wins picks "
+            "arbitrarily; pass lsn_expr for a lossless ordering key",
+            stacklevel=2,
+        )
         lsn = F.col("ts_ms").cast("long")
     else:
         raise ValueError(
             "no ordering key: pass lsn_expr (source.lsn / source.pos / "
-            "ts_ms all absent)"
+            "source.ts_ms+ord / ts_ms all absent)"
         )
 
     raw_op = F.upper(F.col("op"))
@@ -170,6 +235,26 @@ def _to_change_shape(
         .when(raw_op == "U", F.lit("U"))
         .when(is_delete, F.lit("D"))
     )
+    if on_truncate == "error":
+        # truncate is a delete-all the engine cannot apply incrementally —
+        # fail loudly at action time (same stance as LogTruncatedError on
+        # the native changelog) rather than silently diverging
+        op = op.when(
+            raw_op == "T",
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "debezium truncate event (op='t') at lsn "
+                    ),
+                    lsn.cast("string"),
+                    F.lit(
+                        " — the CDC engine cannot apply a table truncation"
+                        "; re-snapshot the source table, or pass "
+                        "on_truncate='ignore' to accept the divergence"
+                    ),
+                )
+            ).cast("string"),
+        )
 
     # union of image fields, after's type winning on overlap; per field the
     # side is picked by op (before for deletes) — null-side access is safe,
@@ -195,33 +280,20 @@ def _to_change_shape(
             f"images (have: {sorted(merged)})"
         )
 
+    has_ts = "ts_ms" in raw.columns
     cols = [
         lsn.alias("lsn"),
         op.alias("op"),
         _image(key_field).cast("string").alias("doc_id"),
     ]
-    taken = set(ENVELOPE_COLS)
-    for name in merged:
-        if name == key_field:
-            continue
-        src = _image(name)
-        dtype = merged[name][0]
-        if flatten and isinstance(dtype, T.StructType):
-            emit = [(f"{name}__{sub.name}", src.getField(sub.name))
-                    for sub in dtype.fields]
-        else:
-            emit = [(name, src)]
-        for out_name, col in emit:
-            if out_name in taken:
-                raise ValueError(
-                    f"image field {out_name!r} collides with a change-"
-                    "envelope column or another flattened field — rename "
-                    "it in the source or map it explicitly"
-                )
-            taken.add(out_name)
-            cols.append(col.alias(out_name))
+    # commit_ts is reserved only when the envelope will actually emit it
+    taken = {"lsn", "op", "doc_id"} | ({"commit_ts"} if has_ts else set())
+    image_fields = [T.StructField(n, merged[n][0], True) for n in merged]
+    cols += flatten_image_columns(
+        image_fields, _image, key_field, taken, flatten=flatten
+    )
 
-    if "ts_ms" in raw.columns:
+    if has_ts:
         cols.append(
             F.timestamp_millis(F.col("ts_ms").cast("long")).alias("commit_ts")
         )

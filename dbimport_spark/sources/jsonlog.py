@@ -28,7 +28,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dbimport_spark.functions.schema_normalize import normalize_dataframe
+from dbimport_spark.functions.schema_normalize import (
+    flatten_image_columns,
+    normalize_dataframe,
+)
 
 
 def read_json_changes(
@@ -73,25 +76,15 @@ def read_json_changes(
     ]
     taken = {"lsn", "op", "doc_id"}
     if has_doc:
-        for f in raw.schema["doc"].dataType.fields:
-            if f.name == id_field:
-                continue
-            src = F.col(f"doc.{f.name}")
-            if flatten and isinstance(f.dataType, T.StructType):
-                # one flatten level: parent__child (reference Mongo flatten)
-                emit = [(f"{f.name}__{sub.name}", src.getField(sub.name))
-                        for sub in f.dataType.fields]
-            else:
-                emit = [(f.name, src)]
-            for name, col in emit:
-                if name in taken:
-                    raise ValueError(
-                        f"document field {name!r} collides with a change-"
-                        "envelope column (lsn/op/doc_id) or another "
-                        "flattened field — rename it in the source or map "
-                        "it explicitly"
-                    )
-                taken.add(name)
-                cols.append(col.alias(name))
+        # one flatten level: parent__child (reference Mongo flatten) —
+        # shared projection/collision logic with the Debezium source
+        cols += flatten_image_columns(
+            list(raw.schema["doc"].dataType.fields),
+            lambda name: F.col(f"doc.{name}"),
+            id_field,
+            taken,
+            flatten=flatten,
+            what="document field",
+        )
     out = raw.select(*cols)
     return normalize_dataframe(out, dates_to_string=dates_to_string)

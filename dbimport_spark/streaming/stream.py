@@ -82,8 +82,18 @@ def run_stream(
     on_out_of_order: str = "auto",
     state_store=None,
     on_batch_applied=None,
+    reread=None,
 ):
     """Drive the CDC apply from a stream; returns the StreamingQuery.
+
+    ``reread(spark, paths)`` — how the late-segment RECOVER path re-reads
+    segment files from disk. Defaults to the native change-log format
+    (parquet with mergeSchema, keeping pre-rename column names alive for
+    the repair's alignment). A stream over a non-parquet wire format MUST
+    pass its own re-reader (e.g. the Debezium source's
+    ``read_debezium_changes(spark, paths)``) or the recover path would
+    parse JSON-lines as parquet and die; the CLI wires this per
+    ``--format``.
 
     ``on_batch_applied(stats)`` — optional callback invoked after each
     micro-batch whose fresh window was applied (not for skip/empty
@@ -123,6 +133,11 @@ def run_stream(
         raise ValueError(
             "on_out_of_order must be 'auto', 'error', 'warn' or 'recover'"
         )
+    _reread = reread or (
+        lambda spark, paths: spark.read.option("mergeSchema", "true").parquet(
+            *paths
+        )
+    )
     # the ledger rides the small-state seam (lake/statestore.py): POSIX
     # append by default, record-per-object on a real object store. The
     # Structured Streaming checkpoint itself stays Spark-managed (Spark
@@ -256,9 +271,9 @@ def run_stream(
                     # the ledgered log is never re-scanned. mergeSchema on
                     # the late files keeps pre-rename column names alive
                     # for the engine's alignment.
-                    late_df = spark.read.option("mergeSchema", "true").parquet(
-                        *late_files
-                    ).filter(F.col("lsn") <= F.lit(last))
+                    late_df = _reread(spark, sorted(late_files)).filter(
+                        F.col("lsn") <= F.lit(last)
+                    )
                     engine.apply_late(late_df)
                     fold_needed = False
                 else:
@@ -275,9 +290,7 @@ def run_stream(
                 if fold_needed:
                     batch_files = {r["file"] for r in per_file}
                     all_paths = sorted(set(seen.keys()) | batch_files)
-                    full_log = spark.read.option("mergeSchema", "true").parquet(
-                        *all_paths
-                    )
+                    full_log = _reread(spark, all_paths)
                     # Scope by LSN window rather than raw batch keys: repair
                     # derives keys from the ALIGNED log, so a late segment
                     # whose key column travels under a former name still

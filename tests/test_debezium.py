@@ -66,23 +66,42 @@ def test_tombstones_and_schema_lines_dropped(spark, tmp_path):
     events = list(BASIC) + [
         {"before": None, "after": None, "source": None, "op": None},  # tombstone
         {"schema": {"type": "struct"}},  # schema-only line
-        # documented non-row events: truncate and logical message carry no
-        # row image — dropped, not quarantined
-        {"before": None, "after": None, "source": {"lsn": 99}, "op": "t"},
+        # logical message: documented non-row event, no image — dropped
         {"before": None, "after": None, "source": {"lsn": 100}, "op": "m"},
     ]
     path = _write_log(tmp_path, events)
     df = read_debezium_changes(spark, path)
     assert df.count() == 4
-    # an UNKNOWN op is not silently dropped: it flows through as a null-op
-    # row for the engine's malformed-event quarantine to catch
+
+
+def test_unknown_op_and_missing_op_flow_to_quarantine(spark, tmp_path):
+    # an UNKNOWN op — or a row image with NO op at all — is not silently
+    # dropped: it flows through as a null-op row for the engine's
+    # malformed-event quarantine to catch
     weird = list(BASIC) + [
         {"before": None, "after": {"doc_id": "z", "val": "?", "n": 0},
          "source": {"lsn": 101}, "op": "x"},
+        {"before": None, "after": {"doc_id": "w", "val": "!", "n": 1},
+         "source": {"lsn": 102}},  # image but no op: producer bug
     ]
-    df2 = read_debezium_changes(spark, _write_log(tmp_path, weird, "w.jsonl"))
-    assert df2.count() == 5
-    assert df2.filter("op is null").count() == 1
+    df = read_debezium_changes(spark, _write_log(tmp_path, weird, "w.jsonl"))
+    assert df.count() == 6
+    assert df.filter("op is null").count() == 2
+    assert {r["doc_id"] for r in df.filter("op is null").collect()} == {"z", "w"}
+
+
+def test_truncate_event_raises_by_default(spark, tmp_path):
+    # op='t' is a delete-all the engine cannot apply — loud by default
+    events = list(BASIC) + [
+        {"before": None, "after": None, "source": {"lsn": 99}, "op": "t"},
+    ]
+    path = _write_log(tmp_path, events, "trunc.jsonl")
+    df = read_debezium_changes(spark, path)
+    with pytest.raises(Exception, match="truncate"):
+        df.collect()
+    # explicit opt-in accepts the divergence and drops the event
+    df2 = read_debezium_changes(spark, path, on_truncate="ignore")
+    assert df2.count() == 4
 
 
 def test_kafka_connect_envelope_unwrap(spark, tmp_path):
@@ -106,13 +125,38 @@ def test_ordering_key_fallbacks(spark, tmp_path):
     df = read_debezium_changes(spark, _write_log(tmp_path, mysql, "my.jsonl"))
     assert df.first()["lsn"] == 77
 
-    # ts_ms when source carries neither
+    # MongoDB shape: source.ts_ms + source.ord — the in-second counter
+    # breaks same-timestamp ties, so two same-ms updates stay ordered
+    mongo = [
+        {"op": "u", "after": {"doc_id": "m", "val": "v1"}, "before": None,
+         "source": {"ts_ms": 1000, "ord": 1}},
+        {"op": "u", "after": {"doc_id": "m", "val": "v2"}, "before": None,
+         "source": {"ts_ms": 1000, "ord": 2}},
+    ]
+    df = read_debezium_changes(spark, _write_log(tmp_path, mongo, "mo.jsonl"))
+    lsns = sorted(r["lsn"] for r in df.collect())
+    assert lsns == [(1000 << 12) + 1, (1000 << 12) + 2]
+
+    # ts_ms when source carries neither — lossy fallback, warned
     bare = [
         {"op": "c", "after": {"doc_id": "y", "val": "2"}, "before": None,
          "source": {"db": "d"}, "ts_ms": 5555}
     ]
-    df = read_debezium_changes(spark, _write_log(tmp_path, bare, "ts.jsonl"))
+    with pytest.warns(UserWarning, match="falls back to the envelope ts_ms"):
+        df = read_debezium_changes(spark, _write_log(tmp_path, bare, "ts.jsonl"))
     assert df.first()["lsn"] == 5555
+
+    # an image field named commit_ts is only a collision when the envelope
+    # actually emits commit_ts (i.e. a top-level ts_ms exists)
+    has_ct = [
+        {"op": "c", "after": {"doc_id": "z", "commit_ts": "2020-01-01"},
+         "before": None, "source": {"lsn": 3}}
+    ]
+    df = read_debezium_changes(spark, _write_log(tmp_path, has_ct, "ct.jsonl"))
+    assert df.first()["commit_ts"] == "2020-01-01"
+    clash = [dict(ev, ts_ms=123) for ev in has_ct]
+    with pytest.raises(ValueError, match="collides"):
+        read_debezium_changes(spark, _write_log(tmp_path, clash, "ct2.jsonl"))
 
     # explicit lsn_expr wins over everything (file+pos combined)
     df = read_debezium_changes(
@@ -278,6 +322,93 @@ def test_stream_debezium_tail(spark, tmp_path):
     stream_df = stream_debezium_changes(spark, str(log_dir))
     run_stream(eng, stream_df, checkpoint_dir=ckpt).awaitTermination()
     assert table.current().version == v_done
+
+
+def test_stream_schema_cache_persists_inference(spark, tmp_path):
+    """With schema_cache set, the inferred raw schema is persisted and a
+    restart loads it instead of re-scanning the archive for inference."""
+    from dbimport_spark.sources.debezium import stream_debezium_changes
+
+    log_dir = tmp_path / "topic"
+    log_dir.mkdir()
+    _write_log(log_dir, [
+        _ev("c", "a", 1, after={"doc_id": "a", "val": "v", "n": 1}, ts_ms=1),
+    ], "000.jsonl")
+    cache = str(tmp_path / "ckpt" / "debezium_schema.json")
+
+    df1 = stream_debezium_changes(spark, str(log_dir), schema_cache=cache)
+    import os
+
+    assert os.path.exists(cache)
+    cached = T.StructType.fromJson(json.load(open(cache)))
+    assert "after" in cached.fieldNames()
+
+    # restart: the cache is authoritative — narrow it by hand and the
+    # restarted stream reflects the cached schema, proving no re-inference
+    narrowed = T.StructType([f for f in cached.fields if f.name != "ts_ms"])
+    with open(cache, "w") as f:
+        json.dump(narrowed.jsonValue(), f)
+    df2 = stream_debezium_changes(spark, str(log_dir), schema_cache=cache)
+    assert "commit_ts" in df1.columns and "commit_ts" not in df2.columns
+
+
+def test_stream_recover_rereads_segments_as_debezium(spark, tmp_path):
+    """A genuinely late JSONL segment under on_out_of_order='recover' with
+    the Debezium re-reader: the authoritative fold re-reads the segments
+    through the Debezium projection (the default parquet re-read would
+    die on JSON-lines) and converges the late key."""
+    from dbimport_spark.sources.debezium import (
+        read_debezium_changes,
+        stream_debezium_changes,
+    )
+    from dbimport_spark.streaming.stream import run_stream
+
+    log_dir = tmp_path / "topic"
+    log_dir.mkdir()
+    _write_log(log_dir, [
+        _ev("c", "a", 1, after={"doc_id": "a", "val": "a1", "n": 1}, ts_ms=1),
+        _ev("c", "b", 2, after={"doc_id": "b", "val": "b2", "n": 2}, ts_ms=2),
+    ], "000.jsonl")
+    _write_log(log_dir, [
+        _ev("u", "a", 5, before={"doc_id": "a", "val": "a1", "n": 1},
+            after={"doc_id": "a", "val": "a5", "n": 5}, ts_ms=5),
+    ], "001.jsonl")
+
+    payload_schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("val", T.StringType(), True),
+        T.StructField("n", T.LongType(), True),
+    ])
+    root = str(tmp_path / "rec_table")
+    table = CDCEngine.create_table(root, payload_schema=payload_schema,
+                                   num_buckets=2)
+    eng = CDCEngine(spark, table)
+    ckpt = str(tmp_path / "ckpt")
+
+    def reread(sp, paths):
+        return read_debezium_changes(sp, list(paths))
+
+    # one file per micro-batch so the last commit's window is [5,5] — a
+    # late segment inside a wider single-batch window would hit the
+    # documented first-batch re-delivery heuristic instead
+    stream_df = stream_debezium_changes(spark, str(log_dir),
+                                        max_files_per_trigger=1)
+    run_stream(eng, stream_df, checkpoint_dir=ckpt,
+               reread=reread).awaitTermination()
+    assert table.last_lsn() == 5
+
+    # a LATE segment arrives: lsn 3-4 below the watermark, never ledgered —
+    # it updates b (lsn 3) and inserts c (lsn 4)
+    _write_log(log_dir, [
+        _ev("u", "b", 3, before={"doc_id": "b", "val": "b2", "n": 2},
+            after={"doc_id": "b", "val": "b3", "n": 3}, ts_ms=3),
+        _ev("c", "c", 4, after={"doc_id": "c", "val": "c4", "n": 4}, ts_ms=4),
+    ], "00late.jsonl")
+    stream_df = stream_debezium_changes(spark, str(log_dir))
+    run_stream(eng, stream_df, checkpoint_dir=ckpt, on_out_of_order="recover",
+               reread=reread).awaitTermination()
+    state = {r["doc_id"]: r["val"] for r in table.read(spark).collect()}
+    assert state == {"a": "a5", "b": "b3", "c": "c4"}
 
 
 def test_debezium_schema_evolution_through_engine(spark, tmp_path):
