@@ -619,6 +619,14 @@ def main(argv: list[str] | None = None) -> int:
         "point over the swept tables (tags every table and its derived "
         "mirror/history/views; read back with --at NAME / resolve_ref)",
     )
+    sp.add_argument(
+        "--phase", choices=["all", "replay", "derived"], default="all",
+        help="orchestrator split (reference run_import_and_etl_separate): "
+        "'replay' ingests the change log only, 'derived' advances "
+        "mirror/views/CDC exports + storage upkeep only (each derived "
+        "target has its own watermark, so the split is safe), 'all' does "
+        "both",
+    )
 
     sp = sub.add_parser(
         "sync-point",
@@ -638,6 +646,52 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument(
         "--only", action="append", default=None, metavar="TABLE",
         help="with --set: restrict the freeze to the named table(s)",
+    )
+
+    sp = sub.add_parser(
+        "airflow-gen",
+        help="render an Airflow DAG .py over the registry's enabled "
+        "tables (reference Schedule/Airflow.py generateDAG): one "
+        "BashOperator per table invoking this CLI, optional two-phase "
+        "replay/derived split with a finish-replays-first barrier, "
+        "optional trailing sync-point freeze; pure text generation — "
+        "airflow is imported by the EMITTED file, not by this tool",
+    )
+    sp.add_argument("registry", help="registry JSON path")
+    sp.add_argument("--dag-id", required=True)
+    sp.add_argument(
+        "--schedule", default="@daily",
+        help="cron line, Airflow preset, or HH:MM (converted to a daily "
+        "cron, reference convertTimeToCron); default @daily",
+    )
+    sp.add_argument(
+        "--only", action="append", default=None, metavar="TABLE",
+        help="restrict the DAG to the named table(s) (repeatable)",
+    )
+    sp.add_argument(
+        "--separate-phases", action="store_true",
+        help="emit replay_<t> >> derived_<t> task pairs (--phase "
+        "replay/derived) instead of one task per table",
+    )
+    sp.add_argument(
+        "--finish-replay-first", action="store_true",
+        help="with --separate-phases: barrier ALL replays before ANY "
+        "derived sync (reference finish_all_stage1_first)",
+    )
+    sp.add_argument("--retries", type=int, default=1)
+    sp.add_argument("--pool", default=None, help="Airflow pool for tasks")
+    sp.add_argument(
+        "--tag", action="append", default=[], metavar="TAG",
+        help="extra DAG tag (repeatable)",
+    )
+    sp.add_argument("--timezone", default=None, metavar="TZ")
+    sp.add_argument(
+        "--sync-point", default=None, metavar="NAME",
+        help="append a final task cutting this named cross-table freeze",
+    )
+    sp.add_argument(
+        "--out", default=None, metavar="PATH",
+        help="write the DAG file here (default: print to stdout)",
     )
 
     sp = sub.add_parser(
@@ -917,6 +971,33 @@ def main(argv: list[str] | None = None) -> int:
                  for n, m in pts.items()}, indent=2,
             ))
         return 0
+    if args.cmd == "airflow-gen":
+        # pure text generation, no Spark session
+        from dbimport_spark.plans.airflow_gen import generate_dag
+        from dbimport_spark.plans.registry import TableRegistry
+
+        src = generate_dag(
+            TableRegistry(args.registry),
+            args.dag_id,
+            schedule=args.schedule,
+            only=args.only,
+            separate_phases=args.separate_phases,
+            finish_replay_first=args.finish_replay_first,
+            retries=args.retries,
+            pool=args.pool,
+            tags=tuple(args.tag),
+            timezone=args.timezone,
+            sync_point=args.sync_point,
+        )
+        if args.out:
+            with open(args.out, "w") as fh:
+                fh.write(src)
+            print(json.dumps({"written": args.out,
+                              "bytes": len(src.encode())}))
+        else:
+            print(src)
+        return 0
+
     if args.cmd == "lag":
         # metadata-only: snapshot JSON + parquet footers, no Spark session
         from dbimport_spark.plans.lag import follower_lag
@@ -1210,7 +1291,7 @@ def main(argv: list[str] | None = None) -> int:
 
         results = replay_all(
             spark, TableRegistry(args.registry), only=args.only,
-            sync_point=args.sync_point,
+            sync_point=args.sync_point, phase=args.phase,
         )
         print(json.dumps(results, indent=2))
         if any(not r.get("ok") for r in results.values()):

@@ -376,15 +376,27 @@ def replay_all(
     registry: TableRegistry,
     only: list[str] | None = None,
     sync_point: str | None = None,
+    phase: str = "all",
 ) -> dict[str, dict]:
     """One sweep over every enabled registry entry: independent replays,
     independent watermarks, independent failures. Returns per-table
     results; a failed table reports its error and never blocks the rest.
+
+    ``phase`` splits the sweep for orchestrators (the reference's
+    ``run_import_and_etl_separate`` Airflow mode, Schedule/Airflow.py):
+    ``'replay'`` ingests the change log only; ``'derived'`` advances the
+    entry's derived targets (mirror/views/CDC exports) and storage
+    upkeep only — safe standalone because every derived target keeps
+    its own watermark; ``'all'`` (default) does both in order. Skipping
+    is idempotent either way: a ``'derived'`` sweep with no new source
+    commits reports each target ``skipped``.
     """
     from dbimport_spark.lake.table import LakeTable
     from dbimport_spark.plans.engine import CDCEngine
     from dbimport_spark.plans.validate import max_delete_fraction as _mdf
 
+    if phase not in ("all", "replay", "derived"):
+        raise ValueError(f"phase must be all|replay|derived, got {phase!r}")
     entries = registry.load()
     results: dict[str, dict] = {}
     # a typo'd --only name must surface as a failure, not an empty green
@@ -406,34 +418,44 @@ def replay_all(
             continue
         try:
             table = LakeTable.load(e.table_root)
-            eng = CDCEngine(
-                spark,
-                table,
-                checkpoint_dir=e.checkpoint,
-                history_table=LakeTable.load(e.history) if e.history else None,
-                renames=e.renames,
-                anonymize=e.anonymize,
-                anonymize_salt=e.anonymize_salt,
-                write_mode=e.write_mode,
-                validators=(
-                    None
-                    if e.max_delete_fraction is None
-                    else [_mdf(e.max_delete_fraction)]
-                ),
-                state_store=registry.store,
-            )
-            changes = spark.read.option("mergeSchema", "true").parquet(e.log_path)
-            stats = eng.replay(changes, num_batches=e.batches)
-            results[name] = {
-                "ok": True,
-                "batches_applied": stats.batches_applied,
-                "batches_skipped": stats.batches_skipped,
-                "events_applied": stats.events_applied,
-                "last_lsn": table.last_lsn(),
-            }
-            _sync_derived(spark, table, e, results[name], store=registry.store)
-            if e.maintenance and results[name].get("ok"):
-                _run_maintenance(spark, table, e, results[name])
+            if phase != "derived":
+                eng = CDCEngine(
+                    spark,
+                    table,
+                    checkpoint_dir=e.checkpoint,
+                    history_table=(
+                        LakeTable.load(e.history) if e.history else None
+                    ),
+                    renames=e.renames,
+                    anonymize=e.anonymize,
+                    anonymize_salt=e.anonymize_salt,
+                    write_mode=e.write_mode,
+                    validators=(
+                        None
+                        if e.max_delete_fraction is None
+                        else [_mdf(e.max_delete_fraction)]
+                    ),
+                    state_store=registry.store,
+                )
+                changes = spark.read.option("mergeSchema", "true").parquet(
+                    e.log_path
+                )
+                stats = eng.replay(changes, num_batches=e.batches)
+                results[name] = {
+                    "ok": True,
+                    "batches_applied": stats.batches_applied,
+                    "batches_skipped": stats.batches_skipped,
+                    "events_applied": stats.events_applied,
+                    "last_lsn": table.last_lsn(),
+                }
+            else:
+                results[name] = {"ok": True, "last_lsn": table.last_lsn()}
+            if phase != "replay":
+                _sync_derived(
+                    spark, table, e, results[name], store=registry.store
+                )
+                if e.maintenance and results[name].get("ok"):
+                    _run_maintenance(spark, table, e, results[name])
         except Exception as exc:  # isolate per-table failures, keep sweeping
             results[name] = {
                 "ok": False,
