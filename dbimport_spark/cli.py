@@ -695,6 +695,18 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     sp = sub.add_parser(
+        "serve",
+        help="read-only monitoring HTTP server over the registry "
+        "(reference bin/Server/restServer.py, minus auth+CRUD — "
+        "mutations stay in the CLI): GET /status /tables /tables/<n> "
+        "/tables/<n>/lineage /lag /lag/<n> /sync-points; metadata-only, "
+        "no Spark session, stdlib http.server",
+    )
+    sp.add_argument("registry", help="registry JSON path")
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8085)
+
+    sp = sub.add_parser(
         "lag",
         help="follower lag / freshness report over a registry — source "
         "vs change-log tail (parquet footer stats), mirror/matview/"
@@ -996,6 +1008,13 @@ def main(argv: list[str] | None = None) -> int:
                               "bytes": len(src.encode())}))
         else:
             print(src)
+        return 0
+
+    if args.cmd == "serve":
+        # metadata-only monitoring; blocks until Ctrl-C
+        from dbimport_spark.server import serve as _serve
+
+        _serve(args.registry, host=args.host, port=args.port)
         return 0
 
     if args.cmd == "lag":

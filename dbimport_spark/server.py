@@ -1,0 +1,164 @@
+"""Read-only monitoring HTTP server over the table registry.
+
+Reference parity: ``bin/Server/restServer.py`` exposes the config
+database and operational status over REST (``GET /status``
+restServer.py:231, connection/table listings 366-632, plus OAuth2 and
+config CRUD). This analogue is deliberately READ-ONLY and auth-free:
+every mutation goes through the CLI/API where it is validated and
+CAS-arbitrated by the table commit, so the server never needs write
+credentials; what operators actually poll — status, config, lag — is
+served from committed metadata alone. Built on stdlib ``http.server``
+(no web framework in the sandbox, and none needed for GETs); the lag
+module is explicitly designed for this kind of polling (plans/lag.py).
+
+Endpoints (all JSON):
+
+- ``GET /status`` — server + registry summary (table count, enabled
+  count, registry path)
+- ``GET /tables`` — registry entries as stored (the config database
+  read, reference ``/import/table``)
+- ``GET /tables/<name>`` — entry config + live table metadata
+  (version, committed watermark, file/byte totals, properties)
+- ``GET /tables/<name>/lineage`` — per-commit lineage records
+- ``GET /lag`` — follower lag/freshness over the whole registry
+  (source-vs-log, mirror/view/export/history-vs-source)
+- ``GET /lag/<name>`` — one table's lag record
+- ``GET /sync-points`` — named cross-table freezes
+
+No Spark session exists in this process — every handler reads snapshot
+JSON / parquet footers / state JSON, so the server runs safely beside
+any number of jobs at any table size.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import unquote, urlparse
+
+from dbimport_spark.plans.registry import TableRegistry
+
+__all__ = ["make_server", "serve"]
+
+
+def _table_status(entry) -> dict:
+    from dbimport_spark.lake.table import LakeTable
+    from dbimport_spark.plans.lineage import table_totals
+
+    table = LakeTable.load(entry.table_root)
+    out = table_totals(table)
+    out["properties"] = dict(table.current().properties)
+    return out
+
+
+def _routes(registry: TableRegistry):
+    """path-prefix routing table: callable(parts) -> (code, payload)."""
+
+    def status(_):
+        entries = registry.load()
+        return 200, {
+            "status": "ok",
+            "registry": registry.path,
+            "tables": len(entries),
+            "enabled": sum(1 for e in entries.values() if e.enabled),
+        }
+
+    def tables(parts):
+        entries = registry.load()
+        if not parts:
+            return 200, {n: asdict(e) for n, e in sorted(entries.items())}
+        name = parts[0]
+        if name not in entries:
+            return 404, {"error": f"not registered: {name}"}
+        e = entries[name]
+        if len(parts) == 1:
+            return 200, {"entry": asdict(e), "table": _table_status(e)}
+        if parts[1] == "lineage":
+            from dbimport_spark.lake.table import LakeTable
+            from dbimport_spark.plans.lineage import lineage_history
+
+            return 200, list(lineage_history(LakeTable.load(e.table_root)))
+        return 404, {"error": f"unknown subresource: {parts[1]}"}
+
+    def lag(parts):
+        from dbimport_spark.plans.lag import follower_lag
+
+        only = [unquote(parts[0])] if parts else None
+        if only and only[0] not in registry.load():
+            return 404, {"error": f"not registered: {only[0]}"}
+        report = follower_lag(registry, only=only)
+        return 200, report[only[0]] if only else report
+
+    def syncpoints(_):
+        from dbimport_spark.plans.registry import sync_points
+
+        return 200, sync_points(registry)
+
+    return {
+        "status": status,
+        "tables": tables,
+        "lag": lag,
+        "sync-points": syncpoints,
+    }
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # set by make_server
+    routes: dict = {}
+    quiet: bool = True
+
+    def log_message(self, fmt, *args):  # stdlib logs to stderr per request
+        if not self.quiet:
+            super().log_message(fmt, *args)
+
+    def do_GET(self):  # noqa: N802 (stdlib handler name)
+        parts = [p for p in urlparse(self.path).path.split("/") if p]
+        handler = self.routes.get(parts[0]) if parts else None
+        if handler is None:
+            code, payload = 404, {
+                "error": "unknown endpoint",
+                "endpoints": sorted(f"/{k}" for k in self.routes),
+            }
+        else:
+            try:
+                code, payload = handler([unquote(p) for p in parts[1:]])
+            except Exception as exc:  # surface, never crash the server
+                code = 500
+                payload = {"error": f"{type(exc).__name__}: {exc}"}
+        body = json.dumps(payload, indent=2, default=str).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+def make_server(
+    registry_path: str, host: str = "127.0.0.1", port: int = 0,
+    store=None, quiet: bool = True,
+) -> ThreadingHTTPServer:
+    """Build (don't start) the server; ``port=0`` picks a free port
+    (``server.server_address[1]`` reports it). Call ``serve_forever()``
+    or drive it from a thread; ``shutdown()`` stops it."""
+    registry = TableRegistry(registry_path, store=store)
+    handler = type("Handler", (_Handler,), {
+        "routes": _routes(registry), "quiet": quiet,
+    })
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve(registry_path: str, host: str = "127.0.0.1", port: int = 8085,
+          store=None) -> None:
+    """Blocking entrypoint (CLI ``serve``)."""
+    srv = make_server(registry_path, host, port, store=store, quiet=False)
+    print(json.dumps({
+        "serving": f"http://{srv.server_address[0]}:{srv.server_address[1]}",
+        "registry": registry_path,
+    }), flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()

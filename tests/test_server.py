@@ -1,0 +1,102 @@
+"""Read-only monitoring HTTP server (reference bin/Server/restServer.py
+GET surface; dbimport_spark/server.py). The server is metadata-only, so
+the tests spin it on port 0 in a thread and poke it with urllib."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from dbimport_spark.plans.engine import CDCEngine
+from dbimport_spark.plans.registry import TableEntry, TableRegistry, replay_all
+from dbimport_spark.server import make_server
+from dbimport_spark.sources.loggen import generate_changes, write_changes
+
+
+@pytest.fixture()
+def fleet(spark, tmp_path):
+    """A replayed table with a synced mirror, registered; plus a server."""
+    log = generate_changes(spark, 500, n_keys=40, seed=3)
+    write_changes(log, str(tmp_path / "log"), 2)
+    CDCEngine.create_table(str(tmp_path / "t"), num_buckets=2)
+    CDCEngine.create_table(str(tmp_path / "mir"), num_buckets=2)
+    reg = TableRegistry(str(tmp_path / "reg.json"))
+    reg.add(TableEntry(
+        name="t", table_root=str(tmp_path / "t"),
+        log_path=str(tmp_path / "log"), checkpoint=str(tmp_path / "ck"),
+        mirror_root=str(tmp_path / "mir"),
+    ))
+    res = replay_all(spark, reg, sync_point="freeze1")
+    assert res["t"]["ok"] and res["_sync_point"]["ok"]
+
+    srv = make_server(str(tmp_path / "reg.json"))
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        yield base
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        thread.join(timeout=5)
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=10) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_server_status_tables_lineage(fleet):
+    code, body = _get(f"{fleet}/status")
+    assert code == 200
+    assert body["status"] == "ok"
+    assert body["tables"] == 1 and body["enabled"] == 1
+
+    code, body = _get(f"{fleet}/tables")
+    assert code == 200 and set(body) == {"t"}
+    assert body["t"]["mirror_root"].endswith("mir")
+
+    code, body = _get(f"{fleet}/tables/t")
+    assert code == 200
+    assert body["entry"]["name"] == "t"
+    # live metadata: committed watermark + file totals from the snapshot
+    assert body["table"]["last_lsn"] == 500
+    assert body["table"]["files"] >= 1 and body["table"]["rows"] > 0
+
+    code, body = _get(f"{fleet}/tables/t/lineage")
+    assert code == 200 and isinstance(body, list) and body
+    assert any("rows" in str(rec) for rec in body)
+
+
+def test_server_lag_and_sync_points(fleet):
+    code, body = _get(f"{fleet}/lag")
+    assert code == 200 and "t" in body
+    followers = {f["kind"] for f in body["t"]["followers"]}
+    assert "mirror" in followers
+    code, one = _get(f"{fleet}/lag/t")
+    assert code == 200 and one == body["t"]
+    # the synced mirror is caught up
+    mir = [f for f in one["followers"] if f["kind"] == "mirror"][0]
+    assert mir["versions_behind"] == 0
+
+    code, body = _get(f"{fleet}/sync-points")
+    assert code == 200 and "freeze1" in body
+
+
+def test_server_errors_are_json_not_crashes(fleet):
+    for path, want in [
+        ("/tables/nope", 404),
+        ("/lag/nope", 404),
+        ("/tables/t/bogus", 404),
+        ("/not-an-endpoint", 404),
+    ]:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(f"{fleet}{path}")
+        assert ei.value.code == want
+        body = json.loads(ei.value.read())
+        assert "error" in body
+    # server still alive after the errors
+    code, _ = _get(f"{fleet}/status")
+    assert code == 200
