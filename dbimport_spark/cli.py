@@ -660,9 +660,16 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("registry", help="registry JSON path")
     sp.add_argument("--dag-id", required=True)
     sp.add_argument(
-        "--schedule", default="@daily",
+        "--schedule", default=None,
         help="cron line, Airflow preset, or HH:MM (converted to a daily "
-        "cron, reference convertTimeToCron); default @daily",
+        "cron, reference convertTimeToCron); default @daily or the "
+        "--schedule-group value",
+    )
+    sp.add_argument(
+        "--schedule-group", default=None, metavar="HINT",
+        help="select only entries whose registry 'schedule' hint equals "
+        "this (one DAG per cadence group); also used as the DAG "
+        "schedule unless --schedule overrides",
     )
     sp.add_argument(
         "--only", action="append", default=None, metavar="TABLE",
@@ -992,6 +999,7 @@ def main(argv: list[str] | None = None) -> int:
             TableRegistry(args.registry),
             args.dag_id,
             schedule=args.schedule,
+            schedule_group=args.schedule_group,
             only=args.only,
             separate_phases=args.separate_phases,
             finish_replay_first=args.finish_replay_first,

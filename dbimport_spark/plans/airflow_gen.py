@@ -45,12 +45,15 @@ _TASK_ID_BAD = re.compile(r"[^A-Za-z0-9_.-]")
 
 
 def convert_time_to_cron(value: str) -> str:
-    """``"HH:MM"`` -> ``"M H * * *"`` (daily at that wall time); any
-    other string — ``@hourly``/``@daily`` presets or a full cron line —
+    """``"HH:MM"`` -> ``"M H * * *"`` (daily at that wall time); bare
+    registry cadence hints (``hourly``/``daily``/``weekly``/``monthly``)
+    -> the ``@``-preset; any other string — a preset or full cron line —
     passes through verbatim. Reference: Schedule/Airflow.py:1000-1010."""
     m = _HHMM.match(value or "")
     if m:
         return f"{int(m.group(2))} {int(m.group(1))} * * *"
+    if value in ("hourly", "daily", "weekly", "monthly"):
+        return f"@{value}"
     return value
 
 
@@ -67,7 +70,8 @@ def generate_dag(
     registry,
     dag_id: str,
     *,
-    schedule: str = "@daily",
+    schedule: str | None = None,
+    schedule_group: str | None = None,
     only: list[str] | None = None,
     separate_phases: bool = False,
     finish_replay_first: bool = False,
@@ -89,6 +93,13 @@ def generate_dag(
     replay through a barrier before any derived task (reference
     ``finish_all_stage1_first``). ``sync_point`` appends a final task
     that cuts a named cross-table freeze once everything is green.
+
+    ``schedule_group`` selects the entries whose registry ``schedule``
+    hint equals it (one DAG per cadence group — the reference's
+    one-DAG-per-``airflow_import_dags``-row shape, where each DAG row's
+    table filter picks its member imports) and doubles as the DAG's
+    schedule unless ``schedule`` overrides it; with neither set the
+    DAG runs ``@daily``.
     """
     if finish_replay_first and not separate_phases:
         raise ValueError("finish_replay_first requires separate_phases")
@@ -101,7 +112,9 @@ def generate_dag(
         raise ValueError(f"not registered: {', '.join(unknown)}")
     names = [
         n for n, e in sorted(entries.items())
-        if e.enabled and (only is None or n in only)
+        if e.enabled
+        and (only is None or n in only)
+        and (schedule_group is None or e.schedule == schedule_group)
     ]
     if not names:
         raise ValueError("no enabled tables selected — refusing to emit "
@@ -109,7 +122,7 @@ def generate_dag(
 
     reg_arg = shlex.quote(registry.path)
     cli = f"{python} -m dbimport_spark.cli"
-    cron = convert_time_to_cron(schedule)
+    cron = convert_time_to_cron(schedule or schedule_group or "@daily")
 
     lines: list[str] = []
     w = lines.append

@@ -108,6 +108,26 @@ def test_generate_dag_paired_phases_without_barrier(tmp_path):
     assert not any(v == "replays_done" for _, v in edges)
 
 
+def test_generate_dag_schedule_group(tmp_path):
+    """One DAG per cadence group: the registry 'schedule' hint selects
+    members and supplies the DAG schedule (reference: one
+    airflow_import_dags row per cadence, filter picks its imports)."""
+    reg = TableRegistry(str(tmp_path / "reg.json"))
+    reg.add(TableEntry(name="fast", table_root="/r/f", log_path="/l/f",
+                       schedule="hourly"))
+    reg.add(TableEntry(name="slow", table_root="/r/s", log_path="/l/s",
+                       schedule="03:30"))
+    src = generate_dag(reg, "hourly_dag", schedule_group="hourly")
+    cmds = _bash_commands(src)
+    assert set(cmds) == {"table_fast"}
+    assert "'@hourly'" in src  # bare hint mapped to the Airflow preset
+    src = generate_dag(reg, "night_dag", schedule_group="03:30")
+    assert set(_bash_commands(src)) == {"table_slow"}
+    assert "'30 3 * * *'" in src
+    with pytest.raises(ValueError, match="no enabled tables"):
+        generate_dag(reg, "empty", schedule_group="weekly")
+
+
 def test_generate_dag_refusals(tmp_path):
     reg = _reg(tmp_path)
     with pytest.raises(ValueError, match="separate_phases"):
