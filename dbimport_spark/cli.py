@@ -700,6 +700,11 @@ def main(argv: list[str] | None = None) -> int:
         "--out", default=None, metavar="PATH",
         help="write the DAG file here (default: print to stdout)",
     )
+    sp.add_argument(
+        "--python", default="python", metavar="EXE",
+        help="python executable the emitted tasks invoke (the Airflow "
+        "workers' interpreter, e.g. a venv path; default 'python')",
+    )
 
     sp = sub.add_parser(
         "serve",
@@ -1008,6 +1013,7 @@ def main(argv: list[str] | None = None) -> int:
             tags=tuple(args.tag),
             timezone=args.timezone,
             sync_point=args.sync_point,
+            python=args.python,
         )
         if args.out:
             with open(args.out, "w") as fh:

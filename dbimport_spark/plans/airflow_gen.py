@@ -29,6 +29,7 @@ before any downstream copy starts.
 
 from __future__ import annotations
 
+import os
 import re
 import shlex
 
@@ -40,8 +41,12 @@ __all__ = ["convert_time_to_cron", "generate_dag"]
 # through presets ("@daily") and explicit cron lines.
 _HHMM = re.compile(r"^([01][0-9]|2[0-3]):([0-5][0-9])$")
 
-# Airflow task_id charset: alphanumerics, dash, dot, underscore.
-_TASK_ID_BAD = re.compile(r"[^A-Za-z0-9_.-]")
+# The generated task NAME doubles as the assigned Python VARIABLE in
+# the emitted file, so it must be a valid identifier — a strict subset
+# of Airflow's task_id charset (which also allows '.' and '-'; a table
+# named 'sales.orders' or 'my-table' would otherwise emit a
+# SyntaxError'ing DAG).
+_IDENT_BAD = re.compile(r"[^A-Za-z0-9_]")
 
 
 def convert_time_to_cron(value: str) -> str:
@@ -58,7 +63,7 @@ def convert_time_to_cron(value: str) -> str:
 
 
 def _task_id(prefix: str, name: str) -> str:
-    return f"{prefix}_{_TASK_ID_BAD.sub('_', name)}"
+    return f"{prefix}_{_IDENT_BAD.sub('_', name)}"
 
 
 def _pylit(value) -> str:
@@ -116,11 +121,36 @@ def generate_dag(
         and (only is None or n in only)
         and (schedule_group is None or e.schedule == schedule_group)
     ]
+    # an EXPLICITLY requested table that the filters drop must surface,
+    # not silently stop being scheduled (same rule as replay_all --only
+    # over a disabled entry)
+    dropped = sorted(set(only or []) - set(names))
+    if dropped:
+        raise ValueError(
+            f"requested but excluded (disabled or outside "
+            f"schedule_group): {', '.join(dropped)}"
+        )
     if not names:
         raise ValueError("no enabled tables selected — refusing to emit "
                          "a DAG that schedules nothing")
 
-    reg_arg = shlex.quote(registry.path)
+    # distinct table names may sanitize to one identifier ('a b' and
+    # 'a_b'); Airflow would reject the duplicate task_id only at DAG
+    # import — fail here, at generation, with the culprits named
+    seen: dict[str, str] = {}
+    for n in names:
+        for p in ("replay", "derived") if separate_phases else ("table",):
+            tid = _task_id(p, n)
+            if tid in seen:
+                raise ValueError(
+                    f"task id collision: tables {seen[tid]!r} and {n!r} "
+                    f"both sanitize to {tid!r} — rename one"
+                )
+            seen[tid] = n
+
+    # BashOperator runs in a temp cwd — a relative registry path would
+    # make every scheduled task fail (or read some OTHER reg.json)
+    reg_arg = shlex.quote(os.path.abspath(registry.path))
     cli = f"{python} -m dbimport_spark.cli"
     cron = convert_time_to_cron(schedule or schedule_group or "@daily")
 

@@ -397,6 +397,14 @@ def replay_all(
 
     if phase not in ("all", "replay", "derived"):
         raise ValueError(f"phase must be all|replay|derived, got {phase!r}")
+    if sync_point is not None and phase == "replay":
+        # a freeze cut before the derived syncs would tag mirrors/views
+        # at stale pre-sweep versions under a name that promises
+        # consistency — cut it from the 'derived' (or 'all') sweep
+        raise ValueError(
+            "sync_point with phase='replay' would freeze derived targets "
+            "at stale versions — pass it to the phase='derived' sweep"
+        )
     entries = registry.load()
     results: dict[str, dict] = {}
     # a typo'd --only name must surface as a failure, not an empty green

@@ -42,6 +42,25 @@ from dbimport_spark.plans.registry import TableRegistry
 __all__ = ["make_server", "serve"]
 
 
+_REDACTED = "***redacted***"
+
+
+def _redact_entry(rec: dict) -> dict:
+    """The registry holds secrets (the anonymization salt; JDBC URLs and
+    properties, which is where user/password live). The reference server
+    sits behind OAuth2; this one is auth-free BECAUSE it never serves a
+    credential — redaction here is what makes 'read-only so no auth' an
+    honest trade."""
+    if rec.get("anonymize_salt"):
+        rec["anonymize_salt"] = _REDACTED
+    for x in rec.get("cdc_exports") or []:
+        if x.get("url"):
+            x["url"] = _REDACTED
+        if x.get("properties"):
+            x["properties"] = _REDACTED
+    return rec
+
+
 def _table_status(entry) -> dict:
     from dbimport_spark.lake.table import LakeTable
     from dbimport_spark.plans.lineage import table_totals
@@ -67,13 +86,16 @@ def _routes(registry: TableRegistry):
     def tables(parts):
         entries = registry.load()
         if not parts:
-            return 200, {n: asdict(e) for n, e in sorted(entries.items())}
+            return 200, {
+                n: _redact_entry(asdict(e)) for n, e in sorted(entries.items())
+            }
         name = parts[0]
         if name not in entries:
             return 404, {"error": f"not registered: {name}"}
         e = entries[name]
         if len(parts) == 1:
-            return 200, {"entry": asdict(e), "table": _table_status(e)}
+            return 200, {"entry": _redact_entry(asdict(e)),
+                         "table": _table_status(e)}
         if parts[1] == "lineage":
             from dbimport_spark.lake.table import LakeTable
             from dbimport_spark.plans.lineage import lineage_history
@@ -84,10 +106,14 @@ def _routes(registry: TableRegistry):
     def lag(parts):
         from dbimport_spark.plans.lag import follower_lag
 
-        only = [unquote(parts[0])] if parts else None
-        if only and only[0] not in registry.load():
-            return 404, {"error": f"not registered: {only[0]}"}
-        report = follower_lag(registry, only=only)
+        # do_GET already unquoted the segments; follower_lag raises
+        # KeyError for unknown names itself (no second registry read,
+        # no TOCTOU window against concurrent registry edits)
+        only = [parts[0]] if parts else None
+        try:
+            report = follower_lag(registry, only=only)
+        except KeyError as exc:
+            return 404, {"error": str(exc)}
         return 200, report[only[0]] if only else report
 
     def syncpoints(_):

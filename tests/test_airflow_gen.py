@@ -128,6 +128,38 @@ def test_generate_dag_schedule_group(tmp_path):
         generate_dag(reg, "empty", schedule_group="weekly")
 
 
+def test_generate_dag_hostile_names_and_paths(tmp_path):
+    """Table names that are valid registry keys but not Python
+    identifiers must still emit a loadable DAG; colliding sanitizations
+    fail at generation (not at Airflow import); the registry path is
+    absolutized (BashOperator runs in a temp cwd)."""
+    import os
+
+    reg = TableRegistry(str(tmp_path / "reg.json"))
+    reg.add(TableEntry(name="my-table", table_root="/r/a", log_path="/l/a"))
+    reg.add(TableEntry(name="sales.orders", table_root="/r/b",
+                       log_path="/l/b"))
+    src = generate_dag(reg, "hostile")
+    compile(src, "<dag>", "exec")
+    cmds = _bash_commands(src)
+    assert set(cmds) == {"table_my_table", "table_sales_orders"}
+    assert "--only my-table" in cmds["table_my_table"]  # real name in cmd
+
+    # relative registry path -> absolute in every bash_command
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rel = TableRegistry("reg.json")
+        src = generate_dag(rel, "relpath")
+    finally:
+        os.chdir(cwd)
+    assert str(tmp_path / "reg.json") in _bash_commands(src)["table_my_table"]
+
+    reg.add(TableEntry(name="my_table", table_root="/r/c", log_path="/l/c"))
+    with pytest.raises(ValueError, match="task id collision"):
+        generate_dag(reg, "collide")
+
+
 def test_generate_dag_refusals(tmp_path):
     reg = _reg(tmp_path)
     with pytest.raises(ValueError, match="separate_phases"):
@@ -136,6 +168,16 @@ def test_generate_dag_refusals(tmp_path):
         generate_dag(reg, "x", only=["nope"])
     with pytest.raises(ValueError, match="invalid dag_id"):
         generate_dag(reg, "bad id!")
+    # an explicitly requested table silently dropped by a filter is the
+    # replay_all --only rule: surface it, never emit a green DAG minus
+    # the table
+    entries = reg.load()
+    entries["beta"].enabled = False
+    reg.save(entries)
+    with pytest.raises(ValueError, match="requested but excluded"):
+        generate_dag(reg, "x", only=["alpha", "beta"])
+    with pytest.raises(ValueError, match="requested but excluded"):
+        generate_dag(reg, "x", only=["alpha"], schedule_group="hourly")
     # disabling everything must refuse, not emit an empty DAG
     entries = reg.load()
     for e in entries.values():
@@ -166,6 +208,10 @@ def test_replay_all_phase_split(spark, tmp_path):
 
     with pytest.raises(ValueError, match="phase"):
         replay_all(spark, reg, phase="etl")
+    # a freeze cut before derived syncs would tag followers at stale
+    # versions under a consistency-promising name
+    with pytest.raises(ValueError, match="stale"):
+        replay_all(spark, reg, phase="replay", sync_point="nightly")
 
     r1 = replay_all(spark, reg, phase="replay")
     assert r1["t"]["ok"] and r1["t"]["last_lsn"] == 600

@@ -85,6 +85,41 @@ def test_server_lag_and_sync_points(fleet):
     assert code == 200 and "freeze1" in body
 
 
+def test_server_redacts_secrets(spark, tmp_path):
+    """The registry holds secrets (anonymization salt; JDBC url/props
+    where passwords live) — the auth-free server must never serve
+    them (reference restServer sits behind OAuth2 instead)."""
+    CDCEngine.create_table(str(tmp_path / "t"), num_buckets=2)
+    reg = TableRegistry(str(tmp_path / "reg.json"))
+    reg.add(TableEntry(
+        name="t", table_root=str(tmp_path / "t"),
+        log_path=str(tmp_path / "log"),
+        anonymize={"source": "hash"}, anonymize_salt="s3cret",
+        cdc_exports=[{"url": "jdbc:derby:x;user=u;password=pw",
+                      "target_table": "T", "state_dir": str(tmp_path),
+                      "properties": {"password": "pw"}}],
+    ))
+    srv = make_server(str(tmp_path / "reg.json"))
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        for path in ("/tables", "/tables/t"):
+            code, body = _get(f"{base}{path}")
+            text = json.dumps(body)
+            assert code == 200
+            assert "s3cret" not in text and "password" not in text
+            assert "pw" not in text.replace("password", "")
+        # non-secret export fields still visible for monitoring
+        _, body = _get(f"{base}/tables/t")
+        assert body["entry"]["cdc_exports"][0]["target_table"] == "T"
+        assert body["entry"]["anonymize"] == {"source": "hash"}
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        thread.join(timeout=5)
+
+
 def test_server_errors_are_json_not_crashes(fleet):
     for path, want in [
         ("/tables/nope", 404),
