@@ -51,6 +51,17 @@ def main(argv: list[str] | None = None) -> int:
         help="extra payload columns to record per-file min/max stats for "
         "(audit watermark columns are always recorded)",
     )
+    sp.add_argument(
+        "--bloom-columns", default=None, metavar="COLS",
+        help="comma-separated columns to write parquet bloom filters for "
+        "(point-lookup pruning on hash-distributed keys, where min/max "
+        "stats can't prune)",
+    )
+    sp.add_argument(
+        "--bloom-ndv", default=None, metavar="N",
+        help="expected distinct values per row group for --bloom-columns "
+        "(sizes the filter; parquet default when unset)",
+    )
 
     sp = sub.add_parser("replay")
     sp.add_argument("table_root")
@@ -1066,6 +1077,10 @@ def main(argv: list[str] | None = None) -> int:
             layout_props["sort_order"] = args.sort_order
         if args.stat_columns:
             layout_props["stat_columns"] = args.stat_columns
+        if args.bloom_columns:
+            layout_props["bloom_columns"] = args.bloom_columns
+        if args.bloom_ndv:
+            layout_props["bloom_ndv"] = args.bloom_ndv
         if layout_props:
             t.commit([], set(), properties=layout_props)
         if args.history:

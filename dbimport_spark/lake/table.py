@@ -645,11 +645,35 @@ class LakeTable:
         ]
         if sort_cols:
             out = out.sortWithinPartitions("bucket", *sort_cols)
-        (
-            out.write.partitionBy("bucket")
-            .mode("overwrite")
-            .parquet(out_dir)
-        )
+        writer = out.write.partitionBy("bucket").mode("overwrite")
+        # declared bloom filters (Iceberg write.parquet.bloom-filter-enabled
+        # analogue, table properties 'bloom_columns' / 'bloom_ndv'): parquet
+        # split-block bloom filters on the named columns. Min/max stats prune
+        # key-equality lookups only when a file's key range is narrow — but
+        # incremental commits and merge-on-read delta files hold a RANDOM
+        # subset of a hash-distributed key (doc_id), so every such file spans
+        # nearly the whole key range and min/max prunes nothing. A bloom
+        # filter gives definite-absence per row group regardless of layout:
+        # a point lookup on a 100 TB table touches ~1 bucket's files and
+        # skips every row group the key isn't in. The scan side is free —
+        # parquet-mr consults blooms for pushed = / IN predicates
+        # automatically. Columns absent from this write (key-only delete
+        # files) are skipped; ndv is per-row-group expected distinct count
+        # (sizes the filter; parquet default when unset).
+        bloom_cols = [
+            c.strip()
+            for c in self.current().properties.get("bloom_columns", "").split(",")
+            if c.strip() and c.strip() in out.columns
+        ]
+        if bloom_cols:
+            ndv = self.current().properties.get("bloom_ndv", "").strip()
+            for c in bloom_cols:
+                writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+                if ndv:
+                    writer = writer.option(
+                        f"parquet.bloom.filter.expected.ndv#{c}", ndv
+                    )
+        writer.parquet(out_dir)
         t1 = time.time()
 
         import pyarrow.parquet as pq
