@@ -1,0 +1,177 @@
+"""Temporal joins and event-time sessionization — pure Catalyst.
+
+Two operators Spark's DataFrame API lacks as primitives, both built as
+single-shuffle window compositions (no UDF, no driver loop):
+
+- ``asof_join``: for every left row, the latest (or earliest) right row
+  with the same key whose timestamp is at-or-before (at-or-after) the
+  left row's — the standard enrichment join for event streams against
+  slowly-changing state. The classic distributed formulation: union the
+  two sides with a side marker, hash-partition by key, sort by
+  (timestamp, side), and carry the last non-null right payload forward
+  with an ``ignorenulls`` window ``last`` — ONE exchange total, scales
+  as a plain repartition+sort at 100 TB.
+
+- ``sessionize``: gap-based session ids per key — lag + running sum
+  over one window spec, again one exchange.
+
+Both windows are per-key sequential scans; a pathologically hot key
+serializes within its partition (inherent to order-dependent
+semantics — same bound as Spark's own ``session_window``). Keys here
+are users/documents, whose per-key event counts are bounded in
+practice; the operators never collect or loop on the driver.
+
+Reference parity: the reference engine has no temporal joins at all
+(its joins are the keyed merge family, import_operations.py); these
+cover the event-pipeline surface the north rule's training-data
+ingestion implies (enriching change events against the latest state
+snapshot at event time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["asof_join", "sessionize"]
+
+
+def _ordinal(df_or_schema, col: str) -> Column:
+    """Exact ordering/difference value for a timestamp-or-numeric column:
+    integer microseconds for timestamps (no float wobble at gap/tolerance
+    boundaries), the raw value otherwise. TIMESTAMP_NTZ goes through a
+    session-zone cast (the engine session pins UTC, session.py)."""
+    dt = df_or_schema[col].dataType
+    if isinstance(dt, T.TimestampType):
+        return F.unix_micros(F.col(col))
+    if isinstance(dt, T.TimestampNTZType):
+        return F.unix_micros(F.col(col).cast("timestamp"))
+    return F.col(col)
+
+
+def _scale(df_or_schema, col: str, seconds: float | int):
+    """The gap/tolerance in the same unit ``_ordinal`` yields."""
+    dt = df_or_schema[col].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return int(round(float(seconds) * 1_000_000))
+    return seconds
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str | None = None,
+    direction: str = "backward",
+    tolerance: float | int | None = None,
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left as-of join: every left row, enriched with the matched right
+    row's ``right_cols`` (or NULLs when no right row qualifies).
+
+    direction='backward' (default): latest right row with
+    ``right.right_ts <= left.left_ts`` (inclusive, like pandas
+    ``merge_asof`` and DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``).
+    direction='forward': earliest right row with
+    ``right.right_ts >= left.left_ts``.
+
+    tolerance: maximum allowed |left_ts - matched right_ts| — seconds for
+    timestamp columns, raw units otherwise; a match farther away yields
+    NULLs, same as no match.
+
+    Carried right columns keep their name unless it collides with a left
+    column, in which case ``suffix`` is appended. Rows with NULL keys
+    group together (Spark window semantics); right rows tied on
+    (key, right_ts) have an unspecified winner — pre-dedupe the right
+    side if that matters.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys]
+    out_names = {
+        c: (c + suffix if c in left.columns else c) for c in right_cols
+    }
+
+    carry = F.struct(
+        _ordinal(right.schema, right_ts).alias("__ats"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    carry_type = right.select(carry.alias("c")).schema["c"].dataType
+
+    lhs = left.select(
+        *left.columns,
+        _ordinal(left.schema, left_ts).alias("__ord"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(carry_type).alias("__carry"),
+    )
+    rhs = right.select(
+        *[
+            F.col(c).alias(c)
+            if c in keys
+            else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+        ],
+        _ordinal(right.schema, right_ts).alias("__ord"),
+        F.lit(0).alias("__side"),
+        carry.alias("__carry"),
+    )
+    both = lhs.unionByName(rhs)
+
+    order = [F.col("__ord").asc(), F.col("__side").asc()]
+    if direction == "forward":
+        order = [F.col("__ord").desc(), F.col("__side").asc()]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = both.withColumn(
+        "__m", F.last("__carry", ignorenulls=True).over(w)
+    ).filter(F.col("__side") == 1)
+
+    m: Column = F.col("__m")
+    if tolerance is not None:
+        tol = _scale(left.schema, left_ts, tolerance)
+        dist = (
+            F.col("__ord") - m["__ats"]
+            if direction == "backward"
+            else m["__ats"] - F.col("__ord")
+        )
+        m = F.when(dist <= F.lit(tol), m)
+    return matched.select(
+        *left.columns,
+        *[m[c].alias(out_names[c]) for c in right_cols],
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str | list[str],
+    ts: str,
+    gap: float | int,
+    order_cols: list[str] | None = None,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: append ``out_col``, the 1-based session
+    ordinal per key — a new session starts when the gap to the previous
+    event STRICTLY exceeds ``gap`` (seconds for timestamp columns, raw
+    units otherwise). ``order_cols`` breaks ordering ties among events
+    with equal timestamps (pass the event id for determinism)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    order = [F.col(ts).asc()] + [F.col(c).asc() for c in (order_cols or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    cur = _ordinal(df.schema, ts)
+    prev = F.lag(cur).over(w)
+    new_s = (prev.isNull() | (cur - prev > F.lit(_scale(df.schema, ts, gap)))).cast(
+        "long"
+    )
+    sid = F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, sid)

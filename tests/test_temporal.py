@@ -1,0 +1,175 @@
+"""As-of join + sessionization (operators/temporal.py): exact semantics
+on hand data, and the one-exchange plan shape pinned."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from dbimport_spark.operators.temporal import asof_join, sessionize
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _quotes(spark):
+    # right side: per-key quote history
+    return spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 10:00:00"), 100),
+            ("a", _ts("2024-01-01 10:00:05"), 105),
+            ("a", _ts("2024-01-01 10:01:00"), 110),
+            ("b", _ts("2024-01-01 10:00:02"), 200),
+        ],
+        "k string, ts timestamp, px int",
+    )
+
+
+def _trades(spark):
+    # left side: events to enrich
+    return spark.createDataFrame(
+        [
+            (1, "a", _ts("2024-01-01 10:00:03")),   # latest quote <= : 10:00:00
+            (2, "a", _ts("2024-01-01 10:00:05")),   # equal ts is INCLUSIVE: 105
+            (3, "a", _ts("2024-01-01 09:59:59")),   # before any quote: NULL
+            (4, "b", _ts("2024-01-01 11:00:00")),   # only quote, 1h earlier
+            (5, "c", _ts("2024-01-01 10:00:00")),   # key with no quotes: NULL
+        ],
+        "id int, k string, ts timestamp",
+    )
+
+
+def _rows(df):
+    return {
+        r["id"]: (r.asDict().get("px"), r.asDict().get("ts_r"))
+        for r in df.collect()
+    }
+
+
+def test_asof_backward_inclusive(spark):
+    out = asof_join(
+        _trades(spark), _quotes(spark), on="k", left_ts="ts",
+        right_cols=["ts", "px"],
+    )
+    # collided right 'ts' got the suffix; non-colliding 'px' kept its name
+    assert set(out.columns) == {"id", "k", "ts", "ts_r", "px"}
+    got = _rows(out)
+    assert got[1] == (100, _ts("2024-01-01 10:00:00"))
+    assert got[2] == (105, _ts("2024-01-01 10:00:05"))  # inclusive at equal ts
+    assert got[3] == (None, None)
+    assert got[4] == (200, _ts("2024-01-01 10:00:02"))
+    assert got[5] == (None, None)
+
+
+def test_asof_forward(spark):
+    out = asof_join(
+        _trades(spark), _quotes(spark), on="k", left_ts="ts",
+        direction="forward", right_cols=["ts", "px"],
+    )
+    got = _rows(out)
+    assert got[1] == (105, _ts("2024-01-01 10:00:05"))  # earliest quote >=
+    assert got[2] == (105, _ts("2024-01-01 10:00:05"))  # inclusive
+    assert got[3] == (100, _ts("2024-01-01 10:00:00"))
+    assert got[4] == (None, None)                        # nothing after 11:00
+    assert got[5] == (None, None)
+
+
+def test_asof_tolerance(spark):
+    out = asof_join(
+        _trades(spark), _quotes(spark), on="k", left_ts="ts",
+        tolerance=10.0, right_cols=["ts", "px"],
+    )
+    got = _rows(out)
+    assert got[1] == (100, _ts("2024-01-01 10:00:00"))  # 3s away: kept
+    assert got[4] == (None, None)                        # 1h away: cut off
+
+
+def test_asof_single_exchange(spark):
+    from tests.test_plans import explain_str
+
+    plan = explain_str(
+        asof_join(
+            _trades(spark), _quotes(spark), on="k", left_ts="ts",
+            right_cols=["px"],
+        ),
+        mode="simple",
+    )
+    # union -> ONE hash exchange on the key -> sort -> window; no join node
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_sessionize_exact(spark):
+    ev = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 10:00:00"), 1),
+            ("u1", _ts("2024-01-01 10:10:00"), 2),   # 600s gap: same session
+            ("u1", _ts("2024-01-01 10:40:00"), 3),   # exactly 1800s: SAME (strict >)
+            ("u1", _ts("2024-01-01 11:40:01"), 4),   # 3601s: new session
+            ("u2", _ts("2024-01-01 10:00:00"), 5),   # other key: own ordinal
+        ],
+        "user string, ts timestamp, id int",
+    )
+    out = sessionize(ev, "user", "ts", gap=1800, order_cols=["id"])
+    got = {r["id"]: r["session_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}
+
+
+def test_sessionize_numeric_ts_and_single_exchange(spark):
+    from tests.test_plans import explain_str
+
+    ev = spark.createDataFrame(
+        [("a", 0, 1), ("a", 50, 2), ("a", 151, 3)], "k string, t long, id int"
+    )
+    out = sessionize(ev, "k", "t", gap=100, order_cols=["id"])
+    # explain BEFORE executing: post-run AQE explain prints final+initial
+    # plans, double-counting the one exchange
+    plan = explain_str(out, mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    got = {r["id"]: r["session_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2}  # 101 > 100 starts a session
+
+
+def test_asof_matches_duckdb_on_events(spark):
+    """The gate's semantics pinned locally against DuckDB's native ASOF
+    LEFT JOIN over the same parquet."""
+    import os
+
+    import duckdb
+    import pytest
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.01")
+    if not os.path.exists(f"{sf_dir}/events.parquet"):
+        pytest.skip("no testdata")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    l = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    r = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join(
+        l, r, on="user_id", left_ts="ts", right_cols=["ts", "value"]
+    ).select(
+        "event_id",
+        F.unix_micros(F.col("ts_r").cast("timestamp")).alias("click_us"),
+        F.floor(F.col("value") * 100).alias("click_cents"),
+    )
+    got = {
+        r["event_id"]: (r["click_us"], r["click_cents"]) for r in out.collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = {
+        row[0]: (row[1], row[2])
+        for row in con.execute(
+            """
+            SELECT l.event_id, epoch_us(r.ts),
+                   CAST(FLOOR(r.value * 100) AS BIGINT)
+            FROM (SELECT * FROM events WHERE event_type='purchase') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            """
+        ).fetchall()
+    }
+    assert got == want
