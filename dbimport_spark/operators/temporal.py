@@ -1,7 +1,7 @@
 """Temporal joins and event-time sessionization — pure Catalyst.
 
-Two operators Spark's DataFrame API lacks as primitives, both built as
-single-shuffle window compositions (no UDF, no driver loop):
+Operators Spark's DataFrame API lacks as primitives, built as
+shuffle-minimal compositions (no UDF, no driver loop):
 
 - ``asof_join``: for every left row, the latest (or earliest) right row
   with the same key whose timestamp is at-or-before (at-or-after) the
@@ -11,6 +11,10 @@ single-shuffle window compositions (no UDF, no driver loop):
   (timestamp, side), and carry the last non-null right payload forward
   with an ``ignorenulls`` window ``last`` — ONE exchange total, scales
   as a plain repartition+sort at 100 TB.
+
+- ``range_join``: interval-containment join via fixed-width binning —
+  the equi-join plan (hash/SMJ) instead of the BroadcastNestedLoopJoin
+  Spark plans for a bare inequality join.
 
 - ``sessionize``: gap-based session ids per key — lag + running sum
   over one window spec, again one exchange.
@@ -34,7 +38,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["asof_join", "sessionize"]
+__all__ = ["asof_join", "range_join", "sessionize"]
 
 
 def _ordinal(df_or_schema, col: str) -> Column:
@@ -147,6 +151,99 @@ def asof_join(
     return matched.select(
         *left.columns,
         *[m[c].alias(out_names[c]) for c in right_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    left_point: str,
+    lo: str,
+    hi: str,
+    bin_width: float | int,
+    on: str | list[str] | None = None,
+    bounds: str = "[)",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval-containment join without a nested-loop node: each left
+    row joined to every interval row whose ``[lo, hi)`` (per ``bounds``)
+    contains ``left.left_point``, optionally ANDed with equality keys
+    ``on``.
+
+    Spark plans a bare inequality join as BroadcastNestedLoopJoin —
+    O(left × intervals) and a non-starter at scale. The standard fix
+    (bin-based range join): quantize both sides to fixed-width bins —
+    a point lands in one bin, an interval explodes to every bin it
+    overlaps — equi-join on the bin (plus ``on`` keys), then apply the
+    exact containment filter. The join becomes a plain hash/SMJ
+    equi-join; cost scales with genuine candidate pairs, not the cross
+    product.
+
+    bin_width: in seconds for timestamp columns, raw units otherwise.
+    Pick it near the TYPICAL interval length: too small explodes each
+    interval into many bin rows, too large packs unrelated rows into
+    one bin and pushes work into the post-join filter. Degenerate
+    intervals (lo > hi, NULL bounds) match nothing.
+
+    bounds: two characters, '[' / '(' for the low bound and ']' / ')'
+    for the high bound; default '[)' (lo inclusive, hi exclusive).
+
+    Inner-join semantics (a point in no interval is dropped; a point in
+    k intervals appears k times). Interval columns keep their name
+    unless it collides with a left column, then ``suffix`` is appended.
+    """
+    if bounds not in ("[)", "[]", "()", "(]"):
+        raise ValueError(f"bounds must be one of [) [] () (], got {bounds!r}")
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    w = _scale(intervals.schema, lo, bin_width)
+
+    p_ord = _ordinal(left.schema, left_point)
+    lo_ord = _ordinal(intervals.schema, lo)
+    hi_ord = _ordinal(intervals.schema, hi)
+
+    out_names = {
+        c: (c + suffix if c in left.columns else c)
+        for c in intervals.columns
+        if c not in keys
+    }
+    # one row per (interval, overlapped bin); the top bin is a superset
+    # for exclusive-high bounds — the exact filter below trims it
+    rhs = intervals.select(
+        *[F.col(k).alias(f"__k_{i}") for i, k in enumerate(keys)],
+        *[F.col(c).alias(out_names[c]) for c in out_names],
+        lo_ord.alias("__lo"),
+        hi_ord.alias("__hi"),
+    ).where(F.col("__lo") <= F.col("__hi"))
+    rhs = rhs.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__lo") / F.lit(w)),
+                F.floor(F.col("__hi") / F.lit(w)),
+            )
+        ),
+    )
+    lhs = left.withColumn("__p", p_ord).withColumn(
+        "__bin", F.floor(F.col("__p") / F.lit(w))
+    )
+
+    lo_ok = (
+        F.col("__p") >= F.col("__lo")
+        if bounds[0] == "["
+        else F.col("__p") > F.col("__lo")
+    )
+    hi_ok = (
+        F.col("__p") <= F.col("__hi")
+        if bounds[1] == "]"
+        else F.col("__p") < F.col("__hi")
+    )
+    cond = lhs["__bin"] == rhs["__bin"]
+    for i, k in enumerate(keys):
+        cond = cond & (lhs[k] == rhs[f"__k_{i}"])
+    joined = lhs.join(rhs, cond, "inner").where(lo_ok & hi_ok)
+    return joined.select(
+        *[lhs[c] for c in left.columns],
+        *[rhs[out_names[c]] for c in out_names],
     )
 
 

@@ -173,3 +173,124 @@ def test_asof_matches_duckdb_on_events(spark):
         ).fetchall()
     }
     assert got == want
+
+
+# -- range_join ---------------------------------------------------------------
+
+
+def _intervals(spark):
+    return spark.createDataFrame(
+        [
+            ("w1", 10, 20),
+            ("w2", 20, 30),          # adjacent: p=20 belongs here under [)
+            ("w3", 15, 25),          # overlaps w1 and w2
+            ("w4", 40, 40),          # empty under [), single point under []
+            ("w5", 50, 45),          # degenerate lo>hi: matches nothing
+        ],
+        "name string, lo long, hi long",
+    )
+
+
+def _points(spark):
+    return spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 24), (4, 40), (5, 99)], "id int, p long"
+    )
+
+
+def _pairs(df):
+    return {(r["id"], r["name"]) for r in df.collect()}
+
+
+def test_range_join_bounds(spark):
+    from dbimport_spark.operators.temporal import range_join
+
+    got = _pairs(range_join(_points(spark), _intervals(spark), "p", "lo", "hi",
+                            bin_width=7))
+    assert got == {
+        (1, "w1"),            # 10 in [10,20)
+        (2, "w2"), (2, "w3"), # 20 in [20,30) and [15,25), NOT [10,20)
+        (3, "w2"), (3, "w3"), # 24 in [20,30) and [15,25)
+    }
+    got_closed = _pairs(
+        range_join(_points(spark), _intervals(spark), "p", "lo", "hi",
+                   bin_width=7, bounds="[]")
+    )
+    assert got_closed == {
+        (1, "w1"), (2, "w1"), (2, "w2"), (2, "w3"), (3, "w2"), (3, "w3"),
+        (4, "w4"),
+    }
+    got_open = _pairs(
+        range_join(_points(spark), _intervals(spark), "p", "lo", "hi",
+                   bin_width=7, bounds="()")
+    )
+    assert got_open == {(2, "w3"), (3, "w2"), (3, "w3")}
+
+
+def test_range_join_bin_width_invariance(spark):
+    from dbimport_spark.operators.temporal import range_join
+
+    base = _pairs(range_join(_points(spark), _intervals(spark), "p", "lo", "hi",
+                             bin_width=7))
+    for w in (1, 3, 100):
+        assert _pairs(
+            range_join(_points(spark), _intervals(spark), "p", "lo", "hi",
+                       bin_width=w)
+        ) == base, f"bin_width={w} changed the result"
+
+
+def test_range_join_no_nested_loop(spark):
+    from tests.test_plans import explain_str
+
+    from dbimport_spark.operators.temporal import range_join
+
+    out = range_join(_points(spark), _intervals(spark), "p", "lo", "hi",
+                     bin_width=7)
+    plan = explain_str(out, mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_with_keys_matches_duckdb(spark):
+    """Equi+range compose: purchases attributed to the same user's click
+    windows [ts, ts+30min), pinned against a DuckDB inequality join."""
+    import os
+
+    import duckdb
+    import pytest
+
+    from dbimport_spark.operators.temporal import range_join
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.01")
+    if not os.path.exists(f"{sf_dir}/events.parquet"):
+        pytest.skip("no testdata")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("win_lo"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("win_hi"),
+    )
+    out = range_join(
+        purchases, clicks, "ts", "win_lo", "win_hi",
+        bin_width=1800, on="user_id",
+    )
+    got = {(r["purchase_id"], r["click_id"]) for r in out.collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = set(
+        con.execute(
+            """
+            SELECT p.event_id, c.event_id
+            FROM (SELECT * FROM events WHERE event_type='purchase') p
+            JOIN (SELECT * FROM events WHERE event_type='click') c
+              ON p.user_id = c.user_id
+             AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
