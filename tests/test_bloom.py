@@ -109,3 +109,19 @@ def test_bloom_survives_compaction(spark, tmp_path):
     for p in _data_files(table):
         if os.path.relpath(p, table.root) in live:
             assert _bloom_offsets(spark, p)["doc_id"] >= 0, p
+
+
+def test_cli_init_bloom_flags(spark, tmp_path):
+    # the CLI flags land as the table properties write_data_files reads
+    from dbimport_spark.cli import main
+    from dbimport_spark.lake.table import LakeTable
+
+    root = str(tmp_path / "cli_t")
+    rc = main([
+        "init", root, "--buckets", "4",
+        "--bloom-columns", "doc_id", "--bloom-ndv", "12345",
+    ])
+    assert rc == 0
+    props = LakeTable(root).properties
+    assert props["bloom_columns"] == "doc_id"
+    assert props["bloom_ndv"] == "12345"
