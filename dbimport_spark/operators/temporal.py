@@ -139,7 +139,12 @@ def asof_join(
         "__m", F.last("__carry", ignorenulls=True).over(w)
     ).filter(F.col("__side") == 1)
 
-    m: Column = F.col("__m")
+    # A NULL left timestamp matches nothing. Without this guard the
+    # forward direction would match spuriously: desc ordering puts NULLs
+    # last, so a NULL-ts left row trails every right row and inherits the
+    # earliest right carry (backward/asc is safe only because NULLs sort
+    # first there).
+    m: Column = F.when(F.col("__ord").isNotNull(), F.col("__m"))
     if tolerance is not None:
         tol = _scale(left.schema, left_ts, tolerance)
         dist = (
@@ -194,6 +199,8 @@ def range_join(
     """
     if bounds not in ("[)", "[]", "()", "(]"):
         raise ValueError(f"bounds must be one of [) [] () (], got {bounds!r}")
+    if not bin_width or bin_width <= 0:
+        raise ValueError(f"bin_width must be > 0, got {bin_width!r}")
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
     w = _scale(intervals.schema, lo, bin_width)
 

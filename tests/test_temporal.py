@@ -294,3 +294,27 @@ def test_range_join_with_keys_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_asof_null_left_ts_matches_nothing(spark):
+    import pytest
+    from dbimport_spark.operators.temporal import range_join
+
+    trades = spark.createDataFrame(
+        [(1, "a", None), (2, "a", _ts("2024-01-01 10:00:03"))],
+        "id int, k string, ts timestamp",
+    )
+    for direction in ("backward", "forward"):
+        out = asof_join(
+            trades, _quotes(spark), on="k", left_ts="ts",
+            right_cols=["px"], direction=direction,
+        )
+        got = {r["id"]: r["px"] for r in out.collect()}
+        # the NULL-ts row never matches; forward desc ordering puts NULLs
+        # last, which without the isNotNull guard inherited the earliest
+        # right carry
+        assert got[1] is None, direction
+        assert got[2] == (100 if direction == "backward" else 105), direction
+
+    with pytest.raises(ValueError, match="bin_width"):
+        range_join(trades, _quotes(spark), "ts", "ts", "ts", bin_width=0)
