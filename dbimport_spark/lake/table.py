@@ -432,7 +432,9 @@ class LakeTable:
         snap = self.current() if version is None else self.snapshot(version)
 
         def may_match(f: DataFile) -> bool:
-            st = (f.stats or {}).get(col)
+            # stats are keyed by the file's PHYSICAL column name — map the
+            # queried logical name back through renames newer than the file
+            st = (f.stats or {}).get(self._physical_name(snap, col, f.epoch))
             if st is None:
                 return True  # unknown: conservative
             if st[0] is None:  # provably all-null: no value in any range
@@ -599,6 +601,18 @@ class LakeTable:
                     "files (renamed away since) — historical reads would "
                     "see duplicate fields. Pick a different name."
                 )
+
+    @staticmethod
+    def _physical_name(snap: Snapshot, name: str, epoch: int) -> str:
+        """The physical name a file of ``epoch`` stores the current
+        logical column ``name`` under: renames applied after that epoch,
+        reversed (transitive chains fold — b->c then a->b maps c back to
+        a for epoch-0 files). Stats in file metadata are keyed by
+        physical names, so stat lookups go through this."""
+        for r in reversed(snap.renames[epoch:]):
+            if name == r["to"]:
+                name = r["from"]
+        return name
 
     @staticmethod
     def _backdated_schema(snap: Snapshot, epoch: int) -> T.StructType:
@@ -1007,9 +1021,21 @@ class LakeTable:
             files=cur.files,
             # boundary markers (reload / rewrite_only / rebucket) describe
             # the PARENT commit only — a rename is its own commit type and
-            # must not look like a reload boundary or a layout-only rewrite
+            # must not look like a reload boundary or a layout-only rewrite.
+            # Layout properties that NAME columns (sort_order, stat_columns,
+            # bloom_columns) follow the rename: the write path matches them
+            # against current logical names, so a stale old name would
+            # silently stop sorting/statting/blooming every future file.
             properties={
-                k: v
+                k: (
+                    ",".join(
+                        new if c.strip() == old else c.strip()
+                        for c in v.split(",")
+                        if c.strip()
+                    )
+                    if k in ("sort_order", "stat_columns", "bloom_columns")
+                    else v
+                )
                 for k, v in cur.properties.items()
                 if k not in ("reload", "rewrite_only", "rebucket")
             },

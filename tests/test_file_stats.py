@@ -200,3 +200,47 @@ def test_ts_micros_pre_epoch_exact():
     )
     micros = (want.days * 86_400 + want.seconds) * 1_000_000
     assert ts_micros(datetime(2400, 6, 1, 0, 0, 0, 7)) == micros + 7
+
+
+def test_layout_properties_and_stats_follow_rename(spark, tmp_path):
+    """Renaming a column remaps the layout properties that name it
+    (sort_order/stat_columns/bloom_columns), so post-rename files keep
+    recording stats — and read_where maps the logical name back to each
+    file's PHYSICAL stat key by epoch, so pre-rename files still prune."""
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=2)
+    table.commit([], set(), properties={
+        "stat_columns": "n_tok", "sort_order": "n_tok",
+        "bloom_columns": "doc_id,n_tok",
+    })
+    eng = CDCEngine(spark, table)
+    eng.replay(generate_changes(spark, 400, n_keys=40, seed=11), num_batches=1)
+    pre_files = {f.path for f in table.current().files}
+
+    table.rename_column("n_tok", "tok_count")
+    props = table.current().properties
+    assert props["stat_columns"] == "tok_count"
+    assert props["sort_order"] == "tok_count"
+    assert props["bloom_columns"] == "doc_id,tok_count"
+
+    # post-rename writes record stats under the NEW name
+    eng2 = CDCEngine(spark, table.refresh() if hasattr(table, "refresh") else table)
+    eng2.replay(
+        generate_changes(spark, 400, n_keys=40, seed=12, first_lsn=401)
+        .withColumnRenamed("n_tok", "tok_count"),
+        num_batches=1,
+    )
+    post = [f for f in table.current().files if f.path not in pre_files]
+    assert post, "second replay wrote no files"
+    for f in post:
+        assert "tok_count" in (f.stats or {}), f.path
+    # pre-rename files keep stats under the old physical name
+    for f in table.current().files:
+        if f.path in pre_files:
+            assert "n_tok" in (f.stats or {}), f.path
+
+    # read_where on the logical name: correct rows AND pre-rename files
+    # prunable via the epoch mapping (an impossible range keeps nothing)
+    lo = table.read_where(spark, "tok_count", lo=-10, hi=-1)
+    assert lo.count() == 0
+    full = table.read_where(spark, "tok_count", lo=0)
+    assert full.count() == table.read(spark).count()
