@@ -1080,6 +1080,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.bloom_columns:
             layout_props["bloom_columns"] = args.bloom_columns
         if args.bloom_ndv:
+            # fail here, not at the first write deep inside a replay
+            if not args.bloom_ndv.isdigit() or int(args.bloom_ndv) <= 0:
+                print(
+                    f"init: --bloom-ndv must be a positive integer, "
+                    f"got {args.bloom_ndv!r}",
+                    file=sys.stderr,
+                )
+                return 2
             layout_props["bloom_ndv"] = args.bloom_ndv
         if layout_props:
             t.commit([], set(), properties=layout_props)

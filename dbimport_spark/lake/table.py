@@ -379,7 +379,7 @@ class LakeTable:
         snap = self.current() if version is None else self.snapshot(version)
         out = set()
         for f in snap.files:
-            st = (f.stats or {}).get(col)
+            st = (f.stats or {}).get(self._physical_name(snap, col, f.epoch))
             if st is None:
                 out.add(f.bucket)  # unknown: conservative
             elif st[1] is not None and st[1] > threshold:
@@ -397,7 +397,7 @@ class LakeTable:
         snap = self.current() if version is None else self.snapshot(version)
         out = set()
         for f in snap.files:
-            st = (f.stats or {}).get(col)
+            st = (f.stats or {}).get(self._physical_name(snap, col, f.epoch))
             if st is None:
                 out.add(f.bucket)
             elif st[0] is not None and st[0] <= threshold:

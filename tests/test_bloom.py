@@ -125,3 +125,38 @@ def test_cli_init_bloom_flags(spark, tmp_path):
     props = LakeTable(root).properties
     assert props["bloom_columns"] == "doc_id"
     assert props["bloom_ndv"] == "12345"
+
+
+def test_cli_init_bloom_ndv_rejects_non_integer(spark, tmp_path, capsys):
+    from dbimport_spark.cli import main
+
+    root = str(tmp_path / "cli_bad")
+    rc = main([
+        "init", root, "--buckets", "4",
+        "--bloom-columns", "doc_id", "--bloom-ndv", "lots",
+    ])
+    assert rc == 2
+    assert "--bloom-ndv" in capsys.readouterr().err
+
+
+def test_bloom_follows_rename(spark, tmp_path):
+    """After rename_column, the remapped bloom_columns property keeps
+    writing filters under the new name."""
+    from dbimport_spark.plans.engine import CDCEngine
+    from dbimport_spark.sources.loggen import generate_changes
+
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=2)
+    table.commit([], set(), properties={"bloom_columns": "n_tok"})
+    table.rename_column("n_tok", "tok_count")
+    eng = CDCEngine(spark, table)
+    eng.replay(
+        generate_changes(spark, 300, n_keys=30, seed=7)
+        .withColumnRenamed("n_tok", "tok_count"),
+        num_batches=1,
+    )
+    data_files = [
+        f"{table.root}/{f.path}" for f in table.current().files
+    ]
+    assert data_files
+    offs = _bloom_offsets(spark, data_files[0])
+    assert offs.get("tok_count", -1) >= 0
