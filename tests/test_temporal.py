@@ -318,3 +318,60 @@ def test_asof_null_left_ts_matches_nothing(spark):
 
     with pytest.raises(ValueError, match="bin_width"):
         range_join(trades, _quotes(spark), "ts", "ts", "ts", bin_width=0)
+
+
+def test_asof_fuzz_vs_bruteforce(spark):
+    """Randomized pin of asof_join's exact semantics against an O(n^2)
+    brute-force reference: NULL timestamps, equal-ts ties between sides,
+    tolerance, both directions. Deterministic seeds."""
+    import random
+
+    for seed in (101, 202, 303):
+        rng = random.Random(seed)
+        keys = ["a", "b", "c"]
+        lrows = [
+            (i, rng.choice(keys),
+             None if rng.random() < 0.1 else rng.randrange(0, 50))
+            for i in range(60)
+        ]
+        rrows = [
+            (rng.choice(keys), rng.randrange(0, 50), 100 + j)
+            for j in range(40)
+        ]
+        # unique (k, ts) on the right: ties there have an unspecified
+        # winner by contract, so dedupe to keep the oracle exact
+        seen, rdedup = set(), []
+        for k, ts, v in rrows:
+            if (k, ts) not in seen:
+                seen.add((k, ts))
+                rdedup.append((k, ts, v))
+        left = spark.createDataFrame(lrows, "id int, k string, ts int")
+        right = spark.createDataFrame(rdedup, "k string, ts int, v int")
+
+        for direction in ("backward", "forward"):
+            for tol in (None, 5):
+                got = {
+                    r["id"]: r["v"]
+                    for r in asof_join(
+                        left, right, on="k", left_ts="ts",
+                        direction=direction, tolerance=tol,
+                        right_cols=["v"],
+                    ).collect()
+                }
+                for i, k, ts in lrows:
+                    want = None
+                    if ts is not None:
+                        if direction == "backward":
+                            cand = [(rts, v) for rk, rts, v in rdedup
+                                    if rk == k and rts <= ts]
+                            pick = max(cand) if cand else None
+                            if pick and tol is not None and ts - pick[0] > tol:
+                                pick = None
+                        else:
+                            cand = [(rts, v) for rk, rts, v in rdedup
+                                    if rk == k and rts >= ts]
+                            pick = min(cand) if cand else None
+                            if pick and tol is not None and pick[0] - ts > tol:
+                                pick = None
+                        want = pick[1] if pick else None
+                    assert got[i] == want, (seed, direction, tol, i, k, ts)
