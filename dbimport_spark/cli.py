@@ -658,6 +658,11 @@ def main(argv: list[str] | None = None) -> int:
         "--only", action="append", default=None, metavar="TABLE",
         help="with --set: restrict the freeze to the named table(s)",
     )
+    sp.add_argument(
+        "--replace", action="store_true",
+        help="with --set: re-cut an existing freeze of the same name "
+        "(drop + create; what a scheduled DAG's recurring cut needs)",
+    )
 
     sp = sub.add_parser(
         "airflow-gen",
@@ -986,7 +991,8 @@ def main(argv: list[str] | None = None) -> int:
         reg = TableRegistry(args.registry)
         if args.sp_set:
             print(json.dumps(
-                create_sync_point(reg, args.sp_set, only=args.only), indent=2
+                create_sync_point(reg, args.sp_set, only=args.only,
+                                  replace=args.replace), indent=2
             ))
         elif args.sp_remove:
             found = drop_sync_point(reg, args.sp_remove)

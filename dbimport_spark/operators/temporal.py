@@ -96,6 +96,12 @@ def asof_join(
     right_ts = right_ts or left_ts
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    # A NULL right timestamp matches nothing (merge_asof/ASOF JOIN
+    # semantics). Dropping those rows up front also keeps the window
+    # fold honest: under backward/asc ordering a NULL-ts right row would
+    # sort FIRST and its (non-null) carry struct would propagate to every
+    # left row that precedes all real right rows.
+    right = right.where(F.col(right_ts).isNotNull())
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys]
     out_names = {

@@ -214,9 +214,13 @@ def generate_dag(
             w(f"    replays_done >> {dv}")
 
     if sync_point:
+        # --replace: the DAG recurs, so each run RE-CUTS the freeze —
+        # without it the second scheduled run would fail on the
+        # already-exists guard and the task would stay red forever
         bash_task(
             "cut_sync_point", "sync_point",
-            f"{cli} sync-point {reg_arg} --set {shlex.quote(sync_point)}",
+            f"{cli} sync-point {reg_arg} --set {shlex.quote(sync_point)} "
+            "--replace",
         )
         for dv in tail_vars:
             w(f"    {dv} >> cut_sync_point")

@@ -17,6 +17,7 @@ guarantee, import_config.py:1086-1108 — a single metadata swap replaces it).
 from __future__ import annotations
 
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -1590,13 +1591,14 @@ class CDCEngine:
             return []
         out = []
         for name in sorted(os.listdir(self.quarantine_dir)):
-            if not name.startswith("batch-"):
+            # bounds may be negative (a fresh table's first window is
+            # (-1, hi]) — a naive split("-") would mis-parse and hide it
+            m = re.match(r"^batch-(-?\d+)-(-?\d+)$", name)
+            if m is None:
                 continue
-            try:
-                _, lo, hi = name.split("-")
-                out.append({"dir": name, "lo": int(lo), "hi": int(hi)})
-            except ValueError:
-                continue
+            out.append(
+                {"dir": name, "lo": int(m.group(1)), "hi": int(m.group(2))}
+            )
         return out
 
     def drain_quarantine(self, changes: DataFrame | None = None, fix=None) -> dict:
@@ -2031,9 +2033,20 @@ class CDCEngine:
                 plan = None
         if plan is None:
             bounds = changes.agg(
-                F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+                F.min("lsn").alias("lo"),
+                F.max("lsn").alias("hi"),
+                F.count(F.lit(1)).alias("n"),
             ).first()
             if bounds["lo"] is None:
+                if bounds["n"] > 0:
+                    # min/max skip nulls: rows exist but NONE carries an
+                    # lsn — there is no window to park them under, and
+                    # returning "nothing to do" would silently lose them
+                    raise ValueError(
+                        f"log holds {bounds['n']} row(s), all with null "
+                        "lsn — no orderable event to anchor a replay "
+                        "window. Fix the source (or the lsn_expr mapping)."
+                    )
                 return ReplayStats()
             committed = self.table.last_lsn()
             if committed >= 0 and bounds["lo"] > committed + 1 and not allow_log_gap:
@@ -2060,11 +2073,21 @@ class CDCEngine:
                 save_plan(ckpt_path, plan, self.state_store)
 
         stats = ReplayStats()
+        # Null-lsn (malformed) rows are invisible to every window filter —
+        # route them into the FIRST window this run applies, where the
+        # engine's quarantine parks them (or refuses loudly). A resumed
+        # plan (completed > 0) parked them on the original run: the
+        # quarantine write precedes the window's commit.
+        nulls_routed = plan.completed > 0
         for i, (rlo, rhi) in enumerate(plan.ranges):
             if i < plan.completed or rhi <= self.table.last_lsn():
                 stats.batches_skipped += 1
                 continue
-            window = changes.filter((F.col("lsn") > rlo) & (F.col("lsn") <= rhi))
+            cond = (F.col("lsn") > rlo) & (F.col("lsn") <= rhi)
+            if not nulls_routed:
+                cond = cond | F.col("lsn").isNull()
+                nulls_routed = True
+            window = changes.filter(cond)
             bs = self.apply_batch(window, rlo, rhi)
             stats.batch_stats.append(bs)
             if bs.skipped:

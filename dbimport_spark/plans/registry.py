@@ -265,6 +265,7 @@ def create_sync_point(
     registry: TableRegistry,
     name: str,
     only: list[str] | None = None,
+    replace: bool = False,
 ) -> dict:
     """Freeze a consistent cross-table snapshot set — tag every enabled
     entry's table (and its derived mirror / history / matview tables) at
@@ -287,7 +288,11 @@ def create_sync_point(
     after every tag landed. Tags pin exactly their version through
     ``expire_snapshots``, so the frozen set survives retention. A sync
     point is immutable: re-using a live name raises (a freeze that can
-    move is not a freeze) — ``drop_sync_point`` first.
+    move is not a freeze) — ``drop_sync_point`` first, or pass
+    ``replace=True`` for a scheduled re-cut (drop + create as one call;
+    the old freeze is gone the moment the new cut starts, so a reader
+    resolving the name mid-replace can see "no such sync point" — use
+    dated names instead when readers must never miss).
     """
     import re
     import time as _time
@@ -298,10 +303,14 @@ def create_sync_point(
         raise ValueError(f"invalid sync point name {name!r}")
     points = sync_points(registry)
     if name in points:
-        raise ValueError(
-            f"sync point {name!r} already exists (drop_sync_point first — "
-            "a freeze never moves)"
-        )
+        if not replace:
+            raise ValueError(
+                f"sync point {name!r} already exists (drop_sync_point "
+                "first — a freeze never moves — or pass replace=True "
+                "for a scheduled re-cut)"
+            )
+        drop_sync_point(registry, name)
+        points = sync_points(registry)
     entries = registry.load()
     missing = [n for n in only or [] if n not in entries]
     if missing:

@@ -135,7 +135,19 @@ def stream_debezium_changes(
             store.write_text(schema_cache, json.dumps(schema.jsonValue()))
     elif schema is None:
         schema = spark.read.json(path).schema
-    reader = spark.readStream.schema(schema)
+    # PERMISSIVE parsing only captures corrupt lines when the fixed
+    # schema carries the corrupt-record column. A schema inferred from
+    # initially-clean files (or passed explicitly) lacks it, and a later
+    # corrupt line would then parse to all-nulls — indistinguishable from
+    # a Kafka tombstone and silently dropped by _to_change_shape's
+    # non-event filter. With the column present the line flows through as
+    # a null-op row into the engine's malformed-event quarantine, same as
+    # the batch read (whose per-read inference adds the column itself).
+    if "_corrupt_record" not in schema.fieldNames():
+        schema = schema.add("_corrupt_record", T.StringType())
+    reader = spark.readStream.schema(schema).option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.json(path)
@@ -161,7 +173,15 @@ def _to_change_shape(
     ):
         inner = {f.name for f in raw.schema["payload"].dataType.fields}
         if "op" in inner:
-            raw = raw.select("payload.*")
+            # keep the top-level corrupt-record column through the
+            # unwrap — a corrupt line has payload NULL and only this
+            # column distinguishes it from a Kafka tombstone
+            extra = (
+                [F.col("_corrupt_record")]
+                if "_corrupt_record" in raw.columns and "_corrupt_record" not in inner
+                else []
+            )
+            raw = raw.select(F.col("payload.*"), *extra)
 
     if "op" not in raw.columns:
         raise ValueError(

@@ -756,18 +756,33 @@ def follow_view_stream(
         if to_v <= from_v:
             return  # redelivered window: view already has it
         start = int(head["ws"])
-        if start != from_v:
-            raise ValueError(
-                f"view watermark {from_v} does not match the stream "
-                f"window start {start} (window ({start}, {to_v}]): the "
-                "view was advanced out-of-band (a batch sync_view ran "
-                "against this stream's checkpoint), or the stream was "
-                "started on a fresh checkpoint below the view's "
-                "watermark. Applying would double-count the overlap. "
-                f"Restart with a fresh checkpoint dir and "
-                f"startingVersion={from_v}."
-            )
         source = LakeTable.load(source_root)
+        if start != from_v:
+            # A window start ABOVE the view watermark is benign exactly
+            # when the gap is provably change-free: the stream emitted an
+            # empty micro-batch for (from_v, start] (compaction/rebucket/
+            # quarantine-only commits plan zero partitions) which could
+            # not advance the view watermark — folding (start, to_v] then
+            # equals folding (from_v, to_v]. Verified from metadata with
+            # the SAME planner the source used; anything else (expired
+            # snapshots, a reload boundary, real data) stays a loud stop.
+            gap_change_free = False
+            if start > from_v:
+                try:
+                    gap_change_free = not plan_window(source, from_v, start)
+                except Exception:
+                    gap_change_free = False
+            if not gap_change_free:
+                raise ValueError(
+                    f"view watermark {from_v} does not match the stream "
+                    f"window start {start} (window ({start}, {to_v}]): the "
+                    "view was advanced out-of-band (a batch sync_view ran "
+                    "against this stream's checkpoint), or the stream was "
+                    "started on a fresh checkpoint below the view's "
+                    "watermark. Applying would double-count the overlap. "
+                    f"Restart with a fresh checkpoint dir and "
+                    f"startingVersion={from_v}."
+                )
         apply_feed_to_view(
             spark, source, view_engine, spec,
             batch_df.drop(COMMIT_WINDOW_START_COL), from_v, to_v,

@@ -177,13 +177,20 @@ def run_stream(
                 F.min(F.when(F.col("lsn") > F.lit(last), F.col("lsn"))).alias(
                     "fresh_lo"
                 ),
+                F.count(F.when(F.col("lsn").isNull(), F.lit(1))).alias(
+                    "bad_rows"
+                ),
             )
             .collect()
         ]
         if not per_file:
             return
         n_fresh = sum(r["fresh_rows"] for r in per_file)
-        hi = max(r["max_lsn"] for r in per_file)
+        # min/max skip nulls: a file of ONLY malformed (null-lsn) rows has
+        # min_lsn/max_lsn None — it carries no ordering evidence, so it
+        # neither moves the window bounds nor classifies as late
+        hi_vals = [r["max_lsn"] for r in per_file if r["max_lsn"] is not None]
+        hi = max(hi_vals) if hi_vals else last
 
         # Classify unledgered below-watermark files. Benign re-delivery of
         # the watermark-setting window (crash between table commit and
@@ -212,7 +219,11 @@ def run_stream(
             default=None,
         )
         candidates = [
-            r for r in per_file if r["file"] not in seen and r["min_lsn"] <= last
+            r
+            for r in per_file
+            if r["file"] not in seen
+            and r["min_lsn"] is not None
+            and r["min_lsn"] <= last
         ]
         if not is_first_of_run:
             late = candidates
@@ -237,7 +248,14 @@ def run_stream(
             from dbimport_spark.sources.changelog import LogTruncatedError
 
             is_catchup = fresh_checkpoint and batch_id == first_batch_id[0]
-            ledger_hi = max((r["max_lsn"] for r in seen.values()), default=None)
+            ledger_hi = max(
+                (
+                    r["max_lsn"]
+                    for r in seen.values()
+                    if r["max_lsn"] is not None
+                ),
+                default=None,
+            )
             ledger_covers = ledger_hi is not None and ledger_hi >= last
             policy = on_out_of_order
             if policy == "auto":
@@ -325,17 +343,46 @@ def run_stream(
         # the skipped file cleanly recoverable as one unit.
         applied = [r for r in per_file if r["file"] not in skipped_late]
         n_fresh_a = sum(r["fresh_rows"] for r in applied)
+        # null-lsn (malformed / corrupt-wire) rows are invisible to the
+        # watermark filter — route them into the window explicitly so the
+        # engine's quarantine parks them instead of the filter silently
+        # dropping them. Already-ledgered re-delivered files are excluded:
+        # their bad rows were parked when the file was first absorbed.
+        n_bad_a = sum(r["bad_rows"] for r in applied)
         if n_fresh_a > 0:
-            hi_a = max(r["max_lsn"] for r in applied)
+            hi_a = max(
+                r["max_lsn"] for r in applied if r["max_lsn"] is not None
+            )
             lo_a = min(
                 r["fresh_lo"] for r in applied if r["fresh_lo"] is not None
             )
-            fresh = batch.filter(F.col("lsn") > F.lit(last))
+            keep = F.col("lsn") > F.lit(last)
+            if n_bad_a > 0:
+                refiles = [r["file"] for r in applied if r["file"] in seen]
+                bad = F.col("lsn").isNull()
+                if refiles:
+                    bad = bad & ~F.input_file_name().isin(refiles)
+                keep = keep | bad
+            fresh = batch.filter(keep)
             if skipped_late:
                 fresh = fresh.filter(~F.input_file_name().isin(skipped_late))
             bs = engine.apply_batch(fresh, int(lo_a) - 1, int(hi_a))
             if on_batch_applied is not None and not bs.skipped:
                 on_batch_applied(bs)
+        elif n_bad_a > 0 and any(
+            r["bad_rows"] > 0 and r["file"] not in seen for r in applied
+        ):
+            # a micro-batch with NO orderable rows at all: there is no
+            # window to park them under — stop loudly rather than ledger
+            # the segment as absorbed (which would silently lose them)
+            raise ValueError(
+                f"micro-batch {batch_id}: segment(s) "
+                f"{[r['file'] for r in applied if r['bad_rows'] > 0]} carry "
+                f"only malformed events (null lsn / corrupt wire lines) — "
+                "no orderable row to anchor a window. Fix or remove the "
+                "segment(s), or drain them through a batch replay with a "
+                "quarantine_dir."
+            )
         # record this batch's segments only after they are fully absorbed:
         # a crash before this point re-delivers them, and re-delivery of
         # ledgered segments is benign by construction

@@ -753,3 +753,70 @@ def test_stream_caught_up_covers_empty_windows(spark, tmp_path):
     finally:
         q.stop()
     q.awaitTermination(30)
+
+
+def test_follow_view_stream_survives_change_free_gap(spark, tmp_path):
+    """A rewrite-only commit (compaction/rebucket) between data windows
+    plans an EMPTY micro-batch, which cannot advance the view watermark.
+    The next data window then starts ABOVE the watermark; the sink must
+    recognize the provably change-free gap from metadata and fold on —
+    previously it raised 'advanced out-of-band' and every restart
+    replayed the same failing batch (a permanent wedge after any routine
+    compaction)."""
+    from dbimport_spark.lake.maintenance import rebucket
+    from dbimport_spark.plans.matview import AggSpec, create_view, verify_view
+    from dbimport_spark.sources.loggen import generate_changes
+    from dbimport_spark.streaming.cdf_source import (
+        follow_view_stream,
+        stream_caught_up,
+    )
+
+    spec = AggSpec(group_cols=["source"], sum_cols=["n_tok"])
+    src_t = CDCEngine.create_table(str(tmp_path / "src"), num_buckets=2)
+    src = CDCEngine(spark, src_t, checkpoint_dir=str(tmp_path / "sckpt"))
+    log = generate_changes(spark, 1200, n_keys=100, seed=21)
+    src.replay(log.filter(F.col("lsn") <= 400), num_batches=1)
+
+    view_t = create_view(str(tmp_path / "view"), src_t, spec, num_buckets=2)
+    view = CDCEngine(spark, view_t)
+    ckpt = str(tmp_path / "stream-ckpt")
+
+    q = follow_view_stream(
+        spark, str(tmp_path / "src"), view, spec, ckpt, trigger_seconds=0.3
+    )
+    try:
+        assert _wait(lambda: view_t.last_lsn() >= src_t.current().version)
+        v_data = src_t.current().version
+
+        # rewrite-only commit: no data change, bumps the source version
+        rebucket(spark, src_t, 4)
+        assert src_t.current().version > v_data
+        assert src_t.current().properties.get("rewrite_only") == "true"
+        assert _wait(lambda: stream_caught_up(q, src_t), timeout=120)
+        # the empty window could not move the view watermark
+        assert view_t.last_lsn() == v_data
+
+        # next DATA window starts at the compaction version, above the
+        # view watermark — must apply, not wedge
+        src.replay(log, num_batches=1)
+        v_target = src_t.current().version
+        assert _wait(lambda: view_t.last_lsn() >= v_target, timeout=120)
+        assert q.exception() is None
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    assert verify_view(spark, src_t, view_t, spec)["converged"]
+
+    # and a kill/restart on the same checkpoint stays clean
+    src.replay(
+        generate_changes(spark, 1600, n_keys=100, seed=21), num_batches=1
+    )
+    q = follow_view_stream(
+        spark, str(tmp_path / "src"), view, spec, ckpt, trigger_seconds=0.3
+    )
+    try:
+        assert _wait(lambda: view_t.last_lsn() >= src_t.current().version)
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    assert verify_view(spark, src_t, view_t, spec)["converged"]

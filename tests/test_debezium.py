@@ -502,3 +502,58 @@ def test_end_to_end_engine_convergence(spark, tmp_path):
     want = as_tuple_set(list(ora.values()), ["doc_id", "val", "n"])
     assert got == want
     assert want == as_tuple_set(list(live.values()), ["doc_id", "val", "n"])
+
+
+def test_stream_corrupt_line_quarantined_not_dropped(spark, tmp_path):
+    """The stream's fixed schema is inferred from initially-CLEAN files,
+    which lacks _corrupt_record — a later corrupt line then parsed to
+    all-nulls and was dropped as a Kafka tombstone, violating the
+    'unknown wire content is never silently lost' contract. The resolved
+    stream schema must always carry the corrupt-record column so the
+    line flows to the engine's malformed-event quarantine."""
+    import os
+
+    from dbimport_spark.sources.debezium import stream_debezium_changes
+    from dbimport_spark.streaming.stream import run_stream
+
+    log_dir = tmp_path / "topic"
+    log_dir.mkdir()
+    _write_log(log_dir, [
+        _ev("r", "a", 1, after={"doc_id": "a", "val": "s1", "n": 1}, ts_ms=1),
+    ], "000.jsonl")
+
+    payload_schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("val", T.StringType(), True),
+        T.StructField("n", T.LongType(), True),
+    ])
+    table = CDCEngine.create_table(
+        str(tmp_path / "t"), payload_schema=payload_schema, num_buckets=2
+    )
+    qdir = str(tmp_path / "q")
+    eng = CDCEngine(spark, table, quarantine_dir=qdir)
+    ckpt = str(tmp_path / "ckpt")
+
+    stream_df = stream_debezium_changes(spark, str(log_dir))
+    run_stream(eng, stream_df, checkpoint_dir=ckpt).awaitTermination()
+    assert table.last_lsn() == 1
+
+    # a later segment: one good event and one corrupt line
+    with open(log_dir / "001.jsonl", "w") as f:
+        f.write(json.dumps(_ev(
+            "c", "b", 2, after={"doc_id": "b", "val": "s2", "n": 2}, ts_ms=2,
+        )) + "\n")
+        f.write('{"op": "c", "after": {"doc_id": "bro\n')  # truncated JSON
+
+    stream_df = stream_debezium_changes(spark, str(log_dir))
+    run_stream(eng, stream_df, checkpoint_dir=ckpt).awaitTermination()
+
+    # the good event applied; the corrupt line is PARKED, not vanished
+    state = {r["doc_id"]: r["val"] for r in table.read(spark).collect()}
+    assert state == {"a": "s1", "b": "s2"}
+    parked = eng.list_quarantine()
+    assert parked, "corrupt wire line was silently dropped"
+    q = spark.read.parquet(
+        os.path.join(qdir, parked[0]["dir"])
+    ).collect()
+    assert len(q) == 1 and q[0]["lsn"] is None

@@ -330,3 +330,60 @@ def test_drain_refold_soft_table(spark, tmp_path):
     assert rows["k1"]["dl_delete_ts"] is not None  # tombstoned, not gone
     assert rows["k2"]["dl_delete_ts"] is None
     assert _payload(spark, table) == {"k2": [3]}
+
+
+def test_negative_lo_window_listed_and_drainable(spark, tmp_path):
+    """A fresh table's first window is (-1, hi]: the parked dir is
+    'batch--1-<hi>' and a naive split('-') mis-parsed it, hiding the
+    window from list_quarantine (and so from drain) while it looked
+    handled."""
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    qdir = str(tmp_path / "q")
+    eng = CDCEngine(spark, table, quarantine_dir=qdir)
+    bs = eng.apply_batch(_log(spark, GOOD + BAD), -1, 10)
+    assert bs.quarantined == len(BAD)
+    assert os.path.isdir(os.path.join(qdir, "batch--1-10"))
+
+    assert eng.list_quarantine() == [{"dir": "batch--1-10", "lo": -1, "hi": 10}]
+
+    # repaired events drain back in (fix the null key, give the
+    # reason-free row real content, drop the rest)
+    def fix(df):
+        from pyspark.sql import functions as F
+
+        return (
+            df.filter(F.col("lsn").isin(4, 5))
+            .withColumn("doc_id", F.coalesce(F.col("doc_id"), F.lit("k9")))
+            .withColumn("op", F.lit("I"))
+        )
+
+    res = eng.drain_quarantine(changes=_log(spark, GOOD + BAD), fix=fix)
+    assert res["drained_windows"] == 1
+    assert eng.list_quarantine() == []
+    got = {r["doc_id"] for r in table.read(spark).collect()}
+    assert {"k9", "k3"} <= got
+
+
+def test_replay_routes_null_lsn_rows_to_quarantine(spark, tmp_path):
+    """Null-lsn rows are invisible to every replay window filter
+    (lsn > lo AND lsn <= hi is null-false) — replay must route them into
+    the first applied window's quarantine instead of silently dropping
+    them; a log of ONLY null-lsn rows is refused loudly."""
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    qdir = str(tmp_path / "q")
+    eng = CDCEngine(
+        spark, table, checkpoint_dir=str(tmp_path / "ckpt"),
+        quarantine_dir=qdir,
+    )
+    stats = eng.replay(_log(spark, GOOD + [BAD[2]]), num_batches=2)
+    assert stats.events_applied == len(GOOD)
+    assert stats.events_quarantined == 1
+    parked = eng.list_quarantine()
+    assert len(parked) == 1
+    q = spark.read.parquet(os.path.join(qdir, parked[0]["dir"])).collect()
+    assert len(q) == 1 and q[0]["lsn"] is None
+
+    t2 = CDCEngine.create_table(str(tmp_path / "t2"), num_buckets=4)
+    eng2 = CDCEngine(spark, t2, quarantine_dir=str(tmp_path / "q2"))
+    with pytest.raises(ValueError, match="all with null"):
+        eng2.replay(_log(spark, [BAD[2]]))

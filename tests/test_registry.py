@@ -624,3 +624,36 @@ def test_cli_sync_point_roundtrip(spark, tmp_path, capsys):
     assert _json.loads(capsys.readouterr().out)["found"]
     rc = main(["sync-point", reg_path, "--remove", "ship-1"])
     assert rc == 1
+
+
+def test_sync_point_replace_recuts(spark, tmp_path):
+    """replace=True re-cuts an existing freeze at the CURRENT versions —
+    what a generated DAG's recurring cut_sync_point task needs (without
+    it the second scheduled run fails on the already-exists guard
+    forever). The emitted Airflow task carries --replace."""
+    from dbimport_spark.lake.table import LakeTable
+    from dbimport_spark.plans.airflow_gen import generate_dag
+    from dbimport_spark.plans.registry import create_sync_point, replay_all
+
+    reg, logs = _mk_fleet(spark, tmp_path)
+    m1 = create_sync_point(reg, "nightly")
+    v1 = m1["tables"]["alpha"]["table"]["version"]
+
+    # advance alpha, then re-cut under the same name
+    extra = generate_changes(spark, 150, n_keys=30, seed=77, first_lsn=401)
+    path = str(tmp_path / "log2-alpha")
+    write_changes(logs["alpha"].unionByName(extra), path, 4)
+    entries = reg.load()
+    entries["alpha"].log_path = path
+    reg.save(entries)
+    replay_all(spark, reg)
+
+    m2 = create_sync_point(reg, "nightly", replace=True)
+    v2 = m2["tables"]["alpha"]["table"]["version"]
+    assert v2 > v1
+    t = LakeTable.load(str(tmp_path / "t-alpha"))
+    assert t.resolve_ref("nightly") == v2  # exactly one tag, the new cut
+
+    src = generate_dag(reg, dag_id="d", schedule="@daily",
+                       sync_point="nightly")
+    assert "--set nightly --replace" in src

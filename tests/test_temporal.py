@@ -335,7 +335,9 @@ def test_asof_fuzz_vs_bruteforce(spark):
             for i in range(60)
         ]
         rrows = [
-            (rng.choice(keys), rng.randrange(0, 50), 100 + j)
+            (rng.choice(keys),
+             None if rng.random() < 0.1 else rng.randrange(0, 50),
+             100 + j)
             for j in range(40)
         ]
         # unique (k, ts) on the right: ties there have an unspecified
@@ -363,15 +365,33 @@ def test_asof_fuzz_vs_bruteforce(spark):
                     if ts is not None:
                         if direction == "backward":
                             cand = [(rts, v) for rk, rts, v in rdedup
-                                    if rk == k and rts <= ts]
+                                    if rk == k and rts is not None
+                                    and rts <= ts]
                             pick = max(cand) if cand else None
                             if pick and tol is not None and ts - pick[0] > tol:
                                 pick = None
                         else:
                             cand = [(rts, v) for rk, rts, v in rdedup
-                                    if rk == k and rts >= ts]
+                                    if rk == k and rts is not None
+                                    and rts >= ts]
                             pick = min(cand) if cand else None
                             if pick and tol is not None and pick[0] - ts > tol:
                                 pick = None
                         want = pick[1] if pick else None
                     assert got[i] == want, (seed, direction, tol, i, k, ts)
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    """A NULL right timestamp matches nothing: under backward/asc window
+    ordering it sorted FIRST and its carry leaked into every left row
+    preceding all real right rows."""
+    left = spark.createDataFrame([(1, "k", 50)], "id int, k string, ts int")
+    right = spark.createDataFrame(
+        [("k", None, 42), ("k", 100, 7)], "k string, ts int, v int"
+    )
+    for direction, want in (("backward", None), ("forward", 7)):
+        got = asof_join(
+            left, right, on="k", left_ts="ts",
+            direction=direction, right_cols=["v"],
+        ).collect()[0]["v"]
+        assert got == want, direction

@@ -278,6 +278,12 @@ def run_once(tag):
                 dur = p["durationMs"]["triggerExecution"] / 1000.0
     finally:
         q.stop()
+    if dur is None:
+        raise RuntimeError(
+            "no data-carrying micro-batch in recentProgress (rows=%d; "
+            "poll timeout or progress retention evicted it): %r"
+            % (got["rows"], [p.get("numInputRows") for p in q.recentProgress])
+        )
     return got["rows"], dur
 
 run_once("-warm")
