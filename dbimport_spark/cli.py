@@ -661,7 +661,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument(
         "--replace", action="store_true",
         help="with --set: re-cut an existing freeze of the same name "
-        "(drop + create; what a scheduled DAG's recurring cut needs)",
+        "(near-atomic: a failed re-cut keeps the old freeze; what a "
+        "scheduled DAG's recurring cut needs)",
     )
 
     sp = sub.add_parser(
@@ -1074,10 +1075,6 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("WARN")
 
     if args.cmd == "init":
-        t = CDCEngine.create_table(
-            args.table_root, num_buckets=args.buckets,
-            soft_delete=args.soft_delete, track_lsn=args.track_lsn
-        )
         layout_props = {}
         if args.sort_order:
             layout_props["sort_order"] = args.sort_order
@@ -1086,7 +1083,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.bloom_columns:
             layout_props["bloom_columns"] = args.bloom_columns
         if args.bloom_ndv:
-            # fail here, not at the first write deep inside a replay
+            # validate BEFORE create_table: failing after would leave a
+            # half-initialized table (v0 committed, no layout props) whose
+            # O_EXCL v0 commit blocks re-running init with the fixed value
             if not args.bloom_ndv.isdigit() or int(args.bloom_ndv) <= 0:
                 print(
                     f"init: --bloom-ndv must be a positive integer, "
@@ -1095,6 +1094,10 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 return 2
             layout_props["bloom_ndv"] = args.bloom_ndv
+        t = CDCEngine.create_table(
+            args.table_root, num_buckets=args.buckets,
+            soft_delete=args.soft_delete, track_lsn=args.track_lsn
+        )
         if layout_props:
             t.commit([], set(), properties=layout_props)
         if args.history:

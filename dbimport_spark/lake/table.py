@@ -640,7 +640,19 @@ class LakeTable:
         (rows/bytes from parquet footers — same stats Iceberg manifests keep).
         """
         out_dir = os.path.join(self.root, "data", version_dir)
-        epoch = len(self.current().renames)
+        # one snapshot parse for the whole write path: current() re-reads
+        # and json-parses the full metadata (every DataFile) per call,
+        # which is O(files) — five separate calls here would make the
+        # write path's metadata cost 5x for no reason
+        snap_props = self.current()
+        epoch = len(snap_props.renames)
+
+        def _csv_prop(key: str) -> list[str]:
+            return [
+                c.strip()
+                for c in snap_props.properties.get(key, "").split(",")
+                if c.strip()
+            ]
         t0 = time.time()
         out = df.withColumn("bucket", F.col(bucket_col)).drop(bucket_col)
         # declared sort order (Iceberg SORTED BY analogue, table property
@@ -652,11 +664,7 @@ class LakeTable:
         # whole files via read_where; sorted data also dictionary/RLE
         # compresses better. Columns absent from this write (e.g.
         # key-only delete files) are skipped.
-        sort_cols = [
-            c.strip()
-            for c in self.current().properties.get("sort_order", "").split(",")
-            if c.strip() and c.strip() in out.columns
-        ]
+        sort_cols = [c for c in _csv_prop("sort_order") if c in out.columns]
         if sort_cols:
             out = out.sortWithinPartitions("bucket", *sort_cols)
         writer = out.write.partitionBy("bucket").mode("overwrite")
@@ -674,13 +682,9 @@ class LakeTable:
         # automatically. Columns absent from this write (key-only delete
         # files) are skipped; ndv is per-row-group expected distinct count
         # (sizes the filter; parquet default when unset).
-        bloom_cols = [
-            c.strip()
-            for c in self.current().properties.get("bloom_columns", "").split(",")
-            if c.strip() and c.strip() in out.columns
-        ]
+        bloom_cols = [c for c in _csv_prop("bloom_columns") if c in out.columns]
         if bloom_cols:
-            ndv = self.current().properties.get("bloom_ndv", "").strip()
+            ndv = snap_props.properties.get("bloom_ndv", "").strip()
             for c in bloom_cols:
                 writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
                 if ndv:
@@ -702,8 +706,7 @@ class LakeTable:
         # file's PHYSICAL names (audit columns are engine-managed and never
         # renamed; declared extras should be too).
         want_stats = [AUDIT_UPDATE, AUDIT_LSN, AUDIT_DELETE]
-        extra_stats = self.current().properties.get("stat_columns", "")
-        want_stats += [c.strip() for c in extra_stats.split(",") if c.strip()]
+        want_stats += _csv_prop("stat_columns")
 
         def stat_one(args: tuple[int, str]) -> DataFile | None:
             b, p = args

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -770,6 +771,13 @@ class CDCEngine:
             (
                 batch_raw.filter(raw_reason.isNotNull())
                 .withColumn("dl_reason", raw_reason)
+                # the source segment each dead letter came from ('' for
+                # non-file frames): null-lsn rows are invisible to the
+                # watermark, so a later re-planned replay over the same
+                # grown log dedupes its null routing against this record
+                # (file-identity — segments are immutable) instead of
+                # re-parking every historical dead letter each cycle
+                .withColumn("dl_srcfile", F.input_file_name())
                 .write.mode("overwrite")
                 .parquet(os.path.join(self.quarantine_dir, f"batch-{lo}-{hi}"))
             )
@@ -1584,6 +1592,142 @@ class CDCEngine:
 
     # -- dead-letter drain ----------------------------------------------------
 
+    def quarantined_null_srcfiles(self) -> set[str]:
+        """Source segments whose null-lsn dead letters are already parked
+        or drained — read back from the quarantine's own ``dl_srcfile``
+        record (live ``batch-*`` and archived ``drained-batch-*`` dirs).
+        Null-lsn rows are invisible to the watermark, so this record is
+        the ONLY durable evidence a segment's dead letters were handled.
+        Metadata-sized: dead letters are rare by construction. Dirs
+        written before the ``dl_srcfile`` column existed contribute
+        nothing (their segments re-park once, then carry the record)."""
+        if self.quarantine_dir is None or not os.path.isdir(self.quarantine_dir):
+            return set()
+        out: set[str] = set()
+        for name in sorted(os.listdir(self.quarantine_dir)):
+            if not re.match(r"^(drained-)?batch-(-?\d+)-(-?\d+)$", name):
+                continue
+            try:
+                df = self.spark.read.parquet(
+                    os.path.join(self.quarantine_dir, name)
+                )
+            except Exception:
+                continue
+            if "dl_srcfile" not in df.columns or "dl_reason" not in df.columns:
+                continue
+            rows = (
+                df.filter(F.col("dl_reason").contains("null_lsn"))
+                .select("dl_srcfile")
+                .distinct()
+                .collect()
+            )
+            out.update(r["dl_srcfile"] for r in rows if r["dl_srcfile"])
+        return out
+
+    def _null_route_pred(self, changes: DataFrame, committed: int):
+        """Predicate selecting the null-lsn (malformed) rows the first
+        applied window should route into the quarantine. Null lsn is
+        invisible to every window filter AND to the watermark, so routing
+        ALL of them would re-park every historical dead letter on each
+        re-planned replay over the same grown log (and double-count
+        already-drained events). Dedup by source segment — segments are
+        immutable, and a segment's null rows are parked all-at-once by
+        whichever window first routes them: segments already recorded in
+        the quarantine (``dl_srcfile``) are excluded. Non-file frames
+        ('' name) have no durable identity and fall back to the watermark
+        heuristic: route iff the frame carries rows beyond the committed
+        watermark (i.e. it is not a pure re-read of applied history).
+
+        Returns ``(predicate_or_None, route_any)``. Cost ∝ dirty
+        segments: the IS NULL probe prunes clean row groups via parquet
+        null counts, and the quarantine read-back is dead-letter-sized.
+        """
+        dirty = [
+            r["f"]
+            for r in changes.filter(F.col("lsn").isNull())
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        ]
+        if not dirty:
+            return None, False
+        parked = self.quarantined_null_srcfiles()
+        candidates = [f for f in dirty if f and f not in parked]
+        route_blank = "" in dirty
+        if route_blank:
+            mx = (
+                changes.filter(F.input_file_name() == "")
+                .agg(F.max("lsn"))
+                .first()[0]
+            )
+            route_blank = mx is None or mx > committed
+        preds = []
+        if candidates:
+            preds.append(F.input_file_name().isin(candidates))
+        if route_blank:
+            preds.append(F.input_file_name() == F.lit(""))
+        if not preds:
+            return None, False
+        pred = preds[0]
+        for p in preds[1:]:
+            pred = pred | p
+        return pred, True
+
+    def park_dead_letters(self, changes: DataFrame) -> int:
+        """Explicitly park every UNPARKED null-lsn dead letter in
+        ``changes`` — the operator remedy when no fresh data anchors a
+        replay window (e.g. the bad-only segment a stream refuses):
+        ``replay`` routes dead letters only inside a window it applies,
+        and a no-op sweep stays metadata-cheap by design, so historical
+        dead letters with nothing new to ride along with need this.
+
+        Rows land under ``batch-<w>-<w>`` (zero-span at the committed
+        watermark) with the same ``dl_reason``/``dl_srcfile`` record the
+        replay path writes, so ``drain_quarantine`` and the re-park dedup
+        see them identically. Idempotent: already-parked segments are
+        excluded, and a repeat call at the same watermark unions with the
+        existing zero-span dir instead of overwriting it away. Returns
+        the number of rows parked (0 = nothing unparked). Rows with a
+        valid lsn are never taken — fresh ones are the next replay
+        window's job, historical ones were parked when theirs applied."""
+        if self.quarantine_dir is None:
+            raise ValueError("no quarantine_dir configured")
+        pred, route_any = self._null_route_pred(
+            changes, self.table.last_lsn()
+        )
+        if not route_any:
+            return 0
+        snap = self.table.current()
+        bschema = {f.name: f for f in changes.schema.fields}
+        exprs = self._align_exprs(snap.schema.fields, bschema, None)
+        names = [
+            f.name for f in snap.schema.fields if f.name not in AUDIT_COLUMNS
+        ]
+        reason = self._bad_event_reason(key_exprs=dict(zip(names, exprs)))
+        out = (
+            changes.filter(F.col("lsn").isNull() & pred)
+            .withColumn("dl_reason", reason)
+            .withColumn("dl_srcfile", F.input_file_name())
+        )
+        w = self.table.last_lsn()
+        dst = os.path.join(self.quarantine_dir, f"batch-{w}-{w}")
+        tmp = dst + ".parking"
+        prior_n = 0
+        if os.path.isdir(dst):
+            prior = self.spark.read.parquet(dst)
+            prior_n = prior.count()
+            out = prior.unionByName(out, allowMissingColumns=True)
+        out = out.localCheckpoint(eager=True)  # dead-letter-sized; must
+        # materialize before the swap below unlinks its own input dir
+        n = out.count()
+        if n == prior_n:
+            return 0
+        out.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        os.replace(tmp, dst)
+        return n - prior_n
+
     def list_quarantine(self) -> list[dict]:
         """Metadata-sized inventory of parked dead-letter windows:
         one record per ``batch-<lo>-<hi>`` dir (drained dirs excluded)."""
@@ -2077,7 +2221,11 @@ class CDCEngine:
         # route them into the FIRST window this run applies, where the
         # engine's quarantine parks them (or refuses loudly). A resumed
         # plan (completed > 0) parked them on the original run: the
-        # quarantine write precedes the window's commit.
+        # quarantine write precedes the window's commit. Routing is
+        # deduped per source segment against the quarantine's own
+        # dl_srcfile record (_null_route_pred) so a re-planned replay
+        # over the same grown log never re-parks (or double-drains)
+        # historical dead letters.
         nulls_routed = plan.completed > 0
         for i, (rlo, rhi) in enumerate(plan.ranges):
             if i < plan.completed or rhi <= self.table.last_lsn():
@@ -2085,7 +2233,11 @@ class CDCEngine:
                 continue
             cond = (F.col("lsn") > rlo) & (F.col("lsn") <= rhi)
             if not nulls_routed:
-                cond = cond | F.col("lsn").isNull()
+                pred, route_any = self._null_route_pred(
+                    changes, self.table.last_lsn()
+                )
+                if route_any:
+                    cond = cond | (F.col("lsn").isNull() & pred)
                 nulls_routed = True
             window = changes.filter(cond)
             bs = self.apply_batch(window, rlo, rhi)

@@ -289,10 +289,15 @@ def create_sync_point(
     ``expire_snapshots``, so the frozen set survives retention. A sync
     point is immutable: re-using a live name raises (a freeze that can
     move is not a freeze) — ``drop_sync_point`` first, or pass
-    ``replace=True`` for a scheduled re-cut (drop + create as one call;
-    the old freeze is gone the moment the new cut starts, so a reader
-    resolving the name mid-replace can see "no such sync point" — use
-    dated names instead when readers must never miss).
+    ``replace=True`` for a scheduled re-cut. A re-cut is near-atomic:
+    the new freeze is cut under a temporary tag first (a failed cut
+    rolls back and leaves the OLD freeze fully intact — a nightly DAG
+    that fails never loses its last good freeze), the manifest then
+    swaps to the new cut in one write (readers never resolve a missing
+    name), the final tags move last (LWW replace-tag, per-table no-gap),
+    and the temporaries are dropped. A crash between swap and cleanup
+    leaves inert ``<name>.replacing`` / stale tags that only pin extra
+    retention (fsck-visible), never a missing or half-applied freeze.
     """
     import re
     import time as _time
@@ -302,15 +307,13 @@ def create_sync_point(
     if not re.match(LakeTable._PIN_NAME_RE, name):
         raise ValueError(f"invalid sync point name {name!r}")
     points = sync_points(registry)
-    if name in points:
-        if not replace:
-            raise ValueError(
-                f"sync point {name!r} already exists (drop_sync_point "
-                "first — a freeze never moves — or pass replace=True "
-                "for a scheduled re-cut)"
-            )
-        drop_sync_point(registry, name)
-        points = sync_points(registry)
+    replacing = name in points
+    if replacing and not replace:
+        raise ValueError(
+            f"sync point {name!r} already exists (drop_sync_point "
+            "first — a freeze never moves — or pass replace=True "
+            "for a scheduled re-cut)"
+        )
     entries = registry.load()
     missing = [n for n in only or [] if n not in entries]
     if missing:
@@ -323,36 +326,77 @@ def create_sync_point(
     if not targets:
         raise ValueError("sync point over zero tables")
 
-    manifest: dict = {"created_unix": _time.time(), "tables": {}}
-    tagged: list[LakeTable] = []
-    try:
-        for n, e in targets.items():
-            rec: dict = {}
-            for kind, root in _entry_roots(e):
-                if kind != "table" and not LakeTable.exists(root):
-                    continue  # derived target not materialized yet
-                t = LakeTable.load(root)
-                v = t.set_tag(name)
-                tagged.append(t)
-                rec.setdefault(kind + "s" if kind == "view" else kind, [])
-                info = {"root": root, "version": v,
-                        "last_lsn": t.last_lsn()}
-                if kind == "view":
-                    rec["views"].append(info)
-                else:
-                    rec[kind] = info
-            manifest["tables"][n] = rec
-    except Exception:
-        for t in tagged:  # roll back: a half-tagged freeze must not exist
-            try:
-                t.delete_tag(name)
-            except OSError:
-                pass  # stray tag without a manifest is inert; fsck-visible
-        raise
+    def _cut_freeze(tag_name: str):
+        """Tag every target at its current version under ``tag_name``.
+        All-or-nothing: any failure rolls back the tags already set and
+        re-raises. Returns (manifest, [(table, version), ...])."""
+        manifest: dict = {"created_unix": _time.time(), "tables": {}}
+        pairs: list[tuple[LakeTable, int]] = []
+        try:
+            for n, e in targets.items():
+                rec: dict = {}
+                for kind, root in _entry_roots(e):
+                    if kind != "table" and not LakeTable.exists(root):
+                        continue  # derived target not materialized yet
+                    t = LakeTable.load(root)
+                    v = t.set_tag(tag_name)
+                    pairs.append((t, v))
+                    rec.setdefault(
+                        kind + "s" if kind == "view" else kind, []
+                    )
+                    info = {"root": root, "version": v,
+                            "last_lsn": t.last_lsn()}
+                    if kind == "view":
+                        rec["views"].append(info)
+                    else:
+                        rec[kind] = info
+                manifest["tables"][n] = rec
+        except Exception:
+            for t, _ in pairs:  # a half-tagged freeze must not exist
+                try:
+                    t.delete_tag(tag_name)
+                except OSError:
+                    pass  # stray tag w/o manifest is inert; fsck-visible
+            raise
+        return manifest, pairs
+
+    if not replacing:
+        manifest, _ = _cut_freeze(name)
+        points[name] = manifest
+        registry.store.write_text(
+            _syncpoints_path(registry), json.dumps(points, indent=2)
+        )
+        return manifest
+
+    # Scheduled re-cut: new freeze under a temp tag first — a failed cut
+    # rolls back above and the OLD freeze stays fully intact.
+    old = points[name]
+    tmp = name + ".replacing"
+    manifest, pairs = _cut_freeze(tmp)
+    # Swap the manifest in one write: from here readers resolve the NEW
+    # versions, which the temp tags already pin through retention.
     points[name] = manifest
     registry.store.write_text(
         _syncpoints_path(registry), json.dumps(points, indent=2)
     )
+    # Move the final tags (LWW replace-tag: per-table, never a gap),
+    # drop final tags on tables the new cut no longer covers, then the
+    # temporaries. Best-effort from here: a crash leaves only inert
+    # extra tags pinning retention, never a missing freeze.
+    new_roots = {p[0].root for p in pairs}
+    for t, v in pairs:
+        t.set_tag(name, version=v)
+    for rec in old["tables"].values():
+        infos = [rec[k] for k in ("table", "history", "mirror") if k in rec]
+        infos += rec.get("views", [])
+        for info in infos:
+            if info["root"] not in new_roots:
+                try:
+                    LakeTable.load(info["root"]).delete_tag(name)
+                except Exception:
+                    pass  # table itself gone since the old freeze
+    for t, _ in pairs:
+        t.delete_tag(tmp)
     return manifest
 
 

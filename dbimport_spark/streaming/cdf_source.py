@@ -767,12 +767,20 @@ def follow_view_stream(
             # the SAME planner the source used; anything else (expired
             # snapshots, a reload boundary, real data) stays a loud stop.
             gap_change_free = False
+            gap_err: Exception | None = None
             if start > from_v:
                 try:
                     gap_change_free = not plan_window(source, from_v, start)
-                except Exception:
-                    gap_change_free = False
+                except Exception as e:
+                    gap_err = e  # surfaced below — the planner's reason
+                    # (expired snapshot, reload boundary) is the real
+                    # diagnostic, not the generic out-of-band message
             if not gap_change_free:
+                detail = (
+                    f" Gap probe ({from_v}, {start}] failed: {gap_err}"
+                    if gap_err is not None
+                    else ""
+                )
                 raise ValueError(
                     f"view watermark {from_v} does not match the stream "
                     f"window start {start} (window ({start}, {to_v}]): the "
@@ -781,8 +789,8 @@ def follow_view_stream(
                     "started on a fresh checkpoint below the view's "
                     "watermark. Applying would double-count the overlap. "
                     f"Restart with a fresh checkpoint dir and "
-                    f"startingVersion={from_v}."
-                )
+                    f"startingVersion={from_v}.{detail}"
+                ) from gap_err
         apply_feed_to_view(
             spark, source, view_engine, spec,
             batch_df.drop(COMMIT_WINDOW_START_COL), from_v, to_v,

@@ -349,6 +349,23 @@ def run_stream(
         # dropping them. Already-ledgered re-delivered files are excluded:
         # their bad rows were parked when the file was first absorbed.
         n_bad_a = sum(r["bad_rows"] for r in applied)
+        # null-lsn rows route only from files that are neither ledgered
+        # (their bad rows were parked when the file was first absorbed)
+        # nor already recorded in the quarantine's own dl_srcfile record
+        # (parked by an earlier batch replay, or by this stream before a
+        # crash between the table commit and the ledger append) —
+        # re-parking would double-count (and double-drain) the same dead
+        # letters under a new window dir.
+        bad_route_files: list[str] = []
+        if n_bad_a > 0:
+            cand = [
+                r["file"]
+                for r in applied
+                if r["bad_rows"] > 0 and r["file"] not in seen
+            ]
+            if cand:
+                parked = engine.quarantined_null_srcfiles()
+                bad_route_files = [f for f in cand if f not in parked]
         if n_fresh_a > 0:
             hi_a = max(
                 r["max_lsn"] for r in applied if r["max_lsn"] is not None
@@ -357,31 +374,32 @@ def run_stream(
                 r["fresh_lo"] for r in applied if r["fresh_lo"] is not None
             )
             keep = F.col("lsn") > F.lit(last)
-            if n_bad_a > 0:
-                refiles = [r["file"] for r in applied if r["file"] in seen]
-                bad = F.col("lsn").isNull()
-                if refiles:
-                    bad = bad & ~F.input_file_name().isin(refiles)
-                keep = keep | bad
+            if bad_route_files:
+                keep = keep | (
+                    F.col("lsn").isNull()
+                    & F.input_file_name().isin(bad_route_files)
+                )
             fresh = batch.filter(keep)
             if skipped_late:
                 fresh = fresh.filter(~F.input_file_name().isin(skipped_late))
             bs = engine.apply_batch(fresh, int(lo_a) - 1, int(hi_a))
             if on_batch_applied is not None and not bs.skipped:
                 on_batch_applied(bs)
-        elif n_bad_a > 0 and any(
-            r["bad_rows"] > 0 and r["file"] not in seen for r in applied
-        ):
-            # a micro-batch with NO orderable rows at all: there is no
-            # window to park them under — stop loudly rather than ledger
-            # the segment as absorbed (which would silently lose them)
+        elif bad_route_files:
+            # a micro-batch with UNPARKED malformed rows and no fresh row
+            # to anchor a window: stop loudly rather than ledger the
+            # segment(s) as absorbed (which would silently lose them).
+            # Benign re-delivery never lands here — a re-delivered
+            # segment's dead letters are in the quarantine record (parked
+            # before the window's commit) and are filtered out above.
             raise ValueError(
                 f"micro-batch {batch_id}: segment(s) "
-                f"{[r['file'] for r in applied if r['bad_rows'] > 0]} carry "
-                f"only malformed events (null lsn / corrupt wire lines) — "
-                "no orderable row to anchor a window. Fix or remove the "
-                "segment(s), or drain them through a batch replay with a "
-                "quarantine_dir."
+                f"{sorted(bad_route_files)} carry unparked malformed "
+                "events (null lsn / corrupt wire lines) and no fresh row "
+                "anchors a window to park them under. Fix or remove the "
+                "segment(s), or park them explicitly with "
+                "CDCEngine.park_dead_letters(changes) (then "
+                "drain_quarantine once repaired)."
             )
         # record this batch's segments only after they are fully absorbed:
         # a crash before this point re-delivers them, and re-delivery of

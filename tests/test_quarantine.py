@@ -387,3 +387,105 @@ def test_replay_routes_null_lsn_rows_to_quarantine(spark, tmp_path):
     eng2 = CDCEngine(spark, t2, quarantine_dir=str(tmp_path / "q2"))
     with pytest.raises(ValueError, match="all with null"):
         eng2.replay(_log(spark, [BAD[2]]))
+
+
+def _append_segment(spark, rows, path):
+    """One immutable log segment (its own parquet file) per call."""
+    spark.createDataFrame(rows, LAX_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_regrown_log_replay_never_reparks_null_lsn(spark, tmp_path):
+    """Null-lsn rows are invisible to the watermark, so a re-planned
+    replay over the same GROWN log sees every historical dead letter
+    again — it must not re-park them (a drain would then re-apply fixes
+    to already-resolved events and the inventory double-counts forever).
+    Dedup is by immutable source segment via the quarantine's own
+    dl_srcfile record; drained (archived) windows keep counting."""
+    log = str(tmp_path / "log")
+    _append_segment(spark, GOOD + [BAD[2]], log)  # segment A
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    qdir = str(tmp_path / "q")
+    eng = CDCEngine(spark, table, quarantine_dir=qdir)
+    s1 = eng.replay(spark.read.parquet(log), num_batches=2)
+    assert s1.events_quarantined == 1
+    assert len(eng.list_quarantine()) == 1
+
+    # the log grows with a clean segment: re-planned replay applies it
+    # and leaves A's already-parked dead letter alone
+    _append_segment(spark, [(10, "I", "k9", [1], 1, "web", TS)], log)
+    s2 = eng.replay(spark.read.parquet(log), num_batches=2)
+    assert s2.events_applied == 1
+    assert s2.events_quarantined == 0
+    assert len(eng.list_quarantine()) == 1
+
+    # archived (drained) windows keep the record: still no re-park
+    parked = eng.list_quarantine()[0]["dir"]
+    os.rename(
+        os.path.join(qdir, parked), os.path.join(qdir, "drained-" + parked)
+    )
+    _append_segment(spark, [(11, "U", "k9", [2], 1, "web", TS)], log)
+    s3 = eng.replay(spark.read.parquet(log), num_batches=2)
+    assert s3.events_quarantined == 0
+    assert eng.list_quarantine() == []
+
+
+def test_new_dirty_segment_parks_only_its_own_dead_letters(spark, tmp_path):
+    """A NEW segment carrying fresh rows plus its own null-lsn rows parks
+    exactly those — the old segment's parked dead letters are excluded
+    by the dl_srcfile record, not by anything lsn-shaped."""
+    log = str(tmp_path / "log")
+    _append_segment(spark, GOOD + [BAD[2]], log)  # A: k4 dead letter
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    eng = CDCEngine(spark, table, quarantine_dir=str(tmp_path / "q"))
+    assert eng.replay(spark.read.parquet(log)).events_quarantined == 1
+
+    # C: one fresh row + one new dead letter (distinct key k5)
+    _append_segment(
+        spark,
+        [(12, "I", "k8", [3], 1, "web", TS),
+         (None, "I", "k5", [8], 1, "web", TS)],
+        log,
+    )
+    s2 = eng.replay(spark.read.parquet(log), num_batches=2)
+    assert s2.events_applied == 1
+    assert s2.events_quarantined == 1
+    windows = eng.list_quarantine()
+    assert len(windows) == 2
+    newest = max(windows, key=lambda w: w["lo"])
+    rows = spark.read.parquet(
+        os.path.join(str(tmp_path / "q"), newest["dir"])
+    ).collect()
+    assert [r["doc_id"] for r in rows] == ["k5"]
+
+
+def test_park_dead_letters_without_fresh_data(spark, tmp_path):
+    """A bad-only segment arriving with NO fresh data has no replay
+    window to ride into (a no-op sweep stays metadata-cheap and routes
+    nothing) — park_dead_letters is the explicit remedy: parks exactly
+    the unparked null-lsn rows at the watermark, idempotently, and a
+    second dirty segment at the same watermark unions instead of
+    overwriting the first record away."""
+    log = str(tmp_path / "log")
+    _append_segment(spark, GOOD, log)
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    qdir = str(tmp_path / "q")
+    eng = CDCEngine(spark, table, quarantine_dir=qdir)
+    eng.replay(spark.read.parquet(log))
+    assert table.last_lsn() == 3
+
+    _append_segment(spark, [BAD[2]], log)  # bad-only segment
+    s = eng.replay(spark.read.parquet(log), num_batches=2)
+    assert s.events_applied == 0 and s.events_quarantined == 0  # the gap
+
+    assert eng.park_dead_letters(spark.read.parquet(log)) == 1
+    assert eng.park_dead_letters(spark.read.parquet(log)) == 0  # idempotent
+    windows = eng.list_quarantine()
+    assert len(windows) == 1 and windows[0]["lo"] == windows[0]["hi"] == 3
+
+    # second dirty segment, same watermark: unions with the zero-span dir
+    _append_segment(spark, [(None, "I", "k6", [9], 1, "web", TS)], log)
+    assert eng.park_dead_letters(spark.read.parquet(log)) == 1
+    rows = spark.read.parquet(os.path.join(qdir, "batch-3-3")).collect()
+    assert sorted(r["doc_id"] for r in rows) == ["k4", "k6"]

@@ -657,3 +657,28 @@ def test_sync_point_replace_recuts(spark, tmp_path):
     src = generate_dag(reg, dag_id="d", schedule="@daily",
                        sync_point="nightly")
     assert "--set nightly --replace" in src
+
+
+def test_sync_point_replace_failure_keeps_old_freeze(spark, tmp_path):
+    """A FAILED re-cut must leave the old freeze fully intact — the new
+    freeze is cut under a temporary tag first, so a nightly DAG whose
+    re-cut dies (here: one member table gone) never loses its last good
+    freeze, and no temporary tags survive the rollback."""
+    import shutil
+
+    from dbimport_spark.lake.table import LakeTable
+    from dbimport_spark.plans.registry import create_sync_point, sync_points
+
+    reg, logs = _mk_fleet(spark, tmp_path)
+    m1 = create_sync_point(reg, "nightly")
+    v1 = m1["tables"]["alpha"]["table"]["version"]
+
+    shutil.rmtree(str(tmp_path / "t-beta"))  # re-cut will fail on beta
+    with pytest.raises(Exception):
+        create_sync_point(reg, "nightly", replace=True)
+
+    pts = sync_points(reg)
+    assert pts["nightly"]["tables"]["alpha"]["table"]["version"] == v1
+    t = LakeTable.load(str(tmp_path / "t-alpha"))
+    assert t.resolve_ref("nightly") == v1  # old tag untouched
+    assert "nightly.replacing" not in t.tags()  # temp rolled back

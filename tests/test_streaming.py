@@ -681,3 +681,66 @@ def test_stream_mor_mode_converges(spark, tmp_path):
         [r.asDict() for r in table.read(spark).collect()], PAYLOAD_COLUMNS
     )
     assert post == got
+
+
+def test_stream_parked_dead_letters_not_rewedged_or_reparked(spark, tmp_path):
+    """Catch-up stream on a FRESH checkpoint over an archive whose
+    corrupt (null-lsn) rows a batch replay already parked: the dead
+    letters must neither wedge batch 0 (re-delivery / catch-up is
+    benign — the quarantine's dl_srcfile record proves they were
+    handled) nor be re-parked under a new window. An UNPARKED bad-only
+    segment still stops the stream loudly, and park_dead_letters is the
+    working remedy."""
+    import datetime as dt
+    import time
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from dbimport_spark.schema import CHANGE_SCHEMA
+
+    LAX = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in CHANGE_SCHEMA.fields]
+    )
+    TS = dt.datetime(2024, 1, 1)
+    log_dir = str(tmp_path / "log")
+
+    def seg(rows):
+        spark.createDataFrame(rows, LAX).coalesce(1).write.mode(
+            "append"
+        ).parquet(log_dir)
+        time.sleep(0.05)  # distinct mtimes: the WAL-tailer delivery order
+
+    seg([(1, "I", "k1", [1], 1, "web", TS),
+         (None, "I", "kx", [9], 1, "web", TS)])
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    eng = CDCEngine(spark, table, quarantine_dir=str(tmp_path / "q"))
+    assert eng.replay(spark.read.parquet(log_dir)).events_quarantined == 1
+
+    # fresh-checkpoint catch-up over the parked archive + one new segment
+    seg([(2, "I", "k2", [2], 1, "web", TS)])
+    q = run_stream(
+        eng, stream_changes(spark, log_dir),
+        checkpoint_dir=str(tmp_path / "c1"),
+    )
+    q.awaitTermination(300)
+    assert table.last_lsn() == 2
+    assert len(eng.list_quarantine()) == 1  # not re-parked
+
+    # an unparked bad-only segment is a loud stop...
+    seg([(None, "I", "ky", [9], 1, "web", TS)])
+    q2 = run_stream(
+        eng, stream_changes(spark, log_dir),
+        checkpoint_dir=str(tmp_path / "c2"),
+    )
+    with pytest.raises(Exception, match="unparked malformed"):
+        q2.awaitTermination(300)
+    # ...and the message's remedy actually unblocks: park, then resume
+    assert eng.park_dead_letters(spark.read.parquet(log_dir)) == 1
+    q3 = run_stream(
+        eng, stream_changes(spark, log_dir),
+        checkpoint_dir=str(tmp_path / "c3"),
+    )
+    q3.awaitTermination(300)
+    assert table.last_lsn() == 2
+    assert len(eng.list_quarantine()) == 2
