@@ -2175,12 +2175,18 @@ class CDCEngine:
             new_hi = changes.agg(F.max("lsn").alias("hi")).first()["hi"]
             if new_hi is not None and new_hi > self.table.last_lsn():
                 plan = None
+        # None = unknown (plan resumed from checkpoint, no bounds agg ran);
+        # the common fresh-plan path learns it for free from the bounds agg
+        # so a clean log never pays the _null_route_pred probe job
+        log_has_nulls: bool | None = None
         if plan is None:
             bounds = changes.agg(
                 F.min("lsn").alias("lo"),
                 F.max("lsn").alias("hi"),
                 F.count(F.lit(1)).alias("n"),
+                F.count("lsn").alias("n_lsn"),
             ).first()
+            log_has_nulls = bounds["n"] > bounds["n_lsn"]
             if bounds["lo"] is None:
                 if bounds["n"] > 0:
                     # min/max skip nulls: rows exist but NONE carries an
@@ -2233,11 +2239,12 @@ class CDCEngine:
                 continue
             cond = (F.col("lsn") > rlo) & (F.col("lsn") <= rhi)
             if not nulls_routed:
-                pred, route_any = self._null_route_pred(
-                    changes, self.table.last_lsn()
-                )
-                if route_any:
-                    cond = cond | (F.col("lsn").isNull() & pred)
+                if log_has_nulls is not False:
+                    pred, route_any = self._null_route_pred(
+                        changes, self.table.last_lsn()
+                    )
+                    if route_any:
+                        cond = cond | (F.col("lsn").isNull() & pred)
                 nulls_routed = True
             window = changes.filter(cond)
             bs = self.apply_batch(window, rlo, rhi)
