@@ -224,6 +224,28 @@ def main(argv: list[str] | None = None) -> int:
         "following the source's evolution. Default: let Spark's JDBC "
         "writer create the target",
     )
+    sp.add_argument(
+        "--stream", default=None, metavar="CHECKPOINT_DIR",
+        help="follow via Structured Streaming instead of a one-shot sync: "
+        "the lake_cdf source's offsets are source versions, checkpointed "
+        "by Spark in this directory — kill/restart resumes from the last "
+        "committed window (use with --stop-file; --poll sets the trigger "
+        "interval)",
+    )
+    sp.add_argument(
+        "--poll", type=float, default=5.0, metavar="SECONDS",
+        help="with --stream: trigger interval",
+    )
+    sp.add_argument(
+        "--stop-file", default=None, metavar="PATH",
+        help="with --stream: stop once this file appears AND the target "
+        "has drained",
+    )
+    sp.add_argument(
+        "--pin", default=None, metavar="NAME",
+        help="advance this retention pin on the SOURCE after each synced "
+        "window, so source snapshot expiry never strands this export",
+    )
 
     sp = sub.add_parser(
         "ddl",
@@ -1301,8 +1323,59 @@ def main(argv: list[str] | None = None) -> int:
         table = LakeTable.load(args.table_root)
         exp = CDCJdbcExporter(
             table, args.url, args.target_table, state_dir=args.state_dir,
-            dialect=args.dialect,
+            dialect=args.dialect, pin_name=args.pin,
         )
+        if args.stream is not None:
+            import os as _os
+            import time as _time
+
+            from dbimport_spark.streaming.cdf_source import (
+                follow_export_stream,
+                stream_caught_up,
+            )
+
+            q = follow_export_stream(
+                spark, args.table_root, exp, args.stream,
+                trigger_seconds=args.poll,
+            )
+            try:
+                # drain-then-stop, same as mirror --stream: the stop file
+                # takes effect once the target has caught up; the stream's
+                # delivered offset covers trailing empty windows
+                # (compaction / rewrite-only) that never advance the
+                # exporter's own watermark
+                while True:
+                    if q.exception() is not None:
+                        raise q.exception()
+                    drained = (
+                        int(exp._state()["last_version"])
+                        >= table.current().version
+                        or stream_caught_up(q, table)
+                    )
+                    if (
+                        args.stop_file is not None
+                        and _os.path.isfile(args.stop_file)
+                        and drained
+                    ):
+                        break
+                    _time.sleep(min(args.poll, 1.0))
+            finally:
+                q.stop()
+                q.awaitTermination(60)
+            out = {
+                "exported_source_version": int(
+                    exp._state()["last_version"]
+                ),
+                "checkpoint": args.stream,
+            }
+            if args.verify:
+                out["verify"] = verify_cdc_export(
+                    spark, table, args.url, args.target_table
+                )
+            print(json.dumps(out))
+            if args.verify and not out["verify"]["converged"]:
+                return 1
+            return 0
         out = exp.sync(spark, on_gap=args.on_gap)
         if args.verify:
             out["verify"] = verify_cdc_export(

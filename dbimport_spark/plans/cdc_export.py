@@ -331,7 +331,15 @@ class CDCJdbcExporter:
                     "anti-join deletes)."
                 )
             feed = self._full_reconcile_feed(spark)
+        return self.apply_feed(spark, feed, to_v)
 
+    def apply_feed(self, spark: SparkSession, feed: DataFrame, to_v: int) -> dict:
+        """Stage + merge one window's NET feed (payload +
+        ``_change_type``, at most one row per key) into the target and
+        promote the version watermark to ``to_v`` — the single apply
+        primitive behind both the batch ``sync`` and the streaming
+        follower (``streaming/cdf_source.follow_export_stream``)."""
+        state = self._state()
         from pyspark.sql import Observation
 
         payload = self._payload_cols(feed)

@@ -806,3 +806,75 @@ def follow_view_stream(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def follow_export_stream(
+    spark,
+    source_root: str,
+    exporter,
+    checkpoint_dir: str,
+    trigger_seconds: float = 1.0,
+    **source_options,
+):
+    """The streaming twin of ``plans/cdc_export.CDCJdbcExporter.sync``:
+    the RDBMS target follows the source through ``readStream`` — Spark
+    owns the trigger loop and offset checkpointing, completing the
+    follower symmetry (mirror / matview / cdc-export all batch-pollable
+    AND streamable). Exactly-once rides the exporter's own
+    source-version watermark plus its stage-overwrite + delete-then-
+    insert merge: a redelivered micro-batch (crash between foreachBatch
+    and the offset commit) re-runs into the same final target state —
+    the batch path's argument verbatim.
+
+    A micro-batch can span several source versions (rate caps,
+    catch-up), so it is NETTED to the last change per key by commit
+    version before staging — the stage merge requires at most one row
+    per key, and an insert@v1 + delete@v3 nets to the delete (a no-op
+    DELETE on a key the target never saw is harmless). Versions at or
+    below the exporter's watermark are dropped: they are already in the
+    target. Preimage rows are refused — the export ships post-images
+    only.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if str(source_options.get("includePreimage", "")).lower() in ("true", "1"):
+        raise ValueError(
+            "follow_export_stream ships post-images only — drop "
+            "includePreimage"
+        )
+    _guard_follower_start(
+        source_root, int(exporter._state()["last_version"]), source_options
+    )
+    feed = read_changes_stream(spark, source_root, **source_options)
+    keys = list(exporter.keys)
+
+    def apply_window(batch_df, _epoch_id: int) -> None:
+        head = batch_df.agg(
+            F.max(COMMIT_VERSION_COL).alias("v")
+        ).collect()[0]
+        if head["v"] is None:
+            return  # empty window (compaction/rebucket-only commits)
+        to_v = int(head["v"])
+        from_v = int(exporter._state()["last_version"])
+        if to_v <= from_v:
+            return  # redelivered window: target already has it
+        rn = F.row_number().over(
+            Window.partitionBy(*keys).orderBy(
+                F.col(COMMIT_VERSION_COL).desc()
+            )
+        )
+        net = (
+            batch_df.filter(F.col(COMMIT_VERSION_COL) > F.lit(from_v))
+            .withColumn("_rn", rn)
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        exporter.apply_feed(spark, net, to_v)
+
+    return (
+        feed.writeStream.foreachBatch(apply_window)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

@@ -282,3 +282,128 @@ def test_registry_sweep_advances_cdc_export(spark, tmp_path):
     res2 = replay_all(spark, reg)
     assert res2["t1"]["ok"]
     assert res2["t1"]["cdc_exports"][0]["skipped"] is True
+
+
+def test_cdc_jdbc_export_stream_follower(spark, tmp_path):
+    """follow_export_stream: the Derby target follows the source through
+    readStream (the third follower — mirror and matview already stream).
+    Catch-up bootstrap lands, a kill/restart on the SAME checkpoint
+    resumes exactly-once via the exporter's version watermark, and a
+    multi-version micro-batch NETS per key: an insert-then-delete while
+    the follower was down arrives as a harmless no-op delete, and only
+    the latest of two updates is staged."""
+    import datetime as dt
+    import time
+
+    from dbimport_spark.plans.cdc_export import (
+        CDCJdbcExporter,
+        verify_cdc_export,
+    )
+    from dbimport_spark.schema import CHANGE_SCHEMA
+    from dbimport_spark.streaming.cdf_source import follow_export_stream
+
+    TS = dt.datetime(2024, 1, 1)
+
+    def log(rows):
+        return spark.createDataFrame(rows, CHANGE_SCHEMA)
+
+    def _wait(pred, timeout=120):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if pred():
+                return True
+            time.sleep(0.5)
+        return False
+
+    url = _url(tmp_path, "cdcstreamdb")
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    eng = CDCEngine(spark, table)
+    eng.apply_batch(
+        log([(1, "I", "k1", [1] * 4, 4, "a", TS),
+             (2, "I", "k2", [2] * 6, 6, "a", TS)]), 0, 2,
+    )
+    exp = CDCJdbcExporter(
+        table, url, "tgt_s", state_dir=str(tmp_path / "state")
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    q = follow_export_stream(
+        spark, str(tmp_path / "t"), exp, ckpt, trigger_seconds=0.5
+    )
+    try:
+        assert _wait(
+            lambda: int(exp._state()["last_version"])
+            >= table.current().version
+        ), "export follower never caught up"
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    assert verify_cdc_export(spark, table, url, "tgt_s")["converged"]
+
+    # source advances TWICE while the follower is down: k3 inserted then
+    # deleted (nets to nothing), k1 updated twice (latest wins)
+    eng.apply_batch(
+        log([(3, "I", "k3", [3] * 2, 2, "b", TS),
+             (4, "U", "k1", [7] * 3, 3, "a", TS)]), 2, 4,
+    )
+    eng.apply_batch(
+        log([(5, "D", "k3", None, None, None, TS),
+             (6, "U", "k1", [8] * 5, 5, "a", TS)]), 4, 6,
+    )
+    v_target = table.current().version
+
+    q = follow_export_stream(
+        spark, str(tmp_path / "t"), exp, ckpt, trigger_seconds=0.5
+    )
+    try:
+        assert _wait(
+            lambda: int(exp._state()["last_version"]) >= v_target
+        ), "export follower never caught up after restart"
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    rec = verify_cdc_export(spark, table, url, "tgt_s")
+    assert rec["converged"], rec
+    rows = {
+        r["doc_id"]: r["n_tok"]
+        for r in spark.read.jdbc(url, "tgt_s", properties={})
+        .select("doc_id", "n_tok").collect()
+    }
+    assert rows == {"k1": 5, "k2": 6}  # k3 netted away; k1 at lsn 6
+
+
+def test_cli_cdc_export_stream_drains_then_stops(spark, tmp_path, capsys):
+    """`cdc-export --stream CKPT`: the CLI follows via the lake_cdf
+    streaming source and honors drain-then-stop — with the stop file
+    pre-created it exits only once the target reached the source's
+    version, and --verify reconciles over the wire."""
+    import datetime as dt
+    import json as _json
+
+    from dbimport_spark.cli import main
+    from dbimport_spark.schema import CHANGE_SCHEMA
+
+    TS = dt.datetime(2024, 1, 1)
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=2)
+    eng = CDCEngine(spark, table)
+    eng.apply_batch(
+        spark.createDataFrame(
+            [(1, "I", "k1", [1] * 3, 3, "a", TS),
+             (2, "I", "k2", [2] * 4, 4, "b", TS)], CHANGE_SCHEMA
+        ), 0, 2,
+    )
+    url = _url(tmp_path, "clistreamdb")
+    stop = tmp_path / "stop"
+    stop.touch()
+    rc = main(
+        [
+            "cdc-export", str(tmp_path / "t"), url, "tgt_cli",
+            "--state-dir", str(tmp_path / "state"),
+            "--stream", str(tmp_path / "ckpt"), "--stop-file", str(stop),
+            "--poll", "0.3", "--verify",
+        ]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["exported_source_version"] == table.current().version
+    assert out["verify"]["converged"]
