@@ -618,6 +618,12 @@ def main(argv: list[str] | None = None) -> int:
         help="pre-commit truncated-upstream guard for this table's sweeps",
     )
     tp.add_argument(
+        "--quarantine-dir", default=None, metavar="DIR",
+        help="dead-letter dir for this table's sweeps: malformed events "
+        "park there instead of stalling the unattended fleet (inventory "
+        "via the monitoring server, re-ingest via quarantine --drain)",
+    )
+    tp.add_argument(
         "--maintenance", default=None, metavar="JSON",
         help='post-replay storage upkeep, e.g. \'{"expire_keep_last": 3, '
         '"max_files_per_bucket": 4, "target_bytes_per_bucket": 536870912}\'',
@@ -976,6 +982,7 @@ def main(argv: list[str] | None = None) -> int:
                     anonymize_salt=args.anonymize_salt,
                     write_mode=args.write_mode,
                     max_delete_fraction=args.max_delete_fraction,
+                    quarantine_dir=args.quarantine_dir,
                     batches=args.batches,
                     schedule=args.schedule,
                     mirror_root=args.mirror,

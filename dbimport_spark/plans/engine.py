@@ -97,6 +97,26 @@ def history_schema(payload: T.StructType = PAYLOAD_SCHEMA) -> T.StructType:
     )
 
 
+def list_quarantine_dir(path: str | None) -> list[dict]:
+    """One record per parked ``batch-<lo>-<hi>`` dead-letter dir
+    (drained dirs excluded). Module-level and Spark-free so the
+    monitoring server can inventory quarantines without a session;
+    ``CDCEngine.list_quarantine`` delegates here."""
+    if path is None or not os.path.isdir(path):
+        return []
+    out = []
+    for name in sorted(os.listdir(path)):
+        # bounds may be negative (a fresh table's first window is
+        # (-1, hi]) — a naive split("-") would mis-parse and hide it
+        m = re.match(r"^batch-(-?\d+)-(-?\d+)$", name)
+        if m is None:
+            continue
+        out.append(
+            {"dir": name, "lo": int(m.group(1)), "hi": int(m.group(2))}
+        )
+    return out
+
+
 @dataclass
 class BatchStats:
     lo: int
@@ -1731,19 +1751,7 @@ class CDCEngine:
     def list_quarantine(self) -> list[dict]:
         """Metadata-sized inventory of parked dead-letter windows:
         one record per ``batch-<lo>-<hi>`` dir (drained dirs excluded)."""
-        if self.quarantine_dir is None or not os.path.isdir(self.quarantine_dir):
-            return []
-        out = []
-        for name in sorted(os.listdir(self.quarantine_dir)):
-            # bounds may be negative (a fresh table's first window is
-            # (-1, hi]) — a naive split("-") would mis-parse and hide it
-            m = re.match(r"^batch-(-?\d+)-(-?\d+)$", name)
-            if m is None:
-                continue
-            out.append(
-                {"dir": name, "lo": int(m.group(1)), "hi": int(m.group(2))}
-            )
-        return out
+        return list_quarantine_dir(self.quarantine_dir)
 
     def drain_quarantine(self, changes: DataFrame | None = None, fix=None) -> dict:
         """Re-ingest repaired dead-letter events — the missing half of the

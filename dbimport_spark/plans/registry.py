@@ -51,6 +51,13 @@ class TableEntry:
     # max_delete_fraction): refuse to publish a batch deleting more than
     # this fraction of the touched buckets' previous rows
     max_delete_fraction: float | None = None
+    # dead-letter quarantine dir (CDCEngine(quarantine_dir=...)): without
+    # it a sweep REFUSES the whole table on the first malformed event —
+    # right for a hand-run replay, wrong for an unattended fleet where
+    # one corrupt wire line must not stall ingestion until an operator
+    # shows up. Parked windows surface via the monitoring server
+    # (/tables/<name>/quarantine) and drain via `quarantine --drain`.
+    quarantine_dir: str | None = None
     batches: int = 1
     # free-form scheduling hint (e.g. "hourly") — recorded for the
     # orchestrator the deployment pairs this with; replay_all ignores it
@@ -491,6 +498,7 @@ def replay_all(
                     anonymize=e.anonymize,
                     anonymize_salt=e.anonymize_salt,
                     write_mode=e.write_mode,
+                    quarantine_dir=e.quarantine_dir,
                     validators=(
                         None
                         if e.max_delete_fraction is None

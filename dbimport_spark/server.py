@@ -71,6 +71,44 @@ def _table_status(entry) -> dict:
     return out
 
 
+def _quarantine_status(entry) -> dict:
+    """Dead-letter inventory for one table, Spark-free: parked windows
+    (row counts from parquet footers) plus the drained-archive count —
+    the fleet operator's 'is anything stuck in quarantine' probe."""
+    import os
+
+    from dbimport_spark.plans.engine import list_quarantine_dir
+
+    qdir = entry.quarantine_dir
+    if not qdir:
+        return {"configured": False, "parked": [], "drained_windows": 0}
+    parked = list_quarantine_dir(qdir)
+    for rec in parked:
+        rows = 0
+        d = os.path.join(qdir, rec["dir"])
+        try:
+            import pyarrow.parquet as pq
+
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    rows += pq.ParquetFile(
+                        os.path.join(d, f)
+                    ).metadata.num_rows
+            rec["rows"] = rows
+        except Exception:
+            rec["rows"] = None  # unreadable footer: parked-but-unsized
+    drained = (
+        sum(
+            1
+            for n in os.listdir(qdir)
+            if n.startswith("drained-batch-")
+        )
+        if os.path.isdir(qdir)
+        else 0
+    )
+    return {"configured": True, "parked": parked, "drained_windows": drained}
+
+
 def _routes(registry: TableRegistry):
     """path-prefix routing table: callable(parts) -> (code, payload)."""
 
@@ -101,6 +139,8 @@ def _routes(registry: TableRegistry):
             from dbimport_spark.plans.lineage import lineage_history
 
             return 200, list(lineage_history(LakeTable.load(e.table_root)))
+        if parts[1] == "quarantine":
+            return 200, _quarantine_status(e)
         return 404, {"error": f"unknown subresource: {parts[1]}"}
 
     def lag(parts):

@@ -135,3 +135,69 @@ def test_server_errors_are_json_not_crashes(fleet):
     # server still alive after the errors
     code, _ = _get(f"{fleet}/status")
     assert code == 200
+
+
+def test_server_quarantine_inventory(spark, tmp_path):
+    """/tables/<n>/quarantine: Spark-free dead-letter inventory — parked
+    windows with footer row counts, drained-archive count, and an honest
+    'not configured' shape for entries without a quarantine dir."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import types as T
+
+    from dbimport_spark.schema import CHANGE_SCHEMA
+
+    LAX = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in CHANGE_SCHEMA.fields]
+    )
+    TS = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "I", "k1", [1], 1, "web", TS),
+        (2, "I", None, [2], 1, "web", TS),  # null merge key -> parked
+    ]
+    spark.createDataFrame(rows, LAX).coalesce(1).write.parquet(
+        str(tmp_path / "log")
+    )
+    CDCEngine.create_table(str(tmp_path / "t"), num_buckets=2)
+    reg = TableRegistry(str(tmp_path / "reg.json"))
+    reg.add(TableEntry(
+        name="t", table_root=str(tmp_path / "t"),
+        log_path=str(tmp_path / "log"),
+        quarantine_dir=str(tmp_path / "q"),
+    ))
+    res = replay_all(spark, reg)
+    assert res["t"]["ok"], res  # the malformed row did NOT stall the sweep
+
+    srv = make_server(str(tmp_path / "reg.json"))
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        code, body = _get(f"{base}/tables/t/quarantine")
+        assert code == 200 and body["configured"]
+        assert len(body["parked"]) == 1
+        assert body["parked"][0]["rows"] == 1
+        assert body["drained_windows"] == 0
+
+        # archive the window: parked empties, drained count appears
+        d = body["parked"][0]["dir"]
+        os.rename(
+            os.path.join(str(tmp_path / "q"), d),
+            os.path.join(str(tmp_path / "q"), "drained-" + d),
+        )
+        code, body = _get(f"{base}/tables/t/quarantine")
+        assert code == 200 and body["parked"] == []
+        assert body["drained_windows"] == 1
+
+        # a table without a quarantine dir answers honestly
+        reg.add(TableEntry(
+            name="bare", table_root=str(tmp_path / "t"),
+            log_path=str(tmp_path / "log"),
+        ))
+        code, body = _get(f"{base}/tables/bare/quarantine")
+        assert code == 200 and not body["configured"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        thread.join(timeout=5)
