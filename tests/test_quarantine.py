@@ -489,3 +489,34 @@ def test_park_dead_letters_without_fresh_data(spark, tmp_path):
     assert eng.park_dead_letters(spark.read.parquet(log)) == 1
     rows = spark.read.parquet(os.path.join(qdir, "batch-3-3")).collect()
     assert sorted(r["doc_id"] for r in rows) == ["k4", "k6"]
+
+
+def test_drain_after_park_dead_letters(spark, tmp_path):
+    """The full dead-letter loop for a bad-only segment: replay cannot
+    reach it (no fresh data), park_dead_letters parks it at the
+    watermark (zero-span window), and drain_quarantine re-ingests the
+    repaired event — the parked row's dl_srcfile bookkeeping must not
+    confuse the drain's alignment."""
+    from pyspark.sql import functions as F
+
+    log = str(tmp_path / "log")
+    _append_segment(spark, GOOD, log)
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    eng = CDCEngine(spark, table, quarantine_dir=str(tmp_path / "q"))
+    eng.replay(spark.read.parquet(log))
+
+    _append_segment(spark, [BAD[2]], log)  # k4, null lsn — bad-only
+    assert eng.park_dead_letters(spark.read.parquet(log)) == 1
+
+    def fix(df):
+        return df.withColumn("lsn", F.lit(10).cast("long"))
+
+    out = eng.drain_quarantine(
+        changes=spark.read.parquet(log), fix=fix
+    )
+    assert out["events"] == 1
+    rows = {r["doc_id"]: r["tokens"] for r in table.read(spark).collect()}
+    assert rows["k4"] == [7]
+    assert eng.list_quarantine() == []  # archived
+    # and the drained record still blocks any re-park of that segment
+    assert eng.park_dead_letters(spark.read.parquet(log)) == 0
