@@ -24,6 +24,33 @@ import os
 import sys
 
 
+def _stream_drain_loop(query, drained, stop_file, poll) -> None:
+    """Shared drain-then-stop loop for the streaming followers (mirror /
+    matview / cdc-export): surface the stream's own exception, honor the
+    stop file only once the follower has drained, always stop the query.
+    ``drained`` is a zero-arg predicate combining the follower watermark
+    with the stream's delivered offset (stream_caught_up), so trailing
+    empty windows (compaction / rewrite-only commits, which never advance
+    a follower watermark) don't hang the drain."""
+    import os
+    import time
+
+    try:
+        while True:
+            if query.exception() is not None:
+                raise query.exception()
+            if (
+                stop_file is not None
+                and os.path.isfile(stop_file)
+                and drained()
+            ):
+                break
+            time.sleep(min(poll, 1.0))
+    finally:
+        query.stop()
+        query.awaitTermination(60)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dbimport-spark")
     p.add_argument("--master", default=None, help="spark master (default: local[$SPARK_GRAFT_CPUS])")
@@ -1100,6 +1127,23 @@ def main(argv: list[str] | None = None) -> int:
                 return 1
         return 0
 
+    if (
+        args.cmd == "cdc-export"
+        and args.stream is not None
+        and args.on_gap == "full"
+    ):
+        # the stream branch never reaches sync(on_gap=...): an expired
+        # delta base stops the stream loudly, and silently ignoring the
+        # flag the operator passed for exactly that case would be worse
+        print(
+            "cdc-export: --on-gap full and --stream are incompatible — "
+            "run a one-shot `cdc-export --on-gap full` to reconcile, "
+            "then restart the stream with "
+            "startingVersion=<exporter watermark>",
+            file=sys.stderr,
+        )
+        return 2
+
     spark = get_spark(app_name=f"dbimport-{args.cmd}", master=args.master)
     spark.sparkContext.setLogLevel("WARN")
 
@@ -1333,8 +1377,6 @@ def main(argv: list[str] | None = None) -> int:
             dialect=args.dialect, pin_name=args.pin,
         )
         if args.stream is not None:
-            import os as _os
-            import time as _time
 
             from dbimport_spark.streaming.cdf_source import (
                 follow_export_stream,
@@ -1345,30 +1387,16 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.table_root, exp, args.stream,
                 trigger_seconds=args.poll,
             )
-            try:
-                # drain-then-stop, same as mirror --stream: the stop file
-                # takes effect once the target has caught up; the stream's
-                # delivered offset covers trailing empty windows
-                # (compaction / rewrite-only) that never advance the
-                # exporter's own watermark
-                while True:
-                    if q.exception() is not None:
-                        raise q.exception()
-                    drained = (
-                        int(exp._state()["last_version"])
-                        >= table.current().version
-                        or stream_caught_up(q, table)
-                    )
-                    if (
-                        args.stop_file is not None
-                        and _os.path.isfile(args.stop_file)
-                        and drained
-                    ):
-                        break
-                    _time.sleep(min(args.poll, 1.0))
-            finally:
-                q.stop()
-                q.awaitTermination(60)
+            _stream_drain_loop(
+                q,
+                lambda: (
+                    int(exp._state()["last_version"])
+                    >= table.current().version
+                    or stream_caught_up(q, table)
+                ),
+                args.stop_file,
+                args.poll,
+            )
             out = {
                 "exported_source_version": int(
                     exp._state()["last_version"]
@@ -1529,8 +1557,6 @@ def main(argv: list[str] | None = None) -> int:
         mirror = LakeTable.load(args.mirror_root)
         eng = CDCEngine(spark, mirror)
         if args.stream is not None:
-            import os as _os
-            import time as _time
 
             from dbimport_spark.streaming.cdf_source import (
                 follow_mirror_stream,
@@ -1541,30 +1567,15 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.source_root, eng, args.stream,
                 trigger_seconds=args.poll, pin_name=args.pin,
             )
-            try:
-                # drain-then-stop, like the polling daemon: the stop file
-                # only takes effect once the mirror has caught up. The
-                # watermark check alone would hang when the source's
-                # newest commits are empty windows (compaction /
-                # rewrite-only) — the stream's own delivered offset
-                # covers those (stream_caught_up).
-                while True:
-                    if q.exception() is not None:
-                        raise q.exception()
-                    drained = (
-                        mirror.last_lsn() >= source.current().version
-                        or stream_caught_up(q, source)
-                    )
-                    if (
-                        args.stop_file is not None
-                        and _os.path.isfile(args.stop_file)
-                        and drained
-                    ):
-                        break
-                    _time.sleep(min(args.poll, 1.0))
-            finally:
-                q.stop()
-                q.awaitTermination(60)
+            _stream_drain_loop(
+                q,
+                lambda: (
+                    mirror.last_lsn() >= source.current().version
+                    or stream_caught_up(q, source)
+                ),
+                args.stop_file,
+                args.poll,
+            )
             out = {
                 "mirrored_source_version": mirror.last_lsn(),
                 "checkpoint": args.stream,
@@ -1615,8 +1626,6 @@ def main(argv: list[str] | None = None) -> int:
             view = LakeTable.load(args.view_root)
         eng = CDCEngine(spark, view)
         if args.stream is not None:
-            import os as _os
-            import time as _time
 
             from dbimport_spark.streaming.cdf_source import (
                 follow_view_stream,
@@ -1627,28 +1636,15 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.source_root, eng, spec, args.stream,
                 trigger_seconds=args.poll, pin_name=args.pin,
             )
-            try:
-                # drain-then-stop, like the polling daemon: the stop file
-                # only takes effect once the view has caught up — by its
-                # own watermark, or by the stream having delivered every
-                # window (empty windows never advance the watermark)
-                while True:
-                    if q.exception() is not None:
-                        raise q.exception()
-                    drained = (
-                        view.last_lsn() >= source.current().version
-                        or stream_caught_up(q, source)
-                    )
-                    if (
-                        args.stop_file is not None
-                        and _os.path.isfile(args.stop_file)
-                        and drained
-                    ):
-                        break
-                    _time.sleep(min(args.poll, 1.0))
-            finally:
-                q.stop()
-                q.awaitTermination(60)
+            _stream_drain_loop(
+                q,
+                lambda: (
+                    view.last_lsn() >= source.current().version
+                    or stream_caught_up(q, source)
+                ),
+                args.stop_file,
+                args.poll,
+            )
             out = {
                 "view_source_version": view.last_lsn(),
                 "checkpoint": args.stream,

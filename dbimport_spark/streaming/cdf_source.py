@@ -54,9 +54,13 @@ from dbimport_spark.schema import AUDIT_COLUMNS, AUDIT_DELETE
 CHANGE_TYPE_COL = "_change_type"
 COMMIT_VERSION_COL = "_commit_version"
 # opt-in (option includeWindowStart): the micro-batch window's EXCLUSIVE
-# low bound, constant per batch — lets a signed-delta sink (the matview
-# follower) verify window continuity against its own watermark, which
-# COMMIT_VERSION_COL (the end bound) alone cannot do
+# low bound, constant per batch — lets a follower sink verify window
+# CONTINUITY against its own watermark, which COMMIT_VERSION_COL (the
+# end bound) alone cannot do. All three followers need it: a signed
+# delta fold (matview) double-counts an overlap, and even a full-row
+# apply (mirror / cdc-export) is unsafe because a straddling window is
+# one NETTED snapshot diff — an applied insert cancels an unapplied
+# delete into no row at all (_require_window_continuity)
 COMMIT_WINDOW_START_COL = "_commit_window_start"
 
 FORMAT_NAME = "lake_cdf"
@@ -443,10 +447,9 @@ def _guard_follower_start(source_root: str, follower_v: int, options: dict):
         raise ValueError(
             f"stream starting position {start} is ahead of the "
             f"follower's watermark {follower_v}: the window "
-            f"({follower_v}, {start}] would be silently lost. Drop the "
-            "starting option (the follower's own watermark makes the "
-            "bootstrap window a no-op re-read), or catch the follower "
-            "up first."
+            f"({follower_v}, {start}] would be silently lost. Set "
+            f"startingVersion={follower_v} (the follower's watermark), "
+            "or catch the follower up first."
         )
 
 
@@ -628,6 +631,52 @@ def stream_caught_up(query, table) -> bool:
         return False
 
 
+def _require_window_continuity(
+    source, start: int, from_v: int, to_v: int, what: str
+) -> None:
+    """Refuse a micro-batch window that does not begin exactly at the
+    follower's watermark. BELOW is an overlap: a signed delta fold
+    double-counts it, and even the mirror/export's full-row apply is
+    unsafe — each micro-batch is one NETTED snapshot diff, so a key
+    inserted inside the overlap (already applied) and deleted after the
+    watermark nets to NO ROW and the unapplied delete is silently lost
+    (the row is resurrected forever). ABOVE is a skipped window — benign
+    exactly when the gap is provably change-free: the stream emitted an
+    empty micro-batch for (from_v, start] (compaction / rebucket /
+    quarantine-only commits plan zero partitions), which never advances
+    a follower watermark — folding (start, to_v] then equals folding
+    (from_v, to_v]. Verified from metadata with the SAME planner the
+    source used; anything else (expired snapshots, a reload boundary,
+    real data) stays a loud stop."""
+    if start == from_v:
+        return
+    gap_change_free = False
+    gap_err: Exception | None = None
+    if start > from_v:
+        try:
+            gap_change_free = not plan_window(source, from_v, start)
+        except Exception as e:
+            gap_err = e  # surfaced below — the planner's reason
+            # (expired snapshot, reload boundary) is the real
+            # diagnostic, not the generic out-of-band message
+    if gap_change_free:
+        return
+    detail = (
+        f" Gap probe ({from_v}, {start}] failed: {gap_err}"
+        if gap_err is not None
+        else ""
+    )
+    raise ValueError(
+        f"{what} watermark {from_v} does not match the stream "
+        f"window start {start} (window ({start}, {to_v}]): the "
+        f"{what} was advanced out-of-band (a batch sync ran against "
+        "this stream's checkpoint), or the stream was started on a "
+        f"fresh checkpoint below the {what}'s watermark. Applying "
+        "would double-count or net away the overlap. Restart with a "
+        f"fresh checkpoint dir and startingVersion={from_v}.{detail}"
+    ) from gap_err
+
+
 def follow_mirror_stream(
     spark,
     source_root: str,
@@ -644,9 +693,12 @@ def follow_mirror_stream(
 
     Returns the started ``StreamingQuery``; callers stop it. A killed
     follower restarted with the SAME checkpoint dir resumes from the
-    last committed window; with a fresh checkpoint dir it still
-    converges, because every window the mirror already holds is skipped
-    by the LSN guard.
+    last committed window; a fresh checkpoint dir must pass
+    ``startingVersion=<the mirror's watermark>`` — window continuity is
+    enforced per micro-batch (``_require_window_continuity``), because a
+    window straddling the watermark is one netted snapshot diff that can
+    cancel an unapplied delete against an already-applied insert and
+    silently resurrect the row.
     """
     from pyspark.sql import functions as F
 
@@ -658,11 +710,19 @@ def follow_mirror_stream(
     _guard_follower_start(
         source_root, source_version_mirrored(mirror_engine), source_options
     )
+    # every micro-batch carries its window's exclusive low bound so the
+    # sink can verify window CONTINUITY. This is NOT optional for the
+    # mirror either: a micro-batch is one netted snapshot diff, so a
+    # window starting below the mirror's watermark can net an applied
+    # insert against an unapplied delete into NO ROW — the mirror would
+    # keep the deleted key forever (see _require_window_continuity)
+    source_options = {"includeWindowStart": "true", **source_options}
     feed = read_changes_stream(spark, source_root, **source_options)
 
     def apply_window(batch_df, _epoch_id: int) -> None:
         head = batch_df.agg(
-            F.max(COMMIT_VERSION_COL).alias("v")
+            F.max(COMMIT_VERSION_COL).alias("v"),
+            F.max(COMMIT_WINDOW_START_COL).alias("ws"),
         ).collect()[0]
         if head["v"] is None:
             return  # empty window (e.g. compaction-only commits)
@@ -670,7 +730,15 @@ def follow_mirror_stream(
         from_v = source_version_mirrored(mirror_engine)
         if to_v <= from_v:
             return  # redelivered window: mirror already has it
-        events = feed_to_change_events(batch_df, to_v)
+        from dbimport_spark.lake.table import LakeTable
+
+        _require_window_continuity(
+            LakeTable.load(source_root), int(head["ws"]), from_v, to_v,
+            "mirror",
+        )
+        events = feed_to_change_events(
+            batch_df.drop(COMMIT_WINDOW_START_COL), to_v
+        )
         mirror_engine.apply_batch(events, from_v, to_v)
         if pin_name is not None:
             from dbimport_spark.lake.table import LakeTable
@@ -738,9 +806,9 @@ def follow_view_stream(
     # the window-start column makes every micro-batch carry its own
     # exclusive low bound, so the sink can verify window CONTINUITY: a
     # signed delta fold applied over a window that starts below the
-    # view's watermark would double-count the overlap (the mirror's
-    # full-row merge is idempotent and doesn't need this; the view's
-    # fold is not)
+    # view's watermark would double-count the overlap (the mirror and
+    # export followers enforce the same check — their netted diffs can
+    # cancel deletes across a straddle, see _require_window_continuity)
     source_options = {"includeWindowStart": "true", **source_options}
     feed = read_changes_stream(spark, source_root, **source_options)
 
@@ -757,40 +825,7 @@ def follow_view_stream(
             return  # redelivered window: view already has it
         start = int(head["ws"])
         source = LakeTable.load(source_root)
-        if start != from_v:
-            # A window start ABOVE the view watermark is benign exactly
-            # when the gap is provably change-free: the stream emitted an
-            # empty micro-batch for (from_v, start] (compaction/rebucket/
-            # quarantine-only commits plan zero partitions) which could
-            # not advance the view watermark — folding (start, to_v] then
-            # equals folding (from_v, to_v]. Verified from metadata with
-            # the SAME planner the source used; anything else (expired
-            # snapshots, a reload boundary, real data) stays a loud stop.
-            gap_change_free = False
-            gap_err: Exception | None = None
-            if start > from_v:
-                try:
-                    gap_change_free = not plan_window(source, from_v, start)
-                except Exception as e:
-                    gap_err = e  # surfaced below — the planner's reason
-                    # (expired snapshot, reload boundary) is the real
-                    # diagnostic, not the generic out-of-band message
-            if not gap_change_free:
-                detail = (
-                    f" Gap probe ({from_v}, {start}] failed: {gap_err}"
-                    if gap_err is not None
-                    else ""
-                )
-                raise ValueError(
-                    f"view watermark {from_v} does not match the stream "
-                    f"window start {start} (window ({start}, {to_v}]): the "
-                    "view was advanced out-of-band (a batch sync_view ran "
-                    "against this stream's checkpoint), or the stream was "
-                    "started on a fresh checkpoint below the view's "
-                    "watermark. Applying would double-count the overlap. "
-                    f"Restart with a fresh checkpoint dir and "
-                    f"startingVersion={from_v}.{detail}"
-                ) from gap_err
+        _require_window_continuity(source, start, from_v, to_v, "view")
         apply_feed_to_view(
             spark, source, view_engine, spec,
             batch_df.drop(COMMIT_WINDOW_START_COL), from_v, to_v,
@@ -826,16 +861,20 @@ def follow_export_stream(
     and the offset commit) re-runs into the same final target state —
     the batch path's argument verbatim.
 
-    A micro-batch can span several source versions (rate caps,
-    catch-up), so it is NETTED to the last change per key by commit
-    version before staging — the stage merge requires at most one row
-    per key, and an insert@v1 + delete@v3 nets to the delete (a no-op
-    DELETE on a key the target never saw is harmless). Versions at or
-    below the exporter's watermark are dropped: they are already in the
-    target. Preimage rows are refused — the export ships post-images
-    only.
+    A micro-batch IS one netted snapshot diff over its window (even
+    when the window spans several source versions under a rate cap):
+    the planner stamps one end version per batch and the per-bucket
+    diff emits at most one row per key, exactly the shape the stage
+    merge requires — no re-netting needed. Window continuity against
+    the exporter's watermark is enforced per micro-batch
+    (``_require_window_continuity``): a straddling window can net an
+    applied insert against an unapplied delete into NO ROW, silently
+    keeping the deleted key in the target. A fresh checkpoint dir must
+    pass ``startingVersion=<the exporter's watermark>``. Preimage rows
+    are refused — the export ships post-images only. An expired delta
+    base stops the stream loudly: run a one-shot batch
+    ``sync(on_gap='full')`` to reconcile, then restart the stream.
     """
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     if str(source_options.get("includePreimage", "")).lower() in ("true", "1"):
@@ -846,12 +885,13 @@ def follow_export_stream(
     _guard_follower_start(
         source_root, int(exporter._state()["last_version"]), source_options
     )
+    source_options = {"includeWindowStart": "true", **source_options}
     feed = read_changes_stream(spark, source_root, **source_options)
-    keys = list(exporter.keys)
 
     def apply_window(batch_df, _epoch_id: int) -> None:
         head = batch_df.agg(
-            F.max(COMMIT_VERSION_COL).alias("v")
+            F.max(COMMIT_VERSION_COL).alias("v"),
+            F.max(COMMIT_WINDOW_START_COL).alias("ws"),
         ).collect()[0]
         if head["v"] is None:
             return  # empty window (compaction/rebucket-only commits)
@@ -859,18 +899,15 @@ def follow_export_stream(
         from_v = int(exporter._state()["last_version"])
         if to_v <= from_v:
             return  # redelivered window: target already has it
-        rn = F.row_number().over(
-            Window.partitionBy(*keys).orderBy(
-                F.col(COMMIT_VERSION_COL).desc()
-            )
+        from dbimport_spark.lake.table import LakeTable
+
+        _require_window_continuity(
+            LakeTable.load(source_root), int(head["ws"]), from_v, to_v,
+            "export",
         )
-        net = (
-            batch_df.filter(F.col(COMMIT_VERSION_COL) > F.lit(from_v))
-            .withColumn("_rn", rn)
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+        exporter.apply_feed(
+            spark, batch_df.drop(COMMIT_WINDOW_START_COL), to_v
         )
-        exporter.apply_feed(spark, net, to_v)
 
     return (
         feed.writeStream.foreachBatch(apply_window)

@@ -820,3 +820,67 @@ def test_follow_view_stream_survives_change_free_gap(spark, tmp_path):
         q.stop()
     q.awaitTermination(30)
     assert verify_view(spark, src_t, view_t, spec)["converged"]
+
+
+def test_mirror_stream_refuses_straddling_window(spark, tmp_path):
+    """A micro-batch window straddling the mirror's watermark is one
+    NETTED snapshot diff: a key inserted before the straddle (already
+    mirrored) and deleted after it nets to NO ROW, so the old
+    'fresh checkpoint is a benign re-read' behavior silently resurrected
+    deleted keys forever. The follower now refuses the straddle loudly,
+    and the stated remedy — startingVersion at the mirror's watermark —
+    propagates the delete."""
+    from dbimport_spark.plans.mirror import verify_mirror
+    from dbimport_spark.streaming.cdf_source import follow_mirror_stream
+
+    src_t = CDCEngine.create_table(str(tmp_path / "src"), num_buckets=2)
+    src = CDCEngine(spark, src_t)
+    src.apply_batch(
+        _log(spark, [(1, "I", "k1", [1] * 3, 3, "a", TS),
+                     (2, "I", "k2", [2] * 4, 4, "b", TS)]), 0, 2,
+    )
+    mir_t = CDCEngine.create_table(str(tmp_path / "mir"), num_buckets=2)
+    mir = CDCEngine(spark, mir_t)
+
+    q = follow_mirror_stream(
+        spark, str(tmp_path / "src"), mir, str(tmp_path / "c1"),
+        trigger_seconds=0.3,
+    )
+    try:
+        assert _wait(lambda: mir_t.last_lsn() >= src_t.current().version)
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    wm = mir_t.last_lsn()
+
+    # the delete the straddle would net away
+    src.apply_batch(_log(spark, [(3, "D", "k1", None, None, None, TS)]),
+                    2, 3)
+
+    # fresh checkpoint, no starting position: window (0, current] begins
+    # below the mirror's watermark -> loud stop, nothing applied
+    q = follow_mirror_stream(
+        spark, str(tmp_path / "src"), mir, str(tmp_path / "c2"),
+        trigger_seconds=0.3,
+    )
+    assert _wait(lambda: q.exception() is not None)
+    assert "net away" in str(q.exception()) or "double-count" in str(
+        q.exception()
+    )
+    q.stop()
+    with pytest.raises(Exception):  # failed query re-raises on await
+        q.awaitTermination(30)
+    assert {r["doc_id"] for r in mir_t.read(spark).collect()} == {"k1", "k2"}
+
+    # the remedy: fresh checkpoint starting AT the mirror's watermark
+    q = follow_mirror_stream(
+        spark, str(tmp_path / "src"), mir, str(tmp_path / "c3"),
+        trigger_seconds=0.3, startingVersion=wm,
+    )
+    try:
+        assert _wait(lambda: mir_t.last_lsn() >= src_t.current().version)
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    assert verify_mirror(spark, src_t, mir_t)["converged"]
+    assert {r["doc_id"] for r in mir_t.read(spark).collect()} == {"k2"}

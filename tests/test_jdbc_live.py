@@ -407,3 +407,103 @@ def test_cli_cdc_export_stream_drains_then_stops(spark, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["exported_source_version"] == table.current().version
     assert out["verify"]["converged"]
+
+
+def test_cdc_export_stream_refuses_straddling_window(spark, tmp_path):
+    """The export follower refuses a micro-batch window starting below
+    the exporter's watermark: the netted diff would cancel an unapplied
+    delete against the already-exported insert and the RDBMS would keep
+    the deleted key forever. startingVersion at the watermark is the
+    remedy and the delete propagates."""
+    import datetime as dt
+    import time
+
+    import pytest
+
+    from dbimport_spark.plans.cdc_export import (
+        CDCJdbcExporter,
+        verify_cdc_export,
+    )
+    from dbimport_spark.schema import CHANGE_SCHEMA
+    from dbimport_spark.streaming.cdf_source import follow_export_stream
+
+    TS = dt.datetime(2024, 1, 1)
+
+    def log(rows):
+        return spark.createDataFrame(rows, CHANGE_SCHEMA)
+
+    def _wait(pred, timeout=120):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if pred():
+                return True
+            time.sleep(0.5)
+        return False
+
+    url = _url(tmp_path, "straddledb")
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=2)
+    eng = CDCEngine(spark, table)
+    eng.apply_batch(
+        log([(1, "I", "k1", [1] * 3, 3, "a", TS),
+             (2, "I", "k2", [2] * 4, 4, "b", TS)]), 0, 2,
+    )
+    exp = CDCJdbcExporter(
+        table, url, "tgt_str", state_dir=str(tmp_path / "state")
+    )
+    exp.sync(spark)  # batch bootstrap: watermark at v1
+    wm = int(exp._state()["last_version"])
+
+    eng.apply_batch(log([(3, "D", "k1", None, None, None, TS)]), 2, 3)
+
+    # fresh checkpoint, no starting position: straddle -> loud stop
+    q = follow_export_stream(
+        spark, str(tmp_path / "t"), exp, str(tmp_path / "c1"),
+        trigger_seconds=0.3,
+    )
+    assert _wait(lambda: q.exception() is not None)
+    assert "net away" in str(q.exception()) or "double-count" in str(
+        q.exception()
+    )
+    q.stop()
+    with pytest.raises(Exception):
+        q.awaitTermination(30)
+    ids = {
+        r["doc_id"]
+        for r in spark.read.jdbc(url, "tgt_str").select("doc_id").collect()
+    }
+    assert ids == {"k1", "k2"}  # nothing applied by the refused window
+
+    # remedy: start at the exporter's watermark; the delete lands
+    q = follow_export_stream(
+        spark, str(tmp_path / "t"), exp, str(tmp_path / "c2"),
+        trigger_seconds=0.3, startingVersion=wm,
+    )
+    try:
+        assert _wait(
+            lambda: int(exp._state()["last_version"])
+            >= table.current().version
+        )
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    assert verify_cdc_export(spark, table, url, "tgt_str")["converged"]
+    ids = {
+        r["doc_id"]
+        for r in spark.read.jdbc(url, "tgt_str").select("doc_id").collect()
+    }
+    assert ids == {"k2"}
+
+
+def test_cli_cdc_export_stream_rejects_on_gap_full(tmp_path, capsys):
+    """--on-gap full is a batch-only remedy; combined with --stream it
+    would be silently ignored (the stream branch never calls sync) —
+    refuse up front with the two-step remedy, before any Spark session."""
+    from dbimport_spark.cli import main
+
+    rc = main([
+        "cdc-export", str(tmp_path / "t"), "jdbc:derby:x", "tgt",
+        "--state-dir", str(tmp_path / "s"),
+        "--stream", str(tmp_path / "ck"), "--on-gap", "full",
+    ])
+    assert rc == 2
+    assert "incompatible" in capsys.readouterr().err
