@@ -62,6 +62,36 @@ def convert_time_to_cron(value: str) -> str:
     return value
 
 
+_PRESETS = {
+    "@once", "@continuous", "@hourly", "@daily", "@weekly",
+    "@monthly", "@quarterly", "@yearly", "@annually",
+}
+# permissive per-field charset (numbers, ranges, steps, lists, day/month
+# names, L/W/#/? extensions) — the goal is catching free-form cadence
+# hints ('nightly'), not re-implementing a cron parser
+_CRON_FIELD = re.compile(r"^[0-9A-Za-z*/,\-#?LW]+$")
+
+
+def _validate_schedule(cron: str, origin: str) -> str:
+    """Refuse a resolved schedule Airflow would reject at DAG import —
+    the generator's stance is failing at GENERATION time (same reason it
+    pre-validates task-id collisions): an invalid schedule emitted
+    verbatim produces a file that errors on import and silently
+    schedules nothing. Free-form registry cadence hints ('nightly') land
+    here; use a preset, 'HH:MM', or a 5-field cron line instead."""
+    if cron in _PRESETS:
+        return cron
+    fields = cron.split()
+    if len(fields) == 5 and all(_CRON_FIELD.match(f) for f in fields):
+        return cron
+    raise ValueError(
+        f"schedule {cron!r} (from {origin}) is neither an Airflow "
+        f"@-preset ({', '.join(sorted(_PRESETS))}), an 'HH:MM' time, "
+        "nor a 5-field cron line — the generated DAG would fail at "
+        "Airflow import. Pass --schedule with a valid value."
+    )
+
+
 def _task_id(prefix: str, name: str) -> str:
     return f"{prefix}_{_IDENT_BAD.sub('_', name)}"
 
@@ -152,7 +182,14 @@ def generate_dag(
     # make every scheduled task fail (or read some OTHER reg.json)
     reg_arg = shlex.quote(os.path.abspath(registry.path))
     cli = f"{python} -m dbimport_spark.cli"
-    cron = convert_time_to_cron(schedule or schedule_group or "@daily")
+    origin = (
+        "--schedule" if schedule
+        else f"registry schedule group {schedule_group!r}" if schedule_group
+        else "default"
+    )
+    cron = _validate_schedule(
+        convert_time_to_cron(schedule or schedule_group or "@daily"), origin
+    )
 
     lines: list[str] = []
     w = lines.append

@@ -1736,6 +1736,14 @@ class CDCEngine:
         if os.path.isdir(dst):
             prior = self.spark.read.parquet(dst)
             prior_n = prior.count()
+            if set(prior.columns) == set(out.columns):
+                # rows from a non-file frame (dl_srcfile == "") carry no
+                # segment identity, so the srcfile dedup cannot see them —
+                # a repeat park of the same frame must still be a no-op.
+                # Multiset-subtract the already-parked rows: exact repeats
+                # vanish, while genuinely new occurrences (and distinct
+                # duplicates within one frame on their FIRST park) survive.
+                out = out.select(*prior.columns).exceptAll(prior)
             out = prior.unionByName(out, allowMissingColumns=True)
         out = out.localCheckpoint(eager=True)  # dead-letter-sized; must
         # materialize before the swap below unlinks its own input dir
@@ -2177,16 +2185,22 @@ class CDCEngine:
             f"{self.checkpoint_dir}/replay_plan.json" if self.checkpoint_dir else None
         )
         plan = load_plan(ckpt_path, self.state_store) if ckpt_path else None
+        # None = unknown (plan resumed from checkpoint, no bounds agg ran);
+        # the fresh-plan and completed-plan paths learn it for free from
+        # their single bounds agg so a clean log never pays the
+        # _null_route_pred probe job
+        log_has_nulls: bool | None = None
         if plan is not None and plan.completed >= len(plan.ranges):
             # prior plan fully applied; if the log has grown since, re-plan
             # the remainder (the steady-state "tail the log again" call)
-            new_hi = changes.agg(F.max("lsn").alias("hi")).first()["hi"]
-            if new_hi is not None and new_hi > self.table.last_lsn():
+            probe = changes.agg(
+                F.max("lsn").alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+                F.count("lsn").alias("n_lsn"),
+            ).first()
+            log_has_nulls = probe["n"] > probe["n_lsn"]
+            if probe["hi"] is not None and probe["hi"] > self.table.last_lsn():
                 plan = None
-        # None = unknown (plan resumed from checkpoint, no bounds agg ran);
-        # the common fresh-plan path learns it for free from the bounds agg
-        # so a clean log never pays the _null_route_pred probe job
-        log_has_nulls: bool | None = None
         if plan is None:
             bounds = changes.agg(
                 F.min("lsn").alias("lo"),
@@ -2231,6 +2245,32 @@ class CDCEngine:
                 save_plan(ckpt_path, plan, self.state_store)
 
         stats = ReplayStats()
+        # A log whose only NEW content is null-lsn dead letters plans no
+        # window at all (bounds come from valid lsns, which are all at or
+        # below the watermark) — the loop below would never run and the
+        # bad rows would be silently ignored under green stats, while the
+        # streaming path stops loudly for this exact state. Park them here
+        # (the window-less twin of the in-window routing), or refuse when
+        # no quarantine is configured.
+        will_apply = any(
+            i >= plan.completed and rhi > self.table.last_lsn()
+            for i, (_rlo, rhi) in enumerate(plan.ranges)
+        )
+        if not will_apply and log_has_nulls:
+            if self.quarantine_dir is not None:
+                stats.events_quarantined += self.park_dead_letters(changes)
+            else:
+                _pred, route_any = self._null_route_pred(
+                    changes, self.table.last_lsn()
+                )
+                if route_any:
+                    raise ValueError(
+                        "log holds unparked null-lsn event(s) but no "
+                        "fresh orderable rows — no replay window can "
+                        "carry them. Configure quarantine_dir (or call "
+                        "park_dead_letters) so they are parked instead "
+                        "of silently ignored."
+                    )
         # Null-lsn (malformed) rows are invisible to every window filter —
         # route them into the FIRST window this run applies, where the
         # engine's quarantine parks them (or refuses loudly). A resumed

@@ -301,13 +301,19 @@ def _to_change_shape(
         )
 
     has_ts = "ts_ms" in raw.columns
+    has_corrupt = "_corrupt_record" in raw.columns
     cols = [
         lsn.alias("lsn"),
         op.alias("op"),
         _image(key_field).cast("string").alias("doc_id"),
     ]
-    # commit_ts is reserved only when the envelope will actually emit it
-    taken = {"lsn", "op", "doc_id"} | ({"commit_ts"} if has_ts else set())
+    # commit_ts is reserved only when the envelope will actually emit it;
+    # dl_raw only when a corrupt-record column exists to carry through
+    taken = (
+        {"lsn", "op", "doc_id"}
+        | ({"commit_ts"} if has_ts else set())
+        | ({"dl_raw"} if has_corrupt else set())
+    )
     image_fields = [T.StructField(n, merged[n][0], True) for n in merged]
     cols += flatten_image_columns(
         image_fields, _image, key_field, taken, flatten=flatten
@@ -317,6 +323,12 @@ def _to_change_shape(
         cols.append(
             F.timestamp_millis(F.col("ts_ms").cast("long")).alias("commit_ts")
         )
+    if has_corrupt:
+        # the raw wire line survives as repair evidence: a corrupt line
+        # parses to all-null payload columns, so without this the parked
+        # quarantine row would hold nothing to reconstruct the event from
+        # (drain_quarantine's fix() would be blind). Null on clean rows.
+        cols.append(F.col("_corrupt_record").alias("dl_raw"))
 
     out = raw.select(*cols)
     return normalize_dataframe(out, dates_to_string=dates_to_string)

@@ -631,8 +631,23 @@ def stream_caught_up(query, table) -> bool:
         return False
 
 
+def _window_start_options(source_options: dict, what: str) -> dict:
+    """Force ``includeWindowStart`` on for a follower feed; an explicit
+    caller value of false is refused loudly (the continuity check cannot
+    run without the window-start column, and silently overriding the
+    caller would hide the disagreement)."""
+    merged = {"includeWindowStart": "true", **source_options}
+    if str(merged["includeWindowStart"]).lower() not in ("true", "1"):
+        raise ValueError(
+            f"{what} follower needs the window-start column — "
+            "includeWindowStart cannot be disabled (window continuity "
+            "is verified against it, see _require_window_continuity)"
+        )
+    return merged
+
+
 def _require_window_continuity(
-    source, start: int, from_v: int, to_v: int, what: str
+    load_source, start: int, from_v: int, to_v: int, what: str
 ) -> None:
     """Refuse a micro-batch window that does not begin exactly at the
     follower's watermark. BELOW is an overlap: a signed delta fold
@@ -647,14 +662,19 @@ def _require_window_continuity(
     a follower watermark — folding (start, to_v] then equals folding
     (from_v, to_v]. Verified from metadata with the SAME planner the
     source used; anything else (expired snapshots, a reload boundary,
-    real data) stays a loud stop."""
+    real data) stays a loud stop.
+
+    ``load_source`` is a zero-arg callable returning the source
+    ``LakeTable`` — called only on the rare discontinuity path, so the
+    steady-state trigger loop (start == from_v) never pays the
+    full-metadata parse just to check continuity."""
     if start == from_v:
         return
     gap_change_free = False
     gap_err: Exception | None = None
     if start > from_v:
         try:
-            gap_change_free = not plan_window(source, from_v, start)
+            gap_change_free = not plan_window(load_source(), from_v, start)
         except Exception as e:
             gap_err = e  # surfaced below — the planner's reason
             # (expired snapshot, reload boundary) is the real
@@ -716,7 +736,7 @@ def follow_mirror_stream(
     # window starting below the mirror's watermark can net an applied
     # insert against an unapplied delete into NO ROW — the mirror would
     # keep the deleted key forever (see _require_window_continuity)
-    source_options = {"includeWindowStart": "true", **source_options}
+    source_options = _window_start_options(source_options, "mirror")
     feed = read_changes_stream(spark, source_root, **source_options)
 
     def apply_window(batch_df, _epoch_id: int) -> None:
@@ -733,15 +753,14 @@ def follow_mirror_stream(
         from dbimport_spark.lake.table import LakeTable
 
         _require_window_continuity(
-            LakeTable.load(source_root), int(head["ws"]), from_v, to_v,
-            "mirror",
+            lambda: LakeTable.load(source_root), int(head["ws"]),
+            from_v, to_v, "mirror",
         )
         events = feed_to_change_events(
             batch_df.drop(COMMIT_WINDOW_START_COL), to_v
         )
         mirror_engine.apply_batch(events, from_v, to_v)
         if pin_name is not None:
-            from dbimport_spark.lake.table import LakeTable
             from dbimport_spark.lake.table import advance_pin
 
             advance_pin(LakeTable.load(source_root), pin_name, to_v)
@@ -809,7 +828,7 @@ def follow_view_stream(
     # view's watermark would double-count the overlap (the mirror and
     # export followers enforce the same check — their netted diffs can
     # cancel deletes across a straddle, see _require_window_continuity)
-    source_options = {"includeWindowStart": "true", **source_options}
+    source_options = _window_start_options(source_options, "view")
     feed = read_changes_stream(spark, source_root, **source_options)
 
     def apply_window(batch_df, _epoch_id: int) -> None:
@@ -825,7 +844,9 @@ def follow_view_stream(
             return  # redelivered window: view already has it
         start = int(head["ws"])
         source = LakeTable.load(source_root)
-        _require_window_continuity(source, start, from_v, to_v, "view")
+        _require_window_continuity(
+            lambda: source, start, from_v, to_v, "view"
+        )
         apply_feed_to_view(
             spark, source, view_engine, spec,
             batch_df.drop(COMMIT_WINDOW_START_COL), from_v, to_v,
@@ -885,7 +906,7 @@ def follow_export_stream(
     _guard_follower_start(
         source_root, int(exporter._state()["last_version"]), source_options
     )
-    source_options = {"includeWindowStart": "true", **source_options}
+    source_options = _window_start_options(source_options, "export")
     feed = read_changes_stream(spark, source_root, **source_options)
 
     def apply_window(batch_df, _epoch_id: int) -> None:
@@ -902,8 +923,8 @@ def follow_export_stream(
         from dbimport_spark.lake.table import LakeTable
 
         _require_window_continuity(
-            LakeTable.load(source_root), int(head["ws"]), from_v, to_v,
-            "export",
+            lambda: LakeTable.load(source_root), int(head["ws"]),
+            from_v, to_v, "export",
         )
         exporter.apply_feed(
             spark, batch_df.drop(COMMIT_WINDOW_START_COL), to_v

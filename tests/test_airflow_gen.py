@@ -128,6 +128,23 @@ def test_generate_dag_schedule_group(tmp_path):
         generate_dag(reg, "empty", schedule_group="weekly")
 
 
+def test_generate_dag_refuses_freeform_schedule(tmp_path):
+    """A free-form cadence hint ('nightly') is a fine registry GROUP key
+    but is not a schedule Airflow accepts — emitted verbatim the DAG
+    file errors at Airflow import and silently schedules nothing, so the
+    generator refuses at generation time (same stance as its task-id
+    collision pre-check). An explicit valid --schedule unblocks it."""
+    reg = TableRegistry(str(tmp_path / "reg.json"))
+    reg.add(TableEntry(name="t1", table_root="/r/1", log_path="/l/1",
+                       schedule="nightly"))
+    with pytest.raises(ValueError, match="fail at Airflow import"):
+        generate_dag(reg, "night", schedule_group="nightly")
+    src = generate_dag(
+        reg, "night", schedule_group="nightly", schedule="02:00"
+    )
+    assert "'0 2 * * *'" in src
+
+
 def test_generate_dag_hostile_names_and_paths(tmp_path):
     """Table names that are valid registry keys but not Python
     identifiers must still emit a loadable DAG; colliding sanitizations

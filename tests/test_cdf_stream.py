@@ -884,3 +884,33 @@ def test_mirror_stream_refuses_straddling_window(spark, tmp_path):
     q.awaitTermination(30)
     assert verify_mirror(spark, src_t, mir_t)["converged"]
     assert {r["doc_id"] for r in mir_t.read(spark).collect()} == {"k2"}
+
+
+def test_followers_refuse_disabled_window_start(spark, tmp_path):
+    """includeWindowStart is load-bearing for every follower (the
+    continuity check reads the column); an explicit 'false' must be
+    refused up front, not silently overridden and not left to fail as an
+    unresolved-column error inside the first micro-batch."""
+    from dbimport_spark.streaming.cdf_source import (
+        follow_mirror_stream,
+        follow_view_stream,
+    )
+
+    src_t = CDCEngine.create_table(str(tmp_path / "src"), num_buckets=2)
+    mir_t = CDCEngine.create_table(str(tmp_path / "mir"), num_buckets=2)
+    mir = CDCEngine(spark, mir_t)
+    with pytest.raises(ValueError, match="includeWindowStart"):
+        follow_mirror_stream(
+            spark, str(tmp_path / "src"), mir, str(tmp_path / "c"),
+            includeWindowStart="false",
+        )
+    from dbimport_spark.plans.matview import AggSpec, create_view
+
+    spec = AggSpec(group_cols=["source"], sum_cols=["n_tok"])
+    view_t = create_view(str(tmp_path / "view"), src_t, spec)
+    view = CDCEngine(spark, view_t)
+    with pytest.raises(ValueError, match="includeWindowStart"):
+        follow_view_stream(
+            spark, str(tmp_path / "src"), view, spec, str(tmp_path / "c2"),
+            includeWindowStart="0",
+        )

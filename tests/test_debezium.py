@@ -557,3 +557,7 @@ def test_stream_corrupt_line_quarantined_not_dropped(spark, tmp_path):
         os.path.join(qdir, parked[0]["dir"])
     ).collect()
     assert len(q) == 1 and q[0]["lsn"] is None
+    # the raw wire line rides along as repair evidence (dl_raw) — the
+    # parsed payload columns are all null, so without it the parked row
+    # would carry nothing to reconstruct the event from
+    assert q[0]["dl_raw"] is not None and "bro" in q[0]["dl_raw"]

@@ -461,12 +461,12 @@ def test_new_dirty_segment_parks_only_its_own_dead_letters(spark, tmp_path):
 
 
 def test_park_dead_letters_without_fresh_data(spark, tmp_path):
-    """A bad-only segment arriving with NO fresh data has no replay
-    window to ride into (a no-op sweep stays metadata-cheap and routes
-    nothing) — park_dead_letters is the explicit remedy: parks exactly
-    the unparked null-lsn rows at the watermark, idempotently, and a
-    second dirty segment at the same watermark unions instead of
-    overwriting the first record away."""
+    """A bad-only segment arriving with NO fresh data plans no replay
+    window at all — replay must not return green stats over it: with a
+    quarantine configured it parks the segment itself (the window-less
+    twin of in-window routing); park_dead_letters stays the explicit
+    remedy and is idempotent, and a second dirty segment at the same
+    watermark unions instead of overwriting the first record away."""
     log = str(tmp_path / "log")
     _append_segment(spark, GOOD, log)
     table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
@@ -477,9 +477,8 @@ def test_park_dead_letters_without_fresh_data(spark, tmp_path):
 
     _append_segment(spark, [BAD[2]], log)  # bad-only segment
     s = eng.replay(spark.read.parquet(log), num_batches=2)
-    assert s.events_applied == 0 and s.events_quarantined == 0  # the gap
-
-    assert eng.park_dead_letters(spark.read.parquet(log)) == 1
+    assert s.events_applied == 0
+    assert s.events_quarantined == 1  # parked by the sweep itself
     assert eng.park_dead_letters(spark.read.parquet(log)) == 0  # idempotent
     windows = eng.list_quarantine()
     assert len(windows) == 1 and windows[0]["lo"] == windows[0]["hi"] == 3
@@ -489,6 +488,46 @@ def test_park_dead_letters_without_fresh_data(spark, tmp_path):
     assert eng.park_dead_letters(spark.read.parquet(log)) == 1
     rows = spark.read.parquet(os.path.join(qdir, "batch-3-3")).collect()
     assert sorted(r["doc_id"] for r in rows) == ["k4", "k6"]
+    # a repeat sweep re-parks nothing and stays green
+    s = eng.replay(spark.read.parquet(log), num_batches=2)
+    assert s.events_applied == 0 and s.events_quarantined == 0
+
+
+def test_bad_only_segment_refused_without_quarantine(spark, tmp_path):
+    """The same window-less bad-only segment WITHOUT a quarantine dir is
+    a loud stop, not a green no-op — replay_all fleet sweeps must never
+    report ok over unparked dead letters (the streaming path already
+    refuses this exact state)."""
+    log = str(tmp_path / "log")
+    _append_segment(spark, GOOD, log)
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    eng = CDCEngine(spark, table)
+    eng.replay(spark.read.parquet(log))
+
+    _append_segment(spark, [BAD[2]], log)  # bad-only segment
+    with pytest.raises(ValueError, match="unparked null-lsn"):
+        eng.replay(spark.read.parquet(log), num_batches=2)
+
+
+def test_park_dead_letters_nonfile_frame_repeat_is_noop(spark, tmp_path):
+    """Rows from an in-memory frame carry no source-segment identity
+    (input_file_name is ''), so the srcfile dedup cannot see them — a
+    repeat park of the SAME frame (an automation retry) must still be a
+    no-op, not a double-park that later double-drains."""
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    qdir = str(tmp_path / "q")
+    eng = CDCEngine(spark, table, quarantine_dir=qdir)
+    eng.replay(_log(spark, GOOD))
+
+    bad = _log(spark, [BAD[2]])
+    assert eng.park_dead_letters(bad) == 1
+    assert eng.park_dead_letters(bad) == 0  # exact repeat: nothing new
+    rows = spark.read.parquet(os.path.join(qdir, "batch-3-3")).collect()
+    assert len(rows) == 1
+    # a genuinely NEW dead letter from another memory frame still parks
+    assert eng.park_dead_letters(
+        _log(spark, [(None, "I", "k6", [9], 1, "web", TS)])
+    ) == 1
 
 
 def test_drain_after_park_dead_letters(spark, tmp_path):
