@@ -1128,18 +1128,18 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if (
-        args.cmd == "cdc-export"
-        and args.stream is not None
+        args.cmd in ("cdc-export", "mirror", "matview")
+        and getattr(args, "stream", None) is not None
         and args.on_gap == "full"
     ):
-        # the stream branch never reaches sync(on_gap=...): an expired
+        # the stream branches never reach sync(on_gap=...): an expired
         # delta base stops the stream loudly, and silently ignoring the
         # flag the operator passed for exactly that case would be worse
         print(
-            "cdc-export: --on-gap full and --stream are incompatible — "
-            "run a one-shot `cdc-export --on-gap full` to reconcile, "
+            f"{args.cmd}: --on-gap full and --stream are incompatible — "
+            f"run a one-shot `{args.cmd} --on-gap full` to reconcile, "
             "then restart the stream with "
-            "startingVersion=<exporter watermark>",
+            "startingVersion=<the follower's watermark>",
             file=sys.stderr,
         )
         return 2

@@ -437,8 +437,12 @@ class LakeTable:
             st = (f.stats or {}).get(self._physical_name(snap, col, f.epoch))
             if st is None:
                 return True  # unknown: conservative
-            if st[0] is None:  # provably all-null: no value in any range
-                return False
+            if st[0] is None:
+                # provably all-null: any BOUND excludes NULL rows, so the
+                # file prunes — but with no bounds the filter is TRUE and
+                # keeps NULLs, so the file must stay (else the result
+                # would diverge from read() based on stat presence alone)
+                return lo is None and hi is None
             if lo is not None and st[1] < lo:
                 return False
             if hi is not None and st[0] > hi:

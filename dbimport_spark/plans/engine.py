@@ -1077,7 +1077,6 @@ class CDCEngine:
             # resolve — re-raise (the reference's stage machine would
             # rewind and retry, import_stage.py:1018-1039 analogue).
             if self.table.last_lsn() >= hi:
-                import shutil
 
                 shutil.rmtree(
                     os.path.join(self.table.root, "data", version_dir),
@@ -1118,7 +1117,6 @@ class CDCEngine:
             for v in self.validators:
                 v(staged, info)
         except ValidationFailed:
-            import shutil
 
             for d in version_dirs:
                 shutil.rmtree(
@@ -1323,7 +1321,6 @@ class CDCEngine:
             )
         except CommitConflict:
             if self.table.last_lsn() >= hi:
-                import shutil
 
                 for d in (version_dir, version_dir + "-del"):
                     shutil.rmtree(
@@ -1405,7 +1402,6 @@ class CDCEngine:
             # duplicate files and move on (same shared-plan race the main
             # commit handles)
             if ht.last_lsn() >= hi:
-                import shutil
 
                 shutil.rmtree(os.path.join(ht.root, "data", hdir), ignore_errors=True)
                 return
@@ -1854,13 +1850,12 @@ class CDCEngine:
                     *[emap[k].alias(k) for k in self.keys]
                 ).distinct()
                 stats = self.repair_keys(combined, keys=scope)
-        import shutil as _shutil
 
         for p in parked:
             src = os.path.join(self.quarantine_dir, p["dir"])
             dst = os.path.join(self.quarantine_dir, "drained-" + p["dir"])
             if os.path.isdir(dst):  # stale target from a prior crash
-                _shutil.rmtree(dst)
+                shutil.rmtree(dst)
             os.rename(src, dst)
         self._emit_stats(
             "drain_quarantine",

@@ -538,7 +538,14 @@ class LakeCDFStreamReader(DataSourceStreamReader):
                 f"table schema at version {b} no longer matches the "
                 "stream's declared schema — the table evolved while the "
                 "stream was running. Restart the streaming query to pick "
-                "up the new schema (offsets in the checkpoint are kept)."
+                "up the new schema (offsets in the checkpoint are kept). "
+                "If the restart hits this same error, the checkpoint "
+                "holds a write-ahead-logged window planned BEFORE the "
+                "evolution — replaying it can never match the new "
+                "schema: start a FRESH checkpoint dir with "
+                "startingVersion=<the follower's watermark> (the "
+                "follower's window-continuity guard makes exactly that "
+                "restart safe)."
             )
         return [
             _BucketPartition(m)
@@ -631,19 +638,30 @@ def stream_caught_up(query, table) -> bool:
         return False
 
 
+def _ci_last(options: dict, name: str):
+    """Last-set value for an option under ANY key case — Spark's reader
+    options are case-insensitive with last-set-wins, so a guard that
+    checks only one spelling is bypassable."""
+    val = None
+    for k, v in options.items():
+        if k.lower() == name.lower():
+            val = v
+    return val
+
+
 def _window_start_options(source_options: dict, what: str) -> dict:
     """Force ``includeWindowStart`` on for a follower feed; an explicit
-    caller value of false is refused loudly (the continuity check cannot
-    run without the window-start column, and silently overriding the
-    caller would hide the disagreement)."""
-    merged = {"includeWindowStart": "true", **source_options}
-    if str(merged["includeWindowStart"]).lower() not in ("true", "1"):
+    caller value of false (any key case) is refused loudly (the
+    continuity check cannot run without the window-start column, and
+    silently overriding the caller would hide the disagreement)."""
+    user = _ci_last(source_options, "includeWindowStart")
+    if user is not None and str(user).lower() not in ("true", "1"):
         raise ValueError(
             f"{what} follower needs the window-start column — "
             "includeWindowStart cannot be disabled (window continuity "
             "is verified against it, see _require_window_continuity)"
         )
-    return merged
+    return {"includeWindowStart": "true", **source_options}
 
 
 def _require_window_continuity(
@@ -815,13 +833,14 @@ def follow_view_stream(
     _guard_follower_start(
         source_root, max(view_engine.table.last_lsn(), 0), source_options
     )
-    source_options = {"includePreimage": "true", **source_options}
-    if str(source_options["includePreimage"]).lower() not in ("true", "1"):
+    pre = _ci_last(source_options, "includePreimage")
+    if pre is not None and str(pre).lower() not in ("true", "1"):
         raise ValueError(
             "follow_view_stream needs the pre-image feed — "
             "includePreimage cannot be disabled (update inversion "
             "reads the _pre_ columns)"
         )
+    source_options = {"includePreimage": "true", **source_options}
     # the window-start column makes every micro-batch carry its own
     # exclusive low bound, so the sink can verify window CONTINUITY: a
     # signed delta fold applied over a window that starts below the
@@ -898,7 +917,9 @@ def follow_export_stream(
     """
     from pyspark.sql import functions as F
 
-    if str(source_options.get("includePreimage", "")).lower() in ("true", "1"):
+    if str(_ci_last(source_options, "includePreimage") or "").lower() in (
+        "true", "1",
+    ):
         raise ValueError(
             "follow_export_stream ships post-images only — drop "
             "includePreimage"

@@ -904,6 +904,14 @@ def test_followers_refuse_disabled_window_start(spark, tmp_path):
             spark, str(tmp_path / "src"), mir, str(tmp_path / "c"),
             includeWindowStart="false",
         )
+    # Spark reader options are case-insensitive — an all-lowercase
+    # spelling must not slip past the guard (it would reach the reader,
+    # disable the column, and die as an unresolved-column error instead)
+    with pytest.raises(ValueError, match="includeWindowStart"):
+        follow_mirror_stream(
+            spark, str(tmp_path / "src"), mir, str(tmp_path / "c"),
+            includewindowstart="false",
+        )
     from dbimport_spark.plans.matview import AggSpec, create_view
 
     spec = AggSpec(group_cols=["source"], sum_cols=["n_tok"])

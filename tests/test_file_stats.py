@@ -244,3 +244,26 @@ def test_layout_properties_and_stats_follow_rename(spark, tmp_path):
     assert lo.count() == 0
     full = table.read_where(spark, "tok_count", lo=0)
     assert full.count() == table.read(spark).count()
+
+
+def test_read_where_no_bounds_keeps_all_null_stat_files(spark, tmp_path):
+    """code-review r5: with BOTH bounds omitted the exact filter is TRUE
+    (NULL rows are kept), but the pruner still dropped files whose stat
+    is the all-null marker — the result silently diverged from read()
+    based only on whether a file happened to record stats. The marker
+    may prune only when a bound exists (a bound excludes NULLs)."""
+    from dbimport_spark.schema import AUDIT_DELETE
+
+    table = CDCEngine.create_table(
+        str(tmp_path / "t"), num_buckets=4, soft_delete=True
+    )
+    eng = CDCEngine(spark, table)
+    eng.replay(generate_changes(spark, 600, n_keys=50, seed=9, p_insert=1.0,
+                                p_update=0.0), num_batches=1)
+    # every file's dl_delete_ts stat is the all-null marker here; a
+    # bounded read of this TIMESTAMP column is out of scope (read_where
+    # bounds are numeric-only per its docstring — the exporter owns
+    # timestamp pruning), but the no-bounds read must equal read()
+    assert table.read_where(spark, AUDIT_DELETE).count() == table.read(
+        spark
+    ).count()

@@ -507,3 +507,18 @@ def test_cli_cdc_export_stream_rejects_on_gap_full(tmp_path, capsys):
     ])
     assert rc == 2
     assert "incompatible" in capsys.readouterr().err
+    # same guard for the other two followers — the flag was previously
+    # dropped silently there (code-review r5)
+    rc = main([
+        "mirror", str(tmp_path / "t"), str(tmp_path / "m"),
+        "--stream", str(tmp_path / "ck2"), "--on-gap", "full",
+    ])
+    assert rc == 2
+    assert "mirror: --on-gap full" in capsys.readouterr().err
+    rc = main([
+        "matview", str(tmp_path / "t"), str(tmp_path / "v"),
+        "--group-by", "source",
+        "--stream", str(tmp_path / "ck3"), "--on-gap", "full",
+    ])
+    assert rc == 2
+    assert "matview: --on-gap full" in capsys.readouterr().err
