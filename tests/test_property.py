@@ -232,3 +232,137 @@ def test_matview_random_sequences_equal_groupby(
         )
         sync_view(spark, table, view, spec)
         assert verify_view(spark, table, view.table, spec)["converged"]
+
+
+# dead-letter fuzz: segments of valid events with malformed (null-lsn)
+# rows interleaved at arbitrary positions; True = this slot is a dead
+# letter. Each segment is an immutable parquet file, replayed as the log
+# grows — the park/dedup machinery must park every dead letter EXACTLY
+# once across re-planned replays, and a drain must fold the corrections
+# into the LWW state the full corrected log would have produced.
+dl_event = st.tuples(
+    st.booleans(),
+    st.sampled_from(["I", "U", "D"]),
+    st.sampled_from(KEYS),
+    st.lists(st.integers(0, 5), min_size=0, max_size=3),
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(dl_event, min_size=1, max_size=4), min_size=1, max_size=3
+    ),
+    st.integers(1, 2),
+)
+def test_random_dead_letter_interleavings(
+    spark, tmp_path_factory, segments, num_batches
+):
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path_factory.mktemp("dlp"))
+    log = root + "/log"
+    table = CDCEngine.create_table(root + "/t", num_buckets=4)
+    eng = CDCEngine(spark, table, quarantine_dir=root + "/q")
+
+    lsn = 0
+    bad_ctr = 0
+    valid_rows = []       # every well-formed event, for the oracle
+    corrected_rows = []   # what each dead letter becomes after the fix
+    n_bad_total = 0
+    for si, seg in enumerate(segments):
+        seg_rows = []
+        for is_bad, op, key, toks in seg:
+            if si == 0 and not valid_rows and is_bad:
+                is_bad = False  # an all-null HEAD log is a loud refusal
+                # by design; the fuzz targets the park/dedup machinery
+            if is_bad:
+                bad_ctr += 1
+                # unique n_tok doubles as the deterministic repair key:
+                # fix() assigns lsn = 1000 + n_tok
+                seg_rows.append(
+                    (None, "I", key, [bad_ctr], bad_ctr, "web",
+                     dt.datetime(2024, 1, 1))
+                )
+                corrected_rows.append(
+                    {"lsn": 1000 + bad_ctr, "op": "I", "doc_id": key,
+                     "tokens": [bad_ctr], "n_tok": bad_ctr,
+                     "source": "web"}
+                )
+                n_bad_total += 1
+            else:
+                lsn += 1
+                if op == "D":
+                    seg_rows.append(
+                        (lsn, op, key, None, None, None,
+                         dt.datetime(2024, 1, 1))
+                    )
+                else:
+                    seg_rows.append(
+                        (lsn, op, key, toks, len(toks), "web",
+                         dt.datetime(2024, 1, 1))
+                    )
+                valid_rows.append(seg_rows[-1])
+        if not seg_rows:
+            continue
+        lax = CHANGE_SCHEMA
+        import pyspark.sql.types as T
+
+        lax = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in CHANGE_SCHEMA]
+        )
+        spark.createDataFrame(seg_rows, lax).coalesce(1).write.mode(
+            "append"
+        ).parquet(log)
+        if not valid_rows:
+            continue
+        eng.replay(spark.read.parquet(log), num_batches=num_batches)
+
+        def _parked_rows():
+            return sum(
+                spark.read.parquet(
+                    _os.path.join(root + "/q", w["dir"])
+                ).count()
+                for w in eng.list_quarantine()
+            )
+
+        # exactly-once parking under re-planned replays over the grown log
+        assert _parked_rows() == n_bad_total
+
+    if not valid_rows:
+        return
+    # one final sweep over the full log: nothing re-parks, nothing lost
+    eng.replay(spark.read.parquet(log), num_batches=num_batches)
+    assert _parked_rows() == n_bad_total
+
+    if n_bad_total:
+        def fix(df):
+            return df.withColumn(
+                "lsn", (F.lit(1000) + F.col("n_tok")).cast("long")
+            )
+
+        out = eng.drain_quarantine(
+            changes=spark.read.parquet(log), fix=fix
+        )
+        assert out["events"] == n_bad_total
+        assert eng.list_quarantine() == []
+        # drained archives still block any re-park
+        assert eng.park_dead_letters(spark.read.parquet(log)) == 0
+
+    full = [
+        dict(zip(
+            ["lsn", "op", "doc_id", "tokens", "n_tok", "source"], r[:6]
+        ))
+        for r in valid_rows
+    ] + corrected_rows
+    expected = lww_fold(full)
+    got = as_tuple_set(
+        [r.asDict() for r in table.read(spark).collect()], PAYLOAD_COLUMNS
+    )
+    assert got == as_tuple_set(list(expected.values()), PAYLOAD_COLUMNS)
