@@ -24,6 +24,10 @@ Endpoints (all JSON):
   (source-vs-log, mirror/view/export/history-vs-source)
 - ``GET /lag/<name>`` — one table's lag record
 - ``GET /sync-points`` — named cross-table freezes
+- ``GET /metrics`` — the same health surface as Prometheus text
+  exposition (watermarks, rows/bytes, log + follower lag, quarantine
+  depth) for scrape-based monitoring; per-table failure isolation via
+  ``dbimport_table_scrape_error``
 
 No Spark session exists in this process — every handler reads snapshot
 JSON / parquet footers / state JSON, so the server runs safely beside
@@ -161,12 +165,102 @@ def _routes(registry: TableRegistry):
 
         return 200, sync_points(registry)
 
+    def metrics(_):
+        return 200, _prometheus_metrics(registry)
+
     return {
         "status": status,
         "tables": tables,
         "lag": lag,
         "sync-points": syncpoints,
+        "metrics": metrics,
     }
+
+
+def _prom_label(v: str) -> str:
+    return str(v).replace("\\", r"\\").replace('"', r"\"").replace("\n", r"\n")
+
+
+def _prometheus_metrics(registry: TableRegistry) -> str:
+    """``GET /metrics`` — the fleet's health as Prometheus text
+    exposition (the pull-model twin of the push-style stats sink; the
+    reference ships per-import statistics to external monitoring via
+    Kafka/REST, import_stage.py:592-826). Spark-free like every other
+    endpoint: snapshot JSON + parquet footers + state JSON only. One
+    table failing to load must not blank the whole scrape — it reports
+    ``dbimport_table_scrape_error`` and the rest keep their series."""
+    from dbimport_spark.lake.table import LakeTable
+    from dbimport_spark.plans.lag import follower_lag, source_lag
+
+    lines: list[str] = []
+
+    def emit(name: str, labels: dict, value) -> None:
+        if value is None:
+            return
+        lab = ",".join(
+            f'{k}="{_prom_label(v)}"' for k, v in labels.items()
+        )
+        lines.append(f"dbimport_{name}{{{lab}}} {value}")
+
+    def head(name: str, help_: str, typ: str = "gauge") -> None:
+        lines.append(f"# HELP dbimport_{name} {help_}")
+        lines.append(f"# TYPE dbimport_{name} {typ}")
+
+    entries = registry.load()
+    head("table_enabled", "1 when the registry entry is enabled")
+    head("table_version", "committed snapshot version")
+    head("table_watermark_lsn", "committed change-log watermark")
+    head("table_rows", "live rows from file metadata")
+    head("table_bytes", "data bytes from file metadata")
+    head("table_files", "data file count")
+    head("log_lsn_behind", "log tail LSN minus committed watermark")
+    head("quarantine_parked_rows", "dead-letter rows awaiting a drain")
+    head("quarantine_drained_windows", "archived (drained) windows")
+    head(
+        "follower_versions_behind",
+        "source versions a follower has not applied (labels: kind, root)",
+    )
+    head("follower_lsn_behind", "source LSNs a follower has not applied")
+    head(
+        "follower_seconds_behind",
+        "commit-time age of the follower's applied version",
+    )
+    head("table_scrape_error", "1 when this table failed to load")
+    for name, e in sorted(entries.items()):
+        lab = {"table": name}
+        try:
+            t = _table_status(e)
+            emit("table_enabled", lab, int(e.enabled))
+            emit("table_version", lab, t["version"])
+            emit("table_watermark_lsn", lab, t["last_lsn"])
+            emit("table_rows", lab, t["rows"])
+            emit("table_bytes", lab, t["bytes"])
+            emit("table_files", lab, t["files"])
+            src = source_lag(LakeTable.load(e.table_root), e.log_path)
+            emit("log_lsn_behind", lab, src.get("log_lsn_behind"))
+            q = _quarantine_status(e)
+            if q.get("configured"):
+                emit("quarantine_parked_rows", lab, q["parked"])
+                emit("quarantine_drained_windows", lab, q["drained_windows"])
+            rec = follower_lag(registry, only=[name])[name]
+            for f in rec["followers"]:
+                flab = {"table": name, "kind": f["kind"]}
+                if f.get("root"):
+                    flab["root"] = f["root"]
+                if f.get("target"):  # cdc_export: the TABLE name only
+                    flab["target"] = f["target"]  # (URL is a credential)
+                emit(
+                    "follower_versions_behind", flab,
+                    f.get("versions_behind"),
+                )
+                emit("follower_lsn_behind", flab, f.get("lsn_behind"))
+                emit(
+                    "follower_seconds_behind", flab,
+                    f.get("seconds_behind"),
+                )
+        except Exception:
+            emit("table_scrape_error", lab, 1)
+    return "\n".join(lines) + "\n"
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -192,9 +286,15 @@ class _Handler(BaseHTTPRequestHandler):
             except Exception as exc:  # surface, never crash the server
                 code = 500
                 payload = {"error": f"{type(exc).__name__}: {exc}"}
-        body = json.dumps(payload, indent=2, default=str).encode()
+        if isinstance(payload, str):
+            # Prometheus text exposition (the /metrics endpoint)
+            body = payload.encode()
+            ctype = "text/plain; version=0.0.4; charset=utf-8"
+        else:
+            body = json.dumps(payload, indent=2, default=str).encode()
+            ctype = "application/json"
         self.send_response(code)
-        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)

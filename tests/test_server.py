@@ -201,3 +201,47 @@ def test_server_quarantine_inventory(spark, tmp_path):
         srv.shutdown()
         srv.server_close()
         thread.join(timeout=5)
+
+
+def test_server_prometheus_metrics(fleet):
+    """GET /metrics serves the fleet's health as Prometheus text
+    exposition: table gauges, log + follower lag, content type for
+    scrapers — and no credential ever appears in a label."""
+    with urllib.request.urlopen(f"{fleet}/metrics", timeout=10) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        text = resp.read().decode()
+    assert '# TYPE dbimport_table_version gauge' in text
+    assert 'dbimport_table_watermark_lsn{table="t"} 500' in text
+    assert 'dbimport_table_enabled{table="t"} 1' in text
+    assert 'dbimport_log_lsn_behind{table="t"} 0' in text
+    # the synced mirror reports zero versions behind
+    assert 'kind="mirror"' in text
+    for line in text.splitlines():
+        if "versions_behind" in line and 'kind="mirror"' in line:
+            assert line.endswith(" 0")
+            break
+    else:
+        raise AssertionError("no mirror versions_behind series")
+    assert "jdbc:" not in text  # credential-bearing URLs never leak
+
+
+def test_server_metrics_isolates_broken_table(fleet, tmp_path):
+    """One unloadable table must not blank the scrape: it emits
+    dbimport_table_scrape_error and the healthy series survive."""
+    import re as _re
+    import urllib.parse as _up
+
+    # register a second entry whose table root does not exist
+    reg_path = None
+    with urllib.request.urlopen(f"{fleet}/status", timeout=10) as resp:
+        reg_path = json.loads(resp.read())["registry"]
+    reg = TableRegistry(reg_path)
+    reg.add(TableEntry(
+        name="broken", table_root=str(tmp_path / "missing"),
+        log_path=str(tmp_path / "nolog"),
+    ))
+    with urllib.request.urlopen(f"{fleet}/metrics", timeout=10) as resp:
+        text = resp.read().decode()
+    assert 'dbimport_table_scrape_error{table="broken"} 1' in text
+    assert 'dbimport_table_watermark_lsn{table="t"} 500' in text
