@@ -478,6 +478,12 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         ).lower() in ("true", "1")
         self._schema = schema
         self._last_end: int | None = None  # latest end offset handed out
+        # the snapshot the declared schema was resolved from: catch-up
+        # windows ending BEFORE it can be aligned up to the declared
+        # schema (renames / added-as-null / widenings) instead of
+        # stopping; windows ending AFTER it mean the table evolved
+        # mid-stream and the stop stays loud
+        self._schema_version = self._table().current().version
 
     def _table(self):
         from dbimport_spark.lake.table import LakeTable
@@ -531,30 +537,131 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         current_payload = [
             f for f in snap_b.schema.fields if f.name not in AUDIT_COLUMNS
         ]
+        alignment = None
         if [ (f.name, f.dataType) for f in declared ] != [
             (f.name, f.dataType) for f in current_payload
         ]:
-            raise RuntimeError(
-                f"table schema at version {b} no longer matches the "
-                "stream's declared schema — the table evolved while the "
-                "stream was running. Restart the streaming query to pick "
-                "up the new schema (offsets in the checkpoint are kept). "
-                "If the restart hits this same error, the checkpoint "
-                "holds a write-ahead-logged window planned BEFORE the "
-                "evolution — replaying it can never match the new "
-                "schema: start a FRESH checkpoint dir with "
-                "startingVersion=<the follower's watermark> (the "
-                "follower's window-continuity guard makes exactly that "
-                "restart safe)."
-            )
-        return [
-            _BucketPartition(m)
-            for m in plan_window(
-                table, a, b,
-                include_preimage=self._preimage,
-                include_window_start=self._window_start,
-            )
+            alignment = self._declared_alignment(table, snap_b, declared)
+            if alignment is None:
+                raise RuntimeError(
+                    f"table schema at version {b} no longer matches the "
+                    "stream's declared schema — the table evolved while "
+                    "the stream was running (a CATCH-UP window that merely "
+                    "predates a compatible evolution is aligned "
+                    "automatically; this window is not alignable). "
+                    "Restart the streaming query to pick up the new "
+                    "schema (offsets in the checkpoint are kept). If the "
+                    "restart hits this same error, the evolution is not a "
+                    "compatible widening (or a reload reset the rename "
+                    "history): start a FRESH checkpoint dir with "
+                    "startingVersion=<the follower's watermark> (the "
+                    "follower's window-continuity guard makes exactly "
+                    "that restart safe)."
+                )
+        parts = plan_window(
+            table, a, b,
+            include_preimage=self._preimage,
+            include_window_start=self._window_start,
+        )
+        if alignment is not None:
+            parts = [self._align_meta(m, *alignment) for m in parts]
+        return [_BucketPartition(m) for m in parts]
+
+    def _declared_alignment(self, table, snap_b, declared):
+        """A catch-up window ending BEFORE the stream's declared-schema
+        version is emitted UNDER the declared schema when the evolution
+        between them is compatible: renames mapped through the shared
+        epoch log, added columns null-filled, safe widenings cast up —
+        the same alignment every batch reader applies per file epoch
+        (``LakeTable._backdated_schema``) and the batch CDF applies per
+        window (``cdf._align_to``), done here by rewriting the planned
+        partitions' keep-schema and per-file name maps so the executor
+        diff needs no new machinery. Returns ``(snap_d, b2d)`` or None
+        when the stop must stay loud: the table evolved AFTER the stream
+        started, the declared snapshot expired, a reload reset the
+        rename history, soft-delete mode flipped, a narrowing, or a
+        dropped column."""
+        from dbimport_spark.lake.cdf import window_has_reload
+        from dbimport_spark.lake.evolve import compare_types
+
+        sv = self._schema_version
+        b = snap_b.version
+        if sv is None or b >= sv:
+            return None  # evolved after stream start: restart handles it
+        try:
+            snap_d = table.snapshot(sv)
+        except Exception:
+            return None  # declared-schema snapshot expired
+        d_payload = [
+            f for f in snap_d.schema.fields if f.name not in AUDIT_COLUMNS
         ]
+        if [(f.name, f.dataType) for f in declared] != [
+            (f.name, f.dataType) for f in d_payload
+        ]:
+            return None  # raced a commit between schema() and init
+        if window_has_reload(table, b, sv) is not None:
+            return None  # reload reset name identity inside the gap
+        nb, nd = snap_b.renames, snap_d.renames
+        if len(nd) < len(nb) or nd[: len(nb)] != nb:
+            return None
+        soft_b = AUDIT_DELETE in snap_b.schema.fieldNames()
+        if soft_b != (AUDIT_DELETE in snap_d.schema.fieldNames()):
+            return None  # soft-delete mode flipped inside the gap
+        # b-name -> d-name over the rename slice, transitively chained
+        # (same fold as cdf._align_to)
+        b2d: dict[str, str] = {}
+        for r in nd[len(nb):]:
+            src = next(
+                (k for k, v in b2d.items() if v == r["from"]), r["from"]
+            )
+            b2d[src] = r["to"]
+        d_types = {f.name: f.dataType for f in snap_d.schema.fields}
+        for f in snap_b.schema.fields:
+            if f.name in AUDIT_COLUMNS and f.name != AUDIT_DELETE:
+                continue
+            dn = b2d.get(f.name, f.name)
+            if dn not in d_types:
+                return None  # dropped column (never-drop makes this a bug)
+            if compare_types(f.dataType, d_types[dn]) not in ("same", "widen"):
+                return None
+        return snap_d, b2d
+
+    @staticmethod
+    def _align_meta(meta: dict, snap_d, b2d: dict) -> dict:
+        """Rewrite one planned partition from snapshot-b terms to the
+        declared (snap_d) schema: keep set, payload names, join keys,
+        and each file's physical->logical map composed with the b->d
+        rename slice. ``diff_bucket`` then null-fills added columns and
+        casts widened ones exactly as it does for old file epochs."""
+        payload_d = [
+            f.name for f in snap_d.schema.fields if f.name not in AUDIT_COLUMNS
+        ]
+        keep_d = payload_d + ([AUDIT_DELETE] if meta["soft"] else [])
+        keep_schema_d = T.StructType(
+            [f for f in snap_d.schema.fields if f.name in keep_d]
+        )
+
+        def compose(files):
+            out = []
+            for path, mapping, kind, seq in files:
+                m = {p: b2d.get(n, n) for p, n in mapping.items()}
+                mapped = set(mapping.values())
+                for bn, dn in b2d.items():
+                    if bn not in mapped and bn not in m:
+                        m[bn] = dn
+                out.append(
+                    (path, {p: c for p, c in m.items() if p != c}, kind, seq)
+                )
+            return out
+
+        return {
+            **meta,
+            "keep_schema_json": keep_schema_d.json(),
+            "payload_cols": payload_d,
+            "keys": [b2d.get(k, k) for k in meta["keys"]],
+            "a_files": compose(meta["a_files"]),
+            "b_files": compose(meta["b_files"]),
+        }
 
     def read(self, partition: _BucketPartition):
         return diff_bucket(partition.meta)

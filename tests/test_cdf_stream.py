@@ -922,3 +922,137 @@ def test_followers_refuse_disabled_window_start(spark, tmp_path):
             spark, str(tmp_path / "src"), view, spec, str(tmp_path / "c2"),
             includeWindowStart="0",
         )
+
+
+def test_reader_aligns_catchup_windows_across_evolution(spark, tmp_path):
+    """A stream STARTED AFTER a compatible evolution must be able to
+    replay pre-evolution history: windows ending before the declared
+    schema's version are aligned up to it (renames mapped through the
+    shared epoch log, added columns null-filled, widenings cast) instead
+    of stopping — previously any rate-capped catch-up over an evolved
+    table wedged permanently on the first pre-evolution window."""
+    from pyspark.sql import types as T
+
+    from dbimport_spark.streaming.cdf_source import LakeCDFDataSource
+
+    payload = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("v", T.IntegerType(), True),
+    ])
+    t = CDCEngine.create_table(
+        str(tmp_path / "t"), payload_schema=payload, num_buckets=2
+    )
+    eng = CDCEngine(spark, t)
+    eng.apply_batch(
+        spark.createDataFrame(
+            [(1, "I", "a", 10), (2, "I", "b", 20)],
+            "lsn long, op string, doc_id string, v int",
+        ), 0, 2,
+    )
+    eng.apply_batch(
+        spark.createDataFrame(
+            [(3, "U", "a", 11)],
+            "lsn long, op string, doc_id string, v int",
+        ), 2, 3,
+    )
+    v_pre = t.current().version
+    # widen v to long, add q, rename q -> quality, then one more batch
+    eng.apply_batch(
+        spark.createDataFrame(
+            [(4, "I", "c", 2**40, 1.5)],
+            "lsn long, op string, doc_id string, v long, q double",
+        ), 3, 4,
+    )
+    t.rename_column("q", "quality")
+    t = type(t).load(str(tmp_path / "t"))
+    eng = CDCEngine(spark, t)
+    eng.apply_batch(
+        spark.createDataFrame(
+            [(5, "U", "a", 12, 3.5)],
+            "lsn long, op string, doc_id string, v long, quality double",
+        ), t.current().version, 5,
+    )
+
+    # reader constructed AFTER the evolution: declared = final schema
+    schema = LakeCDFDataSource({"path": str(tmp_path / "t")}).schema()
+    assert "quality" in schema.fieldNames()
+    r = LakeCDFStreamReader({"path": str(tmp_path / "t")}, schema)
+
+    def window_rows(a, b):
+        rows = []
+        for part in r.partitions({"version": a}, {"version": b}):
+            it = diff_bucket(part.meta)
+            if it is None:
+                continue
+            for batch in it:
+                rows.extend(batch.to_pylist())
+        return rows
+
+    # pre-evolution window (0, 1]: final names, added column null, long v
+    first = sorted(window_rows(0, 1), key=lambda x: x["doc_id"])
+    assert [x["doc_id"] for x in first] == ["a", "b"]
+    assert [x["v"] for x in first] == [10, 20]
+    assert all(x["quality"] is None for x in first)
+    assert all(x["_change_type"] == "insert" for x in first)
+
+    # pre-evolution update window (1, v_pre]
+    upd = window_rows(1, v_pre)
+    assert [(x["doc_id"], x["v"], x["quality"], x["_change_type"])
+            for x in upd] == [("a", 11, None, "update")]
+
+    # replaying version-by-version and folding equals the live table
+    state = {}
+    for a in range(0, t.current().version):
+        for x in window_rows(a, a + 1):
+            if x["_change_type"] == "delete":
+                state.pop(x["doc_id"], None)
+            else:
+                state[x["doc_id"]] = (x["v"], x["quality"])
+    live = {
+        row["doc_id"]: (row["v"], row["quality"])
+        for row in t.read(spark).collect()
+    }
+    assert state == live
+
+
+def test_mirror_follow_catchup_over_evolution_rate_capped(spark, tmp_path):
+    """End-to-end: a FRESH mirror follower with maxVersionsPerBatch=1
+    catches up over a source whose history contains a compatible
+    evolution — every pre-evolution window arrives aligned and the
+    mirror converges (this wedged permanently before window alignment)."""
+    from dbimport_spark.plans.mirror import verify_mirror
+    from dbimport_spark.streaming.cdf_source import follow_mirror_stream
+
+    src_t = CDCEngine.create_table(str(tmp_path / "src"), num_buckets=2)
+    src = CDCEngine(spark, src_t)
+    src.apply_batch(
+        _log(spark, [(1, "I", "k1", [1] * 3, 3, "a", TS),
+                     (2, "I", "k2", [2] * 4, 4, "b", TS)]), 0, 2,
+    )
+    src.apply_batch(_log(spark, [(3, "U", "k1", [9], 1, "a", TS)]), 2, 3)
+    # compatible evolution mid-history: add a column
+    src.apply_batch(
+        spark.createDataFrame(
+            [(4, "I", "k3", [5], 1, "c", TS, 0.5)],
+            "lsn long, op string, doc_id string, tokens array<int>, "
+            "n_tok int, source string, commit_ts timestamp, score double",
+        ), 3, 4,
+    )
+
+    # default payload: the follower's engine evolves the mirror when the
+    # aligned feed carries the added column
+    mir_t = CDCEngine.create_table(str(tmp_path / "mir"), num_buckets=2)
+    mir = CDCEngine(spark, mir_t)
+    q = follow_mirror_stream(
+        spark, str(tmp_path / "src"), mir, str(tmp_path / "ck"),
+        trigger_seconds=0.3, maxVersionsPerBatch=1,
+    )
+    try:
+        assert _wait(
+            lambda: mir_t.last_lsn() >= src_t.current().version
+        ), (q.exception() and str(q.exception()))
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    src_live = type(src_t).load(str(tmp_path / "src"))
+    assert verify_mirror(spark, src_live, mir_t)["converged"]
