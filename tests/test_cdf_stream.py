@@ -1056,3 +1056,90 @@ def test_mirror_follow_catchup_over_evolution_rate_capped(spark, tmp_path):
     q.awaitTermination(30)
     src_live = type(src_t).load(str(tmp_path / "src"))
     assert verify_mirror(spark, src_live, mir_t)["converged"]
+
+
+def test_catchup_alignment_random_evolutions(spark, tmp_path):
+    """Property test for catch-up window alignment: random I/U/D batches
+    interleaved with random COMPATIBLE evolutions (add column, widen
+    int->long, rename a payload column), then a reader constructed
+    against the FINAL schema replays every window version-by-version.
+    The netted fold of the aligned windows must equal the live table —
+    for any interleaving, not just the fixed scenario above."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from dbimport_spark.streaming.cdf_source import LakeCDFDataSource
+
+    rng = random.Random(20260820)
+    for trial in range(3):
+        root = str(tmp_path / f"t{trial}")
+        payload = T.StructType([
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("v", T.IntegerType(), True),
+        ])
+        t = CDCEngine.create_table(
+            root, payload_schema=payload, num_buckets=2
+        )
+        eng = CDCEngine(spark, t)
+        cols = [["v", "int"]]  # evolvable payload columns (name, sql type)
+        lsn, added = 0, 0
+        for step in range(6):
+            n = rng.randint(1, 4)
+            ddl = "lsn long, op string, doc_id string" + "".join(
+                f", {nm} {ty}" for nm, ty in cols
+            )
+            rows = []
+            for _ in range(n):
+                lsn += 1
+                vals = [lsn, rng.choice(["I", "U", "U", "D"]),
+                        f"k{rng.randint(1, 6)}"]
+                for _nm, ty in cols:
+                    vals.append(
+                        rng.randint(0, 100) if ty in ("int", "long")
+                        else round(rng.random(), 3)
+                    )
+                rows.append(tuple(vals))
+            eng.apply_batch(spark.createDataFrame(rows, ddl), lsn - n, lsn)
+            ev = rng.choice(["none", "none", "add", "widen", "rename"])
+            if ev == "add":
+                added += 1
+                cols.append([f"q{added}", "double"])
+            elif ev == "widen":
+                cands = [c for c in cols if c[1] == "int"]
+                if cands:
+                    rng.choice(cands)[1] = "long"
+            elif ev == "rename":
+                c = rng.choice(cols)
+                t = type(t).load(root)
+                old = c[0]
+                c[0] = f"{old}_r{step}"
+                t.rename_column(old, c[0])
+                t = type(t).load(root)
+                eng = CDCEngine(spark, t)
+
+        t = type(t).load(root)
+        schema = LakeCDFDataSource({"path": root}).schema()
+        assert [f.name for f in schema.fields if f.name in
+                {nm for nm, _ in cols}] == [nm for nm, _ in cols[:1]] + [
+                    nm for nm, _ in cols[1:]]
+        r = LakeCDFStreamReader({"path": root}, schema)
+        state = {}
+        for a in range(0, t.current().version):
+            for part in r.partitions({"version": a}, {"version": a + 1}):
+                it = diff_bucket(part.meta)
+                if it is None:
+                    continue
+                for batch in it:
+                    for x in batch.to_pylist():
+                        if x["_change_type"] == "delete":
+                            state.pop(x["doc_id"], None)
+                        else:
+                            state[x["doc_id"]] = tuple(
+                                x[nm] for nm, _ in cols
+                            )
+        live = {
+            row["doc_id"]: tuple(row[nm] for nm, _ in cols)
+            for row in t.read(spark).collect()
+        }
+        assert state == live, f"trial {trial}: fold != live"
