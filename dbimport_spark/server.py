@@ -189,8 +189,7 @@ def _prometheus_metrics(registry: TableRegistry) -> str:
     endpoint: snapshot JSON + parquet footers + state JSON only. One
     table failing to load must not blank the whole scrape — it reports
     ``dbimport_table_scrape_error`` and the rest keep their series."""
-    from dbimport_spark.lake.table import LakeTable
-    from dbimport_spark.plans.lag import follower_lag, source_lag
+    from dbimport_spark.plans.lag import follower_lag
 
     lines: list[str] = []
 
@@ -215,6 +214,7 @@ def _prometheus_metrics(registry: TableRegistry) -> str:
     head("table_files", "data file count")
     head("log_lsn_behind", "log tail LSN minus committed watermark")
     head("quarantine_parked_rows", "dead-letter rows awaiting a drain")
+    head("quarantine_parked_windows", "parked windows awaiting a drain")
     head("quarantine_drained_windows", "archived (drained) windows")
     head(
         "follower_versions_behind",
@@ -236,13 +236,20 @@ def _prometheus_metrics(registry: TableRegistry) -> str:
             emit("table_rows", lab, t["rows"])
             emit("table_bytes", lab, t["bytes"])
             emit("table_files", lab, t["files"])
-            src = source_lag(LakeTable.load(e.table_root), e.log_path)
-            emit("log_lsn_behind", lab, src.get("log_lsn_behind"))
             q = _quarantine_status(e)
             if q.get("configured"):
-                emit("quarantine_parked_rows", lab, q["parked"])
+                # an unreadable footer sizes its window as None: count it
+                # in parked_windows (visible) but not in parked_rows
+                emit(
+                    "quarantine_parked_rows", lab,
+                    sum(r.get("rows") or 0 for r in q["parked"]),
+                )
+                emit("quarantine_parked_windows", lab, len(q["parked"]))
                 emit("quarantine_drained_windows", lab, q["drained_windows"])
+            # one follower_lag call carries the source lag too — the log
+            # footer scan (source_lag) runs once per table per scrape
             rec = follower_lag(registry, only=[name])[name]
+            emit("log_lsn_behind", lab, rec["source"].get("log_lsn_behind"))
             for f in rec["followers"]:
                 flab = {"table": name, "kind": f["kind"]}
                 if f.get("root"):

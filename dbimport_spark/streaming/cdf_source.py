@@ -26,12 +26,18 @@ Scale/architecture notes:
   a crashed micro-batch from its checkpointed offsets (same version
   window), and version-watermarked sinks (``follow_mirror_stream``)
   skip a redelivered window via the engine's LSN guard.
-- **Schema changes stop the stream loudly.** The declared stream schema
-  is fixed at query start; a window whose end snapshot evolved raises
-  (restart the stream to pick up the new schema) — silent nulls or
-  mis-mapped columns are never emitted. Older files WITHIN a schema are
-  still fine: per-file rename-epoch maps and upcasts are applied, same
-  as ``LakeTable.read``.
+- **Schema changes DURING the stream stop it loudly.** The declared
+  stream schema is fixed at query start; a window whose end snapshot
+  evolved AFTER that raises (restart the stream to pick up the new
+  schema) — silent nulls or mis-mapped columns are never emitted.
+  CATCH-UP windows — ending strictly before the snapshot the declared
+  schema came from — are the one exception: when the evolution between
+  them is compatible (renames, added columns, safe widenings) the
+  window is aligned up to the declared schema instead of wedging a
+  fresh stream on pre-evolution history; anything non-compatible
+  (narrowing, drop, reload-reset rename history, soft-mode flip) still
+  stops loudly. Older files WITHIN a schema are always fine: per-file
+  rename-epoch maps and upcasts are applied, same as ``LakeTable.read``.
 
 Per-bucket diff semantics are pinned to ``cdf.table_changes`` by
 ``tests/test_cdf_stream.py`` (same windows, both implementations, equal
@@ -467,7 +473,8 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         self._root = options.get("path")
         if not self._root:
             raise ValueError("lake_cdf requires .option('path', <table root>)")
-        self._starting = resolve_starting_version(self._table(), options)
+        t = self._table()  # one metadata load for starting + schema version
+        self._starting = resolve_starting_version(t, options)
         cap = options.get("maxversionsperbatch")
         self._cap = int(cap) if cap is not None else None
         self._preimage = str(
@@ -483,7 +490,14 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         # schema (renames / added-as-null / widenings) instead of
         # stopping; windows ending AFTER it mean the table evolved
         # mid-stream and the stop stays loud
-        self._schema_version = self._table().current().version
+        self._schema_version = t.current().version
+        # alignment caches: snapshot(sv) is immutable, load it at most
+        # once; and the reload probe over (b, sv] is monotone — once a
+        # window end b0 proves the gap reload-free, every later b >= b0
+        # probes a subset, so the per-window O(gap) snapshot parses
+        # (O(gap^2) over a rate-capped catch-up) collapse to one pass
+        self._snap_d = None
+        self._reload_free_from: int | None = None
 
     def _table(self):
         from dbimport_spark.lake.table import LakeTable
@@ -588,10 +602,13 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         b = snap_b.version
         if sv is None or b >= sv:
             return None  # evolved after stream start: restart handles it
-        try:
-            snap_d = table.snapshot(sv)
-        except Exception:
-            return None  # declared-schema snapshot expired
+        if self._snap_d is not None:
+            snap_d = self._snap_d  # immutable at version sv: load once
+        else:
+            try:
+                snap_d = self._snap_d = table.snapshot(sv)
+            except Exception:
+                return None  # declared-schema snapshot expired
         d_payload = [
             f for f in snap_d.schema.fields if f.name not in AUDIT_COLUMNS
         ]
@@ -599,8 +616,12 @@ class LakeCDFStreamReader(DataSourceStreamReader):
             (f.name, f.dataType) for f in d_payload
         ]:
             return None  # raced a commit between schema() and init
-        if window_has_reload(table, b, sv) is not None:
-            return None  # reload reset name identity inside the gap
+        # monotone probe: b only grows, so a reload-free (b0, sv] proves
+        # every later (b, sv] ⊂ (b0, sv] reload-free without re-parsing
+        if self._reload_free_from is None or b < self._reload_free_from:
+            if window_has_reload(table, b, sv) is not None:
+                return None  # reload reset name identity inside the gap
+            self._reload_free_from = b
         nb, nd = snap_b.renames, snap_d.renames
         if len(nd) < len(nb) or nd[: len(nb)] != nb:
             return None

@@ -311,7 +311,6 @@ def test_random_dead_letter_interleavings(
                 valid_rows.append(seg_rows[-1])
         if not seg_rows:
             continue
-        lax = CHANGE_SCHEMA
         import pyspark.sql.types as T
 
         lax = T.StructType(

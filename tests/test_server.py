@@ -245,3 +245,58 @@ def test_server_metrics_isolates_broken_table(fleet, tmp_path):
         text = resp.read().decode()
     assert 'dbimport_table_scrape_error{table="broken"} 1' in text
     assert 'dbimport_table_watermark_lsn{table="t"} 500' in text
+
+
+def test_server_metrics_quarantine_series(spark, tmp_path):
+    """/metrics with a configured quarantine dir and one parked window:
+    parked rows/windows are emitted as NUMBERS (a list interpolated into
+    the exposition text would abort the whole Prometheus scrape), and
+    every sample line in the scrape parses as `name{labels} float`."""
+    import datetime as dt
+    import re
+
+    from pyspark.sql import types as T
+
+    from dbimport_spark.schema import CHANGE_SCHEMA
+
+    LAX = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in CHANGE_SCHEMA.fields]
+    )
+    TS = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "I", "k1", [1], 1, "web", TS),
+        (2, "I", None, [2], 1, "web", TS),  # null merge key -> parked
+    ]
+    spark.createDataFrame(rows, LAX).coalesce(1).write.parquet(
+        str(tmp_path / "log")
+    )
+    CDCEngine.create_table(str(tmp_path / "t"), num_buckets=2)
+    reg = TableRegistry(str(tmp_path / "reg.json"))
+    reg.add(TableEntry(
+        name="t", table_root=str(tmp_path / "t"),
+        log_path=str(tmp_path / "log"),
+        quarantine_dir=str(tmp_path / "q"),
+    ))
+    assert replay_all(spark, reg)["t"]["ok"]
+
+    srv = make_server(str(tmp_path / "reg.json"))
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        with urllib.request.urlopen(f"{base}/metrics", timeout=10) as resp:
+            text = resp.read().decode()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        thread.join(timeout=5)
+    assert 'dbimport_quarantine_parked_rows{table="t"} 1' in text
+    assert 'dbimport_quarantine_parked_windows{table="t"} 1' in text
+    assert 'dbimport_quarantine_drained_windows{table="t"} 0' in text
+    sample = re.compile(
+        r'^[a-zA-Z_:][a-zA-Z0-9_:]*(\{[^}]*\})? -?\d+(\.\d+)?([eE][+-]?\d+)?$'
+    )
+    for line in text.strip().splitlines():
+        if line.startswith("#") or not line:
+            continue
+        assert sample.match(line), f"unparseable exposition line: {line!r}"
