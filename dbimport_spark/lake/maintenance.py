@@ -63,11 +63,22 @@ def remove_orphan_files(table: LakeTable, older_than_seconds: float = 24 * 3600)
             os.unlink(p)
             removed += 1
     # sweep commit dirs with no data files left (markers like _SUCCESS
-    # don't count as content)
+    # don't count as content) — age-gated on the DIR mtime like the file
+    # sweep: an in-flight writer's just-created dir holds no .parquet
+    # until the first task flushes, and rmtree'ing it out from under the
+    # running job is exactly what the cutoff exists to prevent
+    if not os.path.isdir(data_dir):
+        return removed  # metadata-only table: nothing to sweep
     for sub in os.listdir(data_dir):
         d = os.path.join(data_dir, sub)
-        if os.path.isdir(d) and not any(
-            name.endswith(".parquet") for _, _, fs in os.walk(d) for name in fs
+        if (
+            os.path.isdir(d)
+            and os.path.getmtime(d) <= cutoff
+            and not any(
+                name.endswith(".parquet")
+                for _, _, fs in os.walk(d)
+                for name in fs
+            )
         ):
             shutil.rmtree(d)
     return removed
@@ -334,17 +345,22 @@ def purge_tombstones(
     if not candidates:
         return {"purged_buckets": 0, "purged_rows": 0}
     df = table.read(spark, buckets=candidates)
-    todo = sorted(
-        r["b"]
-        for r in df.filter(purgeable).select(bexpr.alias("b")).distinct().collect()
+    # per-bucket purgeable counts in the SAME census job that finds the
+    # todo buckets — raw footer rows would OVERCOUNT purged_rows on
+    # merge-on-read buckets (a key superseded by a delta counts twice,
+    # key-only delete files count as rows), so count the RECONCILED rows
+    # the purge actually drops
+    per_bucket = (
+        df.filter(purgeable)
+        .groupBy(bexpr.alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     )
+    todo = sorted(r["b"] for r in per_bucket)
+    purged = sum(r["n"] for r in per_bucket)
     if not todo:
         return {"purged_buckets": 0, "purged_rows": 0}
 
-    # rewritten-row census from snapshot metadata (footer-derived rows per
-    # file) — no extra data pass
-    todo_set = set(todo)
-    before = sum(f.rows for f in snap.files if f.bucket in todo_set)
     sub = table.read(spark, buckets=todo)
     # three-valued logic guard: a row where the predicate is NULL (e.g. a
     # defensive dl_iud='D' with NULL dl_delete_ts) must be KEPT, not
@@ -356,12 +372,11 @@ def purge_tombstones(
     )
     version_dir = f"purge-{snap.version + 1}-{uuid.uuid4().hex[:8]}"
     new_files = table.write_data_files(spark, out, version_dir)
-    kept = sum(f.rows for f in new_files)
     table.commit(
         new_files,
         replaced_buckets=set(todo),
         properties={"last_tombstone_purge": cutoff.isoformat()},
-        lineage=[{"purge": True, "buckets": todo, "rows_purged": before - kept}],
+        lineage=[{"purge": True, "buckets": todo, "rows_purged": purged}],
         expected_version=snap.version,
     )
-    return {"purged_buckets": len(todo), "purged_rows": before - kept}
+    return {"purged_buckets": len(todo), "purged_rows": purged}

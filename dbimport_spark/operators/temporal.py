@@ -107,6 +107,21 @@ def asof_join(
     out_names = {
         c: (c + suffix if c in left.columns else c) for c in right_cols
     }
+    # the suffixed name can itself collide (left has both 'v' and
+    # 'v_r'): the join would then succeed silently with DUPLICATE output
+    # columns and every downstream reference throws AMBIGUOUS_REFERENCE
+    # far from the cause — refuse loudly here instead (pandas merge_asof
+    # raises on the equivalent collision)
+    clashes = sorted(
+        n for c, n in out_names.items()
+        if n != c and (n in left.columns or n in out_names)
+    )
+    if clashes:
+        raise ValueError(
+            f"asof_join: suffixed right column(s) {clashes} still "
+            f"collide with a left or right output column — pass a "
+            f"different suffix (got {suffix!r})"
+        )
 
     carry = F.struct(
         _ordinal(right.schema, right_ts).alias("__ats"),

@@ -291,13 +291,51 @@ class CDCJdbcExporter:
             # while missing), so a crash mid-list resumes cleanly
             self._execute_driver_sql(spark, stmts, transactional=False)
 
+    def _target_exists(self, spark: SparkSession) -> bool:
+        """Authoritative existence probe via the JDBC catalog metadata
+        (``DatabaseMetaData.getTables``) — absence must be proven, never
+        inferred from a failed read: a transient SELECT failure (grants,
+        timeout, network) that masquerades as 'absent' silently degrades
+        a full reconcile to upserts-only and drops its anti-join deletes.
+        Probes the exact, upper- and lower-folded spellings because each
+        catalog stores unquoted identifiers in its own fold."""
+        jvm = spark._jvm
+        props = jvm.java.util.Properties()
+        for k, v in self.properties.items():
+            props.setProperty(k, str(v))
+        parts = self.target_table.split(".")
+        name = parts[-1]
+        schema = parts[-2] if len(parts) > 1 else None
+        conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
+        try:
+            md = conn.getMetaData()
+            schemas = (
+                [schema, schema.upper(), schema.lower()] if schema
+                else [None]
+            )
+            for s in dict.fromkeys(schemas):
+                for cand in dict.fromkeys([name, name.upper(), name.lower()]):
+                    rs = md.getTables(None, s, cand, None)
+                    try:
+                        if rs.next():
+                            return True
+                    finally:
+                        rs.close()
+            return False
+        finally:
+            conn.close()
+
     def _target_columns(self, spark: SparkSession) -> list | None:
-        """Live target column names via JDBC metadata, None if absent."""
+        """Live target column names via JDBC metadata, None if absent.
+        A read failure against a table that DOES exist re-raises — it
+        must not be mistaken for absence (see ``_target_exists``)."""
         try:
             return spark.read.jdbc(
                 self.url, self.target_table, properties=self.properties
             ).columns
         except Exception:
+            if self._target_exists(spark):
+                raise
             return None
 
     def sync(self, spark: SparkSession, on_gap: str = "error") -> dict:
@@ -410,6 +448,10 @@ class CDCJdbcExporter:
                 ).select(*self.keys)
             )
         except Exception:
+            if self._target_exists(spark):
+                # real read failure, not absence: swallowing it would
+                # drop every anti-join delete from this reconcile
+                raise
             return upserts  # target absent: bootstrap is inserts-only
         ptypes = {f.name: f.dataType for f in live.schema.fields}
         gone = tgt_keys.join(

@@ -235,9 +235,15 @@ class CDCEngine:
         # drop dl_delete_ts from rewritten buckets. Derive it from the
         # table; an explicit argument must agree.
         tbl_mode = table.properties.get("delete_mode")
-        if tbl_mode is None:  # pre-property table: infer from the schema
+        if tbl_mode is None:  # pre-property table: infer from the schema.
+            # No dl_delete_ts column ⇒ the table IS hard-mode — inferring
+            # None here would let an explicit delete_mode='soft' override
+            # slip past the mismatch guard and write tombstone columns a
+            # committed schema doesn't carry.
             tbl_mode = (
-                "soft" if AUDIT_DELETE in table.current().schema.fieldNames() else None
+                "soft"
+                if AUDIT_DELETE in table.current().schema.fieldNames()
+                else "hard"
             )
         if delete_mode is None:
             delete_mode = tbl_mode or "hard"
@@ -364,6 +370,67 @@ class CDCEngine:
                     formers.append(old)
                     frontier.append(old)
         return formers
+
+    def _monotonic_merge_ts(self, snap, candidate=None):
+        """Strictly monotonic merge timestamp vs the snapshot's
+        ``last_merge_ts`` property — dl_update_ts is the row-level change
+        marker incremental exports watermark on with ``>``, so two merge
+        windows sharing a coarse clock value would make the second
+        invisible to every future export. One definition for every path
+        that stamps a merge (apply_batch, repair_keys, apply_late)."""
+        from datetime import datetime, timedelta
+
+        val = candidate if candidate is not None else datetime.now()
+        prev_iso = snap.properties.get("last_merge_ts")
+        if prev_iso is not None:
+            prev = datetime.fromisoformat(prev_iso)
+            if val <= prev:
+                val = prev + timedelta(microseconds=1)
+        return val
+
+    def _with_live_payload(
+        self,
+        deduped: DataFrame,
+        src: DataFrame,
+        payload_cols: list,
+        keys: list | None = None,
+    ) -> DataFrame:
+        """Soft mode: attach the batch's last-live (op != 'D') payload as
+        *_lv columns so a delete winner can still materialize its
+        pre-image — final state stays invariant under batching (an I then
+        D inside ONE window must equal I in one window, D in the next).
+        ``keys`` is the dedup key list (the merge keys, optionally
+        prefixed by _bucket; defaults to the merge keys). One definition
+        for every soft-merge path: apply_batch (both modes), the MOR
+        apply, repair_keys, and apply_late."""
+        keys = list(keys if keys is not None else self.keys)
+        non_key = [c for c in payload_cols if c not in self.keys]
+        live = dedup_lww(
+            src.filter(F.col("op") != "D"),
+            key=keys,
+            order_col="lsn",
+            strategy=self.dedup_strategy,
+            n_salts=self.n_salts,
+        ).select(
+            *keys,
+            F.lit(True).alias("_has_lv"),
+            *[F.col(c).alias(f"{c}_lv") for c in non_key],
+        )
+        return deduped.join(live, keys, "left")
+
+    def _key_counts(self, key_df: DataFrame):
+        """One-pass ``(n, nulls)`` over key rows: total plus rows with
+        any null merge-key component. A null component means the log
+        carries the key under an UNDECLARED former name — alignment
+        nulled it, and the downstream semi-join/dedup would silently
+        drop those rows; callers refuse when nulls > 0."""
+        null_pred = F.lit(False)
+        for k in self.keys:
+            null_pred = null_pred | F.col(k).isNull()
+        return key_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(null_pred, F.lit(1))).alias("nulls"),
+        ).first()
 
     def _source_expr(self, f, bschema: dict):
         """Column expression sourcing schema field ``f`` from a batch:
@@ -528,16 +595,9 @@ class CDCEngine:
         # (_source_expr raises for wider/incompatible former columns)
         former_cols: set[str] = set()
         for f in schema.fields:
-            # walk the DECLARED map against the simulated current names,
-            # matching _former_names' transitive frontier
-            frontier, formers = [f.name], []
-            while frontier:
-                c = frontier.pop()
-                for old, new in self.renames.items():
-                    if new == c and old not in formers:
-                        formers.append(old)
-                        frontier.append(old)
-            for c in formers:
+            # _former_names depends only on self.renames, so it applies
+            # unchanged to the simulated schema's field names
+            for c in self._former_names(f.name):
                 former_cols.add(c)
                 if c in bschema and compare_types(
                     f.dataType, bschema[c].dataType
@@ -837,14 +897,9 @@ class CDCEngine:
         # row-level change marker (dl_update_ts) the incremental export
         # watermarks on with '>'. Two windows sharing a coarse commit_ts
         # would otherwise make the second invisible to every future export.
-        from datetime import datetime, timedelta
-
-        merge_ts_val = max(ts_vals) if ts_vals else datetime.now()
-        prev_iso = snap.properties.get("last_merge_ts")
-        if prev_iso is not None:
-            prev_ts = datetime.fromisoformat(prev_iso)
-            if merge_ts_val <= prev_ts:
-                merge_ts_val = prev_ts + timedelta(microseconds=1)
+        merge_ts_val = self._monotonic_merge_ts(
+            snap, max(ts_vals) if ts_vals else None
+        )
         merge_ts = F.lit(merge_ts_val)
 
         # -- dedup (LWW per key) --------------------------------------------
@@ -909,25 +964,7 @@ class CDCEngine:
         # block manager (deserialized cache showed 3x slowdown at 32 threads
         # from GC / memory-store contention).
         def with_live_payload(deduped: DataFrame, src: DataFrame, keys: list) -> DataFrame:
-            """Soft mode: attach the batch's last-live (op != 'D') payload as
-            *_lv columns so a delete winner can still materialize its
-            pre-image — final state stays invariant under batching (an I
-            then D inside ONE window must equal I in one window, D in the
-            next). ``keys`` is the dedup key list (merge keys, optionally
-            prefixed by _bucket)."""
-            non_key = [c for c in payload_cols if c not in self.keys]
-            live = dedup_lww(
-                src.filter(F.col("op") != "D"),
-                key=keys,
-                order_col="lsn",
-                strategy=self.dedup_strategy,
-                n_salts=self.n_salts,
-            ).select(
-                *keys,
-                F.lit(True).alias("_has_lv"),
-                *[F.col(c).alias(f"{c}_lv") for c in non_key],
-            )
-            return deduped.join(live, list(keys), "left")
+            return self._with_live_payload(deduped, src, payload_cols, keys)
 
         if mode == "broadcast":
             # steady-state CDC: batch broadcast, target streamed — zero
@@ -956,8 +993,9 @@ class CDCEngine:
             # bucket. Large touched set (the 100 TB steady state): skip it —
             # preserving the zero-target-shuffle property matters more than
             # file count, and compaction reclaims layout asynchronously.
+            _ts = set(touched)  # hoisted: the generator runs per FILE
             touched_bytes = sum(
-                f.bytes for f in snap.files if f.bucket in set(touched)
+                f.bytes for f in snap.files if f.bucket in _ts
             )
             if touched_bytes < self.repartition_output_bytes:
                 out = out.repartition(max(len(touched), 1), "_bucket")
@@ -1172,19 +1210,7 @@ class CDCEngine:
             n_salts=self.n_salts,
         )
         if soft:
-            non_key = [c for c in payload_cols if c not in self.keys]
-            live = dedup_lww(
-                batch_nc.filter(F.col("op") != "D"),
-                key=self.keys,
-                order_col="lsn",
-                strategy=self.dedup_strategy,
-                n_salts=self.n_salts,
-            ).select(
-                *self.keys,
-                F.lit(True).alias("_has_lv"),
-                *[F.col(c).alias(f"{c}_lv") for c in non_key],
-            )
-            deduped = deduped.join(live, self.keys, "left")
+            deduped = self._with_live_payload(deduped, batch_nc, payload_cols)
         deduped = deduped.withColumn("_bucket", bexpr)
 
         # narrow audit probe: reconciled current rows of the batch's keys,
@@ -1265,6 +1291,7 @@ class CDCEngine:
                 f.kind = "delete"
             new_files = new_files + del_files
 
+        _ts = set(touched)  # hoisted: the generator below runs per FILE
         self._run_validators(
             [f for f in new_files if f.kind == "delta"], snap, new_schema,
             {
@@ -1274,7 +1301,7 @@ class CDCEngine:
                 "out_rows": sum(f.rows for f in new_files),
                 "out_bytes": sum(f.bytes for f in new_files),
                 "prev_rows": sum(
-                    f.rows for f in snap.files if f.bucket in set(touched)
+                    f.rows for f in snap.files if f.bucket in _ts
                 ),
             },
             [version_dir, version_dir + "-del"],
@@ -1487,13 +1514,7 @@ class CDCEngine:
         # touched-bucket collect — on a CLI repair the source is the whole
         # log, so re-deriving it per consumer would triple the log scans
         key_rows = key_src.select(*self.keys).distinct().localCheckpoint(eager=True)
-        null_pred = F.lit(False)
-        for k in self.keys:
-            null_pred = null_pred | F.col(k).isNull()
-        counts = key_rows.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count(F.when(null_pred, F.lit(1))).alias("nulls"),
-        ).first()
+        counts = self._key_counts(key_rows)
         if counts["nulls"] > 0:
             raise ValueError(
                 "repair scope contains null merge key(s) — the log likely "
@@ -1501,6 +1522,11 @@ class CDCEngine:
                 "the rename (CDCEngine(renames={...})) and retry"
             )
         n_keys = counts["n"]
+        if n_keys == 0:
+            # nothing in scope: committing would bump the version, advance
+            # last_merge_ts, and stamp an empty repair lineage record for
+            # no state change (same contract as apply_late's empty window)
+            return BatchStats(lo=-1, hi=self.table.last_lsn(), skipped=True)
         big = n_keys > self.broadcast_threshold_rows
         scope = key_rows if big else F.broadcast(key_rows)
         scoped = aligned_df.join(scope, self.keys, "left_semi")
@@ -1513,19 +1539,7 @@ class CDCEngine:
             n_salts=self.n_salts,
         )
         if self.delete_mode == "soft":
-            non_key = [c for c in payload_cols if c not in self.keys]
-            live = dedup_lww(
-                scoped.filter(F.col("op") != "D"),
-                key=self.keys,
-                order_col="lsn",
-                strategy=self.dedup_strategy,
-                n_salts=self.n_salts,
-            ).select(
-                *self.keys,
-                F.lit(True).alias("_has_lv"),
-                *[F.col(c).alias(f"{c}_lv") for c in non_key],
-            )
-            deduped = deduped.join(live, list(self.keys), "left")
+            deduped = self._with_live_payload(deduped, scoped, payload_cols)
 
         bexpr = self.table.bucket_expr(key_col=self.keys, num_buckets=snap.num_buckets)
         touched = sorted(
@@ -1533,15 +1547,7 @@ class CDCEngine:
             for r in key_rows.select(bexpr.alias("bucket")).distinct().collect()
         )
 
-        # strictly monotonic merge_ts (same contract as apply_batch)
-        from datetime import datetime, timedelta
-
-        merge_ts_val = datetime.now()
-        prev_iso = snap.properties.get("last_merge_ts")
-        if prev_iso is not None:
-            prev_ts = datetime.fromisoformat(prev_iso)
-            if merge_ts_val <= prev_ts:
-                merge_ts_val = prev_ts + timedelta(microseconds=1)
+        merge_ts_val = self._monotonic_merge_ts(snap)
 
         target = self.table.read(self.spark, buckets=touched)
         if not big:
@@ -1916,7 +1922,6 @@ class CDCEngine:
         payload_cols = [
             f.name for f in snap.schema.fields if f.name not in AUDIT_COLUMNS
         ]
-        non_key = [c for c in payload_cols if c not in self.keys]
         bschema = {f.name: f for f in late.schema.fields}
         aligned = late.select(
             F.col("lsn"),
@@ -1938,13 +1943,7 @@ class CDCEngine:
         # UNDECLARED former name aligns to null, and the maxjoin dedup's
         # semi-join would silently DROP those rows — the events would
         # vanish while apply_late reports success.
-        null_pred = F.lit(False)
-        for k in self.keys:
-            null_pred = null_pred | F.col(k).isNull()
-        counts = late_keys.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count(F.when(null_pred, F.lit(1))).alias("nulls"),
-        ).first()
+        counts = self._key_counts(late_keys)
         if counts["nulls"] > 0:
             raise ValueError(
                 "apply_late scope contains null merge key(s) — the late "
@@ -2001,32 +2000,14 @@ class CDCEngine:
             n_salts=self.n_salts,
         )
         # soft pre-images for 'D' winners, same construction as apply_batch
-        live = dedup_lww(
-            gated_events.filter(F.col("op") != "D"),
-            key=self.keys,
-            order_col="lsn",
-            strategy=self.dedup_strategy,
-            n_salts=self.n_salts,
-        ).select(
-            *self.keys,
-            F.lit(True).alias("_has_lv"),
-            *[F.col(c).alias(f"{c}_lv") for c in non_key],
-        )
-        gated = winners.join(live, list(self.keys), "left").localCheckpoint(
-            eager=True
-        )
+        gated = self._with_live_payload(
+            winners, gated_events, payload_cols
+        ).localCheckpoint(eager=True)
         n_keys = gated.count()
         if n_keys == 0:
             return BatchStats(lo=-1, hi=self.table.last_lsn(), skipped=True)
 
-        from datetime import datetime, timedelta
-
-        merge_ts_val = datetime.now()
-        prev_iso = snap.properties.get("last_merge_ts")
-        if prev_iso is not None:
-            prev_ts = datetime.fromisoformat(prev_iso)
-            if merge_ts_val <= prev_ts:
-                merge_ts_val = prev_ts + timedelta(microseconds=1)
+        merge_ts_val = self._monotonic_merge_ts(snap)
 
         merged = merge_changes(
             target,

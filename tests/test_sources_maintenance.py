@@ -333,3 +333,109 @@ def test_cli_schema_diff_dry_run(spark, tmp_path):
     assert doc["declared_renames"] == [{"from": "source", "to": "origin"}]
     assert doc["adds"] == []
     assert table.current().version == v
+
+
+def test_purge_tombstones_mor_exact_count(spark, tmp_path):
+    """purged_rows on a merge-on-read bucket counts RECONCILED rows, not
+    raw footer rows — base + delta + delete files over the same keys
+    previously made the metadata census report phantom purges."""
+    import datetime as dt
+
+    from dbimport_spark.lake.maintenance import purge_tombstones
+    from dbimport_spark.schema import AUDIT_IUD, CHANGE_SCHEMA
+
+    root = str(tmp_path / "ptm")
+    table = CDCEngine.create_table(root, num_buckets=2, soft_delete=True)
+    eng = CDCEngine(spark, table, write_mode="mor")
+
+    def _row(lsn, op, key, toks, src, ts):
+        return (lsn, op, key, toks, len(toks) if toks else None, src, ts)
+
+    # batch 1: inserts (base); batch 2: update one key (delta supersedes
+    # its base row) and delete another (tombstone delta + delete file)
+    eng.apply_batch(
+        spark.createDataFrame(
+            [
+                _row(1, "I", "a", [1], "web", dt.datetime(2024, 1, 1)),
+                _row(2, "I", "b", [2], "web", dt.datetime(2024, 1, 1)),
+                _row(3, "I", "c", [3], "web", dt.datetime(2024, 1, 1)),
+            ],
+            CHANGE_SCHEMA,
+        ),
+        0, 3,
+    )
+    eng.apply_batch(
+        spark.createDataFrame(
+            [
+                _row(4, "U", "a", [9], "web", dt.datetime(2024, 1, 2)),
+                _row(5, "D", "b", None, None, dt.datetime(2024, 1, 2)),
+            ],
+            CHANGE_SCHEMA,
+        ),
+        3, 5,
+    )
+    rows = {r["doc_id"]: r for r in table.read(spark).collect()}
+    assert rows["b"][AUDIT_IUD] == "D"
+    # raw footer rows across the touched buckets exceed the 3 reconciled
+    # rows (superseded base row + delete-file rows); exactly ONE
+    # reconciled tombstone is purgeable
+    out = purge_tombstones(spark, table, "2024-12-31T00:00:00")
+    assert out["purged_rows"] == 1
+    rows = {r["doc_id"]: r for r in table.read(spark).collect()}
+    assert set(rows) == {"a", "c"}
+    assert rows["a"]["tokens"] == [9]
+
+
+def test_repair_keys_empty_scope_skips(spark, tmp_path):
+    """repair_keys over a window holding no events must not commit an
+    empty snapshot (version bump + merge_ts advance + hollow lineage)."""
+    import datetime as dt
+
+    from dbimport_spark.schema import CHANGE_SCHEMA
+
+    root = str(tmp_path / "rk")
+    table = CDCEngine.create_table(root, num_buckets=2)
+    eng = CDCEngine(spark, table, checkpoint_dir=f"{root}/_ckpt")
+    log = spark.createDataFrame(
+        [(1, "I", "a", [1], 1, "web", dt.datetime(2024, 1, 1))],
+        CHANGE_SCHEMA,
+    )
+    eng.apply_batch(log, 0, 1)
+    v = table.current().version
+    stats = eng.repair_keys(log, window=(5, 9))  # empty window
+    assert stats.skipped
+    assert type(table).load(root).current().version == v
+
+
+def test_asof_join_suffix_collision_refused(spark):
+    """A suffixed right column colliding with an existing left column
+    must raise loudly — a silent duplicate output name makes every
+    downstream reference AMBIGUOUS_REFERENCE far from the cause."""
+    from dbimport_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 10, 1, 2)], "id string, ts long, v long, v_r long"
+    )
+    right = spark.createDataFrame([("k", 9, 7)], "id string, ts long, v long")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="id", left_ts="ts", right_ts="ts")
+    # a non-colliding suffix works
+    out = asof_join(
+        left, right, on="id", left_ts="ts", right_ts="ts", suffix="_right"
+    )
+    assert out.collect()[0]["v_right"] == 7
+
+
+def test_delete_mode_guard_legacy_hard_table(spark, tmp_path):
+    """A pre-property table WITHOUT dl_delete_ts is hard-mode: an
+    explicit delete_mode='soft' override must be refused, not accepted
+    (the old None inference skipped the mismatch guard and let the
+    insert-only path write soft output against a hard schema)."""
+    root = str(tmp_path / "legacy")
+    table = CDCEngine.create_table(root, num_buckets=2)
+    table.properties.pop("delete_mode", None)  # simulate a legacy table
+    with pytest.raises(ValueError, match="delete_mode"):
+        CDCEngine(spark, table, delete_mode="soft")
+    # and the hard default still works
+    eng = CDCEngine(spark, table)
+    assert eng.delete_mode == "hard"
