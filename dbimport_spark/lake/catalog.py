@@ -76,19 +76,25 @@ class FileCatalog(Catalog):
     LakeTable may share the module default instance."""
 
     def commit_version(self, meta_dir: str, version: int, payload: dict) -> None:
+        # write-then-link, not write-in-place: vN.json must NEVER exist
+        # half-written. A reader's forward probe (LakeTable.current)
+        # adopts vN.json the instant it appears, and a SIGKILL mid-dump
+        # of an in-place write would leave a durable truncated vN.json
+        # that wedges every later read AND every later commit. The tmp
+        # carries the full fsynced bytes; os.link publishes them
+        # atomically and keeps O_EXCL's arbitration (EEXIST = lost race).
         path = self._meta_path(meta_dir, version)
+        tmp = f"{path}.tmp-{os.getpid()}-{threading.get_ident()}"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
-            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+            os.link(tmp, path)
         except FileExistsError as e:
             raise CommitConflict(f"version v{version} already committed") from e
-        try:
-            with os.fdopen(fd, "w") as fh:
-                json.dump(payload, fh)
-                fh.flush()
-                os.fsync(fh.fileno())
-        except BaseException:
-            os.unlink(path)
-            raise
+        finally:
+            os.unlink(tmp)
         # make the commit durable before the caller advertises it
         self._fsync_dir(meta_dir)
 

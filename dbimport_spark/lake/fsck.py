@@ -79,6 +79,13 @@ def check_table(table: LakeTable) -> list[dict]:
     versions: list[int] = []
     try:
         for name in os.listdir(meta_dir):
+            if ".tmp-" in name:
+                # a catalog writer died between tmp-write and publish
+                # (catalog.py documents the turd); harmless to readers
+                # but accumulates forever without a signal — repair_table
+                # age-gate-removes them
+                warn("metadata", f"commit tmp turd {name}")
+                continue
             if name.startswith("v") and name.endswith(".json"):
                 try:
                     versions.append(int(name[1:-5]))
@@ -141,7 +148,13 @@ def check_table(table: LakeTable) -> list[dict]:
             try:
                 with open(os.path.join(d, fname)) as fh:
                     int(_json.load(fh)["version"])
-            except (ValueError, KeyError, _json.JSONDecodeError, OSError) as e:
+            except (
+                ValueError,
+                TypeError,  # "version": null / list — not int-coercible
+                KeyError,
+                _json.JSONDecodeError,
+                OSError,
+            ) as e:
                 err(
                     check,
                     f"{sub}/{fname} is unreadable ({type(e).__name__}) — "
@@ -256,7 +269,20 @@ def check_table(table: LakeTable) -> list[dict]:
                 continue
             # equal = inherited by a non-merge commit (compaction, rename,
             # repair of other buckets) — only a DECREASE is a violation
-            if prev_ts is not None and tsv < prev_ts:
+            try:
+                moved_back = prev_ts is not None and tsv < prev_ts
+            except TypeError:
+                # aware vs naive mix (foreign writer): a FINDING, not a
+                # crash — the never-raise contract holds
+                err(
+                    "merge_ts",
+                    f"v{s.version}: last_merge_ts timezone-awareness "
+                    "differs from the previous snapshot's — ordering is "
+                    "uncomparable",
+                )
+                prev_ts = tsv
+                continue
+            if moved_back:
                 err(
                     "merge_ts",
                     f"last_merge_ts moved backward at v{s.version}",
@@ -289,16 +315,27 @@ def check_table(table: LakeTable) -> list[dict]:
             err("epoch", f"{f.path}: epoch {f.epoch} outside [0, {epoch}]")
 
     # -- referenced files vs filesystem --------------------------------------
+    # deduped by (path, recorded bytes): data files are immutable, so one
+    # stat answers every referencing snapshot — O(unique files) syscalls,
+    # not O(snapshots x files) — and EVERY retained snapshot's files are
+    # size-checked (a truncated file referenced only by a tagged
+    # historical snapshot breaks time travel just as loudly)
+    refs: dict[tuple[str, int], list[int]] = {}
     for s in snaps:
         for f in s.files:
-            p = os.path.join(table.root, f.path)
-            if not os.path.isfile(p):
-                err("files", f"v{s.version} references missing file {f.path}")
-            elif s is cur and os.path.getsize(p) != f.bytes:
+            refs.setdefault((f.path, f.bytes), []).append(s.version)
+    for (rel, nbytes), versions in refs.items():
+        p = os.path.join(table.root, rel)
+        vlist = ",".join(f"v{v}" for v in sorted(set(versions)))
+        if not os.path.isfile(p):
+            err("files", f"{vlist} reference missing file {rel}")
+        else:
+            actual = os.path.getsize(p)
+            if actual != nbytes:
                 err(
                     "files",
-                    f"{f.path}: recorded {f.bytes} bytes, on disk "
-                    f"{os.path.getsize(p)}",
+                    f"{rel} (referenced by {vlist}): recorded {nbytes} "
+                    f"bytes, on disk {actual}",
                 )
 
     # -- version hint ---------------------------------------------------------
@@ -397,6 +434,24 @@ def repair_table(
     actions: list[dict] = []
     meta_dir = os.path.join(table.root, "metadata")
 
+    # commit tmp turds (writer died between tmp-write and publish) —
+    # age-gated removal: a LIVE commit's tmp is seconds old, never hours
+    import time as _time
+
+    cutoff = _time.time() - orphan_older_than_seconds
+    for name in sorted(os.listdir(meta_dir)):
+        if ".tmp-" not in name:
+            continue
+        p = os.path.join(meta_dir, name)
+        try:
+            if os.path.isfile(p) and os.path.getmtime(p) <= cutoff:
+                os.unlink(p)
+                actions.append(
+                    {"action": "remove_commit_tmp_turd", "detail": name}
+                )
+        except OSError:
+            continue  # raced another repair: nothing to do
+
     # stray metadata files -> metadata/_stray/
     for name in sorted(os.listdir(meta_dir)):
         if not (name.startswith("v") and name.endswith(".json")):
@@ -407,8 +462,13 @@ def repair_table(
             stray_dir = os.path.join(meta_dir, "_stray")
             os.makedirs(stray_dir, exist_ok=True)
             dst = os.path.join(stray_dir, name)
-            if os.path.exists(dst):
-                os.unlink(dst)
+            # 'never deleted' includes PREVIOUSLY quarantined evidence: a
+            # recurring stray name gets a numbered destination instead of
+            # unlinking the first capture
+            n = 1
+            while os.path.exists(dst):
+                dst = os.path.join(stray_dir, f"{name}.{n}")
+                n += 1
             shutil.move(os.path.join(meta_dir, name), dst)
             actions.append(
                 {"action": "quarantine_stray_metadata", "detail": name}

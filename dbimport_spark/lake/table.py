@@ -1093,7 +1093,7 @@ class LakeTable:
             try:
                 with open(os.path.join(self._pins_dir, name)) as fh:
                     out[name[:-5]] = int(json.load(fh)["version"])
-            except (ValueError, KeyError, json.JSONDecodeError):
+            except (ValueError, TypeError, KeyError, json.JSONDecodeError):
                 continue  # torn write: fsck reports it, expiry ignores it
         return out
 
@@ -1154,7 +1154,7 @@ class LakeTable:
             try:
                 with open(os.path.join(self._tags_dir, name)) as fh:
                     out[name[:-5]] = int(json.load(fh)["version"])
-            except (ValueError, KeyError, json.JSONDecodeError):
+            except (ValueError, TypeError, KeyError, json.JSONDecodeError):
                 continue  # torn write: fsck reports it, readers skip it
         return out
 

@@ -181,7 +181,9 @@ def generate_dag(
     # BashOperator runs in a temp cwd — a relative registry path would
     # make every scheduled task fail (or read some OTHER reg.json)
     reg_arg = shlex.quote(os.path.abspath(registry.path))
-    cli = f"{python} -m dbimport_spark.cli"
+    # quoted like every other operand: a venv path with a space or shell
+    # metacharacter must not split into a broken bash_command
+    cli = f"{shlex.quote(python)} -m dbimport_spark.cli"
     origin = (
         "--schedule" if schedule
         else f"registry schedule group {schedule_group!r}" if schedule_group

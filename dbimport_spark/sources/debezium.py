@@ -144,7 +144,11 @@ def stream_debezium_changes(
     # a null-op row into the engine's malformed-event quarantine, same as
     # the batch read (whose per-read inference adds the column itself).
     if "_corrupt_record" not in schema.fieldNames():
-        schema = schema.add("_corrupt_record", T.StringType())
+        # COPY before add: StructType.add mutates in place, and the
+        # caller's schema object must not grow a phantom column
+        schema = T.StructType(list(schema.fields)).add(
+            "_corrupt_record", T.StringType()
+        )
     reader = spark.readStream.schema(schema).option(
         "columnNameOfCorruptRecord", "_corrupt_record"
     )
@@ -262,11 +266,13 @@ def _to_change_shape(
         op = op.when(
             raw_op == "T",
             F.raise_error(
+                # concat null-propagates: a NULL resolved lsn would blank
+                # the whole operator-facing message — coalesce it
                 F.concat(
                     F.lit(
                         "debezium truncate event (op='t') at lsn "
                     ),
-                    lsn.cast("string"),
+                    F.coalesce(lsn.cast("string"), F.lit("<null>")),
                     F.lit(
                         " — the CDC engine cannot apply a table truncation"
                         "; re-snapshot the source table, or pass "

@@ -308,3 +308,92 @@ def test_fsck_cli_repair(spark, tmp_path):
     assert any(
         a["action"] == "rewrite_version_hint" for a in rep["repairs"]
     )
+
+
+def test_fsck_null_pin_version_is_finding_not_crash(spark, tmp_path):
+    """A pin file with "version": null (not int-coercible) must produce
+    an error finding — the never-raise contract covers TypeError too."""
+    table = _mk_table(spark, tmp_path)
+    pins = os.path.join(table.root, "metadata", "pins")
+    os.makedirs(pins, exist_ok=True)
+    with open(os.path.join(pins, "bad.json"), "w") as fh:
+        json.dump({"version": None}, fh)
+    findings = check_table(table)
+    assert any(
+        f["check"] == "pins" and "bad.json" in f["detail"] for f in findings
+    )
+    # and pins() itself skips the torn entry instead of raising
+    assert "bad" not in table.pins()
+
+
+def test_fsck_tmp_turd_warned_and_repaired(spark, tmp_path):
+    """A catalog commit tmp turd (writer died between tmp-write and
+    publish) is warned about by fsck and age-gate-removed by repair —
+    a fresh turd (possible live commit) is left alone."""
+    from dbimport_spark.lake.fsck import repair_table
+
+    table = _mk_table(spark, tmp_path)
+    meta = os.path.join(table.root, "metadata")
+    old = os.path.join(meta, "v99.json.tmp-123-456")
+    fresh = os.path.join(meta, "v99.json.tmp-789-012")
+    for p in (old, fresh):
+        with open(p, "w") as fh:
+            fh.write("{}")
+    os.utime(old, (1, 1))  # ancient
+    findings = check_table(table)
+    turds = [f for f in findings if "tmp turd" in f["detail"]]
+    assert len(turds) == 2 and all(f["level"] == "warn" for f in turds)
+    actions = repair_table(table)
+    removed = [
+        a["detail"] for a in actions if a["action"] == "remove_commit_tmp_turd"
+    ]
+    assert removed == ["v99.json.tmp-123-456"]
+    assert not os.path.exists(old) and os.path.exists(fresh)
+
+
+def test_repair_stray_requarantine_keeps_both(spark, tmp_path):
+    """A stray metadata name that reappears after being quarantined gets
+    a numbered destination — previously-captured evidence is never
+    deleted."""
+    from dbimport_spark.lake.fsck import repair_table
+
+    table = _mk_table(spark, tmp_path)
+    meta = os.path.join(table.root, "metadata")
+    stray = os.path.join(meta, "vjunk.json")
+    with open(stray, "w") as fh:
+        fh.write("first")
+    repair_table(table)
+    with open(stray, "w") as fh:
+        fh.write("second")
+    repair_table(table)
+    sdir = os.path.join(meta, "_stray")
+    captured = sorted(os.listdir(sdir))
+    assert captured == ["vjunk.json", "vjunk.json.1"]
+    assert open(os.path.join(sdir, "vjunk.json")).read() == "first"
+    assert open(os.path.join(sdir, "vjunk.json.1")).read() == "second"
+
+
+def test_fsck_sizechecks_historical_snapshot_files(spark, tmp_path):
+    """A truncated data file referenced only by a RETAINED HISTORICAL
+    snapshot is an error — time travel to that version would read
+    corrupt data; the size check covers every retained snapshot."""
+    table = _mk_table(spark, tmp_path)
+    cur_paths = {f.path for f in table.current().files}
+    old_only = None
+    for v in table.snapshots()[:-1]:
+        for f in table.snapshot(v).files:
+            if f.path not in cur_paths and f.bytes > 4:
+                old_only = f
+                break
+        if old_only:
+            break
+    assert old_only is not None, "need a file only historical snaps reference"
+    p = os.path.join(table.root, old_only.path)
+    with open(p, "r+b") as fh:
+        fh.truncate(4)
+    findings = check_table(table)
+    assert any(
+        f["check"] == "files" and old_only.path in f["detail"]
+        and "recorded" in f["detail"]
+        for f in findings
+    )
