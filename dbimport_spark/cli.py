@@ -166,12 +166,21 @@ def main(argv: list[str] | None = None) -> int:
         "merge-on-read deltas — the steady-state streaming shape",
     )
     sp.add_argument(
-        "--on-out-of-order", default="error",
+        "--on-out-of-order", default="auto",
         choices=["error", "warn", "auto", "recover"],
-        help="late-segment policy: error (default, strict) | warn (skip, "
-        "keep the segment unledgered for later recovery) | auto (warn only "
-        "on a brand-new checkpoint's catch-up batch) | recover (re-fold the "
-        "affected keys from the per-segment ledger)",
+        help="late-segment policy: auto (default — warn during a "
+        "brand-new checkpoint's catch-up, error mid-stream; the "
+        "batch-replay-then-stream flow works out of the box) | error "
+        "(strict, kills the documented catch-up flow) | warn (skip, keep "
+        "the segment unledgered for later recovery) | recover (re-fold "
+        "the affected keys from the per-segment ledger)",
+    )
+    sp.add_argument(
+        "--quarantine-dir", default=None, metavar="DIR",
+        help="park malformed events (null lsn / corrupt wire lines) here "
+        "instead of refusing the micro-batch — without it a single "
+        "corrupt line stalls an unattended stream permanently (inspect "
+        "via the monitoring server, re-ingest via quarantine --drain)",
     )
     sp.add_argument(
         "--format", default="parquet", choices=["parquet", "debezium"],
@@ -1260,7 +1269,10 @@ def main(argv: list[str] | None = None) -> int:
         from dbimport_spark.streaming.stream import run_stream, stream_changes
 
         table = LakeTable.load(args.table_root)
-        eng = CDCEngine(spark, table, write_mode=args.write_mode)
+        eng = CDCEngine(
+            spark, table, write_mode=args.write_mode,
+            quarantine_dir=args.quarantine_dir,
+        )
         reread = None
         if args.format == "debezium":
             from dbimport_spark.sources.debezium import (
@@ -1326,7 +1338,13 @@ def main(argv: list[str] | None = None) -> int:
             c for c in actual.columns
             if c not in AUDIT_COLUMNS and c != AUDIT_SOURCE
         ]
-        log_df = spark.read.parquet(args.log_path)
+        # mergeSchema like replay/repair: an evolved multi-segment log's
+        # single-footer inference would miss (or mis-type) columns that
+        # only newer/older segments carry, flagging a converged table as
+        # diverged (or failing the fold's select outright)
+        log_df = spark.read.option("mergeSchema", "true").parquet(
+            args.log_path
+        )
         if args.window:
             from dbimport_spark.plans.validate import reconcile_incremental
 

@@ -73,7 +73,11 @@ class LocalStateStore(StateStore):
         d = os.path.dirname(path)
         if d:
             os.makedirs(d, exist_ok=True)
-        tmp = f"{path}.tmp-{os.getpid()}"
+        # pid AND thread id: two threads of one driver writing the same
+        # path must not interleave into one tmp and publish garbage
+        import threading
+
+        tmp = f"{path}.tmp-{os.getpid()}-{threading.get_ident()}"
         with open(tmp, "w") as fh:
             fh.write(text)
             fh.flush()
@@ -170,6 +174,8 @@ class ObjectStateStore(StateStore):
 
     def __init__(self, root: str) -> None:
         self.root = root
+        # per-record-prefix next-sequence cache (see append_line)
+        self._next_seq: dict[str, int] = {}
 
     # -- object primitives (the boto3 seam) ---------------------------------
 
@@ -218,16 +224,23 @@ class ObjectStateStore(StateStore):
 
     def append_line(self, path: str, line: str) -> None:
         rec_dir = os.path.join(self._obj(path), "records")
-        # next sequence = LIST + 1 (what an S3 appender does); the uniq
-        # suffix makes a same-seq race lose no records
-        existing = self._list(rec_dir)
-        seq = 0
-        if existing:
-            seq = int(existing[-1].split("-", 1)[0]) + 1
+        # next sequence = LIST + 1 (what an S3 appender does), with the
+        # last-issued seq cached per path after the first LIST: the
+        # ledger is single-writer by its own contract, so appends are
+        # O(1) instead of a full prefix LIST each (O(n^2) over a
+        # stream's lifetime). The uniq suffix still makes a same-seq
+        # race (two writers violating the contract) lose no records.
+        seq = self._next_seq.get(rec_dir)
+        if seq is None:
+            existing = self._list(rec_dir)
+            seq = (
+                int(existing[-1].split("-", 1)[0]) + 1 if existing else 0
+            )
         import uuid
 
         name = f"{seq:020d}-{uuid.uuid4().hex[:8]}"
         self._put(os.path.join(rec_dir, name), line.rstrip("\n"))
+        self._next_seq[rec_dir] = seq + 1
 
     def read_lines(self, path: str) -> list[str]:
         rec_dir = os.path.join(self._obj(path), "records")

@@ -325,6 +325,16 @@ def create_sync_point(
     missing = [n for n in only or [] if n not in entries]
     if missing:
         raise KeyError(f"not registered: {missing}")
+    # an explicitly named disabled table is an ERROR, not a silent drop:
+    # the operator asked for it in the freeze, and a manifest quietly
+    # missing a member breaks every later `export --at` of that table
+    # (replay_all reports the same situation as a failure)
+    disabled = [n for n in only or [] if not entries[n].enabled]
+    if disabled:
+        raise ValueError(
+            f"sync point names disabled table(s) {disabled} — enable "
+            "them or drop them from --only"
+        )
     targets = {
         n: e
         for n, e in entries.items()
@@ -348,13 +358,10 @@ def create_sync_point(
                     t = LakeTable.load(root)
                     v = t.set_tag(tag_name)
                     pairs.append((t, v))
-                    rec.setdefault(
-                        kind + "s" if kind == "view" else kind, []
-                    )
                     info = {"root": root, "version": v,
                             "last_lsn": t.last_lsn()}
                     if kind == "view":
-                        rec["views"].append(info)
+                        rec.setdefault("views", []).append(info)
                     else:
                         rec[kind] = info
                 manifest["tables"][n] = rec

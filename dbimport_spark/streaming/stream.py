@@ -48,6 +48,15 @@ def _ledger_path(checkpoint_dir: str) -> str:
     return os.path.join(checkpoint_dir, "dbimport-segments.jsonl")
 
 
+def _catchup_wm_path(checkpoint_dir: str) -> str:
+    # the table watermark at the moment THIS checkpoint was created —
+    # durable, so a rate-capped catch-up that spans several micro-batches
+    # (or crashes mid-catch-up) keeps its catch-up standing across
+    # batches and restarts; the phase ends the instant the stream first
+    # advances the watermark (last > this value, forever)
+    return os.path.join(checkpoint_dir, "dbimport-catchup-watermark.json")
+
+
 def _ledger_read(path: str, store) -> dict[str, dict]:
     seen: dict[str, dict] = {}
     for line in store.read_lines(path):
@@ -119,11 +128,14 @@ def run_stream(
 
     ``on_out_of_order`` decides the late-segment response:
 
-    - 'auto' (default): warn on the first micro-batch of a run over a
-      BRAND-NEW checkpoint (no ledger yet — the batch-replay-then-stream
-      catch-up), raise ``LogTruncatedError`` otherwise. The ledger is the
-      run marker: a restart over an existing checkpoint never downgrades
-      a real out-of-order arrival to a warning, even on batch 0.
+    - 'auto' (default): warn during the CATCH-UP PHASE of a brand-new
+      checkpoint (the batch-replay-then-stream flow — until this stream
+      first advances the table watermark past its durable stream-start
+      value, every below-watermark segment is pre-stream history, so a
+      rate-capped catch-up spanning several micro-batches, or a restart
+      mid-catch-up, stays benign), raise ``LogTruncatedError`` once the
+      stream has applied anything: from then on a below-watermark
+      unledgered arrival is a real ordering violation.
     - 'recover': re-fold the late keys authoritatively over the full
       ledgered log + this batch (``CDCEngine.repair_keys``) — converges
       without manual intervention, then continue with the fresh rows;
@@ -147,6 +159,21 @@ def run_stream(
     store = state_store or DEFAULT_STORE
     ledger = _ledger_path(checkpoint_dir)
     fresh_checkpoint = not store.exists(ledger)
+    # catch-up watermark: stamped once per checkpoint lifetime. A crash
+    # between this write and the first ledger append re-reads the same
+    # value (the stream applied nothing, so it is still correct); a
+    # pre-existing checkpoint without the file is a legacy one — its
+    # catch-up standing is batch-0-only, as before.
+    wm_path = _catchup_wm_path(checkpoint_dir)
+    if fresh_checkpoint and not store.exists(wm_path):
+        store.write_text(
+            wm_path,
+            json.dumps({"watermark": int(engine.table.last_lsn())}),
+        )
+    _wm_txt = store.read_text(wm_path)
+    catchup_wm: int | None = (
+        int(json.loads(_wm_txt)["watermark"]) if _wm_txt else None
+    )
     first_batch_id: list[int] = []  # batch ids persist across checkpoint restarts
     # the ledger is single-writer (this stream) and append-only: load once,
     # keep in memory, update on append — no per-trigger re-read of an
@@ -225,16 +252,36 @@ def run_stream(
             and r["min_lsn"] is not None
             and r["min_lsn"] <= last
         ]
+        ledger_hi = max(
+            (
+                r["max_lsn"]
+                for r in seen.values()
+                if r["max_lsn"] is not None
+            ),
+            default=None,
+        )
         if not is_first_of_run:
             late = candidates
         elif prev_lo is not None:
             late = [r for r in candidates if r["min_lsn"] < prev_lo]
         else:
-            # no lineage to anchor on (empty-window or repair commit last):
-            # fall back to the batch-wide signature of a pure window re-run
-            late = [] if (n_fresh == 0 and hi == last) else candidates
+            # no lineage to anchor on (empty-window or repair commit
+            # last): fall back to the batch-wide signature of a pure
+            # window re-run — WHICH IS ONLY POSSIBLE while the ledger
+            # does not already cover the watermark. If it does, the
+            # watermark-setting window IS ledgered, so an unledgered
+            # file that merely tops out at the watermark is a genuinely
+            # late segment, not a crash re-delivery; ledgering it here
+            # would silently discard its events forever.
+            rerun_possible = ledger_hi is None or ledger_hi < last
+            late = (
+                []
+                if (n_fresh == 0 and hi == last and rerun_possible)
+                else candidates
+            )
         late_files = [r["file"] for r in late]
         skipped_late: list[str] = []
+        recovered_files: set[str] = set()
 
         if late_files:
             suspect = (
@@ -247,14 +294,23 @@ def run_stream(
             )
             from dbimport_spark.sources.changelog import LogTruncatedError
 
-            is_catchup = fresh_checkpoint and batch_id == first_batch_id[0]
-            ledger_hi = max(
-                (
-                    r["max_lsn"]
-                    for r in seen.values()
-                    if r["max_lsn"] is not None
-                ),
-                default=None,
+            # catch-up standing is a PHASE, not a single batch: a
+            # rate-capped catch-up (maxFilesPerTrigger) spans several
+            # micro-batches, and a crash mid-catch-up restarts with the
+            # ledger already present — both previously escalated batch
+            # 1+ to a hard error on a fully-healthy log. The phase is
+            # bounded on BOTH ends by durable state: it exists only
+            # while the stream has never advanced the table (last ==
+            # the stream-start watermark, irreversible once passed) AND
+            # the ledger does not yet cover that watermark — once the
+            # absorbed segments reach it, all pre-stream history is
+            # accounted for, and a below-watermark unledgered arrival
+            # AFTER that is a real ordering violation even if the
+            # stream still has applied nothing of its own.
+            is_catchup = (
+                catchup_wm is not None
+                and last == catchup_wm
+                and not (ledger_hi is not None and ledger_hi >= catchup_wm)
             )
             ledger_covers = ledger_hi is not None and ledger_hi >= last
             policy = on_out_of_order
@@ -282,6 +338,7 @@ def run_stream(
                 raise LogTruncatedError(suspect)
             if policy == "recover":
                 print(f"RECOVER {suspect}", flush=True)
+                recovered_files = set(late_files)
                 if engine.track_lsn and engine.delete_mode == "soft":
                     # track_lsn table: bounded-work path — merge the late
                     # events directly (event.lsn > row.dl_lsn), reading
@@ -386,21 +443,43 @@ def run_stream(
             if on_batch_applied is not None and not bs.skipped:
                 on_batch_applied(bs)
         elif bad_route_files:
-            # a micro-batch with UNPARKED malformed rows and no fresh row
-            # to anchor a window: stop loudly rather than ledger the
-            # segment(s) as absorbed (which would silently lose them).
-            # Benign re-delivery never lands here — a re-delivered
-            # segment's dead letters are in the quarantine record (parked
-            # before the window's commit) and are filtered out above.
-            raise ValueError(
-                f"micro-batch {batch_id}: segment(s) "
-                f"{sorted(bad_route_files)} carry unparked malformed "
-                "events (null lsn / corrupt wire lines) and no fresh row "
-                "anchors a window to park them under. Fix or remove the "
-                "segment(s), or park them explicitly with "
-                "CDCEngine.park_dead_letters(changes) (then "
-                "drain_quarantine once repaired)."
-            )
+            if (
+                recovered_files
+                and set(bad_route_files) <= recovered_files
+                and engine.quarantine_dir is not None
+            ):
+                # 'recover' just absorbed these late segments' ordered
+                # rows; raising on their malformed leftovers would fail
+                # the micro-batch AFTER the recovery commit and wedge
+                # the stream in a crash loop (recovery is idempotent, so
+                # each restart re-runs it and re-raises). Park the dead
+                # letters instead — the same terminal state the fresh
+                # path gives them — and let the batch complete.
+                bad_df = _reread(spark, sorted(bad_route_files))
+                n_parked = engine.park_dead_letters(bad_df)
+                print(
+                    f"RECOVER micro-batch {batch_id}: parked {n_parked} "
+                    f"malformed event(s) from recovered late segment(s) "
+                    f"{sorted(bad_route_files)}",
+                    flush=True,
+                )
+            else:
+                # a micro-batch with UNPARKED malformed rows and no fresh
+                # row to anchor a window: stop loudly rather than ledger
+                # the segment(s) as absorbed (which would silently lose
+                # them). Benign re-delivery never lands here — a
+                # re-delivered segment's dead letters are in the
+                # quarantine record (parked before the window's commit)
+                # and are filtered out above.
+                raise ValueError(
+                    f"micro-batch {batch_id}: segment(s) "
+                    f"{sorted(bad_route_files)} carry unparked malformed "
+                    "events (null lsn / corrupt wire lines) and no fresh "
+                    "row anchors a window to park them under. Fix or "
+                    "remove the segment(s), or park them explicitly with "
+                    "CDCEngine.park_dead_letters(changes) (then "
+                    "drain_quarantine once repaired)."
+                )
         # record this batch's segments only after they are fully absorbed:
         # a crash before this point re-delivers them, and re-delivery of
         # ledgered segments is benign by construction

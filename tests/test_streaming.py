@@ -744,3 +744,134 @@ def test_stream_parked_dead_letters_not_rewedged_or_reparked(spark, tmp_path):
     q3.awaitTermination(300)
     assert table.last_lsn() == 2
     assert len(eng.list_quarantine()) == 2
+
+
+def test_rate_capped_catchup_spans_batches_under_auto(spark, tmp_path):
+    """A fresh-checkpoint catch-up over an already-replayed log with
+    maxFilesPerTrigger=1 spans several micro-batches; batch 1+ must keep
+    its catch-up standing under 'auto' (previously only batch 0 did, so
+    a rate-capped catch-up died with LogTruncatedError on a healthy
+    log). After the drain every segment is ledgered and the table is
+    byte-unchanged."""
+    import json
+    import os
+
+    log_dir = str(tmp_path / "rclog")
+    changes = generate_changes(spark, 1200, n_keys=60, seed=51)
+    write_changes_segments(changes, log_dir, n_segments=5)
+    table = CDCEngine.create_table(str(tmp_path / "rct"), num_buckets=4)
+    eng = CDCEngine(spark, table)
+    eng.replay(spark.read.parquet(log_dir), num_batches=3)
+    v0 = table.current().version
+
+    ckpt = str(tmp_path / "rck")
+    q = run_stream(
+        eng,
+        stream_changes(spark, log_dir, max_files_per_trigger=1),
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(300)
+    assert table.current().version == v0  # nothing re-applied
+    ledger = os.path.join(ckpt, "dbimport-segments.jsonl")
+    files = {json.loads(line)["file"] for line in open(ledger)}
+    assert len(files) == 5  # every catch-up segment absorbed
+
+    # and the phase is OVER: a late old segment arriving now errors
+    stage = str(tmp_path / "rcstage")
+    late = write_changes_segments(
+        changes.filter("lsn <= 200"), stage, n_segments=1
+    )[0]
+    os.replace(late, os.path.join(log_dir, "seg-after.parquet"))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="below the committed watermark"):
+        q2 = run_stream(
+            eng, stream_changes(spark, log_dir), checkpoint_dir=ckpt
+        )
+        q2.awaitTermination(300)
+        raise AssertionError("late segment after catch-up was masked")
+
+
+def test_recover_parks_dead_letters_from_late_segment(spark, tmp_path):
+    """'recover' over a late segment that also carries a null-lsn row:
+    the ordered rows are recovered AND the malformed row is parked in
+    the quarantine — previously the batch raised after the recovery
+    commit, wedging the stream in a crash loop."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import types as T
+
+    from dbimport_spark.schema import CHANGE_SCHEMA
+
+    LAX = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in CHANGE_SCHEMA.fields]
+    )
+    TS = dt.datetime(2024, 1, 1)
+    log_dir = str(tmp_path / "rplog")
+    os.makedirs(log_dir)
+    table = CDCEngine.create_table(
+        str(tmp_path / "rpt"), num_buckets=4, soft_delete=True,
+        track_lsn=True,
+    )
+    qdir = str(tmp_path / "rpq")
+    eng = CDCEngine(spark, table, quarantine_dir=qdir)
+
+    fresh = spark.createDataFrame(
+        [
+            (10, "I", "a", [1], 1, "web", TS),
+            (11, "I", "b", [2], 1, "web", TS),
+        ],
+        LAX,
+    )
+    stage1 = str(tmp_path / "rpstage1")
+    fresh.coalesce(1).write.parquet(stage1)
+    part1 = [f for f in os.listdir(stage1) if f.endswith(".parquet")][0]
+    os.replace(
+        os.path.join(stage1, part1), os.path.join(log_dir, "seg-1.parquet")
+    )
+    ckpt = str(tmp_path / "rpck")
+    q = run_stream(
+        eng, stream_changes(spark, log_dir), checkpoint_dir=ckpt
+    )
+    q.awaitTermination(300)
+    assert table.last_lsn() == 11
+
+    # late segment: one genuinely late ordered row + one null-lsn row
+    late = spark.createDataFrame(
+        [
+            (5, "I", "c", [9], 1, "web", TS),
+            (None, "I", "zz", [7], 1, "web", TS),
+        ],
+        LAX,
+    )
+    stage = str(tmp_path / "rpstage")
+    late.coalesce(1).write.parquet(stage)
+    part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    os.replace(
+        os.path.join(stage, part), os.path.join(log_dir, "seg-0.parquet")
+    )
+    q2 = run_stream(
+        eng, stream_changes(spark, log_dir), checkpoint_dir=ckpt,
+        on_out_of_order="recover",
+    )
+    q2.awaitTermination(300)
+    rows = {r["doc_id"]: r for r in table.read(spark).collect()}
+    assert rows["c"]["tokens"] == [9]  # late ordered row recovered
+    assert "zz" not in rows
+    parked = [d for d in os.listdir(qdir) if d.startswith("batch-")]
+    assert parked, "malformed row was not parked"
+    import pyspark.sql.functions as F
+
+    park_df = spark.read.parquet(*(os.path.join(qdir, d) for d in parked))
+    assert park_df.filter(F.col("doc_id") == "zz").count() == 1
+    # and the stream is NOT wedged: a re-run over the same checkpoint is
+    # a no-op (the segment is ledgered, the dead letter stays parked once)
+    q3 = run_stream(
+        eng, stream_changes(spark, log_dir), checkpoint_dir=ckpt,
+        on_out_of_order="recover",
+    )
+    q3.awaitTermination(300)
+    assert park_df.count() == spark.read.parquet(
+        *(os.path.join(qdir, d) for d in parked)
+    ).count()
