@@ -94,6 +94,20 @@ def diff_read_sets(
     return read_a, read_b
 
 
+def rename_mapping(from_renames: list, to_renames: list) -> dict[str, str]:
+    """old-name -> new-name over the rename-log slice
+    ``to_renames[len(from_renames):]``, transitively chained (a->b then
+    b->c folds to a->c). The ONE definition of the chain fold — shared
+    by ``_align_to``, ``table_changes_per_commit``'s part alignment, and
+    the streaming source's catch-up alignment, which must never drift
+    from each other."""
+    mapping: dict[str, str] = {}
+    for r in to_renames[len(from_renames):]:
+        src = next((k for k, v in mapping.items() if v == r["from"]), r["from"])
+        mapping[src] = r["to"]
+    return mapping
+
+
 def _align_to(
     df: DataFrame, from_snap: Snapshot, to_snap: Snapshot
 ) -> DataFrame:
@@ -102,11 +116,7 @@ def _align_to(
     columns added in the window come through as nulls, widened columns
     are cast up. Mirrors how ``LakeTable.read`` maps old files to the
     current names, but across VERSIONS instead of file epochs."""
-    mapping: dict[str, str] = {}
-    for r in to_snap.renames[len(from_snap.renames):]:
-        # chain transitive renames within the window (a->b then b->c)
-        src = next((k for k, v in mapping.items() if v == r["from"]), r["from"])
-        mapping[src] = r["to"]
+    mapping = rename_mapping(from_snap.renames, to_snap.renames)
     have = {mapping.get(c, c): c for c in df.columns}
     return df.select(
         *[
@@ -135,13 +145,11 @@ def rewrite_only_window(
     """
     if snap_b.version <= snap_a.version:
         return False
-    have = set(table.snapshots())
-    for v in range(snap_a.version + 1, snap_b.version + 1):
-        if v not in have:
-            return False
-        if table.snapshot(v).properties.get("rewrite_only") != "true":
-            return False
-    return True
+    # ONE span-checker: LakeTable._rewrite_only_span is the same loop
+    # plus the reload-leak guard (a reload is never state-equal to its
+    # parent even when a rewrite_only marker leaked onto it) — a second
+    # hand-maintained copy here had already drifted from it once.
+    return table._rewrite_only_span(snap_a.version, snap_b.version)
 
 
 def window_has_reload(table: LakeTable, from_v: int, to_v: int) -> int | None:
@@ -152,7 +160,7 @@ def window_has_reload(table: LakeTable, from_v: int, to_v: int) -> int | None:
     the window diffable when a reload sits inside it."""
     for v in table.snapshots():
         if from_v < v <= to_v:
-            if table.snapshot(v).properties.get("reload") == "true":
+            if table.snapshot_properties(v).get("reload") == "true":
                 return v
     return None
 
@@ -179,13 +187,18 @@ def check_window(table: LakeTable, snap_a: Snapshot, snap_b: Snapshot) -> None:
             "well-defined. Reconcile with a full read instead "
             "(mirror/matview: on_gap='full')."
         )
-    if len(snap_b.renames) < len(snap_a.renames):
-        # rename history shrank but no retained snapshot carries the
-        # reload marker (it expired): same boundary, weaker evidence
+    nb, na = snap_b.renames, snap_a.renames
+    if len(nb) < len(na) or nb[: len(na)] != na:
+        # rename history shrank — or is no longer an EXTENSION of the
+        # window start's (a reload cleared it and new renames grew it
+        # back to the old length or longer) — but no retained snapshot
+        # carries the reload marker (it expired): same boundary, weaker
+        # evidence. Length alone would miss the grown-back case and
+        # _align_to would match columns by bare name across the reload.
         raise ValueError(
-            f"rename history at version {snap_b.version} is shorter than "
-            f"at {snap_a.version} — the window crosses an expired reload "
-            "boundary. Reconcile with a full read instead."
+            f"rename history at version {snap_b.version} does not extend "
+            f"the history at {snap_a.version} — the window crosses an "
+            "expired reload boundary. Reconcile with a full read instead."
         )
 
 
@@ -310,7 +323,14 @@ def follow_changes(
     LSN, so a killed follower resumes from its table, not this loop.
 
     Stops after ``max_windows`` yields (None = forever) or when
-    ``stop_file`` appears.
+    ``stop_file`` appears (checked every iteration, including between
+    back-to-back windows on a busy table).
+
+    A declared full reload landing inside a window raises ``ValueError``
+    out of the generator (``check_window``) — deliberately: an
+    incremental diff across a reload is not well-defined, so the
+    consumer must reconcile with a full read (mirror/matview:
+    ``on_gap='full'``) and restart the follower from the reload version.
     """
     import os as _os
     import time as _time
@@ -318,14 +338,18 @@ def follow_changes(
     last = table.current().version if from_version is None else from_version
     yielded = 0
     while max_windows is None or yielded < max_windows:
+        # stop signal checked EVERY iteration: under a continuously
+        # committing table the busy branch used to re-loop without ever
+        # reaching the check, so --stop-file could not stop the follower
+        # until the table went quiet
+        if stop_file is not None and _os.path.isfile(stop_file):
+            return
         cur = table.current().version
         if cur > last:
             yield last, cur, table_changes(spark, table, last, cur)
             last = cur
             yielded += 1
             continue  # re-check immediately: more commits may have landed
-        if stop_file is not None and _os.path.isfile(stop_file):
-            return
         _time.sleep(poll_s)
 
 
@@ -369,12 +393,7 @@ def table_changes_per_commit(
     ]
 
     def _align_part(part_df: DataFrame, part_snap: Snapshot) -> DataFrame:
-        mapping: dict[str, str] = {}
-        for r in final.renames[len(part_snap.renames):]:
-            src = next(
-                (k for k, v in mapping.items() if v == r["from"]), r["from"]
-            )
-            mapping[src] = r["to"]
+        mapping = rename_mapping(part_snap.renames, final.renames)
         have = {mapping.get(c, c): c for c in part_df.columns}
         cols = [
             (
@@ -390,8 +409,15 @@ def table_changes_per_commit(
 
     out: DataFrame | None = None
     for lo, hi_v in zip(versions, versions[1:]):
-        if table.snapshot(hi_v).properties.get("rewrite_only") == "true":
-            continue  # layout-only commit: contributes no rows, keep the union narrow
+        # a pair may SPAN a retention gap (a tag keeps lo retained while
+        # versions between lo and hi_v expired) — skipping on hi_v's OWN
+        # marker alone would silently drop every change the expired
+        # intermediates committed. Skip only when the whole span is
+        # provably rewrite-only (unretained intermediates ⇒ scan).
+        if rewrite_only_window(
+            table, table.snapshot(lo), table.snapshot(hi_v)
+        ):
+            continue  # layout-only span: contributes no rows, keep the union narrow
         part = _align_part(
             table_changes(spark, table, lo, hi_v), table.snapshot(hi_v)
         )

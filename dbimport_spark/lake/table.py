@@ -329,6 +329,26 @@ class LakeTable:
         with open(self._meta_path(version)) as fh:
             return Snapshot.from_json(json.load(fh))
 
+    # properties-only reads, cached by (path, mtime_ns, size): snapshot
+    # metadata is immutable once committed, but stat-keying also survives
+    # out-of-band metadata copies (mirror repair). Property probes —
+    # reload / rewrite_only markers checked on EVERY follower poll —
+    # otherwise json-parse the full per-file list, O(versions x files)
+    # driver work per idle poll.
+    _PROPS_CACHE: dict[tuple, dict] = {}
+
+    def snapshot_properties(self, version: int) -> dict:
+        p = self._meta_path(version)
+        st = os.stat(p)
+        key = (p, st.st_mtime_ns, st.st_size)
+        props = LakeTable._PROPS_CACHE.get(key)
+        if props is None:
+            props = dict(self.snapshot(version).properties)
+            if len(LakeTable._PROPS_CACHE) > 65536:
+                LakeTable._PROPS_CACHE.clear()
+            LakeTable._PROPS_CACHE[key] = props
+        return props
+
     def snapshots(self) -> list[int]:
         out = []
         for name in os.listdir(self._meta_dir):
@@ -430,6 +450,27 @@ class LakeTable:
         files have tight, non-overlapping stats, so a selective range
         keeps only the files that genuinely hold it."""
         snap = self.current() if version is None else self.snapshot(version)
+        fld = next((f for f in snap.schema.fields if f.name == col), None)
+        if (
+            (lo is not None or hi is not None)
+            and fld is not None
+            and isinstance(
+                fld.dataType,
+                (T.TimestampType, T.TimestampNTZType, T.DateType),
+            )
+        ):
+            # file stats for these columns are RAW parquet int64/int32
+            # (UTC micros / epoch days) while the caller's bounds are in
+            # the native domain — comparing them would prune everything
+            # silently (a wrong EMPTY result, not an error). Refuse
+            # loudly; timestamp watermark scans go through the exporter's
+            # dedicated raw-domain pruning.
+            raise TypeError(
+                f"read_where({col!r}) is numeric-only: the column is "
+                f"{fld.dataType.simpleString()} and its file stats are in "
+                "the raw parquet domain (micros/days), which the "
+                "native-domain bounds would silently mis-prune against"
+            )
 
         def may_match(f: DataFile) -> bool:
             # stats are keyed by the file's PHYSICAL column name — map the
@@ -852,7 +893,7 @@ class LakeTable:
         for v in range(lo + 1, hi + 1):
             if v not in have:
                 return False
-            props = self.snapshot(v).properties
+            props = self.snapshot_properties(v)
             if props.get("rewrite_only") != "true":
                 return False
             # a declared reload is NEVER state-equal to its parent even if
@@ -1291,10 +1332,21 @@ class LakeTable:
                         os.unlink(p)
                         removed += 1
             os.unlink(self._meta_path(v))
-        # sweep now-empty commit dirs
+        # sweep now-empty commit dirs — age-gated on the dir mtime: a
+        # CONCURRENT writer's just-created dir (Spark _temporary skeleton,
+        # no files yet) must not be rmtree'd out from under its job
+        # (commit() has an optimistic-rebase path precisely because
+        # maintenance races writers)
+        import time as _time
+
+        dir_cutoff = _time.time() - 3600
         data_dir = os.path.join(self.root, "data")
         for sub in os.listdir(data_dir):
             d = os.path.join(data_dir, sub)
-            if os.path.isdir(d) and not any(files for _, _, files in os.walk(d)):
+            if (
+                os.path.isdir(d)
+                and os.path.getmtime(d) <= dir_cutoff
+                and not any(files for _, _, files in os.walk(d))
+            ):
                 shutil.rmtree(d)
         return removed

@@ -628,14 +628,10 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         soft_b = AUDIT_DELETE in snap_b.schema.fieldNames()
         if soft_b != (AUDIT_DELETE in snap_d.schema.fieldNames()):
             return None  # soft-delete mode flipped inside the gap
-        # b-name -> d-name over the rename slice, transitively chained
-        # (same fold as cdf._align_to)
-        b2d: dict[str, str] = {}
-        for r in nd[len(nb):]:
-            src = next(
-                (k for k, v in b2d.items() if v == r["from"]), r["from"]
-            )
-            b2d[src] = r["to"]
+        # b-name -> d-name over the rename slice (shared chain fold)
+        from dbimport_spark.lake.cdf import rename_mapping
+
+        b2d = rename_mapping(nb, nd)
         d_types = {f.name: f.dataType for f in snap_d.schema.fields}
         for f in snap_b.schema.fields:
             if f.name in AUDIT_COLUMNS and f.name != AUDIT_DELETE:

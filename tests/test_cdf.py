@@ -325,3 +325,84 @@ def test_follow_changes_yields_new_windows(spark, tmp_path):
 
     with _pytest.raises(StopIteration):
         next(gen)
+
+
+def test_per_commit_changelog_retention_gap_before_rewrite_only(spark, tmp_path):
+    """A version pair spanning a retention gap that ENDS at a
+    rewrite-only commit must be scanned, not skipped: the expired
+    intermediates' changes live in that pair's diff (previously the
+    endpoint's own marker skipped the pair and silently dropped them)."""
+    from dbimport_spark.lake.maintenance import rebucket
+
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=2)
+    eng = CDCEngine(spark, table)
+    ts = dt.datetime(2024, 1, 1)
+    eng.apply_batch(_log(spark, [(1, "I", "k1", [1], 1, "a", ts)]), 0, 1)
+    v_tag = table.current().version
+    table.set_tag("audit", v_tag)
+    # real changes that will expire
+    eng.apply_batch(_log(spark, [(2, "I", "k2", [2], 1, "a", ts)]), 1, 2)
+    eng.apply_batch(_log(spark, [(3, "U", "k1", [9], 1, "a", ts)]), 2, 3)
+    # layout-only commit on top (rebucket always commits rewrite_only)
+    rebucket(spark, table, 4)
+    table = type(table).load(str(tmp_path / "t"))
+    v_cur = table.current().version
+    assert table.snapshot(v_cur).properties.get("rewrite_only") == "true"
+    table.expire_snapshots(keep_last=1)
+    retained = table.snapshots()
+    assert v_tag in retained and v_cur in retained
+    assert v_tag + 1 not in retained  # the gap is real
+
+    rows = table_changes_per_commit(spark, table, v_tag, v_cur).collect()
+    got = {(r["doc_id"], r["_change_type"]) for r in rows}
+    assert ("k2", "insert") in got, got  # expired v2's change survives
+    assert ("k1", "update") in got, got  # expired v3's change survives
+
+
+def test_table_changes_refuses_grown_back_rename_history(spark, tmp_path):
+    """An expired reload whose cleared rename history GREW BACK to the
+    old length must still be refused: length alone cannot see the
+    boundary, and a bare-name alignment across it emits wrong deltas."""
+    import pytest
+    from pyspark.sql import types as T
+
+    payload = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("a", T.IntegerType(), True),
+    ])
+    table = CDCEngine.create_table(
+        str(tmp_path / "t"), payload_schema=payload, num_buckets=2
+    )
+    eng = CDCEngine(spark, table)
+    eng.apply_batch(
+        spark.createDataFrame(
+            [(1, "I", "k1", 1)], "lsn long, op string, doc_id string, a int"
+        ), 0, 1,
+    )
+    table.rename_column("a", "b")  # renames len 1
+    table = type(table).load(str(tmp_path / "t"))
+    v_a = table.current().version
+    table.set_tag("pre-reload", v_a)
+
+    table.reset_for_reload(payload)  # clears renames
+    table = type(table).load(str(tmp_path / "t"))
+    eng = CDCEngine(spark, table)
+    eng.apply_batch(
+        spark.createDataFrame(
+            [(1, "I", "k1", 5)], "lsn long, op string, doc_id string, a int"
+        ), 0, 1,
+    )
+    table.rename_column("a", "c")  # grew back to len 1
+    table = type(table).load(str(tmp_path / "t"))
+    table.expire_snapshots(keep_last=1)
+    assert v_a in table.snapshots()
+    from dbimport_spark.lake.cdf import window_has_reload
+
+    if window_has_reload(table, v_a, table.current().version) is None:
+        # the reload snapshot really expired: only the weaker rename
+        # evidence remains, and it must still refuse
+        with pytest.raises(ValueError, match="does not extend"):
+            table_changes(spark, table, v_a, table.current().version)
+    else:
+        with pytest.raises(ValueError, match="reload"):
+            table_changes(spark, table, v_a, table.current().version)

@@ -267,3 +267,20 @@ def test_read_where_no_bounds_keeps_all_null_stat_files(spark, tmp_path):
     assert table.read_where(spark, AUDIT_DELETE).count() == table.read(
         spark
     ).count()
+
+
+def test_read_where_bounded_timestamp_refused(spark, tmp_path):
+    """A BOUNDED read_where on a timestamp column must refuse loudly:
+    its file stats are raw micros, so native-domain bounds would prune
+    every file and return a silently wrong EMPTY result."""
+    import pytest
+
+    from dbimport_spark.schema import AUDIT_DELETE
+
+    table = CDCEngine.create_table(
+        str(tmp_path / "t"), num_buckets=2, soft_delete=True
+    )
+    eng = CDCEngine(spark, table)
+    eng.replay(generate_changes(spark, 200, n_keys=20, seed=3), num_batches=1)
+    with pytest.raises(TypeError, match="numeric-only"):
+        table.read_where(spark, AUDIT_DELETE, lo=1.7e9, hi=1.8e9)
