@@ -331,6 +331,25 @@ def inserts_only(
             merge_ts.alias(AUDIT_UPDATE),
             F.when(is_del, merge_ts).cast("timestamp").alias(AUDIT_DELETE),
         ]
+    elif soft and track_lsn:
+        # no *_lv columns, but track_lsn 'D' winners must STILL land as
+        # null-payload tombstones — merge_changes' shuffle branch keeps
+        # them unconditionally, and dropping them here (the old ~is_del)
+        # would erase the very dl_lsn a later late event has to lose to:
+        # the absent-row ambiguity apply_late exists to prevent, and a
+        # silent divergence between two modes documented as identical
+        keep = F.lit(True)
+        payload = [
+            F.when(is_del, F.lit(None)).otherwise(F.col(c))
+            .cast(batch.schema[c].dataType).alias(c)
+            for c in non_key
+        ]
+        audit_cols = [
+            F.when(is_del, F.lit("D")).otherwise(F.lit("I")).alias(AUDIT_IUD),
+            merge_ts.alias(AUDIT_INSERT),
+            merge_ts.alias(AUDIT_UPDATE),
+            F.when(is_del, merge_ts).cast("timestamp").alias(AUDIT_DELETE),
+        ]
     else:
         keep = ~is_del
         payload = [F.col(c) for c in non_key]

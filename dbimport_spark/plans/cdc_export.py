@@ -368,7 +368,7 @@ class CDCJdbcExporter:
                     "reconcile (live rows as upserts + target-side "
                     "anti-join deletes)."
                 )
-            feed = self._full_reconcile_feed(spark)
+            feed = self._full_reconcile_feed(spark, to_v)
         return self.apply_feed(spark, feed, to_v)
 
     def apply_feed(self, spark: SparkSession, feed: DataFrame, to_v: int) -> dict:
@@ -420,14 +420,17 @@ class CDCJdbcExporter:
         advance_pin(self.source, self.pin_name, to_v)
         return state
 
-    def _full_reconcile_feed(self, spark: SparkSession) -> DataFrame:
+    def _full_reconcile_feed(self, spark: SparkSession, to_v: int) -> DataFrame:
         """Expired delta base: live rows as upserts plus anti-join deletes
         for target keys the source no longer has. Scans the source once
         and the TARGET'S KEY COLUMNS once (distributed JDBC read) —
-        logged, per the no-silent-caps rule."""
+        logged, per the no-silent-caps rule. PINNED to ``to_v``: reading
+        current() would export a racing commit's rows while the watermark
+        commits as ``to_v``, and a later delete of such a row diffs
+        absent→absent — the target would keep it forever."""
         import logging
 
-        snap = self.source.current()
+        snap = self.source.snapshot(to_v)
         logging.getLogger(__name__).warning(
             "cdc_export on_gap='full': delta base expired — full reconcile "
             "will scan the source (%d rows, %d bytes) and the target's "
@@ -435,7 +438,7 @@ class CDCJdbcExporter:
             sum(f.rows for f in snap.files),
             sum(f.bytes for f in snap.files),
         )
-        src = self.source.read(spark)
+        src = self.source.read(spark, version=to_v)
         if AUDIT_DELETE in src.columns:
             src = src.filter(F.col(AUDIT_DELETE).isNull())
         payload = [c for c in src.columns if c not in AUDIT_COLUMNS]

@@ -111,8 +111,15 @@ class _IncrementalExporter:
             from dbimport_spark.lake.table import ts_micros
 
             wm = ts_micros(datetime.fromisoformat(last))
-            buckets = self.table.buckets_stat_max_gt(AUDIT_UPDATE, wm)
+            # ONE pinned snapshot for the prune AND the read: a merge
+            # committing between two current() resolutions could prune a
+            # bucket from snapshot A that snapshot B's read then skips —
+            # its fresh rows would fall behind the promoted watermark and
+            # no future incremental run would ever export them
             snap = self.table.current()
+            buckets = self.table.buckets_stat_max_gt(
+                AUDIT_UPDATE, wm, version=snap.version
+            )
             n_total = len({f.bucket for f in snap.files})
             if len(buckets) < n_total:
                 import logging
@@ -121,7 +128,7 @@ class _IncrementalExporter:
                     "incremental export: stats pruned %d/%d buckets",
                     n_total - len(buckets), n_total,
                 )
-            df = self.table.read(spark, buckets=buckets)
+            df = self.table.read(spark, buckets=buckets, version=snap.version)
             df = df.filter(F.col(AUDIT_UPDATE) > F.lit(last).cast("timestamp"))
         else:
             df = self.table.read(spark)
@@ -276,6 +283,12 @@ def export_snapshot(
         df = df.drop(*[c for c in AUDIT_COLUMNS if c in df.columns])
     dest = os.path.join(out_dir, f"snapshot-v{v}")
     df.write.mode("overwrite").parquet(dest)
-    with open(os.path.join(dest, "_export_schema.json"), "w") as fh:
-        fh.write(df.schema.json())
+    # sidecar through the state-store seam, same as ParquetExporter._write:
+    # a bare open() only speaks POSIX, so a non-local out_dir would land
+    # the parquet and then crash (or mis-place) the schema file
+    from dbimport_spark.lake.statestore import DEFAULT_STORE
+
+    DEFAULT_STORE.write_text(
+        os.path.join(dest, "_export_schema.json"), df.schema.json()
+    )
     return {"version": v, "at": str(at), "rows": obs.get["rows"], "out": dest}

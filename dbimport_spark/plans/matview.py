@@ -166,8 +166,10 @@ def create_view(
     )
 
 
-def _source_live(spark: SparkSession, source: LakeTable) -> DataFrame:
-    df = source.read(spark)
+def _source_live(
+    spark: SparkSession, source: LakeTable, version: int | None = None
+) -> DataFrame:
+    df = source.read(spark, version=version)
     if AUDIT_DELETE in df.columns:
         df = df.filter(F.col(AUDIT_DELETE).isNull())
     return df
@@ -277,9 +279,11 @@ def apply_feed_to_view(
             f"{list(view_engine.keys)} — the view is keyed by its group "
             "columns; syncing with a different spec would corrupt totals"
         )
+    # one metadata parse for every per-sum-column type lookup below
+    vschema = view_engine.table.current().schema
     sums = [
         F.coalesce(F.sum(spec.sum_name(c)), F.lit(0))
-        .cast(_view_sum_type(view_engine, spec, c))
+        .cast(_view_sum_type(view_engine, spec, c, vschema))
         .alias(spec.sum_name(c))
         for c in spec.sum_cols
     ]
@@ -385,7 +389,7 @@ def apply_feed_to_view(
                     F.coalesce(F.col(f"_cur_{spec.sum_name(c)}"), F.lit(0))
                     + F.col(spec.sum_name(c))
                 )
-                .cast(_view_sum_type(view_engine, spec, c))
+                .cast(_view_sum_type(view_engine, spec, c, vschema))
                 .alias(spec.sum_name(c))
                 for c in spec.sum_cols
             ],
@@ -442,7 +446,7 @@ def apply_feed_to_view(
             F.count(F.lit(1)).alias(spec.count_col),
             *[
                 F.coalesce(F.sum(F.col(c)), F.lit(0))
-                .cast(_view_sum_type(view_engine, spec, c))
+                .cast(_view_sum_type(view_engine, spec, c, vschema))
                 .alias(spec.sum_name(c))
                 for c in spec.sum_cols
             ],
@@ -511,8 +515,13 @@ def _sync_view_impl(
             "on_gap='full' for a one-time full rebuild."
         )
     # no-silent-caps: the rebuild scans the whole source once — report
-    # how much, from file metadata alone, before paying it
-    src_snap = source.current()
+    # how much, from file metadata alone, before paying it. The scan is
+    # PINNED to to_v: reading current() instead would count a commit that
+    # lands during the rebuild while the watermark stays at to_v, and the
+    # next incremental sync would re-apply that commit's deltas onto
+    # totals that already include it — off-by-one forever (deltas fold,
+    # they never self-correct).
+    src_snap = source.snapshot(to_v)
     _log().warning(
         "sync_view on_gap='full': delta base v%d expired — full rebuild "
         "will scan the source (%d rows, %d bytes, %d files)",
@@ -522,7 +531,7 @@ def _sync_view_impl(
         len(src_snap.files),
     )
     fresh = (
-        _source_live(spark, source)
+        _source_live(spark, source, version=to_v)
         .groupBy(*spec.group_cols)
         .agg(
             F.count(F.lit(1)).alias(spec.count_col),
@@ -587,29 +596,28 @@ def follow_view(
     its last committed sync). Stops after ``max_syncs`` applied syncs,
     or — drain first, then stop — when ``stop_file`` exists and the
     source has no pending window."""
-    import os as _os
-    import time as _time
+    from dbimport_spark.plans.mirror import follow_sync
 
-    applied: list[BatchStats] = []
-    while max_syncs is None or len(applied) < max_syncs:
-        bs = sync_view(spark, source, view_engine, spec, on_gap=on_gap,
-                       pin_name=pin_name)
-        if not bs.skipped:
-            applied.append(bs)
-            continue  # drained this window; re-check before sleeping
-        if stop_file is not None and _os.path.isfile(stop_file):
-            break
-        _time.sleep(poll_s)
-    return applied
-
-
-def _view_sum_type(view_engine: CDCEngine, spec: AggSpec, c: str) -> T.DataType:
-    dt = next(
-        (
-            f.dataType
-            for f in view_engine.table.current().schema.fields
-            if f.name == spec.sum_name(c)
+    return follow_sync(
+        lambda: sync_view(
+            spark, source, view_engine, spec, on_gap=on_gap,
+            pin_name=pin_name,
         ),
+        poll_s=poll_s, max_syncs=max_syncs, stop_file=stop_file,
+    )
+
+
+def _view_sum_type(
+    view_engine: CDCEngine, spec: AggSpec, c: str, schema=None
+) -> T.DataType:
+    # callers building per-sum-column expression lists pass the schema
+    # once — each bare call re-opens and json-parses the full view
+    # snapshot metadata (O(files)), which adds up to ~4x|sum_cols| full
+    # parses per sync when left implicit
+    if schema is None:
+        schema = view_engine.table.current().schema
+    dt = next(
+        (f.dataType for f in schema.fields if f.name == spec.sum_name(c)),
         None,
     )
     if dt is None:

@@ -118,7 +118,12 @@ def sync_mirror(
     # metadata alone, before paying it
     import logging
 
-    src_snap, mir_snap = source.current(), mirror_engine.table.current()
+    # PINNED to to_v: reading current() would let a row inserted by a
+    # racing commit (> to_v) into the reconcile while the watermark
+    # commits as to_v — if the source then deletes that row, the next
+    # window's net diff sees absent→absent and emits nothing, so the
+    # mirror retains the phantom row forever
+    src_snap, mir_snap = source.snapshot(to_v), mirror_engine.table.current()
     logging.getLogger(__name__).warning(
         "sync_mirror on_gap='full': delta base v%d expired — full "
         "reconcile will scan the source (%d rows, %d bytes, %d files) "
@@ -132,7 +137,7 @@ def sync_mirror(
         len(mir_snap.files),
     )
     keys = mirror_engine.keys
-    src = source.read(spark)
+    src = source.read(spark, version=to_v)
     payload = [c for c in src.columns if c not in AUDIT_COLUMNS]
     from dbimport_spark.schema import AUDIT_DELETE
 
@@ -162,6 +167,33 @@ def sync_mirror(
     return bs
 
 
+def follow_sync(
+    sync_fn,
+    poll_s: float = 5.0,
+    max_syncs: int | None = None,
+    stop_file: str | None = None,
+) -> list[BatchStats]:
+    """THE follower loop — drain-first-then-stop, shared by
+    ``follow_mirror`` and ``matview.follow_view`` so the subtle ordering
+    (applied windows re-check immediately; the stop file only wins when
+    the source has no pending window) is defined once. ``sync_fn`` runs
+    one sync attempt and returns a ``BatchStats`` (``skipped=True`` =
+    nothing pending)."""
+    import os as _os
+    import time as _time
+
+    applied: list[BatchStats] = []
+    while max_syncs is None or len(applied) < max_syncs:
+        bs = sync_fn()
+        if not bs.skipped:
+            applied.append(bs)
+            continue  # drained this window; re-check before sleeping
+        if stop_file is not None and _os.path.isfile(stop_file):
+            break
+        _time.sleep(poll_s)
+    return applied
+
+
 def follow_mirror(
     spark: SparkSession,
     source: LakeTable,
@@ -181,20 +213,12 @@ def follow_mirror(
     sync left it. Stops after ``max_syncs`` applied syncs, or — drain
     first, then stop — when ``stop_file`` exists and the source has no
     pending window (pending work is never abandoned mid-shutdown)."""
-    import os as _os
-    import time as _time
-
-    applied: list[BatchStats] = []
-    while max_syncs is None or len(applied) < max_syncs:
-        bs = sync_mirror(spark, source, mirror_engine, on_gap=on_gap,
-                         pin_name=pin_name)
-        if not bs.skipped:
-            applied.append(bs)
-            continue  # drained this window; re-check before sleeping
-        if stop_file is not None and _os.path.isfile(stop_file):
-            break
-        _time.sleep(poll_s)
-    return applied
+    return follow_sync(
+        lambda: sync_mirror(
+            spark, source, mirror_engine, on_gap=on_gap, pin_name=pin_name
+        ),
+        poll_s=poll_s, max_syncs=max_syncs, stop_file=stop_file,
+    )
 
 
 def verify_mirror(

@@ -320,3 +320,44 @@ def test_mirror_sync_across_reload_boundary(spark, tmp_path):
     bs2 = sync_mirror(spark, src_t, mir)
     assert not bs2.skipped
     assert verify_mirror(spark, src_t, mir_t)["converged"]
+
+
+def test_full_reconcile_pins_to_watermark_version(spark, tmp_path):
+    """The on_gap='full' reconcile must read the source AT the version it
+    promotes as the watermark: reading current() would let a racing
+    commit's row into the reconcile while the watermark stays behind —
+    a later delete of that row diffs absent→absent and the mirror keeps
+    it forever. Pin the read by asserting every source read during the
+    reconcile names the promoted version."""
+    from dbimport_spark.lake.table import LakeTable
+
+    src, mir = _pair(spark, tmp_path)
+    src.apply_batch(
+        _log(spark, [(1, "I", "k1", [1], 1, "a", TS),
+                     (2, "I", "k2", [2], 1, "a", TS)]), 0, 2,
+    )
+    sync_mirror(spark, src.table, mir)
+    src.apply_batch(_log(spark, [(3, "U", "k2", [9], 1, "a", TS)]), 2, 3)
+    src.table.expire_snapshots(keep_last=1)
+    assert source_version_mirrored(mir) not in src.table.snapshots()
+
+    to_v = src.table.current().version
+    src_root = src.table.root
+    seen_versions = []
+    orig_read = LakeTable.read
+
+    def spy_read(self, spark_, buckets=None, version=None):
+        if self.root == src_root:
+            seen_versions.append(version)
+        return orig_read(self, spark_, buckets=buckets, version=version)
+
+    LakeTable.read = spy_read
+    try:
+        bs = sync_mirror(spark, src.table, mir, on_gap="full")
+    finally:
+        LakeTable.read = orig_read
+    assert not bs.skipped
+    assert seen_versions and all(v == to_v for v in seen_versions), (
+        seen_versions
+    )
+    assert source_version_mirrored(mir) == to_v

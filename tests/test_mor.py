@@ -442,3 +442,36 @@ def test_mor_history_audit_parity(spark, tmp_path):
         )
 
     assert run("hc", "cow") == run("hm", "mor")
+
+
+def test_inserts_only_track_lsn_tombstone_without_lv(spark):
+    """inserts_only on a soft+track_lsn batch WITHOUT *_lv columns must
+    keep a 'D' winner as a null-payload tombstone, exactly like
+    merge_changes' shuffle branch — dropping it would erase the dl_lsn a
+    later late event has to lose to (the absent-row ambiguity)."""
+    from dbimport_spark.operators.merge import inserts_only
+    from dbimport_spark.schema import AUDIT_DELETE, AUDIT_IUD, AUDIT_LSN
+
+    batch = spark.createDataFrame(
+        [
+            (1, "I", "a", [1], 1, "web"),
+            (2, "D", "b", None, None, None),
+        ],
+        "lsn long, op string, doc_id string, tokens array<int>, "
+        "n_tok int, source string",
+    )
+    out = inserts_only(
+        batch,
+        key="doc_id",
+        payload_cols=["doc_id", "tokens", "n_tok", "source"],
+        merge_ts=F.lit("2024-01-01 00:00:00").cast("timestamp"),
+        soft=True,
+        track_lsn=True,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {"a", "b"}  # the 'D' winner is NOT dropped
+    assert rows["b"][AUDIT_IUD] == "D"
+    assert rows["b"][AUDIT_DELETE] is not None
+    assert rows["b"][AUDIT_LSN] == 2  # the version late events lose to
+    assert rows["b"]["tokens"] is None and rows["b"]["n_tok"] is None
+    assert rows["a"][AUDIT_IUD] == "I" and rows["a"][AUDIT_DELETE] is None
