@@ -38,16 +38,21 @@ import os
 
 from dbimport_spark.lake.table import LakeTable
 
-__all__ = ["follower_lag", "log_max_lsn", "source_lag"]
+__all__ = ["follower_lag", "log_lsn_bounds", "log_max_lsn", "source_lag"]
 
 
-def log_max_lsn(log_path: str, column: str = "lsn") -> int | None:
-    """Max ``lsn`` across a parquet change-log directory from footer
-    statistics only. Returns None when the path has no parquet files or
-    a footer lacks the statistic (never guesses from data pages)."""
+def log_lsn_bounds(
+    log_path: str, column: str = "lsn"
+) -> tuple[int | None, int | None] | None:
+    """(min, max) of ``column`` across a parquet change-log directory
+    from footer statistics only — Spark-free. Returns ``(None, None)``
+    authoritatively for an existing dir with zero parquet files, and
+    ``None`` when it CANNOT answer (path missing, column absent, or any
+    footer lacks the statistic — never guesses from data pages)."""
     import pyarrow.parquet as pq
 
-    best: int | None = None
+    lo: int | None = None
+    hi: int | None = None
     if not os.path.isdir(log_path):
         return None
     stack = [log_path]
@@ -61,19 +66,32 @@ def log_max_lsn(log_path: str, column: str = "lsn") -> int | None:
             if not name.endswith(".parquet") or name.startswith(("_", ".")):
                 continue
             md = pq.read_metadata(p)
-            try:
-                idx = md.schema.to_arrow_schema().get_field_index(column)
-            except KeyError:
-                return None
-            if idx < 0:
+            idx = next(
+                (
+                    i
+                    for i in range(len(md.schema))
+                    if md.schema.column(i).path == column
+                ),
+                None,
+            )
+            if idx is None:
                 return None
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx).statistics
                 if st is None or not st.has_min_max:
-                    return None  # stats missing: refuse, don't undercount
-                v = int(st.max)
-                best = v if best is None else max(best, v)
-    return best
+                    return None  # stats missing: refuse, don't guess
+                mn, mx = int(st.min), int(st.max)
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+    return (lo, hi)
+
+
+def log_max_lsn(log_path: str, column: str = "lsn") -> int | None:
+    """Max ``lsn`` across a parquet change-log directory from footer
+    statistics only. Returns None when the path has no parquet files or
+    a footer lacks the statistic (never guesses from data pages)."""
+    res = log_lsn_bounds(log_path, column)
+    return None if res is None else res[1]
 
 
 def _lsn_at(source: LakeTable, version: int) -> int | None:
@@ -123,18 +141,26 @@ def source_lag(source: LakeTable, log_path: str | None) -> dict:
     return rec
 
 
-def follower_lag(registry, only: list[str] | None = None) -> dict:
+def follower_lag(
+    registry, only: list[str] | None = None, entries: dict | None = None
+) -> dict:
     """Per-entry lag report over a ``TableRegistry``:
     ``{name: {"source": {...}, "followers": [{kind, ...lag}, ...]}}``.
     Disabled entries are included (marked) — a disabled table that keeps
-    falling behind is exactly what a lag report must show."""
-    entries = registry.load()
+    falling behind is exactly what a lag report must show.
+
+    ``entries``: pass a preloaded ``registry.load()`` result to skip the
+    registry re-read — a caller looping per table (the /metrics scrape)
+    would otherwise re-parse the whole registry N times per pass."""
+    if entries is None:
+        entries = registry.load()
     missing = [n for n in only or [] if n not in entries]
     if missing:
         raise KeyError(f"not registered: {missing}")
+    only_set = set(only) if only is not None else None
     report: dict = {}
     for name, e in entries.items():
-        if only is not None and name not in only:
+        if only_set is not None and name not in only_set:
             continue
         src = LakeTable.load(e.table_root)
         rec: dict = {

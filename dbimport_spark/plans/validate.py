@@ -40,16 +40,40 @@ def fold_expected(
 
 
 def content_checksum(df: DataFrame, cols: list[str]) -> int:
-    """Order-insensitive content checksum: XOR of xxhash64 over rows."""
-    row = df.select(F.xxhash64(*[F.col(c) for c in cols]).alias("h"))
-    out = row.agg(F.expr("bit_xor(h)").alias("x"), F.count(F.lit(1)).alias("n")).first()
-    return (out["x"] or 0) ^ out["n"]
+    """Order-insensitive content checksum: decimal SUM of xxhash64 over
+    rows, folded with the row count. Sum, not XOR — under XOR any row
+    repeated an even number of times contributes NOTHING, so
+    ``{A, A, C}`` and ``{B, B, C}`` collide at equal counts (a duplicate
+    + a drop reconciling as converged). The decimal(38) accumulator
+    cannot overflow below ~10^18 rows."""
+    row = df.select(
+        F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)").alias("h")
+    )
+    out = row.agg(F.sum("h").alias("s"), F.count(F.lit(1)).alias("n")).first()
+    return int(out["s"] or 0) + out["n"]
+
+
+def _align_types(actual: DataFrame, expected: DataFrame, cols: list[str]):
+    """Cast each compared column of ``expected`` to ``actual``'s type:
+    xxhash64 is TYPE-sensitive (int32 vs int64 of the same value hash
+    differently), so a widened table column vs the fold's original type
+    would reconcile as diverged on byte-correct content."""
+    a_types = {f.name: f.dataType for f in actual.schema.fields}
+    return expected.select(
+        *[
+            F.col(c).cast(a_types[c]).alias(c)
+            if c in a_types and expected.schema[c].dataType != a_types[c]
+            else F.col(c)
+            for c in cols
+        ]
+    )
 
 
 def reconcile(
     actual: DataFrame, expected: DataFrame, cols: list[str]
 ) -> dict:
     """Row-count + checksum reconciliation over the given columns."""
+    expected = _align_types(actual, expected.select(*cols), cols)
     a_n = actual.count()
     e_n = expected.count()
     a_c = content_checksum(actual.select(*cols), cols)

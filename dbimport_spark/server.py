@@ -247,8 +247,9 @@ def _prometheus_metrics(registry: TableRegistry) -> str:
                 emit("quarantine_parked_windows", lab, len(q["parked"]))
                 emit("quarantine_drained_windows", lab, q["drained_windows"])
             # one follower_lag call carries the source lag too — the log
-            # footer scan (source_lag) runs once per table per scrape
-            rec = follower_lag(registry, only=[name])[name]
+            # footer scan (source_lag) runs once per table per scrape,
+            # and the preloaded entries skip N registry re-reads
+            rec = follower_lag(registry, only=[name], entries=entries)[name]
             emit("log_lsn_behind", lab, rec["source"].get("log_lsn_behind"))
             for f in rec["followers"]:
                 flab = {"table": name, "kind": f["kind"]}

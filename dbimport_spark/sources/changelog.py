@@ -36,8 +36,18 @@ class ChangeLogSource:
         return self.spark.read.parquet(self.path)
 
     def bounds(self) -> tuple[int | None, int | None]:
-        """(min_lsn, max_lsn) present in the log — two metadata-cheap aggs
-        (parquet footer min/max make this a stats-only scan)."""
+        """(min_lsn, max_lsn) present in the log. Footer statistics when
+        every file carries them (Spark-free, truly metadata-cheap — the
+        Spark agg path reads every lsn data page because parquet
+        aggregate pushdown is off by default), else one Spark agg."""
+        try:
+            from dbimport_spark.plans.lag import log_lsn_bounds
+
+            res = log_lsn_bounds(self.path, self.lsn_col)
+            if res is not None:  # authoritative (incl. (None, None) = empty)
+                return res
+        except Exception:
+            pass  # non-local path / stats missing: pay the Spark agg
         row = self.df().agg(
             F.min(self.lsn_col).alias("lo"), F.max(self.lsn_col).alias("hi")
         ).first()
@@ -48,15 +58,29 @@ class ChangeLogSource:
         c = F.col(self.lsn_col)
         return self.df().filter((c > F.lit(lo)) & (c <= F.lit(hi)))
 
-    def check_position(self, committed_lsn: int) -> None:
+    def check_position(self, committed_lsn: int, allow_gap: bool = False) -> None:
         """Raise LogTruncatedError if the retained log starts after the
-        committed watermark + 1 (events would be silently skipped)."""
+        committed watermark + 1 (events would be silently skipped).
+
+        ``allow_gap=True`` is the sparse-LSN escape hatch (mirrors
+        ``CDCEngine.replay``'s ``allow_log_gap``): a source whose LSNs
+        are non-dense — a sequence shared across tables, a filtered
+        stream — legitimately has holes, and the gap between watermark
+        and retained minimum proves nothing there.
+
+        HONEST LIMIT: an EMPTY log passes. A parquet dir carries no
+        MIN_VALID_VERSION-style metadata, so "every event applied, then
+        retired by retention" and "retention deleted unapplied events"
+        are indistinguishable here; the streaming path's per-segment
+        ledger, and lineage (``repair_watermark_from_lineage``), are the
+        surfaces that can still catch the second case."""
         lo, _ = self.bounds()
-        if lo is not None and committed_lsn + 1 < lo:
+        if not allow_gap and lo is not None and committed_lsn + 1 < lo:
             raise LogTruncatedError(
                 f"log starts at lsn {lo} but table watermark is "
                 f"{committed_lsn}; changes in ({committed_lsn}, {lo}) are "
-                "gone — full re-snapshot required"
+                "gone — full re-snapshot required (allow_gap=True if this "
+                "source's LSN space is legitimately sparse)"
             )
 
 

@@ -57,6 +57,15 @@ class JdbcScan:
             reader = reader.option("user", self.user)
         if self.password is not None:
             reader = reader.option("password", self.password)
+        if self.num_partitions > 1 and not self.partition_column:
+            # loud, like the missing-bounds case below: silently running
+            # a 32-session plan as ONE serial query is the worst failure
+            # mode a large import can have
+            raise ValueError(
+                f"num_partitions={self.num_partitions} needs a "
+                "partition_column — without one the scan would silently "
+                "run single-session"
+            )
         if self.partition_column and self.num_partitions > 1:
             if self.lower_bound is None or self.upper_bound is None:
                 raise ValueError("partitioned scan needs lower/upper bounds")

@@ -42,8 +42,15 @@ def _update_digest(
         events, max_lsn, deletes, last_op = 0, -1, 0, None
     for pdf in pdfs:
         events += len(pdf)
-        batch_max = int(pdf["lsn"].max())
         deletes += int((pdf["op"] == "D").sum())
+        # null-lsn (malformed / corrupt-wire) events count toward the
+        # digest but carry no ordering evidence: max() over all-NaN is
+        # NaN and int(NaN) would kill the whole streaming query — the
+        # batch path parks such rows, the digest must not crash on them
+        mx = pdf["lsn"].max()
+        if pd.isna(mx):
+            continue
+        batch_max = int(mx)
         # last op = op of the max-lsn event seen so far (LWW order)
         if batch_max > max_lsn:
             max_lsn = batch_max

@@ -156,3 +156,30 @@ def test_cli_lag_threshold_exit_code(spark, tmp_path, capsys):
     assert main([
         "lag", str(tmp_path / "registry.json"), "--max-versions-behind", "99",
     ]) == 0
+
+
+def test_log_bounds_resolve_leaf_index_past_struct(spark, tmp_path):
+    """A multi-leaf (struct) column BEFORE the lsn column must not shift
+    the footer-stats lookup: row-group column(i) indexes parquet LEAVES,
+    so the arrow top-level index would silently read the struct's second
+    leaf as the log tail."""
+    from dbimport_spark.plans.lag import log_lsn_bounds, log_max_lsn
+
+    log = str(tmp_path / "structlog")
+    spark.createDataFrame(
+        [((1, 999), 7), ((2, 888), 9)],
+        "doc struct<a:int, b:int>, lsn long",
+    ).coalesce(1).write.parquet(log)
+    assert log_max_lsn(log) == 9  # not 999 (doc.b's max)
+    assert log_lsn_bounds(log) == (7, 9)
+
+
+def test_log_lsn_bounds_empty_dir_is_authoritative(tmp_path):
+    import os
+
+    from dbimport_spark.plans.lag import log_lsn_bounds
+
+    d = str(tmp_path / "empty")
+    os.makedirs(d)
+    assert log_lsn_bounds(d) == (None, None)
+    assert log_lsn_bounds(str(tmp_path / "missing")) is None

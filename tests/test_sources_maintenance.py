@@ -439,3 +439,28 @@ def test_delete_mode_guard_legacy_hard_table(spark, tmp_path):
     # and the hard default still works
     eng = CDCEngine(spark, table)
     assert eng.delete_mode == "hard"
+
+
+def test_check_position_allow_gap_and_jdbc_partition_guard(spark, tmp_path):
+    """Sparse-LSN sources pass check_position with allow_gap=True; a
+    multi-session JDBC scan without a partition column refuses loudly
+    instead of silently running single-session."""
+    import pytest as _pytest
+
+    from dbimport_spark.sources.changelog import (
+        ChangeLogSource,
+        LogTruncatedError,
+    )
+
+    spark.range(150, 160).selectExpr("id as lsn").write.parquet(
+        str(tmp_path / "sparse")
+    )
+    src = ChangeLogSource(spark, str(tmp_path / "sparse"))
+    with _pytest.raises(LogTruncatedError):
+        src.check_position(committed_lsn=100)
+    src.check_position(committed_lsn=100, allow_gap=True)  # escape hatch
+
+    from dbimport_spark.sources.jdbc import JdbcScan
+
+    with _pytest.raises(ValueError, match="partition_column"):
+        JdbcScan(url="u", table="t", num_partitions=8).build(spark)

@@ -103,3 +103,27 @@ def test_incremental_scope_validation(spark, tmp_path):
         table.read(spark), log, 1000, 2000, payload_cols=PAYLOAD_COLUMNS
     )
     assert rec2["converged"]
+
+
+def test_checksum_catches_even_multiplicity_swap(spark):
+    """{A, A, C} vs {B, B, C}: equal counts, and under the old XOR fold
+    the duplicated rows cancelled — both sides hashed to C alone and a
+    duplicate+drop reconciled as converged. The sum fold must differ."""
+    from dbimport_spark.plans.validate import reconcile
+
+    a = spark.createDataFrame([("A", 1), ("A", 1), ("C", 3)], "k string, v int")
+    e = spark.createDataFrame([("B", 2), ("B", 2), ("C", 3)], "k string, v int")
+    rec = reconcile(a, e, ["k", "v"])
+    assert rec["rowcount_ok"] and not rec["checksum_ok"]
+    assert not rec["converged"]
+
+
+def test_reconcile_type_widening_converges(spark):
+    """xxhash64 is type-sensitive: a table whose column widened int->long
+    must still reconcile against a fold producing the original int."""
+    from dbimport_spark.plans.validate import reconcile
+
+    actual = spark.createDataFrame([("a", 5)], "k string, v long")
+    expected = spark.createDataFrame([("a", 5)], "k string, v int")
+    rec = reconcile(actual, expected, ["k", "v"])
+    assert rec["converged"], rec
