@@ -1553,15 +1553,15 @@ def oracle_sql() -> dict[str, str]:
     sql["quality_score"] = rf"""
         WITH n AS (
           SELECT doc_id, text,
-                 ' ' || regexp_replace(lower(trim(text)), '\s+', ' ', 'g') || ' ' AS norm
+                 ' ' || regexp_replace(lower(trim(text)), '\s+', '  ', 'g') || ' ' AS norm
           FROM documents
         )
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS n_chars_f,
-               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
                CAST({stop_terms} AS BIGINT) AS n_stopwords,
                CAST(
-                 CAST(floor(1000 * ({stop_terms}) / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+                 CAST(floor(1000 * ({stop_terms}) / greatest(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1)) AS BIGINT)
                  + 1000 * CAST(length(text) BETWEEN 50 AND 2000 AS BIGINT)
                AS BIGINT) AS quality_score
         FROM n
@@ -1578,7 +1578,7 @@ def oracle_sql() -> dict[str, str]:
     sql["lang_id"] = rf"""
         WITH n AS (
           SELECT doc_id, text,
-                 ' ' || regexp_replace(lower(trim(text)), '\s+', ' ', 'g') || ' ' AS norm
+                 ' ' || regexp_replace(lower(trim(text)), '\s+', '  ', 'g') || ' ' AS norm
           FROM documents
         ), s AS (
           SELECT doc_id,

@@ -27,18 +27,22 @@ def token_content_hash(tokens: Column) -> Column:
 
 
 def token_stats(tokens: Column) -> Column:
-    """struct(min, max, sum) over a token array via JVM-side aggregate."""
+    """struct(min, max, sum) over a token array via JVM-side aggregate.
+    mn/mx/sm are BIGINT regardless of element type — a zero struct
+    hardcoded to the element's width would make the aggregate's merge
+    lambda type-mismatch on any non-int token column (e.g. xxhash64-
+    derived bigint ids)."""
     zero = F.struct(
-        F.lit(None).cast("int").alias("mn"),
-        F.lit(None).cast("int").alias("mx"),
+        F.lit(None).cast("bigint").alias("mn"),
+        F.lit(None).cast("bigint").alias("mx"),
         F.lit(0).cast("bigint").alias("sm"),
     )
     return F.aggregate(
         tokens,
         zero,
         lambda acc, x: F.struct(
-            F.least(F.coalesce(acc.mn, x), x).alias("mn"),
-            F.greatest(F.coalesce(acc.mx, x), x).alias("mx"),
+            F.least(F.coalesce(acc.mn, x.cast("bigint")), x.cast("bigint")).alias("mn"),
+            F.greatest(F.coalesce(acc.mx, x.cast("bigint")), x.cast("bigint")).alias("mx"),
             (acc.sm + x.cast("bigint")).alias("sm"),
         ),
     )
@@ -87,7 +91,21 @@ def rolling_token_fingerprint(tokens: pd.Series) -> pd.Series:
     pos = 0
     for t, ln in zip(tokens, lens):
         if ln:
-            flat[pos : pos + ln] = np.mod(np.asarray(t, dtype=np.int64), FP_MOD)
+            arr = np.asarray(t)
+            if arr.dtype.kind not in ("i", "u"):
+                # pandas delivers arrays WITH null elements as float/
+                # object; a straight int64 cast would turn NaN into a
+                # platform-dependent sentinel and emit a silently wrong
+                # fingerprint (only a RuntimeWarning) — refuse loudly
+                fa = arr.astype(np.float64)
+                if np.isnan(fa).any():
+                    raise ValueError(
+                        "rolling_token_fingerprint: token array contains "
+                        "null element(s) — a null token has no stable "
+                        "fingerprint; filter or repair the rows first"
+                    )
+                arr = arr.astype(np.int64)
+            flat[pos : pos + ln] = np.mod(arr, FP_MOD)
             pos += ln
     offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
     # process rows sorted by length DESC: the active set at every position

@@ -23,6 +23,16 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _cosine(num: Column, den: Column) -> Column:
+    """Cosine ratio, NULL-safe under Spark 4's default ANSI mode: a
+    zero-norm vector (padding / failed encoder) has no direction, and a
+    plain ``/`` would abort the WHOLE job with DIVIDE_BY_ZERO on the
+    first such row. try_divide yields NULL there (and for dimension
+    mismatches, where zip_with's padding nulls the dot product);
+    consumers filter or sort NULLs last."""
+    return F.try_divide(num, den)
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
@@ -34,7 +44,7 @@ def cosine_to_query(
 ) -> DataFrame:
     qlit = F.array(*[F.lit(float(x)).cast("double") for x in query])
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    sim = _dot(v, qlit) / (_norm(v) * _norm(qlit))
+    sim = _cosine(_dot(v, qlit), _norm(v) * _norm(qlit))
     return df.withColumn("cosine_sim", sim)
 
 
@@ -50,6 +60,9 @@ def brute_force_topk(
     scored = cosine_to_query(df, query, vec_col)
     return (
         scored.select(id_col, "cosine_sim")
+        # zero-norm / dimension-mismatched vectors score NULL — they are
+        # not results, and without the filter they'd pad the top-k
+        .filter(F.col("cosine_sim").isNotNull())
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
@@ -254,7 +267,7 @@ def cosine_near_dup_pairs(
     ).withColumn("_n", _norm(F.col("_v")))
 
     def rerank(cand: DataFrame) -> DataFrame:
-        sim = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+        sim = _cosine(_dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb"))
         return cand.select(
             F.col("_ida").alias("id_a"),
             F.col("_idb").alias("id_b"),
@@ -357,7 +370,11 @@ def ann_lsh_topk(
     dim = len(query)
     sigs = df.withColumn("_sig", rhp_signature(vec_col, n_planes, dim, seed))
     qsig = (
-        sigs.sparkSession.createDataFrame([(query,)], "q: array<double>")
+        sigs.sparkSession.createDataFrame(
+            # float() like ivf_topk: a pinned array<double> schema
+            # refuses Python ints instead of coercing them
+            [([float(x) for x in query],)], "q: array<double>"
+        )
         .withColumn("_sig", rhp_signature("q", n_planes, dim, seed))
         .first()["_sig"]
     )
@@ -441,7 +458,7 @@ def ann_batch_topk(
 
     cand = probes.join(corpus, "_cluster")
     cv = F.transform(F.col("_cv"), lambda x: x.cast("double"))
-    sim = _dot(F.col("_qv"), cv) / (_norm(F.col("_qv")) * _norm(cv))
+    sim = _cosine(_dot(F.col("_qv"), cv), _norm(F.col("_qv")) * _norm(cv))
     scored = cand.select(query_id_col, F.col(id_col), sim.alias("cosine_sim"))
     wk = W.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col)

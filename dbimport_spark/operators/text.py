@@ -15,8 +15,12 @@ STOPWORDS_EN = ["the", "and", "a", "of", "to"]
 
 
 def ws_token_count(text: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(F.split(F.trim(text), r"\s+"))
+    """Whitespace token count. Empty / whitespace-only text counts 0 —
+    split('') yields [''] and the naive size() reported empty docs as
+    1-token docs to every downstream filter."""
+    return F.when(F.trim(text) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    )
 
 
 def word_token_count(text: Column) -> Column:
@@ -43,8 +47,19 @@ def fingerprint(text: Column) -> Column:
 
 
 def stopword_hits(text: Column, stopwords: list[str] | None = None) -> Column:
-    """Total occurrences of padded stopwords in the normalized text."""
-    norm = F.concat(F.lit(" "), normalize_text(text), F.lit(" "))
+    """Total occurrences of padded stopwords in the normalized text.
+
+    Whitespace runs normalize to TWO spaces (not one) so consecutive
+    repeats each keep their own padding: under single spaces the
+    non-overlapping count of ' the ' in ' the the the ' is 2, not 3 —
+    the first match consumes the shared middle space, undercounting
+    repetitious text (and skewing lang_id votes on short docs). The
+    DuckDB oracles mirror the same double-space normalization."""
+    norm = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.trim(text)), r"\s+", "  "),
+        F.lit(" "),
+    )
     total = F.lit(0)
     for w in stopwords or STOPWORDS_EN:
         total = total + occurrences(norm, f" {w} ")
@@ -61,7 +76,11 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     n_chars = F.length(text)
     n_tokens = ws_token_count(text)
     n_stop = stopword_hits(text)
-    stop_permille = F.floor(F.lit(1000) * n_stop / n_tokens).cast("bigint")
+    # greatest(.,1): an empty doc has 0 tokens now — the permille is 0,
+    # not a division error (ANSI mode) or a fake 1-token doc
+    stop_permille = F.floor(
+        F.lit(1000) * n_stop / F.greatest(n_tokens, F.lit(1))
+    ).cast("bigint")
     len_ok = ((n_chars >= 50) & (n_chars <= 2000)).cast("bigint")
     score = stop_permille + F.lit(1000) * len_ok
     return df.select(

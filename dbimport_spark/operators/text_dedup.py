@@ -125,6 +125,32 @@ def word_shingles(
     )
 
 
+def _jaccard_from_common(
+    common: DataFrame,
+    sizes: DataFrame,
+    id_col: str,
+    min_permille: int | None = None,
+) -> DataFrame:
+    """Shared tail of jaccard_pairs and jaccard_for_pairs: join per-doc
+    shingle counts onto (id_a, id_b, c) and emit the integral permille
+    floor(1000*c/(na+nb-c)) — ONE definition, so the rounding and the
+    size-join scaffolding cannot drift between the all-pairs and the
+    candidates-only paths (the same SQL oracle grades both)."""
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard_permille",
+            F.floor(F.lit(1000) * F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))),
+        )
+    )
+    if min_permille is not None:
+        out = out.filter(F.col("jaccard_permille") >= min_permille)
+    return out.select("id_a", "id_b", "jaccard_permille")
+
+
 def jaccard_pairs(
     shingles: DataFrame,
     id_col: str = "doc_id",
@@ -162,18 +188,7 @@ def jaccard_pairs(
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard_permille",
-            F.floor(F.lit(1000) * F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))),
-        )
-        .filter(F.col("jaccard_permille") >= min_permille)
-        .select("id_a", "id_b", "jaccard_permille")
-    )
+    return _jaccard_from_common(common, sizes, id_col, min_permille)
 
 
 def ngram_jaccard_dedup(
@@ -253,17 +268,22 @@ def jaccard_for_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard_permille",
-            F.floor(F.lit(1000) * F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))),
+    return _jaccard_from_common(common, sizes, id_col)
+
+
+def _lsh_rows(num_perm: int, bands: int) -> int:
+    """Validated rows-per-band. bands > num_perm would give rows=0 — every
+    doc then shares every band key and the candidate stage degenerates to
+    the full n^2 cross join the LSH exists to avoid (output stays correct
+    via the exact verify, so the blowup is SILENT); a non-divisible
+    num_perm would silently discard trailing permutations, lowering
+    recall below the b/r math callers rely on."""
+    if bands <= 0 or num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm={num_perm} must be a positive multiple of "
+            f"bands={bands} (rows per band = num_perm // bands >= 1)"
         )
-        .select("id_a", "id_b", "jaccard_permille")
-    )
+    return num_perm // bands
 
 
 def minhash_lsh_dedup(
@@ -278,7 +298,7 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Candidate pairs from LSH, verified with exact Jaccard — but only on
     the candidates (see jaccard_for_pairs)."""
-    rows = num_perm // bands
+    rows = _lsh_rows(num_perm, bands)
     sh = word_shingles(df, text_col, id_col, n, num_partitions)
     sigs = minhash_signatures(sh, id_col, num_perm)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
@@ -333,7 +353,7 @@ def dedup_against_corpus(
         return batch.join(dup_ids, id_col, "left_anti")
 
     if method == "minhash":
-        rows = num_perm // bands
+        rows = _lsh_rows(num_perm, bands)
         bsh = word_shingles(batch, text_col, id_col, n, num_partitions)
         csh = word_shingles(corpus, text_col, id_col, n, num_partitions)
         bsig = minhash_signatures(bsh, id_col, num_perm)
@@ -415,6 +435,15 @@ def simhash_near_dups(
     The dial: a larger radius needs more (hence narrower) chunks, whose
     buckets are coarser (2^width values), growing the candidate set — the
     classic recall/cost trade, here exact-recall/cost."""
+    if not 0 <= max_hamming < 32:
+        # n_chunks must stay <= 64 for width >= 1: past that every chunk
+        # value is 0 and candidate generation silently degenerates to the
+        # full cross join (the exact Hamming filter keeps output correct,
+        # which is precisely why the blowup needs a loud guard)
+        raise ValueError(
+            f"max_hamming={max_hamming} out of range [0, 32) — a radius "
+            "that wide has no non-degenerate 64-bit chunking"
+        )
     n_chunks = 2
     while n_chunks <= max_hamming:
         n_chunks *= 2

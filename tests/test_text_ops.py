@@ -335,3 +335,115 @@ def test_ivf_index_fit_once_persist_reuse(spark, tmp_path, monkeypatch):
     )
     out = ann_batch_topk(df, queries, k=3, n_probe=4, index=loaded)
     assert out.groupBy("query_id").count().count() == 2
+
+
+def test_cosine_zero_norm_is_null_not_crash(spark):
+    """A zero-norm embedding (padding / failed encoder) must score NULL
+    and stay out of the top-k — under Spark 4's default ANSI mode the
+    old plain division aborted the whole job with DIVIDE_BY_ZERO."""
+    from dbimport_spark.operators.similarity import (
+        brute_force_topk,
+        cosine_near_dup_pairs,
+        cosine_to_query,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    scored = {r["vec_id"]: r["cosine_sim"]
+              for r in cosine_to_query(df, [1.0, 0.0]).collect()}
+    assert scored[3] is None and scored[1] is not None
+    top = brute_force_topk(df, [1.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]  # null row filtered
+    pairs = cosine_near_dup_pairs(df, min_milli=900)
+    ids = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert ids == {(1, 2)}  # no crash, zero vector in no pair
+
+
+def test_ann_lsh_accepts_int_query(spark):
+    from dbimport_spark.operators.similarity import ann_lsh_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = ann_lsh_topk(df, [1, 0], k=1)  # Python ints, like ivf_topk
+    assert out.collect()[0]["vec_id"] == 1
+
+
+def test_token_fingerprint_null_element_refused(spark):
+    """A null token element must fail LOUDLY — the old int64 cast turned
+    NaN into a platform-dependent sentinel and emitted a silently wrong
+    fingerprint."""
+    import pytest
+
+    from dbimport_spark.functions.tokens import rolling_token_fingerprint
+
+    df = spark.createDataFrame(
+        [("a", [1, None, 3])], "doc_id string, tokens array<long>"
+    )
+    with pytest.raises(Exception, match="null token"):
+        df.select(rolling_token_fingerprint(F.col("tokens"))).collect()
+
+
+def test_token_stats_bigint_elements(spark):
+    from dbimport_spark.functions.tokens import token_stats
+
+    df = spark.createDataFrame(
+        [("a", [2**40, 5, -3])], "doc_id string, tokens array<long>"
+    )
+    st = df.select(token_stats(F.col("tokens")).alias("s")).first()["s"]
+    assert (st["mn"], st["mx"], st["sm"]) == (-3, 2**40, 2**40 + 2)
+
+
+def test_lsh_band_validation(spark):
+    """bands > num_perm (rows=0) silently degenerated LSH to the full
+    cross join; non-divisible num_perm silently dropped permutations —
+    both now refuse."""
+    import pytest
+
+    from dbimport_spark.operators.text_dedup import (
+        minhash_lsh_dedup,
+        simhash_near_dups,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x y w")], "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="multiple of"):
+        minhash_lsh_dedup(docs, num_perm=4, bands=8)
+    with pytest.raises(ValueError, match="multiple of"):
+        minhash_lsh_dedup(docs, num_perm=30, bands=8)
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_dups(docs, max_hamming=64)
+
+
+def test_stopword_hits_consecutive_repeats_and_empty_tokens(spark):
+    """'the the the' counts 3 (single-space padding undercounted to 2:
+    adjacent repeats shared the consumed space), and empty text is a
+    0-token doc, not a 1-token one."""
+    from dbimport_spark.operators.text import (
+        quality_features,
+        stopword_hits,
+        ws_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [("r", "the the the"), ("e", ""), ("w", "   ")],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["hits"], r["n"])
+        for r in df.select(
+            "doc_id",
+            stopword_hits(F.col("text")).alias("hits"),
+            ws_token_count(F.col("text")).alias("n"),
+        ).collect()
+    }
+    assert got["r"] == (3, 3)
+    assert got["e"] == (0, 0) and got["w"] == (0, 0)
+    qf = {r["doc_id"]: r["quality_score"]
+          for r in quality_features(df).collect()}
+    assert qf["r"] == 1000  # 3/3 stopwords -> 1000 permille, len band 0
+    assert qf["e"] == 0  # no ANSI division error on the empty doc
