@@ -58,6 +58,7 @@ def main() -> None:
     from dbimport_spark.sources.loggen import generate_changes, write_changes
 
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    shm_dir = tempfile.mkdtemp(prefix="bench-sl-", dir=shm) if shm else None
     spark = get_spark(
         app_name="dbimport-bench",
         master=f"local[{cpus}]",
@@ -66,16 +67,21 @@ def main() -> None:
             "spark.ui.showConsoleProgress": "false",
             "spark.io.compression.codec": "zstd",
             "spark.sql.parquet.compression.codec": "zstd",
-            **(
-                {"spark.local.dir": tempfile.mkdtemp(prefix="bench-sl-", dir=shm)}
-                if shm
-                else {}
-            ),
+            **({"spark.local.dir": shm_dir} if shm_dir else {}),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     work = tempfile.mkdtemp(prefix="cdc-bench-")
+    # crash-safe cleanup: a RAM-backed spark.local.dir left behind by an
+    # interrupted run pins shuffle/spill files in tmpfs (host MEMORY)
+    # across attempts — exactly the external-load noise the calibration
+    # bracket exists to detect
+    import atexit
+
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    if shm_dir:
+        atexit.register(shutil.rmtree, shm_dir, ignore_errors=True)
     runs: dict[str, list[float]] = {}
     minmax_rescans: list[int] = []  # groups rescanned per incr mm sync
 

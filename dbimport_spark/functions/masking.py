@@ -19,16 +19,23 @@ def hash_column(col: Column, salt: str = "") -> Column:
 
 
 def replace_with_star(col: Column) -> Column:
-    """Full mask, length-preserving (sparkUDF2.py:88-99)."""
-    return F.regexp_replace(col.cast("string"), ".", "*")
+    """Full mask, length-preserving (sparkUDF2.py:88-99). repeat(), not
+    regexp '.': the dot does not match line terminators, so a multi-line
+    secret kept its newline structure (line count + per-line lengths)
+    visible through the mask."""
+    s = col.cast("string")
+    return F.repeat(F.lit("*"), F.length(s))
 
 
 def show_first_four(col: Column) -> Column:
-    """First 4 chars kept, rest starred (sparkUDF2.py:101-111)."""
+    """First 4 chars kept, rest starred (sparkUDF2.py:101-111).
+    Length-preserving for ANY length — the old substring(…, 2_000_000)
+    silently truncated gigantic values, and its '.' mask leaked
+    newlines. Matches the DuckDB oracle's repeat/greatest form."""
     s = col.cast("string")
     return F.concat(
         F.substring(s, 1, 4),
-        F.regexp_replace(F.substring(s, 5, 2_000_000), ".", "*"),
+        F.repeat(F.lit("*"), F.greatest(F.length(s) - 4, F.lit(0))),
     )
 
 

@@ -75,7 +75,10 @@ def normalize_dataframe(df: DataFrame, dates_to_string: bool = False) -> DataFra
     expressions (base64/transform/map rebuild), no per-row Python."""
     return df.select(
         *[
-            _convert(F.col(f.name), f.dataType, dates_to_string).alias(f.name)
+            # df[name], not F.col(name): Mongo-inferred top-level keys
+            # may contain dots ('user.name' is legal since Mongo 3.6),
+            # which F.col would mis-parse as a nested field path
+            _convert(df[f.name], f.dataType, dates_to_string).alias(f.name)
             for f in df.schema.fields
         ]
     )

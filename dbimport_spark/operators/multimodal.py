@@ -93,15 +93,20 @@ def extract_features(
     torchaudio / ffmpeg) — the iterator/batch plumbing stays identical.
     """
 
+    if not deterministic_fake:
+        # driver-side, BEFORE the UDF is built: checked inside the batch
+        # loop, an empty input silently succeeded (masking the
+        # misconfiguration) and a non-empty one failed only as a remote
+        # task error at action time
+        raise NotImplementedError(
+            "media decode requires codec libraries not present in this "
+            "environment; use deterministic_fake=True"
+        )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "media decode requires codec libraries not present in "
-                    "this environment; use deterministic_fake=True"
-                )
             feats = []
             for blob in pdf["payload"]:
                 if blob is None:
@@ -144,16 +149,21 @@ def resize_images(
     real thing, value-checkable by any engine that can regenerate blobs.
     """
 
+    if not deterministic_fake:
+        # driver-side, BEFORE the UDF is built: checked inside the batch
+        # loop, an empty input silently succeeded (masking the
+        # misconfiguration) and a non-empty one failed only as a remote
+        # task error at action time
+        raise NotImplementedError(
+            "media decode requires codec libraries not present in this "
+            "environment; use deterministic_fake=True"
+        )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         target = width * height
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "image decode requires codec libraries not present in "
-                    "this environment; use deterministic_fake=True"
-                )
             out = []
             for blob in pdf["payload"]:
                 if blob is None or len(blob) == 0:
@@ -192,15 +202,20 @@ def sample_frames(
     video size). Fake branch slices the blob into n_frames equal chunks
     with evenly-spaced timestamps over duration_ms."""
 
+    if not deterministic_fake:
+        # driver-side, BEFORE the UDF is built: checked inside the batch
+        # loop, an empty input silently succeeded (masking the
+        # misconfiguration) and a non-empty one failed only as a remote
+        # task error at action time
+        raise NotImplementedError(
+            "media decode requires codec libraries not present in this "
+            "environment; use deterministic_fake=True"
+        )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "video decode requires ffmpeg, not present in this "
-                    "environment; use deterministic_fake=True"
-                )
             ids, idxs, frames, tss = [], [], [], []
             for mid, blob, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
@@ -213,7 +228,11 @@ def sample_frames(
                     ids.append(mid)
                     idxs.append(k)
                     frames.append(raw[k * step : (k + 1) * step])
-                    tss.append(int((dur or 0) * k // n_frames))
+                    # pd.isna, not `or 0`: Arrow hands a nullable int
+                    # column over as float64 NaN / pd.NA, both of which
+                    # `or` passes through (int(NaN) kills the task)
+                    d = 0 if pd.isna(dur) else int(dur)
+                    tss.append(d * k // n_frames)
             yield pd.DataFrame(
                 {
                     "media_id": ids,

@@ -75,11 +75,15 @@ def generate_changes(
     tok_len = (
         F.lit(tokens_min) + F.pmod(F.xxhash64(F.lit(seed), F.lit("len"), lsn), F.lit(span))
     ).cast("int")
-    tokens = F.transform(
-        F.sequence(F.lit(1), tok_len),
-        lambda i: F.pmod(F.xxhash64(F.lit(seed), F.lit("tok"), lsn, i), F.lit(vocab)).cast(
-            "int"
-        ),
+    tokens = F.when(tok_len <= 0, F.array().cast("array<int>")).otherwise(
+        # the when-guard matters for tokens_min=0: sequence(1, 0) would
+        # auto-step DOWN and yield [1, 0] — two tokens instead of none
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(tok_len, F.lit(1))),
+            lambda i: F.pmod(
+                F.xxhash64(F.lit(seed), F.lit("tok"), lsn, i), F.lit(vocab)
+            ).cast("int"),
+        )
     )
     source = F.element_at(
         F.array(*[F.lit(s) for s in SOURCES]),
@@ -151,6 +155,12 @@ def write_changes_segments(df: DataFrame, path: str, n_segments: int = 8) -> lis
     b = df.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).first()
     lo, hi = b["lo"], b["hi"]
     os.makedirs(path, exist_ok=True)
+    # stale segments from an earlier, wider write would overlap the new
+    # LSN ranges (seg-00004+ surviving a re-write with n_segments=4) and
+    # a file-stream consumer would replay conflicting events — clear them
+    for name in os.listdir(path):
+        if name.startswith("seg-") and name.endswith(".parquet"):
+            os.unlink(os.path.join(path, name))
     if lo is None:
         return []  # empty log: no segments
     span = hi - lo + 1
@@ -158,9 +168,15 @@ def write_changes_segments(df: DataFrame, path: str, n_segments: int = 8) -> lis
     for k in range(n_segments):
         s = lo - 1 + (span * k) // n_segments
         e = lo - 1 + (span * (k + 1)) // n_segments
-        seg = df.filter((F.col("lsn") > s) & (F.col("lsn") <= e)).sortWithinPartitions("lsn")
+        # coalesce FIRST: sort-then-coalesce only concatenates per-parent
+        # sorted runs (parquet splits arrive size-ordered), leaving the
+        # single segment file only locally sorted — the in-lsn-order
+        # row-group-stats rationale silently lost
+        seg = df.filter(
+            (F.col("lsn") > s) & (F.col("lsn") <= e)
+        ).coalesce(1).sortWithinPartitions("lsn")
         tmp = f"{path}.seg-tmp"
-        seg.coalesce(1).write.mode("overwrite").parquet(tmp)
+        seg.write.mode("overwrite").parquet(tmp)
         part = next(n for n in sorted(os.listdir(tmp)) if n.endswith(".parquet"))
         dest = os.path.join(path, f"seg-{k:05d}.parquet")
         os.replace(os.path.join(tmp, part), dest)

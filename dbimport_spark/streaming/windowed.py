@@ -75,7 +75,15 @@ def run_windowed_counts(
     emits window revisions as late-but-within-horizon rows arrive;
     'append' emits each window exactly once, after the watermark passes
     its end (nothing may change it anymore) — the mode a downstream
-    exactly-once consumer wants."""
+    exactly-once consumer wants on a CONTINUOUS stream.
+
+    'append' + ``available_now=True`` caveat: when the bounded run
+    terminates, windows still inside the final watermark horizon (ending
+    within ``watermark`` of the max event time) remain in state and are
+    emitted ZERO times, not once — Spark never advances the watermark
+    past them. Over a bounded log where the tail matters, use 'update'
+    (the default here), or restart the query on the same checkpoint
+    after more data arrives to flush them."""
     agg = windowed_event_counts(stream_df, window=window, watermark=watermark)
     writer = (
         agg.writeStream.outputMode(output_mode)

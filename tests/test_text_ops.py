@@ -447,3 +447,82 @@ def test_stopword_hits_consecutive_repeats_and_empty_tokens(spark):
           for r in quality_features(df).collect()}
     assert qf["r"] == 1000  # 3/3 stopwords -> 1000 permille, len band 0
     assert qf["e"] == 0  # no ANSI division error on the empty doc
+
+
+def test_masking_newlines_and_multimodal_null_duration(spark):
+    """Masks cover line terminators (the regex '.' leaked newline
+    structure through a 'full' mask) and stay length-preserving at any
+    size; frame sampling survives a null duration_ms (Arrow hands
+    nullable ints over as NaN, which `or 0` passed through to int())."""
+    from dbimport_spark.functions.masking import (
+        replace_with_star,
+        show_first_four,
+    )
+    from dbimport_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame([("s", "ab\ncd\ne")], "k string, v string")
+    row = df.select(
+        replace_with_star(F.col("v")).alias("star"),
+        show_first_four(F.col("v")).alias("f4"),
+    ).first()
+    assert row["star"] == "*******"  # no newline survives
+    assert row["f4"] == "ab\nc***"  # first 4 verbatim, rest starred
+
+    media = spark.createDataFrame(
+        [("m1", "video", bytearray(b"0123456789abcdef"), None, None, None,
+          None)],
+        "media_id string, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    frames = sample_frames(media, n_frames=2).collect()
+    assert len(frames) == 2 and all(f["ts_ms"] == 0 for f in frames)
+
+
+def test_multimodal_codec_gate_raises_at_call_time(spark):
+    """deterministic_fake=False must fail at CALL time on the driver —
+    checked inside the batch loop, empty input silently succeeded and
+    non-empty input failed only as a remote task error."""
+    import pytest
+
+    from dbimport_spark.operators.multimodal import extract_features
+
+    empty = spark.createDataFrame(
+        [], "media_id string, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    with pytest.raises(NotImplementedError, match="codec"):
+        extract_features(empty, deterministic_fake=False)
+
+
+def test_loggen_segments_globally_sorted_and_no_stale(spark, tmp_path):
+    """Each segment file is globally lsn-sorted (sort-then-coalesce only
+    concatenated per-parent sorted runs), and re-writing with fewer
+    segments clears the stale overlapping ones."""
+    import os
+
+    from dbimport_spark.sources.loggen import (
+        generate_changes,
+        write_changes_segments,
+    )
+
+    log = str(tmp_path / "seg")
+    changes = generate_changes(spark, 5000, n_keys=500, seed=7,
+                               num_partitions=8)
+    # a parquet round-trip gives size-ordered (not lsn-ordered) splits —
+    # the case where sort-then-coalesce silently interleaved runs
+    raw = str(tmp_path / "raw")
+    changes.write.parquet(raw)
+    df = spark.read.parquet(raw)
+    files = write_changes_segments(df, log, n_segments=6)
+    assert len(files) == 6
+    import pyarrow.parquet as pq
+
+    for f in files:
+        lsns = pq.read_table(f, columns=["lsn"])["lsn"].to_pylist()
+        assert lsns == sorted(lsns), f"{f} not globally sorted"
+    files2 = write_changes_segments(df, log, n_segments=3)
+    on_disk = sorted(
+        n for n in os.listdir(log)
+        if n.startswith("seg-") and n.endswith(".parquet")
+    )
+    assert len(files2) == 3 and len(on_disk) == 3  # stale segs cleared
