@@ -208,6 +208,7 @@ def table_changes(
     from_version: int,
     to_version: int | None = None,
     include_preimage: bool = False,
+    compare_cols: list[str] | None = None,
 ) -> DataFrame:
     """Net row-level changes committed after ``from_version`` up to and
     including ``to_version`` (default: current).
@@ -223,6 +224,19 @@ def table_changes(
     live->dead transition emits 'delete', dead->live emits 'insert'
     (revival), dead->dead emits nothing even if the tombstone payload
     moved.
+
+    ``compare_cols`` scopes UPDATE detection to the named payload columns:
+    a matched live row whose changes are confined to columns OUTSIDE the
+    set emits nothing. This is the column-pruning dial for consumers that
+    aggregate a few columns (the matview maintains count/sum/min/max over
+    a column subset, and a row whose view columns are all unchanged
+    contributes exactly zero to every maintained aggregate): with the wide
+    payload columns out of the comparison, Catalyst prunes them from BOTH
+    scan sides and the diff join shuffles only the named columns — at the
+    100 TB design point that is the difference between diffing a few
+    percent of bucket bytes and diffing all of them. Insert/delete
+    classification is presence-based and unaffected. Default None keeps
+    the full-payload comparison (the CDC-feed contract).
     """
     snap_a = table.snapshot(from_version)
     snap_b = (
@@ -239,6 +253,15 @@ def table_changes(
         f.name for f in snap_b.schema.fields if f.name not in AUDIT_COLUMNS
     ]
     value_cols = [c for c in payload_cols if c not in keys]
+    if compare_cols is not None:
+        unknown = sorted(set(compare_cols) - set(payload_cols))
+        if unknown:
+            raise ValueError(
+                f"compare_cols {unknown} not in payload columns "
+                f"{payload_cols} — a silently ignored name would make "
+                "every update on it invisible"
+            )
+        value_cols = [c for c in value_cols if c in compare_cols]
     soft = AUDIT_DELETE in snap_b.schema.fieldNames()
 
     if rewrite_only_window(table, snap_a, snap_b):

@@ -199,8 +199,15 @@ def ngram_jaccard_dedup(
     min_permille: int = 500,
     num_partitions: int | None = None,
 ) -> DataFrame:
+    # three consumers of the shingle set inside jaccard_pairs (sizes +
+    # both sides of the inverted-index self-join): materialize once, same
+    # rationale as minhash_lsh_dedup
     return jaccard_pairs(
-        word_shingles(df, text_col, id_col, n, num_partitions), id_col, min_permille
+        word_shingles(df, text_col, id_col, n, num_partitions).localCheckpoint(
+            eager=False
+        ),
+        id_col,
+        min_permille,
     )
 
 
@@ -299,7 +306,17 @@ def minhash_lsh_dedup(
     """Candidate pairs from LSH, verified with exact Jaccard — but only on
     the candidates (see jaccard_for_pairs)."""
     rows = _lsh_rows(num_perm, bands)
-    sh = word_shingles(df, text_col, id_col, n, num_partitions)
+    # the shingle set feeds FOUR consumers (the sketch, the pair sizes,
+    # and both sides of the candidate-verify join). Catalyst reuses the
+    # underlying exchange but re-executes the post-shuffle shingling
+    # (regexp + per-shingle hash) once per consumer — measured 4x the
+    # shingle CPU and 4.8s vs 2.0s for the sf0.1 corpus at local[32].
+    # Materialize once (lazy local checkpoint: computed by the first
+    # consumer, read from cache by the rest); linear in corpus size, the
+    # same trade matview.py already makes for its delta.
+    sh = word_shingles(df, text_col, id_col, n, num_partitions).localCheckpoint(
+        eager=False
+    )
     sigs = minhash_signatures(sh, id_col, num_perm)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
     return jaccard_for_pairs(sh, cands, id_col).filter(
@@ -354,8 +371,15 @@ def dedup_against_corpus(
 
     if method == "minhash":
         rows = _lsh_rows(num_perm, bands)
-        bsh = word_shingles(batch, text_col, id_col, n, num_partitions)
-        csh = word_shingles(corpus, text_col, id_col, n, num_partitions)
+        # each shingle set feeds its sketch plus the verify join (via the
+        # union below, whose sizes/a/b sides re-consume it) — materialize
+        # once per side, same rationale as minhash_lsh_dedup
+        bsh = word_shingles(
+            batch, text_col, id_col, n, num_partitions
+        ).localCheckpoint(eager=False)
+        csh = word_shingles(
+            corpus, text_col, id_col, n, num_partitions
+        ).localCheckpoint(eager=False)
         bsig = minhash_signatures(bsh, id_col, num_perm)
         csig = minhash_signatures(csh, id_col, num_perm)
 
@@ -449,7 +473,12 @@ def simhash_near_dups(
         n_chunks *= 2
     width = 64 // n_chunks
     mask = (1 << width) - 1
-    sh = simhash(df, text_col, id_col, num_partitions)
+    # (id, simhash) is tiny but expensive to produce (the Arrow bit-vote
+    # UDF) and feeds BOTH sides of the chunk self-join — materialize once
+    # so the UDF runs once per doc, not once per join side
+    sh = simhash(df, text_col, id_col, num_partitions).localCheckpoint(
+        eager=False
+    )
     chunks = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), width * i).bitwiseAND(F.lit(mask))
@@ -505,7 +534,10 @@ def simhash_verified_dups(
     cands = simhash_near_dups(
         df, text_col, id_col, max_hamming, num_partitions
     ).select("id_a", "id_b")
-    sh = word_shingles(df, text_col, id_col, n, num_partitions)
+    # three consumers inside jaccard_for_pairs — materialize once
+    sh = word_shingles(df, text_col, id_col, n, num_partitions).localCheckpoint(
+        eager=False
+    )
     return jaccard_for_pairs(sh, cands, id_col).filter(
         F.col("jaccard_permille") >= min_permille
     )

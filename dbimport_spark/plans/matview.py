@@ -496,7 +496,23 @@ def _sync_view_impl(
 
     reload_v = window_has_reload(source, from_v, to_v)
     if from_v in source.snapshots() and reload_v is None:
-        feed = table_changes(spark, source, from_v, to_v, include_preimage=True)
+        # compare_cols scopes update detection to the view's own columns:
+        # a source row whose group/sum/min/max columns are ALL unchanged
+        # contributes exactly zero to every maintained aggregate (its +1
+        # and -1 cancel in the same group, its sums cancel, and the
+        # `unchanged` rule already nulled its min/max candidates), so
+        # dropping it from the feed changes nothing — while letting
+        # Catalyst prune the wide payload columns from both diff-join
+        # sides. Measured: the sf0.1 incr sync's feed join drops from
+        # full-token-array width to (key, source, n_tok).
+        feed = table_changes(
+            spark, source, from_v, to_v, include_preimage=True,
+            compare_cols=sorted(
+                set(spec.group_cols)
+                | set(spec.sum_cols)
+                | set(spec.minmax_cols())
+            ),
+        )
         return apply_feed_to_view(
             spark, source, view_engine, spec, feed, from_v, to_v
         )
