@@ -1212,6 +1212,15 @@ class CDCEngine:
         if soft:
             deduped = self._with_live_payload(deduped, batch_nc, payload_cols)
         deduped = deduped.withColumn("_bucket", bexpr)
+        # hard-mode batches with deletes run TWO write jobs (delta files,
+        # then key-only tombstones) over this frame and its probe; without
+        # materialization the second job re-reads the log window, re-runs
+        # the dedup, and re-scans the touched buckets' narrow probe
+        # columns. Both frames are batch-sized (the MOR invariant), so the
+        # lazy checkpoint is bounded by batch size at any table scale.
+        two_jobs = n_dels and self.delete_mode == "hard"
+        if two_jobs:
+            deduped = deduped.localCheckpoint(eager=False)
 
         # narrow audit probe: reconciled current rows of the batch's keys,
         # column-pruned to keys + insert-ts. The semi-join streams the
@@ -1233,6 +1242,8 @@ class CDCEngine:
         probe = current.select(*probe_cols).join(
             F.broadcast(batch_keys), self.keys, "left_semi"
         )
+        if two_jobs:
+            probe = probe.localCheckpoint(eager=False)
 
         preimages = None
         if soft and n_dels:

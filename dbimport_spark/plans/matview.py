@@ -183,6 +183,13 @@ def _contributions(feed: DataFrame, spec: AggSpec) -> DataFrame:
     at their ``_pre_*`` pre-image values. An update that moves a row
     across groups therefore decrements the old group and increments the
     new one in the same delta.
+
+    Shape: ONE pass over the feed — each row builds an array of its 0-2
+    contribution structs (post / pre), compacted and exploded. The former
+    three-way union re-executed the feed's snapshot-diff JOIN once per
+    branch (three scans of both diff sides; the bootstrap sync paid two
+    of them for provably-empty branches), tripling the dominant cost of
+    every view sync.
     """
     ct = F.col(CHANGE_TYPE_COL)
     dtypes = {f.name: f.dataType for f in feed.schema.fields}
@@ -197,8 +204,9 @@ def _contributions(feed: DataFrame, spec: AggSpec) -> DataFrame:
             same = same & F.col(f"_pre_{g}").eqNullSafe(F.col(g))
         return (ct == "update") & same & F.col(f"_pre_{c}").eqNullSafe(F.col(c))
 
-    def side(df: DataFrame, sign: int, prefix: str) -> DataFrame:
-        cols = [
+    def contrib(sign: int, prefix: str):
+        """Contribution struct at ``prefix`` columns with ``sign``."""
+        fields = [
             *[F.col(prefix + g).alias(g) for g in spec.group_cols],
             F.lit(sign).cast("long").alias("_d_n"),
             *[
@@ -209,15 +217,15 @@ def _contributions(feed: DataFrame, spec: AggSpec) -> DataFrame:
         for c in spec.minmax_cols():
             null = F.lit(None).cast(dtypes[c])
             if sign == 1:  # post side: candidate new values
-                cols.append(
+                fields.append(
                     F.when(unchanged(c), null)
                     .otherwise(F.col(c))
                     .alias(f"_post_{c}")
                 )
-                cols.append(null.alias(f"_rem_{c}"))
+                fields.append(null.alias(f"_rem_{c}"))
             else:  # pre side: removed values (delete / update pre-image)
-                cols.append(null.alias(f"_post_{c}"))
-                cols.append(
+                fields.append(null.alias(f"_post_{c}"))
+                fields.append(
                     (
                         F.col(c)
                         if prefix == ""
@@ -226,12 +234,16 @@ def _contributions(feed: DataFrame, spec: AggSpec) -> DataFrame:
                         )
                     ).alias(f"_rem_{c}")
                 )
-        return df.select(*cols)
+        return F.struct(*fields)
 
-    post = side(feed.filter(ct.isin("insert", "update")), 1, "")
-    pre_del = side(feed.filter(ct == "delete"), -1, "")
-    pre_upd = side(feed.filter(ct == "update"), -1, "_pre_")
-    return post.unionByName(pre_del).unionByName(pre_upd)
+    post = F.when(ct.isin("insert", "update"), contrib(1, ""))
+    pre = F.when(ct == "delete", contrib(-1, "")).when(
+        ct == "update", contrib(-1, "_pre_")
+    )
+    exploded = feed.select(
+        F.explode(F.array_compact(F.array(post, pre))).alias("_c")
+    )
+    return exploded.select("_c.*")
 
 
 def sync_view(
@@ -408,8 +420,15 @@ def apply_feed_to_view(
             ],
         )
 
+    # the fold-event frame is group-cardinality-sized (touched groups
+    # only), but the engine consumes it in TWO jobs (stats agg + write),
+    # each of which would re-execute the delta-join/rescan dataflow —
+    # materialize it once (lazy: the stats agg computes, the write reads
+    # cache). Same group-cardinality bound as the delta checkpoint above.
     if not spec.minmax_cols():
-        return view_engine.apply_batch(fold_events(merged), from_v, to_v)
+        return view_engine.apply_batch(
+            fold_events(merged).localCheckpoint(eager=False), from_v, to_v
+        )
 
     # group-scoped rescan: tiny (one row per invalidated group), and
     # consumed three times (count for the log, broadcast join, plan)
@@ -427,7 +446,9 @@ def apply_feed_to_view(
         n_rescan,
     )
     if n_rescan == 0:
-        return view_engine.apply_batch(fold_events(merged), from_v, to_v)
+        return view_engine.apply_batch(
+            fold_events(merged).localCheckpoint(eager=False), from_v, to_v
+        )
 
     # recompute ALL aggregates for the invalidated groups from the
     # source's live rows AT to_v (never current() — a concurrent
@@ -463,7 +484,13 @@ def apply_feed_to_view(
         *[F.col(spec.min_name(c)) for c in spec.min_cols],
         *[F.col(spec.max_name(c)) for c in spec.max_cols],
     )
-    events = fold_events(merged.filter(~inval)).unionByName(rescan_events)
+    # group-cardinality-sized; materialized once so the engine's stats agg
+    # and write jobs don't each re-run the rescan join + delta fold
+    events = (
+        fold_events(merged.filter(~inval))
+        .unionByName(rescan_events)
+        .localCheckpoint(eager=False)
+    )
     return view_engine.apply_batch(
         events, from_v, to_v, stats_extra={"rescanned_groups": n_rescan}
     )
