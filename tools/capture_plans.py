@@ -88,7 +88,15 @@ def main() -> None:
         group_cols=["source"], sum_cols=["n_tok"],
         min_cols=["n_tok"], max_cols=["n_tok"],
     )
-    feed = table_changes(spark, table, v - 1, v, include_preimage=True)
+    try:
+        # current tree: the sync path narrows update detection to the
+        # view's columns (compare_cols) — capture the real plan
+        feed = table_changes(
+            spark, table, v - 1, v, include_preimage=True,
+            compare_cols=["n_tok", "source"],
+        )
+    except TypeError:  # round-start tree: no compare_cols param
+        feed = table_changes(spark, table, v - 1, v, include_preimage=True)
     from dbimport_spark.plans.matview import _contributions
 
     plans["matview_feed_delta"] = (
