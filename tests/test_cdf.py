@@ -406,3 +406,79 @@ def test_table_changes_refuses_grown_back_rename_history(spark, tmp_path):
     else:
         with pytest.raises(ValueError, match="reload"):
             table_changes(spark, table, v_a, table.current().version)
+
+
+def test_compare_cols_scopes_update_detection(spark, tmp_path):
+    """compare_cols: updates confined to out-of-scope columns vanish from
+    the feed; in-scope updates and all inserts/deletes stay; unknown names
+    refuse loudly; and the scan side no longer reads the wide column —
+    the matview-sync pruning contract (r6 optimization)."""
+    table = CDCEngine.create_table(str(tmp_path / "t"), num_buckets=4)
+    eng = CDCEngine(spark, table)
+    eng.apply_batch(
+        _log(
+            spark,
+            [
+                (1, "I", "k-tok", [1, 2], 2, "web", dt.datetime(2030, 1, 1)),
+                (2, "I", "k-src", [3], 1, "web", dt.datetime(2030, 1, 1)),
+                (3, "I", "k-del", [4], 1, "web", dt.datetime(2030, 1, 1)),
+            ],
+        ),
+        0,
+        3,
+    )
+    v_a = table.current().version
+    eng.apply_batch(
+        _log(
+            spark,
+            [
+                # token-only change: n_tok and source unchanged
+                (4, "U", "k-tok", [9, 9], 2, "web", dt.datetime(2030, 1, 2)),
+                # in-scope change (source moves)
+                (5, "U", "k-src", [3], 1, "books", dt.datetime(2030, 1, 2)),
+                (6, "D", "k-del", None, None, None, dt.datetime(2030, 1, 2)),
+                (7, "I", "k-new", [5], 1, "code", dt.datetime(2030, 1, 2)),
+            ],
+        ),
+        3,
+        7,
+    )
+    v_b = table.current().version
+
+    full = {
+        r["doc_id"]: r["_change_type"]
+        for r in table_changes(spark, table, v_a, v_b).collect()
+    }
+    assert full == {
+        "k-tok": "update",
+        "k-src": "update",
+        "k-del": "delete",
+        "k-new": "insert",
+    }
+
+    scoped_df = table_changes(
+        spark, table, v_a, v_b, compare_cols=["n_tok", "source"]
+    )
+    scoped = {r["doc_id"]: r["_change_type"] for r in scoped_df.collect()}
+    # the token-only update is invisible; everything else is unchanged
+    assert scoped == {
+        "k-src": "update",
+        "k-del": "delete",
+        "k-new": "insert",
+    }
+
+    # pruning reaches the scan: a consumer that projects only the scoped
+    # columns must not read `tokens` on either diff side
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        scoped_df.select("doc_id", "n_tok", "source", "_change_type")
+        ._jdf.queryExecution(),
+        "formatted",
+    )
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "tokens" not in line, line
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compare_cols"):
+        table_changes(spark, table, v_a, v_b, compare_cols=["nope"])
