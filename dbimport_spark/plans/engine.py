@@ -979,6 +979,15 @@ class CDCEngine:
             )
             if self.delete_mode == "soft":
                 deduped = with_live_payload(deduped, batch_nc, self.keys)
+            # three consumers inside the broadcast merge (the broadcast
+            # build, the matched-keys semi probe, and the insert anti-join)
+            # would each re-read the window and re-run the dedup;
+            # materialize once — bounded by broadcast_threshold_rows, the
+            # same cap that already gates broadcasting this frame's full
+            # payload. (The bucket path deliberately stays unmaterialized:
+            # at full-replay scale caching token arrays measured 3x slower
+            # than recompute — see the NOTE above.)
+            deduped = deduped.localCheckpoint(eager=False)
             merged = merge_changes(
                 target,
                 deduped,
